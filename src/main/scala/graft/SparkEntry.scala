@@ -18,10 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    ops.Relational.queries ++
+      llm.Dedup.queries ++ llm.Similarity.queries ++
+      llm.TextStats.queries ++ llm.Multimodal.queries ++
+      stream.EventWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle
+    ops.Relational.oracle ++
+      llm.Dedup.oracle ++ llm.Similarity.oracle ++
+      llm.TextStats.oracle ++ llm.Multimodal.oracle ++
+      stream.EventWindows.oracle
 }

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the similarity / fingerprint kernels
+  * (SURVEY.md §4 "custom needs"). These are the hot inner loops of the
+  * LLM-pipeline operators; a Scala UDF here would box every float of
+  * every row, so each gets `doGenCode` and participates in whole-stage
+  * codegen. The reference has no equivalent — its only extension point
+  * delegates scripts to an external engine
+  * (`/root/reference/R/DataFrameOperationR.R:504-515`).
+  */
+object VectorExpressions {
+
+  /** Registers all graft SQL functions on the session (idempotent), so
+    * plans can use them via `expr("vec_dot(a, b)")` etc. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_min_hash",
+      exprs => RollingMinHash(exprs.head), "built-in")
+  }
+}
+
+/** Dot product of two float vectors, accumulated in double, element order
+  * ascending (deterministic). Codegen emits a tight primitive loop — no
+  * boxing, stays inside WholeStageCodegen. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Document fingerprint: minimum 64-bit polynomial rolling hash over all
+  * 16-byte windows of the UTF-8 text (Karp-Rabin / winnowing-style
+  * min-selection, cf. Schleimer et al., SIGMOD'03). One pass over the
+  * bytes, O(1) per window via the precomputed `B^k` leading-byte
+  * remover; codegen'd. Texts shorter than the window hash whole. */
+case class RollingMinHash(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_min_hash expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_min_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    RollingMinHash.eval(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingMinHash.eval($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
+    copy(child = newChild)
+}
+
+object RollingMinHash {
+  final val Window = 16
+  final val Base = 1099511628211L // FNV prime; 64-bit wraparound arithmetic
+
+  /** B^Window for removing the leading byte in O(1). */
+  private final val BasePowW: Long = {
+    var p = 1L
+    var i = 0
+    while (i < Window) { p *= Base; i += 1 }
+    p
+  }
+
+  /** Static so generated code can call it directly. */
+  def eval(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    var h = 0L
+    var i = 0
+    val w = math.min(Window, n)
+    while (i < w) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+    var min = h
+    while (i < n) {
+      h = h * Base + (bytes(i) & 0xff) - BasePowW * (bytes(i - Window) & 0xff)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}

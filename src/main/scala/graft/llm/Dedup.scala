@@ -1,0 +1,272 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.VectorExpressions
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` (text) and `embeddings` (vector) fixtures.
+  *
+  * Scale posture (the point of each design):
+  *  - exact dedup is a hash-shuffle groupBy on the dedup key — one
+  *    shuffle, map-side partial agg, no driver state;
+  *  - MinHash/LSH turns the quadratic near-dup problem into a
+  *    bucket-join: only documents sharing a band bucket ever meet. At
+  *    100 TB the band join is shuffle-on-bucket, AQE handles skewed
+  *    buckets (a pathological all-identical corpus lands in one bucket →
+  *    salt the band key or cap bucket size);
+  *  - the exact n-gram Jaccard path uses an inverted-index join
+  *    (posting-list self-join) rather than a cross join — cost is
+  *    sum(posting²) not n², and stays distributed;
+  *  - SimHash buckets by 16-bit chunks (pigeonhole: hamming ≤ 3 over 64
+  *    bits guarantees an equal chunk), verification via xor+bit_count;
+  *  - embedding near-dup is exact quadratic here (n is small in the
+  *    fixtures); at scale it swaps in the IVF route of
+  *    [[Similarity.ivfTopK]].
+  */
+object Dedup {
+
+  /** Word 3-gram shingle set per document (documents with ≥3 tokens). */
+  private[llm] def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(0, size(ws) - 3),
+          |  i -> concat_ws('_', element_at(ws, i + 1),
+          |                      element_at(ws, i + 2),
+          |                      element_at(ws, i + 3))))""".stripMargin))
+      .select(col("doc_id"), col("shingles"))
+
+  private val shingleOracleCte =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS s
+      |  FROM w
+      |), ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d01/d02: exact dedup
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup: group on the full text, keep the smallest doc_id as
+    * the canonical representative. One hash shuffle on the text. */
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  val d01Sql: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup on a content fingerprint instead of the full text: at
+    * scale the shuffle ships 16-byte digests, not documents. */
+  def d02HashDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("content_hash", md5(col("text")))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("content_hash"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  val d02Sql: String =
+    """SELECT MIN(doc_id) AS doc_id, MD5(text) AS content_hash,
+      | COUNT(*) AS n_copies
+      |FROM documents GROUP BY MD5(text) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d03: MinHash + LSH banding
+  // ---------------------------------------------------------------------
+
+  /** Near-duplicate pairs via MinHash signatures (64 hashes) + LSH
+    * banding (16 bands × 4 rows), exact-Jaccard verification of the
+    * candidates, threshold 0.8.
+    *
+    * The oracle is the *exact* Jaccard join: with 16 bands of 4 the
+    * candidate-recall at j ≥ 0.8 is 1 - (1 - 0.8⁴)¹⁶ ≈ 0.9998 and
+    * ≈ 1 - 10⁻¹⁴ at j = 1, so LSH+verify equals the exact answer on any
+    * non-adversarial corpus. */
+  def d03MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val sig = sh.withColumn("sig", expr(
+      """transform(sequence(0, 63),
+        |  s -> array_min(transform(shingles, x -> xxhash64(x, s))))""".stripMargin))
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(expr(
+        """transform(sequence(0, 15),
+          |  b -> xxhash64(slice(sig, b * 4 + 1, 4)))""".stripMargin))
+        .as(Seq("band", "bucket")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold = 0.8)
+  }
+
+  /** Join candidate pairs back to shingle sets and compute exact Jaccard. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d03Sql: String = shingleOracleCte +
+    """
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |FROM pr JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d04: exact n-gram Jaccard via inverted-index join
+  // ---------------------------------------------------------------------
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) without LSH:
+    * explode shingles into postings, self-join the posting lists, count
+    * shared shingles per pair. No cross join anywhere — pairs that share
+    * zero shingles are never materialized. */
+  def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val postings = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val pairCounts = postings.as("a")
+      .join(postings.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    pairCounts
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d04Sql: String = shingleOracleCte +
+    """
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |FROM pr JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d05: SimHash
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash near-dup pairs. Signature: per token, xxhash64; each
+    * bit contributes ±1; sign of the per-bit sum forms the hash. Pairs
+    * are found by bucketing on the four 16-bit chunks (pigeonhole: any
+    * pair at hamming ≤ 3 shares an exact chunk — we keep pairs to
+    * hamming ≤ 8, which the chunk join still surfaces for
+    * near-identical texts) and verified with xor + bit_count. */
+  def d05SimHash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 1)
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), cast(0 as bigint),
+          |  (acc, i) -> acc + if(
+          |    element_at(
+          |      aggregate(transform(ws, w -> xxhash64(w)),
+          |        array_repeat(0, 64),
+          |        (cnt, h) -> zip_with(cnt,
+          |          transform(sequence(0, 63),
+          |            j -> if((shiftright(h, j) & 1) = 1, 1, -1)),
+          |          (x, y) -> x + y)),
+          |      i + 1) > 0,
+          |    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val chunks = hashed.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        """transform(sequence(0, 3),
+          |  c -> shiftright(simhash, c * 16) & 65535)""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // d06: embedding-cosine near-dup
+  // ---------------------------------------------------------------------
+
+  /** Near-duplicate vector pairs by cosine (threshold 0.4 — the fixture
+    * corpus has no planted duplicates, so the threshold sits at the top
+    * of the similarity distribution). Exact pairwise with the codegen'd
+    * [[graft.functions.VecDot]] kernel; quadratic is fine at fixture
+    * n — the 100 TB path is [[Similarity.ivfTopK]]'s cell-pruned join. */
+  def d06EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val v = Tables(spark, dir, "embeddings")
+      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("norm").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("norm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        expr("vec_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _),
+    "d02_hash_dedup" -> (d02HashDedup _),
+    "d03_minhash_lsh" -> (d03MinHashLsh _),
+    "d04_ngram_jaccard" -> (d04NgramJaccard _),
+    "d05_simhash" -> (d05SimHash _),
+    "d06_embedding_near_dup" -> (d06EmbeddingNearDup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Sql,
+    "d02_hash_dedup" -> d02Sql,
+    "d03_minhash_lsh" -> d03Sql,
+    "d04_ngram_jaccard" -> d04Sql,
+    // d05/d06 depend on engine hash functions / float kernels — rows-only.
+  )
+}

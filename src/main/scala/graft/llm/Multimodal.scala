@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with a
+  * typed metadata struct, batch decode / feature-extract / frame-sample
+  * over `mapPartitions`.
+  *
+  * The fixture environment has no image/audio codecs, so `decodeStub`
+  * is a clearly-marked deterministic fake — but everything Spark-side is
+  * real and shaped for scale: the schema (`blob binary, meta struct`),
+  * the partition-batched decode (one decoder init per partition, not per
+  * row — at 100 TB decoder setup per row would dominate), and the
+  * explode-style frame sampler. Swapping the stub for a real codec
+  * changes no plan shape.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every blob. */
+  case class MediaMeta(mime: String, width: Int, height: Int, nFrames: Int)
+
+  case class MediaRow(doc_id: Long, blob: Array[Byte], meta: MediaMeta)
+
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
+      feature: Array[Float])
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_checksum: Long)
+
+  /** Pack the documents fixture as a media table: UTF-8 bytes as the
+    * opaque blob + synthetic metadata. This stands in for
+    * `spark.read.format("binaryFile")` over an object store. */
+  def packAsMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("blob"),
+        struct(
+          lit("application/octet-stream").as("mime"),
+          lit(64).as("width"), lit(64).as("height"),
+          (col("n_chars") % 16 + 1).cast(IntegerType).as("nFrames"))
+          .as("meta"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder — deterministic fake standing in for a real codec
+    * (e.g. libjpeg/ffmpeg batch decode). Real environments replace the
+    * body; the signature (whole partition in, features out) is the
+    * contract that keeps decoder initialization per-partition. */
+  private[llm] def decodeStub(blob: Array[Byte]): (Long, Array[Float]) = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(blob)
+    val checksum = crc.getValue
+    // fake 8-dim "embedding": byte histogram folded to 8 buckets, scaled
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < blob.length) { hist((blob(i) & 0xff) % 8) += 1f; i += 1 }
+    val n = math.max(1, blob.length).toFloat
+    (checksum, hist.map(_ / n))
+  }
+
+  /** Batch feature extraction: one pass per partition, decoder state
+    * initialized once per partition. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (codec handles, buffers)
+      rows.map { r =>
+        val (checksum, feat) = decodeStub(r.blob)
+        MediaFeatures(r.doc_id, r.blob.length, checksum, feat)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th frame index from the metadata,
+    * one output row per sampled frame (generator-style explode). */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      (0 until r.meta.nFrames by stride).map { idx =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(r.blob)
+        crc.update(idx)
+        FrameRow(r.doc_id, idx, crc.getValue)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Query entries
+  // ---------------------------------------------------------------------
+
+  /** Media metadata projection — oracle-checkable shape (byte length +
+    * content digest are engine-portable). */
+  def m01MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+        md5(col("text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+
+  val m01Sql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | MD5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Full stubbed decode pipeline: pack → mapPartitions feature extract. */
+  def m02MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(packAsMedia(spark, dir))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  /** Frame sampler over the fake frame counts. */
+  def m03FrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(packAsMedia(spark, dir), stride = 4)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_meta" -> (m01MediaMeta _),
+    "m02_media_features" -> (m02MediaFeatures _),
+    "m03_frame_sample" -> (m03FrameSample _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m01_media_meta" -> m01Sql,
+    // m02/m03 exercise the stubbed decoder — rows-only.
+  )
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.VectorExpressions
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (`vec_id bigint, embedding array<float>, label int`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — the exact baseline: all-pairs cosine with the
+  *    codegen'd [[graft.functions.VecDot]] kernel, per-query top-k via a
+  *    partitioned window. Quadratic; correct at any n, affordable at
+  *    fixture n.
+  *  - [[ivfTopK]] — the scale path (IVF, cf. Jégou et al., PAMI'11):
+  *    pick K centroids deterministically, assign every vector to its
+  *    nearest centroid (K·n small join), then search each query only
+  *    against its `nprobe` closest cells. At 100 TB the candidate join
+  *    shuffles on cell id — cost drops from n² to n²·(nprobe/K) with
+  *    cells co-partitioned, and AQE absorbs cell-size skew.
+  */
+object Similarity {
+
+  private def normed(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    Tables(spark, dir, "embeddings")
+      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+  }
+
+  /** Exact cosine top-k (k=10) for every vector. */
+  def s01BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val q = v.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("norm").as("qn"))
+    val c = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** IVF approximate top-k: K=16 deterministic centroids (the 16 lowest
+    * vec_ids as a fixed "training sample"), nprobe=3, k=5. */
+  def s02IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val centroids = v.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"),
+        col("norm").as("cnorm"))
+
+    // Assignment: nearest centroid per vector by cosine (rank 1), plus
+    // the nprobe nearest cells for the query side (rank <= 3).
+    val sims = v.join(broadcast(centroids), lit(true))
+      .withColumn("csim",
+        expr("vec_dot(embedding, centroid)") / (col("norm") * col("cnorm")))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
+        col("csim"))
+    val byCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val ranked = sims.withColumn("cell_rank", row_number().over(byCell))
+
+    val index = ranked.filter(col("cell_rank") === 1)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("norm").as("cn"))
+    val probes = ranked.filter(col("cell_rank") <= 3)
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("norm").as("qn"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(index, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct() // a neighbor can appear via several probed cells
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_cosine_topk" -> (s01BruteForceTopK _),
+    "s02_ivf_topk" -> (s02IvfTopK _),
+  )
+
+  /** Float-kernel accumulation differs across engines — rows-only. */
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,199 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.VectorExpressions
+
+/** Text-analysis operators over the `documents` fixture: token counting,
+  * quality scoring, language identification, fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs) — each document is scored
+  * independently, so every operator is embarrassingly parallel and
+  * scale-limited only by the scan.
+  *
+  * Oracle determinism: scores avoid transcendentals (ln/exp differ in
+  * the last ulp across libm implementations); everything is rational
+  * arithmetic on exact integers, which IEEE doubles reproduce bit-for-bit
+  * in any engine.
+  */
+object TextStats {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+
+  // ---------------------------------------------------------------------
+  // t01: token counting
+  // ---------------------------------------------------------------------
+
+  /** Whitespace tokens, BPE-ish subword estimate (ceil of chars/4 per
+    * token — the usual "4 chars ≈ 1 token" heuristic, computed exactly),
+    * distinct tokens, type-token ratio, average word length. */
+  def t01TokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("ws"))).cast(LongType).as("n_distinct"),
+        expr("aggregate(ws, cast(0 as bigint), " +
+          "(acc, w) -> acc + cast(ceil(length(w) / 4.0) as bigint))")
+          .as("n_subwords"),
+        (size(array_distinct(col("ws"))).cast(DoubleType) /
+          size(col("ws"))).as("ttr"),
+        ((col("n_chars") - size(col("ws")) + 1).cast(DoubleType) /
+          size(col("ws"))).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+
+  val t01Sql: String =
+    """SELECT doc_id,
+      | len(string_split(text, ' ')) AS n_tokens,
+      | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      | CAST(list_sum(list_transform(string_split(text, ' '),
+      |   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS ttr,
+      | CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS avg_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t02: quality scoring
+  // ---------------------------------------------------------------------
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Heuristic quality score from stopword ratio, non-text character
+    * ratio and a length factor — the Gopher/C4-style cheap filters,
+    * kept rational for oracle exactness. */
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    docs(spark, dir)
+      .withColumn("n_stop",
+        size(filter(col("ws"), w => array_contains(stopArr, w))))
+      .withColumn("stop_ratio",
+        col("n_stop").cast(DoubleType) / size(col("ws")))
+      .withColumn("junk_ratio",
+        length(regexp_replace(col("text"), "[a-z ]", "")).cast(DoubleType) /
+          col("n_chars"))
+      .withColumn("len_factor",
+        least(lit(1.0), size(col("ws")).cast(DoubleType) / 100.0))
+      .withColumn("quality",
+        (lit(1.0) - col("junk_ratio")) * col("len_factor") *
+          (lit(1.0) - col("stop_ratio") * 0.5))
+      .select(col("doc_id"), col("n_stop").cast(LongType).as("n_stop"),
+        col("stop_ratio"), col("junk_ratio"), col("len_factor"),
+        col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t02Sql: String = {
+    val list = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       | len(list_filter(string_split(text, ' '),
+       |   w -> list_contains([$list], w))) AS n_stop,
+       | CAST(len(list_filter(string_split(text, ' '),
+       |   w -> list_contains([$list], w))) AS DOUBLE)
+       |   / len(string_split(text, ' ')) AS stop_ratio,
+       | CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+       |   / n_chars AS junk_ratio,
+       | least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+       |   AS len_factor,
+       | (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / n_chars)
+       |   * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+       |   * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+       |       w -> list_contains([$list], w))) AS DOUBLE)
+       |     / len(string_split(text, ' ')) * 0.5) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // t03: language identification (marker-word heuristic)
+  // ---------------------------------------------------------------------
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "mit"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans"),
+    "zh" -> Seq("de5", "shi4", "zai4", "he2", "you3", "wo3", "le5"),
+  )
+
+  /** N-gram/marker-word language ID: hit-count per language's marker
+    * list, argmax with a fixed precedence order for ties. (The fixture
+    * corpus is synthetic English-ish text with random `lang` labels, so
+    * accuracy against the label is meaningless — the operator contract
+    * is the deterministic scoring itself.) */
+  def t03LangId(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+    val scored = langMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+      val arr = array(markers.map(lit): _*)
+      df.withColumn(s"cnt_$lang",
+        size(filter(col("ws"), w => array_contains(arr, w))).cast(LongType))
+    }
+    val Seq(en, es, de, fr, zh) =
+      langMarkers.map { case (l, _) => col(s"cnt_$l") }
+    scored
+      .withColumn("predicted_lang",
+        when(en >= es && en >= de && en >= fr && en >= zh, "en")
+          .when(es >= de && es >= fr && es >= zh, "es")
+          .when(de >= fr && de >= zh, "de")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .select(col("doc_id"), col("cnt_en"), col("cnt_es"), col("cnt_de"),
+        col("cnt_fr"), col("cnt_zh"), col("predicted_lang"),
+        col("lang").as("labeled_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t03Sql: String = {
+    def cnt(markers: Seq[String]): String = {
+      val list = markers.map(s => s"'$s'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> list_contains([$list], w)))"
+    }
+    val Seq(en, es, de, fr, zh) = langMarkers.map(m => cnt(m._2))
+    s"""SELECT doc_id,
+       | $en AS cnt_en, $es AS cnt_es, $de AS cnt_de,
+       | $fr AS cnt_fr, $zh AS cnt_zh,
+       | CASE
+       |  WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
+       |  WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
+       |  WHEN $de >= $fr AND $de >= $zh THEN 'de'
+       |  WHEN $fr >= $zh THEN 'fr'
+       |  ELSE 'zh' END AS predicted_lang,
+       | lang AS labeled_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // t04: document fingerprinting (rolling hash)
+  // ---------------------------------------------------------------------
+
+  /** Winnowing-style fingerprint: minimum 64-bit Karp-Rabin rolling hash
+    * over 16-byte windows, via the codegen'd
+    * [[graft.functions.RollingMinHash]] expression; grouping on the
+    * fingerprint gives near-dup clusters robust to small suffix edits. */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    Tables(spark, dir, "documents")
+      .withColumn("fingerprint", expr("rolling_min_hash(text)"))
+      .select(col("doc_id"), col("fingerprint"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> (t01TokenStats _),
+    "t02_quality_score" -> (t02QualityScore _),
+    "t03_lang_id" -> (t03LangId _),
+    "t04_fingerprint" -> (t04Fingerprint _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_stats" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_lang_id" -> t03Sql,
+    // t04 uses the custom rolling-hash kernel — rows-only.
+  )
+}

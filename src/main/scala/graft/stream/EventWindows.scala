@@ -1,0 +1,128 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Time-windowed analytics over the `events` table (SURVEY.md §2.5 —
+  * north-star extension; the reference is batch-only).
+  *
+  * The same `window()` / `session_window()` expressions run identically
+  * over a bounded DataFrame and a `readStream` source; the batch forms
+  * below are what Verify/Bench exercise, and [[streamingHourlyCounts]]
+  * wires the identical aggregation to a streaming source with a
+  * watermark (exercised in StreamingSpec against a memory sink).
+  */
+object EventWindows {
+
+  // ---------------------------------------------------------------------
+  // Batch forms (oracle-checkable)
+  // ---------------------------------------------------------------------
+
+  /** Tumbling 1-hour windows per event type. Epoch-aligned, so DuckDB's
+    * `time_bucket` produces identical bucket starts. */
+  def st01TumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val st01Sql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** Sliding windows: 1-hour window sliding every 30 minutes — each
+    * event lands in two windows. Oracle unions the two epoch-aligned
+    * half-hour phases. */
+  def st02SlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n"))
+      .orderBy(col("win_start"))
+
+  val st02Sql: String =
+    """SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
+      | COUNT(*) AS n
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, ts FROM events
+      |), LATERAL (VALUES (b), (b - INTERVAL '30 minutes')) AS t(win_start)
+      |WHERE ts >= win_start AND ts < win_start + INTERVAL '1 hour'
+      |GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  /** Session windows per user with a 30-minute inactivity gap. The
+    * oracle reproduces the same sessionization with a gaps-and-islands
+    * window query (break when gap ≥ 30 min, matching Spark's half-open
+    * session intervals). */
+  def st03SessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val st03Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |      >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM marked
+      |)
+      |SELECT user_id, MIN(ts) AS session_start,
+      | MAX(ts) + INTERVAL '30 minutes' AS session_end,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM numbered GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Streaming forms (exercised by StreamingSpec)
+  // ---------------------------------------------------------------------
+
+  /** The st01 aggregation as a streaming query with a 10-minute
+    * watermark. Caller supplies the streaming source (`readStream`) and
+    * sinks it (memory sink in tests). */
+  def streamingHourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"))
+
+  /** Streaming dedup of late duplicate events within the watermark. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_tumbling_hourly" -> (st01TumblingHourly _),
+    "st02_sliding_windows" -> (st02SlidingWindows _),
+    "st03_session_windows" -> (st03SessionWindows _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st01_tumbling_hourly" -> st01Sql,
+    "st02_sliding_windows" -> st02Sql,
+    "st03_session_windows" -> st03Sql,
+  )
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+
+class LlmOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("d03 minhash-lsh finds the planted near-duplicates") {
+    val pairs = Dedup.d03MinHashLsh(spark, sf).collect()
+    assert(pairs.length >= 20) // corpus has ~25 planted near-dup pairs
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("d03 (LSH) pairs are a subset of d04 (exact) pairs") {
+    def keys(rows: Array[Row]) =
+      rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = keys(Dedup.d03MinHashLsh(spark, sf).collect())
+    val exact = keys(Dedup.d04NgramJaccard(spark, sf).collect())
+    assert(lsh.subsetOf(exact)) // 0.8-threshold pairs ⊆ 0.5-threshold pairs
+  }
+
+  test("d05 simhash pairs include the jaccard near-duplicates") {
+    def keys(rows: Array[Row]) =
+      rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val sim = keys(Dedup.d05SimHash(spark, sf).collect())
+    val exact = keys(Dedup.d03MinHashLsh(spark, sf).collect())
+    // near-identical texts must land within hamming 8 of each other
+    assert(exact.intersect(sim).size >= exact.size * 8 / 10)
+  }
+
+  test("s01 brute-force top-k: k rows per query, descending cosine") {
+    val rows = Similarity.s01BruteForceTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 500)
+    byQuery.values.foreach { rs =>
+      assert(rs.length == 10)
+      val cos = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s01 top-1 matches a driver-side exact computation for one query") {
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q0 = vecs(0L)
+    val expected = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(q0, v) }
+      .maxBy { case (id, c) => (c, -id) }
+    val got = Similarity.s01BruteForceTopK(spark, sf)
+      .filter(col("query_id") === 0 && col("rn") === 1)
+      .collect().head
+    assert(got.getAs[Long]("neighbor_id") === expected._1)
+    assert(math.abs(got.getAs[Double]("cosine") - expected._2) < 1e-12)
+  }
+
+  test("s02 IVF recall vs brute force is reasonable at nprobe=3") {
+    val exact = Similarity.s01BruteForceTopK(spark, sf)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val approx = Similarity.s02IvfTopK(spark, sf)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    // IVF with 16 cells / nprobe 3 on unclustered data: modest recall is
+    // expected; anything above chance (~3/16) proves cell routing works.
+    assert(hits.toDouble / exact.size > 0.3)
+  }
+
+  test("t04 fingerprint is deterministic and discriminative") {
+    val a = TextStats.t04Fingerprint(spark, sf).collect()
+    val b = TextStats.t04Fingerprint(spark, sf).collect()
+    assert(a.map(_.getAs[Long]("fingerprint")).sameElements(
+      b.map(_.getAs[Long]("fingerprint"))))
+    val distinct = a.map(_.getAs[Long]("fingerprint")).distinct.length
+    assert(distinct > a.length / 2) // word-salad docs rarely collide
+  }
+
+  test("rolling hash: short strings use whole-string hash; equal in = equal out") {
+    import graft.functions.RollingMinHash
+    val h1 = RollingMinHash.eval("abc".getBytes("UTF-8"))
+    val h2 = RollingMinHash.eval("abc".getBytes("UTF-8"))
+    val h3 = RollingMinHash.eval("abd".getBytes("UTF-8"))
+    assert(h1 == h2 && h1 != h3)
+    // window=16: a shared 32-byte prefix must yield the same windows at
+    // the start; min can only decrease with more text
+    val base = "0123456789abcdef0123456789abcdef"
+    val hBase = RollingMinHash.eval(base.getBytes("UTF-8"))
+    val hExt = RollingMinHash.eval((base + "zzz").getBytes("UTF-8"))
+    assert(hExt <= hBase)
+  }
+
+  test("m02 media features: checksum matches a local recompute") {
+    val feats = Multimodal.m02MediaFeatures(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("checksum")).toMap
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    texts.take(20).foreach { case (id, text) =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(text.getBytes("UTF-8"))
+      assert(feats(id) === crc.getValue, s"doc $id")
+    }
+  }
+
+  test("m03 frame sampling: row count = ceil(nFrames / stride) per doc") {
+    val media = Multimodal.packAsMedia(spark, sf).collect()
+      .map(m => m.doc_id -> m.meta.nFrames).toMap
+    val frames = Multimodal.m03FrameSample(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    media.foreach { case (id, n) =>
+      assert(frames(id).length === (n + 3) / 4, s"doc $id nFrames=$n")
+    }
+  }
+}

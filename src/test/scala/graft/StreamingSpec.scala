@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.EventWindows
+
+/** Structured Streaming behavior: the batch window queries re-run as real
+  * streaming queries against a file source + memory sink. */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val eventsDir: String = {
+    // File streams need a directory source; stage the single-file fixture.
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-00000.parquet"))
+    dir.toString
+  }
+
+  private def streamingEvents() = {
+    // Stream the events fixture through the same nanos handling Tables
+    // applies, with an explicit schema (required for file streams).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  test("streaming hourly counts equal the batch result") {
+    val q = EventWindows.streamingHourlyCounts(streamingEvents())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .select("hour_start", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventWindows.st01TumblingHourly(spark, sf)
+        .select("hour_start", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps each event_id once") {
+    val doubled = streamingEvents().union(streamingEvents())
+    val q = EventWindows.streamingDedup(doubled)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("deduped").count()
+      val ids = spark.table("deduped").select("event_id").distinct().count()
+      assert(n === ids)
+      assert(n === Tables(spark, sf, "events").count())
+    } finally q.stop()
+  }
+}

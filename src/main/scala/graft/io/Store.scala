@@ -1,0 +1,81 @@
+package graft.io
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Reference-parity store surface (SURVEY.md §2.1 S9-S12).
+  *
+  * The reference stages the frame to a local temp CSV, then hand-rolls
+  * the WebHDFS two-step PUT (`/root/reference/R/DataFrameOperationR.R:
+  * 253-289`) and writes a JSON metadata sidecar describing columns and
+  * types (`:232-246,290-296`). Spark-native: `df.write` goes straight
+  * from executors to the filesystem — no driver staging, any number of
+  * part files in parallel — and the sidecar becomes a small case class.
+  * (The reference also reads `typeof` from a *global* frame instead of
+  * its argument, `:237-245` — a bug; we describe the actual DataFrame.)
+  */
+object Store {
+
+  /** The metadata sidecar (`R/DataFrameOperationR.R:293-296`). */
+  case class ResultMeta(MetaData: String, MetaDataType: String,
+      DataLocation: String, ModelLocation: String, PMMLLocation: String) {
+    /** Reference escaping: quotes → backticks, no surrounding brackets. */
+    def toEscapedJson: String = Manifest.escapeQuotes(toJson)
+    def toJson: String = {
+      def q(s: String) = "\"" + s.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\""
+      s"""{"MetaData": ${q(MetaData)}, "MetaDataType": ${q(MetaDataType)},
+         | "DataLocation": ${q(DataLocation)},
+         | "ModelLocation": ${q(ModelLocation)},
+         | "PMMLLocation": ${q(PMMLLocation)}}""".stripMargin
+    }
+  }
+
+  /** S9+S10: write the DataFrame as headerless CSV part files under
+    * `<baseDir>/<uuid>/model/` (the reference's layout, `:257-258`) and
+    * return the sidecar describing it. */
+  def writeCsvWithMeta(df: DataFrame, baseDir: String): ResultMeta = {
+    val id = UUID.randomUUID().toString
+    val dataDir = s"$baseDir/$id/model"
+    df.write.mode(SaveMode.Overwrite).option("header", "false").csv(dataDir)
+    ResultMeta(
+      MetaData = df.columns.mkString(","),
+      MetaDataType = df.schema.fields
+        .map(f => TypeVocabulary.nameOf(f.dataType)).mkString(","),
+      DataLocation = dataDir,
+      ModelLocation = s"$baseDir/$id",
+      PMMLLocation = s"$baseDir/$id/pmml")
+  }
+
+  /** S11: write a PMML document as `<folder>/pmml/part-00000`
+    * (`R/DataFrameOperationR.R:388-436`) — a single small file, so a
+    * plain FileSystem write, not a Spark job. */
+  def writePmml(df: DataFrame, folder: String, pmml: String): Unit = {
+    val path = new Path(s"$folder/pmml/part-00000")
+    val fs = path.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(pmml.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** S12: job-status reporting. The reference POSTs
+    * `{JobID: "application_<uuid>", Status: 2|3, ...}` to the control
+    * plane (`R/DataFrameOperationR.R:205-225`); engine-side this is a
+    * callback interface with an in-memory default. */
+  case class JobStatus(jobId: String, nodeId: String, status: Int,
+      dataLocation: String, message: String)
+
+  trait StatusReporter { def report(s: JobStatus): Unit }
+
+  /** Default reporter: records statuses in memory (tests/driver). */
+  final class InMemoryReporter extends StatusReporter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[JobStatus]
+    override def report(s: JobStatus): Unit = synchronized { buf += s }
+    def all: Seq[JobStatus] = synchronized(buf.toSeq)
+  }
+
+  val StatusCompleted = 2 // R/DataFrameOperationR.R:311
+  val StatusFailed = 3 // R/DataFrameOperationR.R:317
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.TableCatalog
+import graft.io.{Load, Manifest, Store, TypeVocabulary}
+import graft.udf.{DerivedColumn, PmmlSerializer}
+
+/** Reference-parity surface: manifest-driven load of headerless CSV
+  * dirs, skip-list, part-file row-union (the reference's intended
+  * semantics, not its bug), store+metadata round-trip, PMML emission. */
+class IoParitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def mkTableDir(): Path = {
+    val dir = Files.createTempDirectory("diagnostic_data")
+    Files.writeString(dir.resolve("part-00000.csv"), "1,ab,3.5\n2,cd,4.5\n")
+    Files.writeString(dir.resolve("part-00001.csv"), "3,ef,5.5\n")
+    Files.writeString(dir.resolve("_SUCCESS"), "")
+    Files.writeString(dir.resolve("pmml"), "<PMML/>")
+    Files.writeString(dir.resolve("pmml.xml"), "<PMML/>")
+    dir
+  }
+
+  test("S1-S4: skip-list honored, all parts row-unioned, schema external") {
+    val dir = mkTableDir()
+    val parts = Load.listPartFiles(spark, dir.toString)
+    assert(parts.length === 2) // _SUCCESS, pmml, pmml.xml skipped
+    val df = Load.csvDir(spark, dir.toString,
+      Seq("id", "name", "score"), Seq("long", "String", "double"))
+    assert(df.columns.toSeq === Seq("id", "name", "score"))
+    assert(df.count() === 3) // intended union semantics: every part's rows
+    assert(df.schema("score").dataType.typeName === "double")
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("S5: manifest JSON loads and registers catalog tables") {
+    val dir = mkTableDir()
+    val manifest =
+      s"""{"ResponseData": {"TableList": [{
+         |  "TABLE_NAME": "DiagnosticData",
+         |  "DataLocation": "${dir.toString}",
+         |  "ColumnList": [{"MappedAliasName": "id"},
+         |                 {"MappedAliasName": "name"},
+         |                 {"MappedAliasName": "score"}],
+         |  "ColumnTypeList": ["long", "String", "double"]
+         |}]}}""".stripMargin
+    val cat = new TableCatalog(spark).loadManifest(manifest)
+    assert(cat.names === Seq("DiagnosticData"))
+    assert(cat("DiagnosticData").count() === 3)
+    // temp view registered → SQL-addressable
+    assert(spark.sql("SELECT sum(score) s FROM DiagnosticData")
+      .collect().head.getDouble(0) === 13.5)
+  }
+
+  test("S7: latest completed upstream output, split locations, unescaping") {
+    val dir = mkTableDir()
+    val result = Manifest.escapeQuotes(
+      s"""{"DataLocation": "${dir.toString}", "MetaData": "id,name,score", "MetaDataType": "long,String,double"}""")
+    val status =
+      s"""{"JobsStatus": [
+         | {"Status": 2, "JobNodeID": "n1", "Result": "old-ignored"},
+         | {"Status": 3, "JobNodeID": "n1", "Result": "failed-ignored"},
+         | {"Status": 2, "JobNodeID": "n2", "Result": "other-node"},
+         | {"Status": 2, "JobNodeID": "n1",
+         |  "Result": "${result.replace("\"", "\\\"")}"}
+         |]}""".stripMargin
+    val out = Manifest.latestOutput(status, "n1", "Upstream")
+    assert(out.isDefined)
+    assert(out.get.locations === Seq(dir.toString))
+    val cat = new TableCatalog(spark).loadUpstream(out.get)
+    assert(cat.names === Seq("Upstream_1"))
+    assert(cat("Upstream_1").count() === 3)
+  }
+
+  test("S9/S10 round-trip: write CSV + sidecar, reload via sidecar") {
+    val base = Files.createTempDirectory("store").toString
+    val df = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val meta = Store.writeCsvWithMeta(df, base)
+    assert(meta.MetaData === "c_custkey,c_name,c_acctbal")
+    assert(meta.MetaDataType === "long,String,double")
+    val back = Load.csvDirWithMeta(spark, meta.DataLocation,
+      meta.MetaData, meta.MetaDataType)
+    assert(back.count() === df.count())
+    val s1 = back.agg(sum(col("c_acctbal").cast("decimal(18,2)")))
+      .collect().head.getDecimal(0)
+    val s2 = df.agg(sum(col("c_acctbal").cast("decimal(18,2)")))
+      .collect().head.getDecimal(0)
+    assert(s1 === s2)
+    // escaping round-trip (F2 parity)
+    val escaped = meta.toEscapedJson
+    assert(!escaped.contains("\""))
+    assert(Manifest.unescapeQuotes(escaped) === meta.toJson)
+  }
+
+  test("type vocabulary is total over its own inverse") {
+    val names = Seq("String", "float", "double", "integer", "long",
+      "boolean", "timestamp", "date")
+    names.foreach { n =>
+      assert(TypeVocabulary.nameOf(TypeVocabulary(n)).equalsIgnoreCase(n))
+    }
+  }
+
+  test("P7 + PMML: derived column applies engine-side; PMML well-formed with one FieldRef per column") {
+    val dc = DerivedColumn(
+      outputName = "score_scaled", outputTypeName = "float",
+      inputColumns = Seq("c_acctbal", "c_custkey"),
+      script = "out = acctbal / (key + 1)",
+      expression = Some(cols => cols.head / (cols(1) + 1)))
+    val df = dc(Tables(spark, sf, "customer"))
+    assert(df.schema("score_scaled").dataType.typeName === "float")
+    assert(df.filter(col("score_scaled").isNotNull).count() > 0)
+
+    val pmml = PmmlSerializer.serialize(dc, Seq("double", "long"),
+      timestamp = java.time.Instant.EPOCH)
+    val xml = scala.xml.XML.loadString(pmml) // parses ⇒ well-formed
+    val refs = (xml \\ "FieldRef").map(_ \@ "field")
+    assert(refs === Seq("c_acctbal", "c_custkey")) // reference bug fixed
+    assert((xml \\ "DerivedField").head \@ "name" === "score_scaled")
+    assert((xml \\ "Extension").head.text.contains("acctbal / (key + 1)"))
+    assert((xml \\ "DataField").length === 2)
+  }
+}

@@ -27,6 +27,10 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "rolling_min_hash",
       exprs => RollingMinHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
   }
 }
 

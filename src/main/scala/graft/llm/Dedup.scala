@@ -103,10 +103,13 @@ object Dedup {
     * ≈ 1 - 10⁻¹⁴ at j = 1, so LSH+verify equals the exact answer on any
     * non-adversarial corpus. */
   def d03MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    val sig = sh.withColumn("sig", expr(
-      """transform(sequence(0, 63),
-        |  s -> array_min(transform(shingles, x -> xxhash64(x, s))))""".stripMargin))
+    VectorExpressions.register(spark)
+    // The shingle sets feed both sides of the band self-join and the
+    // verification join; persist so the tokenize+shingle+sign pipeline
+    // runs once, not four times. (At cluster scale this is a natural
+    // checkpoint: signatures are ~100× smaller than the corpus.)
+    val sh = shingled(spark, dir).persist()
+    val sig = sh.withColumn("sig", expr("minhash_sig(shingles)"))
     val bands = sig.select(
       col("doc_id"),
       posexplode(expr(
@@ -191,21 +194,11 @@ object Dedup {
     * hamming ≤ 8, which the chunk join still surfaces for
     * near-identical texts) and verified with xor + bit_count. */
   def d05SimHash(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     val hashed = Tables(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 1)
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), cast(0 as bigint),
-          |  (acc, i) -> acc + if(
-          |    element_at(
-          |      aggregate(transform(ws, w -> xxhash64(w)),
-          |        array_repeat(0, 64),
-          |        (cnt, h) -> zip_with(cnt,
-          |          transform(sequence(0, 63),
-          |            j -> if((shiftright(h, j) & 1) = 1, 1, -1)),
-          |          (x, y) -> x + y)),
-          |      i + 1) > 0,
-          |    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin))
+      .withColumn("simhash", expr("simhash64(ws)"))
       .select(col("doc_id"), col("simhash"))
     val chunks = hashed.select(
       col("doc_id"), col("simhash"),

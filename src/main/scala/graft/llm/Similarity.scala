@@ -86,9 +86,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Same result as [[s01BruteForceTopK]], computed with the typed
+    * bounded [[graft.functions.TopKAggregator]] instead of a window:
+    * candidates partially aggregate map-side to ≤ k per query before the
+    * shuffle — the exchange carries O(queries·k) rows, not all n²
+    * candidates. */
+  def s03TopKAggregate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = normed(spark, dir)
+    val q = v.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("norm").as("qn"))
+    val c = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("norm").as("cn"))
+    val pairs = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .select(col("query_id"), col("cosine"), col("neighbor_id"))
+      .as[(Long, Double, Long)]
+    val topk = new graft.functions.TopKAggregator(10)
+    pairs
+      .groupByKey(_._1)
+      .mapValues(p => (p._2, p._3))
+      .agg(topk.toColumn)
+      .flatMap { case (queryId, hits) =>
+        hits.zipWithIndex.map { case ((cos, id), i) =>
+          (queryId, i + 1, id, cos)
+        }
+      }
+      .toDF("query_id", "rn", "neighbor_id", "cosine")
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s02_ivf_topk" -> (s02IvfTopK _),
+    "s03_topk_aggregate" -> (s03TopKAggregate _),
   )
 
   /** Float-kernel accumulation differs across engines — rows-only. */

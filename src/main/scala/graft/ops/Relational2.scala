@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Second wave of relational coverage: outer joins, HAVING, IN
+  * subqueries, full-outer set reconciliation, approximate sketches. */
+object Relational2 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** Left outer join with null-side handling: every customer with their
+    * order count and total — including customers with no orders
+    * (COALESCE over the null side). */
+  def q31LeftOuter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"), // counts non-null only
+        coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  val q31Sql: String =
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+      |          0.0) AS total_spent
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  /** HAVING: nations with at least 50 customers. */
+  def q32Having(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 50)
+      .orderBy(col("c_nationkey"))
+
+  val q32Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n FROM customer
+      |GROUP BY c_nationkey HAVING COUNT(*) >= 50
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** IN / NOT IN subqueries — same SQL text through Catalyst and DuckDB. */
+  def q33InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q33Sql)
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'MACHINERY')
+      |  AND o_orderstatus NOT IN ('P')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Full outer join: reconcile per-user click vs purchase activity;
+    * users may appear on either side only. */
+  def q34FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("bu")).agg(count(lit(1)).as("n_buys"))
+    clicks.join(buys, col("cu") === col("bu"), "full_outer")
+      .select(
+        coalesce(col("cu"), col("bu")).as("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_buys"), lit(0L)).as("n_buys"))
+      .orderBy(col("user_id"))
+  }
+
+  val q34Sql: String =
+    """SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+      | COALESCE(c.n_clicks, 0) AS n_clicks,
+      | COALESCE(b.n_buys, 0) AS n_buys
+      |FROM (SELECT user_id, COUNT(*) AS n_clicks FROM events
+      |      WHERE event_type = 'click' GROUP BY user_id) c
+      |FULL OUTER JOIN
+      |     (SELECT user_id, COUNT(*) AS n_buys FROM events
+      |      WHERE event_type = 'purchase' GROUP BY user_id) b
+      |ON c.user_id = b.user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Sketch aggregates: HyperLogLog++ distinct counts and quantile
+    * sketches per segment. Engine-specific sketch internals → rows-only
+    * (LlmOpsSpec bounds the error against exact counts). At 100 TB these
+    * replace exact distincts: fixed-size state, one pass, no
+    * count-distinct expansion. */
+  def q35ApproxSketches(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("approx_median_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_left_outer" -> (q31LeftOuter _),
+    "q32_having" -> (q32Having _),
+    "q33_in_subquery" -> (q33InSubquery _),
+    "q34_full_outer" -> (q34FullOuter _),
+    "q35_approx_sketches" -> (q35ApproxSketches _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q31_left_outer" -> q31Sql,
+    "q32_having" -> q32Sql,
+    "q33_in_subquery" -> q33Sql,
+    "q34_full_outer" -> q34Sql,
+    // q35: sketch internals are engine-specific — rows-only.
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Evidence that the scale-oriented designs do what they claim:
+  * aggregator-based top-k equals the window form, sketches stay within
+  * error bounds, and bucketed tables join without a shuffle. */
+class ScaleDesignSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("s03 aggregator top-k equals s01 window top-k exactly") {
+    val a = llm.Similarity.s01BruteForceTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = llm.Similarity.s03TopKAggregate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sameElements(b))
+  }
+
+  test("q35 sketches: approx distinct within 5% of exact; median sane") {
+    val approx = ops.Relational2.q35ApproxSketches(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("d"),
+        min("o_totalprice"), max("o_totalprice"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    exact.foreach { case (k, (d, lo, hi)) =>
+      val (ad, amed) = approx(k)
+      assert(math.abs(ad - d).toDouble / d < 0.05, s"$k: $ad vs $d")
+      assert(amed >= lo && amed <= hi)
+    }
+  }
+
+  test("bucketed tables join without an exchange on the fact side") {
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucket-aligned join must not shuffle:\n$physical")
+      assert(joined.count() === li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("q30 as-of join: every event matches the latest prior order") {
+    val got = ops.AsOf.q30AsOfJoin(spark, sf).collect()
+    assert(got.length === Tables(spark, sf, "events").count())
+    // spot-check one matched row against a driver-side recompute
+    val matched = got.filter(!_.isNullAt(3))
+    assert(matched.nonEmpty)
+    val r = matched.head
+    val (eventUser, eventTs) = (r.getLong(1), r.getTimestamp(2))
+    val expect = Tables(spark, sf, "orders")
+      .filter(col("o_custkey") === eventUser &&
+        col("o_orderdate") <= lit(eventTs))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .select("o_orderkey").collect().head.getLong(0)
+    assert(r.getLong(3) === expect)
+  }
+}

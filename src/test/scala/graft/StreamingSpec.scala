@@ -49,6 +49,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming: mapGroupsWithState running counts match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val counts = streamingEvents()
+      .selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counts.toDF("user_id", "n")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("state_counts").start()
+    try {
+      q.processAllAvailable()
+      // take the last update per user (memory sink appends each update)
+      val streamed = spark.table("state_counts")
+        .groupBy("user_id").agg(max("n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = Tables(spark, sf, "events")
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps each event_id once") {
     val doubled = streamingEvents().union(streamingEvents())
     val q = EventWindows.streamingDedup(doubled)

@@ -50,6 +50,41 @@ object Manifest {
     }
   }
 
+  /** S6: experiment-graph source — parse the `GraphJSON` and keep the
+    * `devs.Model` nodes as `id -> NodeCaption`
+    * (`/root/reference/R/DataFrameOperationR.R:102-123`). The execution
+    * DAG itself is Spark lineage; this registry only names upstream
+    * outputs for catalog keys. */
+  def parseGraph(graphJson: String): Map[String, String] = {
+    val root = JsonMethods.parse(graphJson)
+    (root \ "cells") match {
+      case JArray(cells) =>
+        cells.flatMap { c =>
+          (c \ "type") match {
+            case JString("devs.Model") =>
+              Some((c \ "id").extract[String] ->
+                (c \ "NodeCaption").extract[String])
+            case _ => None
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** F8 parity: XPath extraction from the node's Action XML — the
+    * fields the reference pulls for job-status reporting
+    * (`R/DataFrameOperationR.R:206-211`). */
+  case class ActionInfo(uuid: String, experimentId: String, nodeId: String,
+      serviceUrl: String)
+
+  def parseActionXml(xml: String): ActionInfo = {
+    val root = scala.xml.XML.loadString(xml)
+    def one(tag: String): String = (root \\ tag).map(_.text.trim)
+      .headOption.getOrElse("")
+    ActionInfo(one("UUID"), one("ExperimentId"), one("NodeId"),
+      one("ServiceUrl"))
+  }
+
   /** The reference stores nested JSON re-quoted inside JSON with `"` →
     * backtick escaping (`R/DataFrameOperationR.R:295`); inverse at
     * `:141,213`. Kept for sidecar parity. */

@@ -98,6 +98,61 @@ class IoParitySpec extends AnyFunSuite {
     assert(Manifest.unescapeQuotes(escaped) === meta.toJson)
   }
 
+  test("S6: experiment-graph JSON yields the devs.Model node registry") {
+    val graph =
+      """{"cells": [
+        | {"type": "devs.Model", "id": "n1", "NodeCaption": "LoadCsv"},
+        | {"type": "devs.Link", "id": "e1"},
+        | {"type": "devs.Model", "id": "n2", "NodeCaption": "Transform"}
+        |]}""".stripMargin
+    val nodes = Manifest.parseGraph(graph)
+    assert(nodes === Map("n1" -> "LoadCsv", "n2" -> "Transform"))
+  }
+
+  test("F8: Action XML XPath extraction") {
+    val xml =
+      """<Action>
+        |  <Properties><UUID>u-123</UUID><ExperimentId>e-9</ExperimentId>
+        |  <NodeId>n-4</NodeId><ServiceUrl>http://cp/api</ServiceUrl>
+        |  </Properties>
+        |</Action>""".stripMargin
+    val info = Manifest.parseActionXml(xml)
+    assert(info === Manifest.ActionInfo("u-123", "e-9", "n-4", "http://cp/api"))
+  }
+
+  test("GraftExtensions: SQL functions resolve via spark.sql.extensions") {
+    // SparkTestSession is built with
+    // .config("spark.sql.extensions", "graft.GraftExtensions"), so these
+    // resolve with NO imperative registration call:
+    val one = spark.sql(
+      "SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d")
+      .collect().head.getDouble(0)
+    assert(one === 11.0)
+    val rh = spark.sql("SELECT rolling_min_hash('hello world, hello graft') h")
+      .collect().head.getLong(0)
+    assert(rh === graft.functions.RollingMinHash.eval(
+      "hello world, hello graft".getBytes("UTF-8")))
+    assert(spark.sql("SELECT simhash64(array('a','b')) s")
+      .collect().head.getLong(0) !== 0L)
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val fact = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val dim = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+    val salted = graft.ops.Skew
+      .saltedEquiJoin(fact, dim, col("l_orderkey"), col("o_orderkey"), 4)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+    assert(plain.exceptAll(salted).count() === 0)
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+
   test("type vocabulary is total over its own inverse") {
     val names = Seq("String", "float", "double", "integer", "long",
       "boolean", "timestamp", "date")

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.io.Manifest
+import graft.udf.{DerivedColumn, PmmlSerializer}
+
+/** Property-based checks from the SURVEY §5 test plan (pure-function
+  * surface: escaping, PMML emission, hash kernels, the top-k buffer). */
+object PropertySpec extends Properties("graft") {
+
+  property("escape/unescape inverse") =
+    forAll(Gen.asciiPrintableStr) { s0 =>
+      val s = s0.replace("`", "")
+      Manifest.unescapeQuotes(Manifest.escapeQuotes(s)) == s &&
+        !Manifest.escapeQuotes(s).contains("\"")
+    }
+
+  private val colsGen: Gen[List[String]] = Gen.nonEmptyListOf(
+    Gen.identifier.suchThat(_.nonEmpty).map(_.take(30))).map(_.distinct)
+
+  property("PMML well-formed, one FieldRef per column") =
+    forAll(colsGen) { cols =>
+      val dc = DerivedColumn("out", "float", cols, "f(x) <- x & \"y\" < 2")
+      val pmml = PmmlSerializer.serialize(dc, cols.map(_ => "double"),
+        timestamp = java.time.Instant.EPOCH)
+      val xml = scala.xml.XML.loadString(pmml)
+      (xml \\ "FieldRef").map(_ \@ "field") == cols &&
+        (xml \\ "DataField").length == cols.length
+    }
+
+  property("rolling min-hash: appending never raises the min") =
+    forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (a, b) =>
+      (a.length >= 16) ==> {
+        val ha = graft.functions.RollingMinHash.eval(a.getBytes("UTF-8"))
+        val hab = graft.functions.RollingMinHash.eval(
+          (a + b).getBytes("UTF-8"))
+        hab <= ha
+      }
+    }
+
+  property("TopKAggregator equals sort-take under any merge split") = {
+    val pairsGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 50L))).map(_.distinct)
+    forAll(pairsGen, Gen.chooseNum(1, 8), Gen.chooseNum(0, 100)) {
+      (pairs, k, cut) =>
+        val agg = new graft.functions.TopKAggregator(k)
+        val expected = pairs.sortBy { case (s, id) => (-s, id) }.take(k)
+        val direct = agg.finish(pairs.foldLeft(agg.zero)(agg.reduce))
+        val (l, r) = pairs.splitAt(cut % (pairs.length + 1))
+        val merged = agg.finish(agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce),
+          r.foldLeft(agg.zero)(agg.reduce)))
+        direct == expected && merged == expected
+    }
+  }
+
+  property("minhash signature: superset token sets only lower slots") = {
+    val toks = Gen.nonEmptyListOf(Gen.identifier.map(_.take(10)))
+    forAll(toks, toks) { (a, b) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      def sig(xs: List[String]) = graft.functions.TextHash
+        .minhashSig(new GenericArrayData(
+          xs.map(s => UTF8String.fromString(s)).toArray))
+        .toLongArray()
+      val sa = sig(a)
+      val sab = sig(a ++ b)
+      sa.zip(sab).forall { case (x, y) => y <= x }
+    }
+  }
+}

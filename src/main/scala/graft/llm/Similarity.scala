@@ -41,6 +41,9 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      // project BEFORE the window: the top-k exchange then carries
+      // 24-byte rows instead of two 64-float vectors per candidate
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))

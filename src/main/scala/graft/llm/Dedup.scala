@@ -232,6 +232,9 @@ object Dedup {
     VectorExpressions.register(spark)
     val v = Tables(spark, dir, "embeddings")
       .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+      // zero vectors would yield NaN cosine, and Spark orders NaN above
+      // every real (so it would pass the >= threshold) — exclude them
+      .filter(col("norm") > 0)
     val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("norm").as("na"))
     val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),

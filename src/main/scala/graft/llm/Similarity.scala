@@ -28,6 +28,9 @@ object Similarity {
     VectorExpressions.register(spark)
     Tables(spark, dir, "embeddings")
       .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+      // a zero vector would make cosine 0/0 = NaN, and NaN sorts above
+      // every real in a descending order-by — exclude them outright
+      .filter(col("norm") > 0)
   }
 
   /** Exact cosine top-k (k=10) for every vector. */
@@ -41,8 +44,6 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
-      // project BEFORE the window: the top-k exchange then carries
-      // 24-byte rows instead of two 64-float vectors per candidate
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)

@@ -63,6 +63,23 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("q40 stats match a driver-side two-pass computation") {
+    val got = ops.Relational3.q40Stats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Tables(spark, sf, "customer")
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    rows.groupBy(_._1).foreach { case (seg, xs) =>
+      val vals = xs.map(_._2)
+      val mean = vals.sum / vals.length
+      val sd = math.sqrt(
+        vals.map(v => (v - mean) * (v - mean)).sum / (vals.length - 1))
+      val (gMean, gSd) = got(seg)
+      assert(math.abs(gMean - mean) < 1e-6, s"$seg mean")
+      assert(math.abs(gSd - sd) < 1e-6, s"$seg sd")
+    }
+  }
+
   test("q30 as-of join: every event matches the latest prior order") {
     val got = ops.AsOf.q30AsOfJoin(spark, sf).collect()
     assert(got.length === Tables(spark, sf, "events").count())

@@ -62,6 +62,31 @@ object TextHash {
     new GenericArrayData(mins)
   }
 
+  /** Distinct word n-gram shingles of a text, single pass. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append('_')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash of a string array (Charikar): per-bit ±1 vote from
     * each token's hash, sign of the vote sum forms the bit. */
   def simhash64(arr: ArrayData): Long = {
@@ -85,6 +110,31 @@ object TextHash {
     }
     out
   }
+}
+
+/** `word_shingles(text, n)` → distinct word n-gram shingles (joined with
+  * '_'), built in one pass over the string: split, slide, hash-dedup.
+  * Replaces a transform+concat_ws+array_distinct HOF chain that costs
+  * millions of interpreted lambda calls per partition. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects (string, n >= 1), got ${child.dataType.simpleString}, n=$n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
 }
 
 private[functions] trait StringArrayInput { self: UnaryExpression =>

@@ -31,6 +31,8 @@ object VectorExpressions {
       "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles3", exprs => WordShingles(exprs.head, 3), "built-in")
   }
 }
 

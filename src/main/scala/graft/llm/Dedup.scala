@@ -29,17 +29,16 @@ import graft.functions.VectorExpressions
   */
 object Dedup {
 
-  /** Word 3-gram shingle set per document (documents with ≥3 tokens). */
-  private[llm] def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** Word 3-gram shingle set per document (documents with ≥3 tokens),
+    * via the codegen'd [[graft.functions.WordShingles]] single-pass
+    * kernel. */
+  private[llm] def shingled(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     Tables(spark, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(0, size(ws) - 3),
-          |  i -> concat_ws('_', element_at(ws, i + 1),
-          |                      element_at(ws, i + 2),
-          |                      element_at(ws, i + 3))))""".stripMargin))
+      .withColumn("shingles", expr("word_shingles3(text)"))
+      .filter(size(col("shingles")) >= 1)
       .select(col("doc_id"), col("shingles"))
+  }
 
   private val shingleOracleCte =
     """WITH w AS (

@@ -90,6 +90,26 @@ object Multimodal {
     }
   }
 
+  case class ResizedRow(doc_id: Long, blob: Array[Byte], meta: MediaMeta)
+
+  /** Resize: STUB image scaler — the real codec would decode, scale to
+    * (w, h) and re-encode; the stub deterministically truncates/pads the
+    * blob to the implied byte budget and rewrites the metadata. The
+    * Spark contract (per-partition batches, metadata kept in lockstep
+    * with the blob) is the real part. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val budget = w * h / 16 // fake bytes-per-pixel of the stub codec
+        val blob = if (r.blob.length >= budget) r.blob.take(budget)
+        else r.blob ++ Array.fill(budget - r.blob.length)(0.toByte)
+        ResizedRow(r.doc_id, blob,
+          r.meta.copy(width = w, height = h))
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Query entries
   // ---------------------------------------------------------------------
@@ -121,10 +141,19 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Resize pipeline: pack → stub-resize to 32×32 → size/meta audit. */
+  def m04Resize(spark: SparkSession, dir: String): DataFrame =
+    resize(packAsMedia(spark, dir), 32, 32)
+      .toDF()
+      .select(col("doc_id"), length(col("blob")).as("blob_len"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_frame_sample" -> (m03FrameSample _),
+    "m04_resize" -> (m04Resize _),
   )
 
   val oracle: Map[String, String] = Map(

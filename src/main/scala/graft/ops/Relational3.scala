@@ -105,12 +105,36 @@ object Relational3 {
         skewness(col("c_acctbal")).as("skew_bal"))
       .orderBy(col("c_mktsegment"))
 
+  /** F7 parity, typed form: `from_json` with an explicit schema turning
+    * the events `props` string into a struct column (the pipeline-grade
+    * path — get_json_object re-parses per field; from_json parses once). */
+  def q41FromJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("p", from_json(col("props"), StructType(Seq(
+        StructField("k", LongType)))))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("p.k") > 50, 1)).as("n_high_k"),
+        max(col("p.k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q41Sql: String =
+    """SELECT event_type,
+      | COUNT(CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+      |   AS BIGINT) > 50 THEN 1 END) AS n_high_k,
+      | MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+      |   AS max_k,
+      | COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_unpivot" -> (q36Unpivot _),
     "q37_explode" -> (q37Explode _),
     "q38_window_dist" -> (q38WindowDist _),
     "q39_collect_agg" -> (q39CollectAgg _),
     "q40_stats" -> (q40Stats _),
+    "q41_from_json" -> (q41FromJson _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -119,5 +143,6 @@ object Relational3 {
     "q38_window_dist" -> q38Sql,
     "q39_collect_agg" -> q39Sql,
     // q40: float accumulation order is engine-specific — rows-only.
+    "q41_from_json" -> q41Sql,
   )
 }

@@ -120,6 +120,15 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m04 resize: every blob hits the 32x32 byte budget, meta updated") {
+    val rows = Multimodal.m04Resize(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("blob_len") === 32 * 32 / 16)
+      assert(r.getAs[Int]("width") === 32 && r.getAs[Int]("height") === 32)
+    }
+  }
+
   test("m03 frame sampling: row count = ceil(nFrames / stride) per doc") {
     val media = Multimodal.packAsMedia(spark, sf).collect()
       .map(m => m.doc_id -> m.meta.nFrames).toMap

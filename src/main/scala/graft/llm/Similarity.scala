@@ -120,10 +120,21 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Same result as [[s01BruteForceTopK]] through the custom physical
+    * operator ([[graft.plans.CosineTopK]]): broadcast index + bounded
+    * per-row heap — no candidate materialization, no shuffle, no sort. */
+  def s04CustomPlanTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    graft.plans.CosineTopK.topK(v, v, 10)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s02_ivf_topk" -> (s02IvfTopK _),
     "s03_topk_aggregate" -> (s03TopKAggregate _),
+    "s04_custom_plan_topk" -> (s04CustomPlanTopK _),
   )
 
   /** Float-kernel accumulation differs across engines — rows-only. */

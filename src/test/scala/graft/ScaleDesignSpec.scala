@@ -63,6 +63,22 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("s04 custom physical top-k equals s01 exactly, with zero exchanges") {
+    val custom = llm.Similarity.s04CustomPlanTopK(spark, sf)
+    val physical = custom.queryExecution.executedPlan.toString
+    assert(physical.contains("CosineTopK")) // exec node name strips "Exec"
+    val a = llm.Similarity.s01BruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val b = custom.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(a.sameElements(b))
+    // the operator itself introduces no exchange; the only one allowed
+    // is the final presentation orderBy
+    val beforeSort = llm.Similarity.s04CustomPlanTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(beforeSort.split("Exchange").length - 1 <= 1)
+  }
+
   test("q40 stats match a driver-side two-pass computation") {
     val got = ops.Relational3.q40Stats(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

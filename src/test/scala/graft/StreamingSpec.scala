@@ -79,6 +79,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState: per-user value totals match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    class TotalsProcessor
+        extends StatefulProcessor[Long, (Long, Double), (Long, Double)] {
+      @transient private var total: ValueState[Double] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        total = getHandle.getValueState[Double]("total",
+          Encoders.scalaDouble, TTLConfig.NONE)
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, Double)],
+          timerValues: org.apache.spark.sql.streaming.TimerValues)
+          : Iterator[(Long, Double)] = {
+        var t = if (total.exists()) total.get() else 0.0
+        rows.foreach(t += _._2)
+        total.update(t)
+        Iterator.single((key, t))
+      }
+    }
+
+    // transformWithState needs a column-family-capable state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val totals = streamingEvents()
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+
+    val q = totals.toDF("user_id", "total")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("tws_totals").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tws_totals")
+        .groupBy("user_id").agg(max("total").as("total"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batch = Tables(spark, sf, "events")
+        .groupBy("user_id").agg(sum("value").as("total"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (u, t) =>
+        assert(math.abs(t - batch(u)) < 1e-9, s"user $u")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps each event_id once") {
     val doubled = streamingEvents().union(streamingEvents())
     val q = EventWindows.streamingDedup(doubled)

@@ -183,11 +183,62 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF top terms: term frequency per doc × a rational inverse
+    * document frequency ((N+1)/(df+1) — no log, so the score stays
+    * engine-exact), top-3 terms per document by score. The df side is an
+    * inverted-index aggregation: one shuffle on the term, map-side
+    * combine; the same shape scales to any corpus. */
+  def t05TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val terms = d.select(col("doc_id"), explode(col("ws")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = d.count() // one tiny job; the corpus row count
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score",
+        col("tf").cast(DoubleType) * ((lit(nDocs.toDouble) + 1.0) /
+          (col("df").cast(DoubleType) + 1.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val t05Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0)
+      |      / (CAST(df AS DOUBLE) + 1.0)) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0)
+      |        / (CAST(df AS DOUBLE) + 1.0)) DESC, term) AS rn
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df, score
+      |FROM scored WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_lang_id" -> (t03LangId _),
     "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_tfidf" -> (t05TfIdf _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -195,5 +246,6 @@ object TextStats {
     "t02_quality_score" -> t02Sql,
     "t03_lang_id" -> t03Sql,
     // t04 uses the custom rolling-hash kernel — rows-only.
+    "t05_tfidf" -> t05Sql,
   )
 }

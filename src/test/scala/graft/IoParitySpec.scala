@@ -137,6 +137,24 @@ class IoParitySpec extends AnyFunSuite {
       .collect().head.getLong(0) !== 0L)
   }
 
+  test("format matrix: json and orc round-trip the customer table") {
+    val df = Tables(spark, sf, "customer")
+    val base = java.nio.file.Files.createTempDirectory("formats").toString
+    for (fmt <- Seq("json", "orc", "parquet", "csv")) {
+      df.write.format(fmt).option("header", "true")
+        .mode("overwrite").save(s"$base/$fmt")
+      val back = spark.read.format(fmt)
+        .option("header", "true").option("inferSchema", "true")
+        .load(s"$base/$fmt")
+      assert(back.count() === df.count(), fmt)
+      val s1 = back.agg(sum(col("c_acctbal").cast("decimal(18,2)")))
+        .collect().head.getDecimal(0)
+      val s2 = df.agg(sum(col("c_acctbal").cast("decimal(18,2)")))
+        .collect().head.getDecimal(0)
+      assert(s1 === s2, fmt)
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     val fact = Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))

@@ -18,7 +18,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++
+    ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++ ops.Relational4.queries ++
       ops.AsOf.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++
       llm.TextStats.queries ++ llm.Multimodal.queries ++
@@ -27,7 +27,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ops.Relational2.oracle ++ ops.Relational3.oracle ++
+    ops.Relational.oracle ++ ops.Relational2.oracle ++ ops.Relational3.oracle ++ ops.Relational4.oracle ++
       ops.AsOf.oracle ++
       llm.Dedup.oracle ++ llm.Similarity.oracle ++
       llm.TextStats.oracle ++ llm.Multimodal.oracle ++

@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++ ops.Relational4.queries ++
       ops.AsOf.queries ++
-      llm.Dedup.queries ++ llm.Similarity.queries ++
+      llm.Dedup.queries ++ llm.DupClusters.queries ++ llm.Similarity.queries ++
       llm.TextStats.queries ++ llm.Multimodal.queries ++
       stream.EventWindows.queries
 
@@ -29,7 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Relational2.oracle ++ ops.Relational3.oracle ++ ops.Relational4.oracle ++
       ops.AsOf.oracle ++
-      llm.Dedup.oracle ++ llm.Similarity.oracle ++
+      llm.Dedup.oracle ++ llm.DupClusters.oracle ++ llm.Similarity.oracle ++
       llm.TextStats.oracle ++ llm.Multimodal.oracle ++
       stream.EventWindows.oracle
 }

@@ -40,7 +40,7 @@ object Dedup {
       .select(col("doc_id"), col("shingles"))
   }
 
-  private val shingleOracleCte =
+  private[llm] val shingleOracleCte =
     """WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate *clustering*: turn pairwise near-dup edges into
+  * connected components so a corpus keeps exactly one representative
+  * per duplicate cluster — the step after [[Dedup.d03MinHashLsh]] in a
+  * real training-data pipeline.
+  *
+  * Algorithm: distributed label propagation to a fixpoint — every doc
+  * starts as its own label (its id); each round, every node adopts the
+  * minimum label in its neighborhood (both edge directions + itself);
+  * converges in O(cluster diameter) rounds. Each round is one
+  * shuffle-join + one aggregate: no driver-side union-find, no
+  * assumption the edge set fits anywhere in memory. Near-dup clusters
+  * have tiny diameters (near-clique), so the loop runs 2-3 rounds in
+  * practice; `maxIter` bounds pathological chains.
+  */
+object DupClusters {
+
+  /** @param pairs edges as (doc_a, doc_b); vertices default to the edge
+    *              endpoints
+    * @return (doc_id, cluster) — cluster = min doc_id reachable */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster")).as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("neighbor_min"),
+            col("cluster"))).as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
+          "doc_id")
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** d07: cluster assignment for every document that has a near-dup
+    * (jaccard ≥ 0.8 edges from d03); singletons are implicitly their
+    * own cluster and omitted, matching "docs to deduplicate". */
+  def d07DupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(Dedup.d03MinHashLsh(spark, dir))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d07_dup_clusters" -> (d07DupClusters _),
+  )
+
+  /** Oracle: recursive CTE reachability over the exact-Jaccard edge set
+    * (same edges as d03's oracle), min reachable id per node. */
+  val d07Sql: String = Dedup.shingleOracleCte
+    .replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    """, pairs2 AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |  FROM pr JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs2
+      |  UNION SELECT doc_b, doc_a FROM pairs2
+      |), reach AS (
+      |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |)
+      |SELECT src AS doc_id, MIN(dst) AS cluster FROM reach
+      |GROUP BY src ORDER BY doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d07_dup_clusters" -> d07Sql,
+  )
+}

@@ -59,6 +59,26 @@ object CosineTopKPlan {
     AttributeReference("cosine", DoubleType, nullable = false)())
 }
 
+/** Optimizer rule: the top-k kernel reads exactly (id, vec) from each
+  * child, so any further child columns are dead weight — but the node
+  * declares `references` over its full child output (it must, or
+  * ColumnPruning strips the scans to nothing). This rule does the
+  * operator-specific pruning instead: wrap any wider child in a
+  * two-column Project, which then lets the scans prune normally. */
+object PruneCosineTopKChildren
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p: CosineTopKPlan
+        if p.queries.output.length > 2 || p.index.output.length > 2 =>
+      def prune(child: LogicalPlan): LogicalPlan =
+        if (child.output.length > 2) Project(child.output.take(2), child)
+        else child
+      p.copy(queries = prune(p.queries), index = prune(p.index))
+  }
+}
+
 object CosineTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: CosineTopKPlan =>
@@ -163,6 +183,11 @@ object CosineTopK {
     if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ CosineTopKStrategy
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(PruneCosineTopKChildren)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneCosineTopKChildren
     }
     GraftSqlBridge.ofRows(spark,
       CosineTopKPlan(queries.queryExecution.analyzed,

@@ -79,6 +79,31 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(beforeSort.split("Exchange").length - 1 <= 1)
   }
 
+  test("PruneCosineTopKChildren: wide children prune back to 2-column scans") {
+    // pass the FULL embeddings table (3 columns incl. label): the rule
+    // must cut the scans down to (vec_id, embedding)
+    val v = Tables(spark, sf, "embeddings")
+    val df = plans.CosineTopK.topK(v, v, 5)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(!scan.contains("label"), s"label survived pruning:\n$scan")
+    val narrow = plans.CosineTopK
+      .topK(v.select("vec_id", "embedding"), v.select("vec_id", "embedding"), 5)
+    assert(df.collect().toSeq === narrow.collect().toSeq)
+  }
+
+  test("d07 connected components: edges stay intra-cluster, labels are minima") {
+    val pairs = llm.Dedup.d03MinHashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = llm.DupClusters.d07DupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"edge ($a,$b) split")
+    }
+    clusters.foreach { case (doc, c) => assert(c <= doc) }
+    // every cluster label is itself a member of the cluster
+    clusters.values.toSet.foreach { c: Long => assert(clusters(c) === c) }
+  }
+
   test("q40 stats match a driver-side two-pass computation") {
     val got = ops.Relational3.q40Stats(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

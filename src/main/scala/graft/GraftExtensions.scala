@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSig, RollingMinHash, SimHash64, VecDot}
+import graft.functions.{MinHashSig, RollingMinHash, SimHash64, VecDot, WordShingles}
 
 /** Session-extension entry point: registers the graft SQL functions on
   * every session built with
@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingles3"),
+      info("word_shingles3",
+        "word_shingles3(text) - distinct word 3-gram shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, 3)))
   }
 }

@@ -44,6 +44,9 @@ object Load {
     * files. All parts row-union into one distributed scan. */
   def csvDir(spark: SparkSession, dir: String, columns: Seq[String],
       typeNames: Seq[String]): DataFrame = {
+    require(columns.length == typeNames.length,
+      s"schema metadata mismatch: ${columns.length} columns vs " +
+        s"${typeNames.length} types (corrupt sidecar?)")
     val schema = StructType(columns.zip(typeNames).map { case (c, t) =>
       StructField(c, TypeVocabulary(t))
     })

@@ -22,7 +22,9 @@ import graft.functions.VectorExpressions
   *    (posting-list self-join) rather than a cross join — cost is
   *    sum(posting²) not n², and stays distributed;
   *  - SimHash buckets by 16-bit chunks (pigeonhole: hamming ≤ 3 over 64
-  *    bits guarantees an equal chunk), verification via xor+bit_count;
+  *    bits guarantees an equal chunk; the filter stays at ≤ 3 so the
+  *    published contract matches what the bucketing can recall),
+  *    verification via xor+bit_count;
   *  - embedding near-dup is exact quadratic here (n is small in the
   *    fixtures); at scale it swaps in the IVF route of
   *    [[Similarity.ivfTopK]].
@@ -104,10 +106,11 @@ object Dedup {
   def d03MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     // The shingle sets feed both sides of the band self-join and the
-    // verification join; persist so the tokenize+shingle+sign pipeline
-    // runs once, not four times. (At cluster scale this is a natural
-    // checkpoint: signatures are ~100× smaller than the corpus.)
-    val sh = shingled(spark, dir).persist()
+    // verification join; localCheckpoint materializes the
+    // tokenize+shingle pipeline once (instead of four times) and, unlike
+    // persist(), is released by the ContextCleaner when the frame is
+    // garbage collected — query builders have no unpersist hook.
+    val sh = shingled(spark, dir).localCheckpoint()
     val sig = sh.withColumn("sig", expr("minhash_sig(shingles)"))
     val bands = sig.select(
       col("doc_id"),
@@ -214,7 +217,7 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

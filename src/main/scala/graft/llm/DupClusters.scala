@@ -44,16 +44,22 @@ object DupClusters {
           least(col("cluster"), coalesce(col("neighbor_min"),
             col("cluster"))).as("cluster"))
         .persist()
+      // full count (no limit-shortcut) so `next` materializes into its
+      // cache completely before the previous level is dropped
       val changed = next.join(labels.withColumnRenamed("cluster", "old"),
           "doc_id")
-        .filter(col("cluster") =!= col("old")).limit(1).count()
+        .filter(col("cluster") =!= col("old")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    // snap the result free of the iterative lineage, then release every
+    // intermediate cache (the checkpoint itself is GC-managed)
+    val result = labels.localCheckpoint()
+    labels.unpersist()
     edges.unpersist()
-    labels
+    result
   }
 
   /** d07: cluster assignment for every document that has a near-dup

@@ -463,7 +463,7 @@ object Relational {
   // Subqueries
   // ---------------------------------------------------------------------
 
-  /** Scalar subquery (orders > 2× the average order value); identical SQL
+  /** Scalar subquery (orders > 1.5× the average order value); identical SQL
     * text runs in Catalyst and DuckDB. The exact-decimal average keeps the
     * comparison threshold engine-identical. */
   def q23ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {

@@ -48,16 +48,16 @@ object Relational4 {
 
   /** argmax/argmin aggregates: per event type, the id of the event with
     * the highest/lowest value. The ordering key is an exact integer
-    * composite (value-cents × 1e5 ± event_id) so ties on `value` break
+    * composite (value-cents × 1e10 ± event_id; safe for any event_id below 10 billion) so ties on `value` break
     * deterministically and identically in both engines (DuckDB's
     * arg_max has no struct-key overload). */
   def q44ArgMax(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        expr("max_by(event_id, cast(round(value * 100) as bigint) * 100000 + event_id)")
+        expr("max_by(event_id, cast(round(value * 100) as bigint) * 10000000000 + event_id)")
           .as("max_value_event"),
-        expr("min_by(event_id, cast(round(value * 100) as bigint) * 100000 - event_id)")
+        expr("min_by(event_id, cast(round(value * 100) as bigint) * 10000000000 - event_id)")
           .as("min_value_event"),
         max(col("value")).as("max_value"),
         min(col("value")).as("min_value"))
@@ -65,9 +65,9 @@ object Relational4 {
 
   val q44Sql: String =
     """SELECT event_type,
-      | ARG_MAX(event_id, CAST(round(value * 100) AS BIGINT) * 100000
+      | ARG_MAX(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000
       |   + event_id) AS max_value_event,
-      | ARG_MIN(event_id, CAST(round(value * 100) AS BIGINT) * 100000
+      | ARG_MIN(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000
       |   - event_id) AS min_value_event,
       | MAX(value) AS max_value,
       | MIN(value) AS min_value

@@ -25,6 +25,10 @@ object PmmlSerializer {
       functionName: String = "script.ScriptExecutor.execute",
       copyright: String = "graft")
 
+  /** CDATA-safe payload: split any embedded "]]>" terminator. */
+  private def cdata(s: String): String =
+    s.replace("]]>", "]]]]><![CDATA[>")
+
   private def esc(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     .replace("\"", "&quot;")
@@ -71,7 +75,7 @@ object PmmlSerializer {
     sb ++= "    </DefineFunction>\n"
     sb ++= s"""    <DerivedField name="${esc(dc.outputName)}" dataType="$outDt" optype="$outOt">""" += '\n'
     sb ++= s"""      <Apply function="${esc(meta.functionName)}">""" += '\n'
-    sb ++= s"""        <Extension name="Script"><![CDATA[${dc.script}]]></Extension>""" += '\n'
+    sb ++= s"""        <Extension name="Script"><![CDATA[${cdata(dc.script)}]]></Extension>""" += '\n'
     // one FieldRef PER column (reference bug fixed, :565-572)
     dc.inputColumns.foreach { c =>
       sb ++= s"""        <FieldRef field="${esc(c)}"/>""" += '\n'

@@ -77,10 +77,55 @@ object AsOf {
       |  ON e.user_id = d.user_id AND e.ts >= d.t
       |ORDER BY e.event_id""".stripMargin
 
+  /** Range (band) join — the other interval operator Spark's join set
+    * lacks a fast path for: pairs of same-type events whose values lie
+    * within ±0.1 of each other.
+    *
+    * Scalable form: bucketize the band dimension at the band width,
+    * explode the probe side into its 3 candidate buckets, equi-join on
+    * (type, bucket), then apply the exact band predicate. The shuffle is
+    * an ordinary hash join on the bucket key — no per-key quadratic
+    * theta-join; each qualifying pair matches in exactly one bucket (the
+    * build row's own), so no dedup is needed. */
+  def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    // band width 0.1 over the error events; bucket the band dimension
+    // at exactly the band width
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val bucketOf = floor(col("value") * 10).cast("long")
+    val build = ev.withColumn("bucket", bucketOf)
+    val probe = ev
+      .withColumn("bucket",
+        explode(array(bucketOf - 1, bucketOf, bucketOf + 1)))
+      .select(col("event_id").as("event_a"), col("event_type"),
+        col("value").as("value_a"), col("bucket"))
+    probe.join(build
+        .select(col("event_id").as("event_b"), col("event_type"),
+          col("value").as("value_b"), col("bucket")),
+        Seq("event_type", "bucket"))
+      .filter(col("event_a") < col("event_b") &&
+        abs(col("value_a") - col("value_b")) <= 0.1)
+      .select(col("event_type"), col("event_a"), col("event_b"),
+        col("value_a"), col("value_b"))
+      .orderBy(col("event_type"), col("event_a"), col("event_b"))
+  }
+
+  val q45Sql: String =
+    """SELECT a.event_type, a.event_id AS event_a, b.event_id AS event_b,
+      | a.value AS value_a, b.value AS value_b
+      |FROM events a JOIN events b
+      |  ON a.event_type = b.event_type AND a.event_id < b.event_id
+      | AND ABS(a.value - b.value) <= 0.1
+      |WHERE a.event_type = 'error'
+      |ORDER BY a.event_type, event_a, event_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_asof_join" -> (q30AsOfJoin _),
+    "q45_range_join" -> (q45RangeJoin _),
   )
   val oracle: Map[String, String] = Map(
     "q30_asof_join" -> q30Sql,
+    "q45_range_join" -> q45Sql,
   )
 }

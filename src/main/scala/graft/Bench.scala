@@ -10,11 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: classloading, codegen compiler, noop sink init — so the
-    // first timed query isn't charged for JVM startup
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm-up: run the whole query set once at the smallest SF — JIT,
+    // codegen compilation, classloading and sink init all happen here,
+    // so no timed query is charged for JVM startup (at sf0.001 the
+    // sweep is seconds; data volume is negligible)
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column and
       // ordering (count() would let Catalyst prune projections/sorts
@@ -29,10 +34,15 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // seconds rounded to ms: keeps the whole JSON line short enough to
+    // survive the driver's bounded output-tail capture intact
+    // (Locale.ROOT: a comma decimal separator would corrupt the JSON)
+    def r(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

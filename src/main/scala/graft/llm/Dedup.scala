@@ -189,12 +189,14 @@ object Dedup {
   // d05: SimHash
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash near-dup pairs. Signature: per token, xxhash64; each
-    * bit contributes ±1; sign of the per-bit sum forms the hash. Pairs
-    * are found by bucketing on the four 16-bit chunks (pigeonhole: any
-    * pair at hamming ≤ 3 shares an exact chunk — we keep pairs to
-    * hamming ≤ 8, which the chunk join still surfaces for
-    * near-identical texts) and verified with xor + bit_count. */
+  /** 64-bit SimHash near-dup pairs. Signature: per token,
+    * [[graft.functions.TextHash.hash64]] (FNV-1a + murmur finalizer);
+    * each bit contributes ±1; sign of the per-bit sum forms the hash.
+    * Pairs are found by bucketing on the four 16-bit chunks and kept to
+    * hamming ≤ 3, which the pigeonhole guarantees the chunk join
+    * surfaces completely (any pair at hamming ≤ 3 differs in at most 3
+    * of the 4 chunks, so it shares an exact chunk); verification is
+    * xor + bit_count. */
   def d05SimHash(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     val hashed = Tables(spark, dir, "documents")

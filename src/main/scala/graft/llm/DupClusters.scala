@@ -21,7 +21,10 @@ object DupClusters {
 
   /** @param pairs edges as (doc_a, doc_b); vertices default to the edge
     *              endpoints
-    * @return (doc_id, cluster) — cluster = min doc_id reachable */
+    * @return (doc_id, cluster) — cluster = min doc_id reachable
+    * @throws IllegalStateException if the propagation has not converged
+    *         after `maxIter` rounds (a component with diameter > maxIter)
+    *         — unconverged labels would be silently wrong minima */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
@@ -53,6 +56,13 @@ object DupClusters {
       labels = next
       converged = changed == 0
       iter += 1
+    }
+    if (!converged) {
+      labels.unpersist()
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise maxIter")
     }
     // snap the result free of the iterative lineage, then release every
     // intermediate cache (the checkpoint itself is GC-managed)

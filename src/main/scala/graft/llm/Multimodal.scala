@@ -129,10 +129,17 @@ object Multimodal {
       | MD5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Full stubbed decode pipeline: pack → mapPartitions feature extract. */
+  /** Full stubbed decode pipeline: pack → mapPartitions feature extract.
+    * The 8-dim feature vector is unpacked into scalar columns f0..f7 for
+    * the dump (the driver's compare sorts the result frame, and an
+    * array-typed column is unhashable/unsortable on the oracle side). */
   def m02MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(packAsMedia(spark, dir))
       .toDF()
+      .select(
+        col("doc_id") +: col("n_bytes") +: col("checksum") +:
+          (0 until 8).map(i =>
+            col("feature").getItem(i).cast(DoubleType).as(s"f$i")): _*)
       .orderBy(col("doc_id"))
 
   /** Frame sampler over the fake frame counts. */

@@ -82,11 +82,15 @@ object AsOf {
     * within ±0.1 of each other.
     *
     * Scalable form: bucketize the band dimension at the band width,
-    * explode the probe side into its 3 candidate buckets, equi-join on
+    * explode the probe side into its candidate buckets, equi-join on
     * (type, bucket), then apply the exact band predicate. The shuffle is
     * an ordinary hash join on the bucket key — no per-key quadratic
     * theta-join; each qualifying pair matches in exactly one bucket (the
-    * build row's own), so no dedup is needed. */
+    * build row's own), so no dedup is needed. The probe fans out to
+    * ±2 buckets: mathematically in-band pairs sit ≤ 1 bucket apart, but
+    * `floor(value*10)` is computed in floating point, and at a ulp-level
+    * boundary the rounding of `value*10` can push the two sides' buckets
+    * 2 apart — ±2 makes the candidate set provably complete. */
   def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     // band width 0.1 over the error events; bucket the band dimension
     // at exactly the band width
@@ -97,7 +101,8 @@ object AsOf {
     val build = ev.withColumn("bucket", bucketOf)
     val probe = ev
       .withColumn("bucket",
-        explode(array(bucketOf - 1, bucketOf, bucketOf + 1)))
+        explode(array(bucketOf - 2, bucketOf - 1, bucketOf, bucketOf + 1,
+          bucketOf + 2)))
       .select(col("event_id").as("event_a"), col("event_type"),
         col("value").as("value_a"), col("bucket"))
     probe.join(build

@@ -64,9 +64,13 @@ class RelationalSpec extends AnyFunSuite {
       .select("c_custkey").collect().map(_.getLong(0)).toSet
     val anti = ops.Relational.q09AntiJoin(spark, sf)
       .select("c_custkey").collect().map(_.getLong(0)).toSet
-    assert(semi.intersect(anti).forall(k =>
-      // a customer can have a big F order and no urgent order
-      true))
+    // anti (= customers with NO urgent order) must be disjoint from the
+    // customers that do have a 1-URGENT order
+    val urgentCust = Tables(spark, sf, "orders")
+      .filter(org.apache.spark.sql.functions
+        .col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(anti.intersect(urgentCust).isEmpty)
     val nCust = Tables(spark, sf, "customer").count()
     assert(semi.size <= nCust && anti.size <= nCust)
   }

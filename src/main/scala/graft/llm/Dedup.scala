@@ -262,11 +262,31 @@ object Dedup {
     "d06_embedding_near_dup" -> (d06EmbeddingNearDup _),
   )
 
+  /** d06 oracle: DuckDB's `list_dot_product` over a DOUBLE[] cast
+    * accumulates left-to-right in double — bit-identical to the
+    * [[graft.functions.VecDot]] kernel (floats widened per element,
+    * ascending-index double accumulation), so cosine and the 0.4
+    * threshold reproduce exactly. */
+  val d06Sql: String =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), nn AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+      |  WHERE sqrt(list_dot_product(v, v)) > 0
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
     "d02_hash_dedup" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04_ngram_jaccard" -> d04Sql,
-    // d05/d06 depend on engine hash functions / float kernels — rows-only.
+    // d05 depends on the engine hash kernel (FNV+murmur simhash) — rows-only.
+    "d06_embedding_near_dup" -> d06Sql,
   )
 }

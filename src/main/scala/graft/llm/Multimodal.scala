@@ -28,7 +28,7 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
       feature: Array[Float])
 
-  case class FrameRow(doc_id: Long, frame_idx: Int, frame_checksum: Long)
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
 
   /** Pack the documents fixture as a media table: UTF-8 bytes as the
     * opaque blob + synthetic metadata. This stands in for
@@ -77,15 +77,22 @@ object Multimodal {
   }
 
   /** Frame sampling: every `stride`-th frame index from the metadata,
-    * one output row per sampled frame (generator-style explode). */
+    * one output row per sampled frame (generator-style explode). The
+    * per-frame digest is md5 over `blob ++ ":<idx>"` — an engine-portable
+    * digest (a real decoder would hash the decoded frame instead). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      (0 until r.meta.nFrames by stride).map { idx =>
-        val crc = new java.util.zip.CRC32()
-        crc.update(r.blob)
-        crc.update(idx)
-        FrameRow(r.doc_id, idx, crc.getValue)
+    media.mapPartitions { rows =>
+      // one digest instance per partition, reset per frame
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        (0 until r.meta.nFrames by stride).iterator.map { idx =>
+          md.reset()
+          md.update(r.blob)
+          md.update(s":$idx".getBytes("UTF-8"))
+          val hex = md.digest().map(b => f"$b%02x").mkString
+          FrameRow(r.doc_id, idx, hex)
+        }
       }
     }
   }
@@ -163,8 +170,29 @@ object Multimodal {
     "m04_resize" -> (m04Resize _),
   )
 
+  /** m03's frame set is fully determined by (text, n_chars): nFrames =
+    * n_chars % 16 + 1, indices 0,4,8,... and the digest is md5 of the
+    * UTF-8 text plus ":idx" — all expressible in SQL (the texts are
+    * ASCII, so DuckDB's string md5 equals the byte-level digest). */
+  val m03Sql: String =
+    """SELECT doc_id, CAST(4 * i AS INT) AS frame_idx,
+      |  md5(text || ':' || CAST(4 * i AS VARCHAR)) AS frame_md5
+      |FROM documents, range(0, 4) t(i)
+      |WHERE 4 * i < n_chars % 16 + 1
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** m04's stub resize truncates/pads to w*h/16 bytes and rewrites the
+    * metadata — the audit projection is a constant function of doc_id. */
+  val m04Sql: String =
+    """SELECT doc_id, CAST(64 AS INT) AS blob_len, CAST(32 AS INT) AS width,
+      |  CAST(32 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "m01_media_meta" -> m01Sql,
-    // m02/m03 exercise the stubbed decoder — rows-only.
+    // m02 exercises the stubbed decoder (CRC32 + byte histogram — no
+    // DuckDB equivalent) — rows-only.
+    "m03_frame_sample" -> m03Sql,
+    "m04_resize" -> m04Sql,
   )
 }

@@ -137,6 +137,76 @@ object Similarity {
     "s04_custom_plan_topk" -> (s04CustomPlanTopK _),
   )
 
-  /** Float-kernel accumulation differs across engines — rows-only. */
-  val oracle: Map[String, String] = Map.empty
+  /** Shared CTE: DOUBLE[]-cast vectors + norms. `list_dot_product` over
+    * DOUBLE[] is a left-to-right double accumulation — bit-identical to
+    * the [[graft.functions.VecDot]] kernel and to
+    * [[graft.plans.CosineTopK]]'s inner loop, so cosine scores (and
+    * therefore the top-k sets and their tie-broken order) reproduce
+    * exactly across engines. */
+  private val normCte =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), nn AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+      |  WHERE sqrt(list_dot_product(v, v)) > 0
+      |)""".stripMargin
+
+  /** Exact brute-force top-k — one oracle for s01 (window), s03 (typed
+    * aggregator) and s04 (custom physical plan): all three share the
+    * contract (cosine desc, neighbor_id asc, k=10). */
+  val s01Sql: String = normCte +
+    """, sc AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |  FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
+      |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  /** IVF replica: same deterministic centroid pick (16 lowest vec_ids),
+    * nprobe=3 probe ranking, cell-restricted candidate join, k=5. */
+  val s02Sql: String = normCte +
+    """, c AS (
+      |  SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM nn
+      |  ORDER BY vec_id LIMIT 16
+      |), sims AS (
+      |  SELECT nn.vec_id, nn.v, nn.nrm, c.cell,
+      |    list_dot_product(nn.v, c.cv) / (nn.nrm * c.cnrm) AS csim
+      |  FROM nn CROSS JOIN c
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY csim DESC, cell) AS cell_rank
+      |  FROM sims
+      |), idx AS (
+      |  SELECT cell, vec_id AS neighbor_id, v AS iv, nrm AS inrm
+      |  FROM ranked WHERE cell_rank = 1
+      |), probes AS (
+      |  SELECT cell, vec_id AS query_id, v AS qv, nrm AS qn
+      |  FROM ranked WHERE cell_rank <= 3
+      |), sc AS (
+      |  SELECT DISTINCT query_id, neighbor_id,
+      |    list_dot_product(qv, iv) / (qn * inrm) AS cosine
+      |  FROM probes JOIN idx USING (cell)
+      |  WHERE query_id <> neighbor_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s01_cosine_topk" -> s01Sql,
+    "s02_ivf_topk" -> s02Sql,
+    "s03_topk_aggregate" -> s01Sql,
+    "s04_custom_plan_topk" -> s01Sql,
+  )
 }

@@ -183,6 +183,43 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** t04 oracle: the rolling 64-bit Karp-Rabin fingerprint re-expressed
+    * in SQL. Wraparound `Long` arithmetic becomes HUGEINT mod 2^64 with
+    * an explicit signed reinterpretation; each window hash is the
+    * polynomial sum of its byte codes times B^j (the same closed form
+    * the kernel's Horner/rolling updates compute); the min is taken over
+    * the signed values, matching the kernel's `h < min`. Texts are ASCII
+    * so `unicode(char)` equals the UTF-8 byte. Power constants are
+    * generated from [[graft.functions.RollingMinHash]] so the two can
+    * never drift. */
+  val t04Sql: String = {
+    // p[1] = B^15 ... p[16] = B^0, computed with Long wraparound (= mod 2^64)
+    val powers = Iterator.iterate(1L)(_ * graft.functions.RollingMinHash.Base)
+      .take(16).toArray.reverse
+    val plist = powers.map(p =>
+      java.lang.Long.toUnsignedString(p) + "::HUGEINT").mkString("[", ",", "]")
+    val two63 = "9223372036854775808::HUGEINT"
+    val two64 = "18446744073709551616::HUGEINT"
+    def u(sum: String) = s"($sum::HUGEINT % $two64)"
+    val win = u("list_sum(list_transform(range(0, 16), " +
+      "j -> unicode(text[i + j]) * p[j + 1]))")
+    val whole = u("list_sum(list_transform(range(1, length(text) + 1), " +
+      "j -> unicode(text[j]) * p[16 - length(text) + j]))")
+    s"""WITH consts AS (SELECT $plist AS p)
+       |SELECT doc_id,
+       |  CASE WHEN length(text) = 0 THEN 0
+       |  WHEN length(text) < 16 THEN
+       |    CAST((CASE WHEN $whole >= $two63
+       |      THEN $whole - $two64 ELSE $whole END) AS BIGINT)
+       |  ELSE
+       |    list_min(list_transform(range(1, length(text) - 14), i ->
+       |      CAST((CASE WHEN $win >= $two63
+       |        THEN $win - $two64 ELSE $win END) AS BIGINT)))
+       |  END AS fingerprint, n_chars
+       |FROM documents, consts
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** TF-IDF top terms: term frequency per doc × a rational inverse
     * document frequency ((N+1)/(df+1) — no log, so the score stays
     * engine-exact), top-3 terms per document by score. The df side is an
@@ -245,7 +282,7 @@ object TextStats {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_lang_id" -> t03Sql,
-    // t04 uses the custom rolling-hash kernel — rows-only.
+    "t04_fingerprint" -> t04Sql,
     "t05_tfidf" -> t05Sql,
   )
 }

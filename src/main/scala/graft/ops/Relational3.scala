@@ -90,20 +90,57 @@ object Relational3 {
       | COUNT(*) AS n
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
-  /** Statistical moments per segment. Variance/stddev accumulate floats
-    * in engine-specific orders → rows-only; LlmOpsSpec bounds them
-    * against a driver-side two-pass computation. */
-  def q40Stats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "customer")
-      .groupBy(col("c_mktsegment"))
-      .agg(
-        avg(col("c_acctbal")).as("mean_bal"),
-        stddev_samp(col("c_acctbal")).as("sd_bal"),
-        var_samp(col("c_acctbal")).as("var_bal"),
-        corr(col("c_acctbal"), col("c_custkey").cast(DoubleType))
-          .as("corr_bal_key"),
-        skewness(col("c_acctbal")).as("skew_bal"))
-      .orderBy(col("c_mktsegment"))
+  /** Statistical moments per segment: mean, sample variance/stddev,
+    * Pearson correlation, population skewness — computed from exact
+    * DECIMAL power sums (s1..s3, sy, sy2, sxy) and only then combined in
+    * double. The built-in `stddev_samp`/`skewness`/`corr` aggregates
+    * stream doubles in partition order, which is engine- (and run-)
+    * specific in the low bits; the moment form is algebraically the same
+    * estimator but bit-deterministic in any engine, so it hash-matches
+    * the oracle. Same single-shuffle plan: one hash aggregate. */
+  def q40Stats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q40SparkSql)
+  }
+
+  /** The exact integer power sums, on balance *cents* (c_acctbal is a
+    * 2-decimal double; round(x*100) recovers the exact integer in both
+    * engines). The cube overflows a 64-bit long, so it sums in wide
+    * exact integers — Spark DECIMAL(38,0), DuckDB HUGEINT (both cast to
+    * DOUBLE with correct rounding; verified the DECIMAL(38,6)→DOUBLE
+    * route instead is NOT correctly rounded in DuckDB 1.0). Everything
+    * after the sums is the identical double-arithmetic text. */
+  private def q40Moments(cube: String): String =
+    s"""WITH m AS (
+       |  SELECT c_mktsegment, COUNT(*) AS n,
+       |    CAST(SUM(cc) AS DOUBLE) / 100.0 AS s1,
+       |    CAST(SUM(cc * cc) AS DOUBLE) / 10000.0 AS s2,
+       |    CAST(SUM($cube) AS DOUBLE) / 1000000.0 AS s3,
+       |    CAST(SUM(c_custkey) AS DOUBLE) AS sy,
+       |    CAST(SUM(c_custkey * c_custkey) AS DOUBLE) AS sy2,
+       |    CAST(SUM(cc * c_custkey) AS DOUBLE) / 100.0 AS sxy
+       |  FROM (SELECT c_mktsegment, c_custkey,
+       |          CAST(round(c_acctbal * 100) AS BIGINT) AS cc
+       |        FROM customer)
+       |  GROUP BY c_mktsegment
+       |)
+       |SELECT c_mktsegment,
+       |  s1 / n AS mean_bal,
+       |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd_bal,
+       |  (s2 - s1 * s1 / n) / (n - 1) AS var_bal,
+       |  (sxy - s1 * sy / n)
+       |    / (sqrt(s2 - s1 * s1 / n) * sqrt(sy2 - sy * sy / n))
+       |    AS corr_bal_key,
+       |  (s3 / n - 3 * (s1 / n) * (s2 / n)
+       |     + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+       |    / ((s2 / n - (s1 / n) * (s1 / n))
+       |       * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skew_bal
+       |FROM m ORDER BY c_mktsegment""".stripMargin
+
+  val q40SparkSql: String =
+    q40Moments("CAST(cc AS DECIMAL(38,0)) * cc * cc")
+  val q40Sql: String =
+    q40Moments("cc::HUGEINT * cc * cc")
 
   /** F7 parity, typed form: `from_json` with an explicit schema turning
     * the events `props` string into a struct column (the pipeline-grade
@@ -142,7 +179,7 @@ object Relational3 {
     "q37_explode" -> q37Sql,
     "q38_window_dist" -> q38Sql,
     "q39_collect_agg" -> q39Sql,
-    // q40: float accumulation order is engine-specific — rows-only.
+    "q40_stats" -> q40Sql,
     "q41_from_json" -> q41Sql,
   )
 }

@@ -262,6 +262,60 @@ object Dedup {
     "d06_embedding_near_dup" -> (d06EmbeddingNearDup _),
   )
 
+  /** d05 oracle: the full SimHash pipeline re-expressed in SQL — the
+    * FNV-1a + murmur-finalizer token hash as a `list_reduce` fold in
+    * HUGEINT mod-2^64 arithmetic (the two ≥2^63 finalizer constants
+    * multiply via 32-bit limb splitting so the 128-bit intermediate
+    * never overflows HUGEINT), per-bit ±1 votes, sign-of-sum signature,
+    * then all-pairs hamming ≤ 3 via xor + bit_count. The pair set equals
+    * the engine's chunk-bucketed join output because the pigeonhole
+    * bucketing is exact for hamming ≤ 3. */
+  val d05Sql: String = {
+    val two32 = "4294967296::HUGEINT"
+    val two63 = "9223372036854775808::HUGEINT"
+    val two64 = "18446744073709551616::HUGEINT"
+    // (a * m) mod 2^64 without 128-bit overflow, for 64-bit constant m
+    def modmul(a: String, m: String): String =
+      s"((($a) % $two32) * $m::HUGEINT " +
+        s"+ ((((($a) // $two32)) * $m::HUGEINT) % $two32) * $two32) % $two64"
+    val fnvOff = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+    val fnvPrime = 0x100000001b3L.toString // < 2^41: direct mul stays exact
+    val m1 = java.lang.Long.toUnsignedString(0xff51afd7ed558ccdL)
+    val m2 = java.lang.Long.toUnsignedString(0xc4ceb9fe1a85ec53L)
+    val shift33 = "8589934592" // 2^33: x // 2^33 == x >>> 33 for x >= 0
+    val fold = s"list_reduce(list_prepend($fnvOff::HUGEINT, " +
+      "list_transform(range(1, length(w) + 1), i -> unicode(w[i])::HUGEINT)), " +
+      s"(acc, b) -> (xor(acc, b) * $fnvPrime::HUGEINT) % $two64)"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), words AS (SELECT DISTINCT w FROM tok),
+       |wh0 AS (SELECT w, $fold AS h0 FROM words),
+       |wh1 AS (SELECT w, ${modmul(s"xor(h0, h0 // $shift33)", m1)} AS h1 FROM wh0),
+       |wh2 AS (SELECT w, ${modmul(s"xor(h1, h1 // $shift33)", m2)} AS h2 FROM wh1),
+       |wh AS (SELECT w, xor(h2, h2 // $shift33) AS h FROM wh2),
+       |th AS (SELECT t.doc_id, wh.h FROM tok t JOIN wh ON t.w = wh.w),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN (h // power(2, j)::HUGEINT) % 2 = 1
+       |        THEN 1 ELSE -1 END) AS v
+       |  FROM th, range(0, 64) t(j) GROUP BY doc_id, j
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN u >= $two63 THEN u - $two64 ELSE u END AS BIGINT)
+       |      AS simhash
+       |  FROM (SELECT doc_id,
+       |          SUM(CASE WHEN v > 0 THEN power(2, j)::HUGEINT
+       |              ELSE 0::HUGEINT END) % $two64 AS u
+       |        FROM votes GROUP BY doc_id)
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** d06 oracle: DuckDB's `list_dot_product` over a DOUBLE[] cast
     * accumulates left-to-right in double — bit-identical to the
     * [[graft.functions.VecDot]] kernel (floats widened per element,
@@ -286,7 +340,7 @@ object Dedup {
     "d02_hash_dedup" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04_ngram_jaccard" -> d04Sql,
-    // d05 depends on the engine hash kernel (FNV+murmur simhash) — rows-only.
+    "d05_simhash" -> d05Sql,
     "d06_embedding_near_dup" -> d06Sql,
   )
 }

@@ -188,10 +188,55 @@ object Multimodal {
       |  CAST(32 AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** m02 oracle: the stub decoder re-expressed in SQL — zlib CRC32 as a
+    * table-driven `list_reduce` byte fold (table generated here with the
+    * same reflected-0xEDB88320 recurrence as java.util.zip.CRC32), and
+    * the folded byte histogram with the kernel's exact float32 division
+    * (CAST ... AS FLOAT / FLOAT, then widened to DOUBLE like the Spark
+    * projection). Texts are ASCII so `unicode(char)` = the UTF-8 byte. */
+  val m02Sql: String = {
+    val table = (0 until 256).map { i =>
+      var c = i.toLong
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1L) == 1L) (c >>> 1) ^ 0xEDB88320L else c >>> 1
+        k += 1
+      }
+      c
+    }.mkString("[", ",", "]")
+    val fs = (0 until 8).map(r =>
+      s"  CAST(MAX(CASE WHEN r = $r THEN f END) AS DOUBLE) AS f$r").mkString(",\n")
+    s"""WITH consts AS (SELECT $table AS tbl),
+       |b AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1), i -> unicode(text[i]))
+       |      AS bs
+       |  FROM documents
+       |),
+       |crc AS (
+       |  SELECT doc_id, n,
+       |    xor(list_reduce(list_prepend(4294967295::BIGINT, bs),
+       |      (c, byt) -> xor(tbl[(xor(c, byt) % 256) + 1], c // 256)),
+       |      4294967295::BIGINT) AS checksum,
+       |    bs
+       |  FROM b, consts
+       |),
+       |hist AS (
+       |  SELECT doc_id, r.j AS r,
+       |    CAST(len(list_filter(bs, x -> x % 8 = r.j)) AS FLOAT)
+       |      / CAST(CASE WHEN n > 0 THEN n ELSE 1 END AS FLOAT) AS f
+       |  FROM crc, range(0, 8) r(j)
+       |)
+       |SELECT c.doc_id, CAST(c.n AS INT) AS n_bytes, c.checksum,
+       |$fs
+       |FROM crc c JOIN hist h USING (doc_id)
+       |GROUP BY c.doc_id, c.n, c.checksum
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "m01_media_meta" -> m01Sql,
-    // m02 exercises the stubbed decoder (CRC32 + byte histogram — no
-    // DuckDB equivalent) — rows-only.
+    "m02_media_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "m04_resize" -> m04Sql,
   )

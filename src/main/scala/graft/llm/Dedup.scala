@@ -155,15 +155,26 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) without LSH:
-    * explode shingles into postings, self-join the posting lists, count
-    * shared shingles per pair. No cross join anywhere — pairs that share
-    * zero shingles are never materialized. */
+    * explode shingles into postings, self-join the posting lists with
+    * the Jaccard length filter (`t·na ≤ nb ≤ na/t` — a pair failing it
+    * cannot reach the threshold), count shared shingles per pair. No
+    * cross join anywhere — pairs that share zero shingles are never
+    * materialized, and only longs travel through the count shuffle.
+    *
+    * Deliberately NOT candidate-verify (cf. [[d08PpJoin]]): at a
+    * moderate threshold the Jaccard prefix is ~n/2, so prefix filtering
+    * leaves a large candidate set whose array-payload verification
+    * costs more than counting cheap posting rows (measured 4× slower at
+    * sf0.1). Prefix filtering earns its keep at high thresholds — d08. */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    val postings = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val postings = sh
+      .select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("sg"))
     val pairCounts = postings.as("a")
       .join(postings.as("b"),
-        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * 2 >= col("a.n") && col("a.n") * 2 >= col("b.n"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
@@ -184,6 +195,57 @@ object Dedup {
       |FROM pr JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
       |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d08: PPJoin-style prefix-filtered exact Jaccard (high threshold)
+  // ---------------------------------------------------------------------
+
+  /** Exact Jaccard pairs at a high threshold (0.8) via PPJoin-style
+    * prefix filtering (Xiao et al., WWW'08): under a consistent global
+    * token order — here (document frequency, shingle), rarest first —
+    * any pair with J ≥ t must share one of the `n - ceil(t·n) + 1`
+    * first tokens of each side, so only those ~n/5 rarest shingles
+    * enter the posting self-join, alongside the `t·na ≤ nb ≤ na/t`
+    * length filter. Survivors are verified exactly against the full
+    * shingle sets.
+    *
+    * This is the deterministic-exact counterpart of [[d03MinHashLsh]]
+    * (LSH recall is probabilistic; the prefix filter is lossless), and
+    * the high-threshold complement of [[d04NgramJaccard]]: at t = 0.8
+    * the prefix is a fifth of each set, so the candidate set is small
+    * enough that per-candidate verification beats counting the full
+    * posting join. At 100 TB everything here is hash-shuffle joins on
+    * (shingle) and (doc_id) — no driver state, no cross join; the
+    * rarest-first order means the hottest (boilerplate) shingles never
+    * enter the join at all. */
+  def d08PpJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.8
+    // shingle sets feed the postings and both verify sides;
+    // localCheckpoint materializes the tokenize+shingle pipeline once
+    val sh = shingled(spark, dir).localCheckpoint()
+    val postings = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val dfreq = postings.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sg"))
+    val bySet = Window.partitionBy(col("doc_id"))
+    val pref = postings.join(dfreq, "sg")
+      .withColumn("rk", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(bySet))
+      .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("sg"), col("n"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= col("a.n") * t && col("a.n") >= col("b.n") * t)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold = t)
+  }
+
+  /** Same answer as the exact-Jaccard oracle at threshold 0.8 — i.e.
+    * d03's oracle (LSH+verify equals exact there); reused verbatim. */
+  val d08Sql: String = d03Sql
 
   // ---------------------------------------------------------------------
   // d05: SimHash
@@ -260,6 +322,7 @@ object Dedup {
     "d04_ngram_jaccard" -> (d04NgramJaccard _),
     "d05_simhash" -> (d05SimHash _),
     "d06_embedding_near_dup" -> (d06EmbeddingNearDup _),
+    "d08_ppjoin" -> (d08PpJoin _),
   )
 
   /** d05 oracle: the full SimHash pipeline re-expressed in SQL — the
@@ -342,5 +405,6 @@ object Dedup {
     "d04_ngram_jaccard" -> d04Sql,
     "d05_simhash" -> d05Sql,
     "d06_embedding_near_dup" -> d06Sql,
+    "d08_ppjoin" -> d08Sql,
   )
 }

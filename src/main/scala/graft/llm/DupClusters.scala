@@ -34,6 +34,10 @@ object DupClusters {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .persist()
+    // the frame actually holding the cache for the current level —
+    // `labels` itself becomes a projection over it after round 1, and
+    // unpersisting a projection is a silent no-op (cache leak)
+    var cached = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -42,23 +46,25 @@ object DupClusters {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster")).as("neighbor_min"))
+      // carry the previous label alongside the new one so convergence
+      // detection is a filter over the same persisted frame — no extra
+      // join (and its shuffle) per round
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("neighbor_min"),
             col("cluster"))).as("cluster"))
         .persist()
       // full count (no limit-shortcut) so `next` materializes into its
       // cache completely before the previous level is dropped
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
-          "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("cluster"))
       converged = changed == 0
       iter += 1
     }
     if (!converged) {
-      labels.unpersist()
+      cached.unpersist()
       edges.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
@@ -67,7 +73,7 @@ object DupClusters {
     // snap the result free of the iterative lineage, then release every
     // intermediate cache (the checkpoint itself is GC-managed)
     val result = labels.localCheckpoint()
-    labels.unpersist()
+    cached.unpersist()
     edges.unpersist()
     result
   }

@@ -33,6 +33,8 @@ object VectorExpressions {
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles3", exprs => WordShingles(exprs.head, 3), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles2", exprs => WordShingles(exprs.head, 2), "built-in")
   }
 }
 

@@ -270,7 +270,34 @@ object TextStats {
       |FROM scored WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  /** Corpus bigram document frequencies, top 20 (deterministic count
+    * desc / bigram asc tiebreak) — the n-gram statistics a tokenizer/BPE
+    * training pass starts from. Per-doc distinct bigrams via the
+    * codegen'd [[graft.functions.WordShingles]] kernel (n=2), then one
+    * count shuffle with map-side combine; at corpus scale this is the
+    * standard inverted df aggregation, no driver state. */
+  def t06Bigrams(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    Tables(spark, dir, "documents")
+      .select(explode(expr("word_shingles2(text)")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val t06Sql: String =
+    """SELECT bigram, COUNT(*) AS df FROM (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i] || '_'
+      |      || string_split(text, ' ')[i + 1]))) AS bigram
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2)
+      |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t06_bigrams" -> (t06Bigrams _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_lang_id" -> (t03LangId _),
@@ -284,5 +311,6 @@ object TextStats {
     "t03_lang_id" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_tfidf" -> t05Sql,
+    "t06_bigrams" -> t06Sql,
   )
 }

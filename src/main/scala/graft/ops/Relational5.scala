@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Fifth wave: value-range window frames, exact interpolated
+  * percentiles, and the salted-join skew pattern as a first-class
+  * query. */
+object Relational5 {
+
+  /** Value-based RANGE window frame: for every event, how many events of
+    * the same type have a value within 1.0 below it (inclusive). COUNT —
+    * not SUM — so the frame result is exact integers: range *bounds* are
+    * the single IEEE subtraction `value - 1.0` in either engine, but a
+    * SUM's accumulation order inside the frame would be engine-specific.
+    * One shuffle on the partition key, per-key sort — the frame walk is
+    * a single pass with two pointers in both engines. */
+  def q46RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    // the fractional RANGE bound needs the SQL form (the Scala
+    // Window.rangeBetween API only takes Long offsets); the identical
+    // text runs through Catalyst and DuckDB
+    Tables.registerAll(spark, dir)
+    spark.sql(q46Sql)
+  }
+
+  val q46Sql: String =
+    """SELECT event_type, event_id, value,
+      | COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+      |   RANGE BETWEEN 1.0 PRECEDING AND CURRENT ROW) AS n_within
+      |FROM events ORDER BY event_type, event_id""".stripMargin
+
+  /** Exact interpolated percentiles (quartiles + median) of order value
+    * per priority. Determinism without trusting either engine's
+    * interpolation formula: the input is exact integer *cents* and the
+    * fractions are dyadic (k/4), so `lower + frac·(upper−lower)` and
+    * `(1−frac)·lower + frac·upper` are both computed without any
+    * floating-point rounding — identical bits whichever form an engine
+    * uses; the final /100 is one more identical exact-input division. */
+  def q47Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q47Sql)
+  }
+
+  val q47Sql: String =
+    """SELECT o_orderpriority,
+      |  percentile_cont(0.25) WITHIN GROUP (ORDER BY cc) / 100.0 AS p25,
+      |  percentile_cont(0.50) WITHIN GROUP (ORDER BY cc) / 100.0 AS median,
+      |  percentile_cont(0.75) WITHIN GROUP (ORDER BY cc) / 100.0 AS p75,
+      |  COUNT(*) AS n
+      |FROM (SELECT o_orderpriority,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS cc
+      |      FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** The salted-join skew pattern ([[Skew.saltedEquiJoin]]) as a query:
+    * lineitem⋈supplier with the supplier side fanned out over 8 salt
+    * buckets, then revenue per supplier nation. The salt spreads any hot
+    * supplier key over 8 reducers; the aggregate result is row-identical
+    * to the plain join (which is what the oracle runs). */
+  def q48SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val sup = Tables(spark, dir, "supplier")
+    Skew.saltedEquiJoin(li, sup, col("l_suppkey"), col("s_suppkey"), salt = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(3,2)"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q48Sql: String =
+    """SELECT s_nationkey,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_range_frame" -> (q46RangeFrame _),
+    "q47_percentiles" -> (q47Percentiles _),
+    "q48_salted_join" -> (q48SaltedJoin _),
+  )
+  val oracle: Map[String, String] = Map(
+    "q46_range_frame" -> q46Sql,
+    "q47_percentiles" -> q47Sql,
+    "q48_salted_join" -> q48Sql,
+  )
+}

@@ -141,4 +141,25 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(frames(id).length === (n + 3) / 4, s"doc $id nFrames=$n")
     }
   }
+
+  test("d08 ppjoin equals the exact 0.8-threshold pair set (= d03)") {
+    def keys(rows: Array[Row]) =
+      rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val pp = keys(Dedup.d08PpJoin(spark, sf).collect())
+    val lsh = keys(Dedup.d03MinHashLsh(spark, sf).collect())
+    assert(pp === lsh) // prefix filter is lossless; LSH verified-exact here
+  }
+
+  test("t06 bigram dfs are positive, non-increasing, tie-broken") {
+    val rows = TextStats.t06Bigrams(spark, sf).collect()
+    assert(rows.length === 20)
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.forall(_ >= 1))
+    assert(dfs.sameElements(dfs.sortBy(-_)))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      if (a.getAs[Long]("df") == b.getAs[Long]("df"))
+        assert(a.getAs[String]("bigram") < b.getAs[String]("bigram"))
+    }
+  }
 }

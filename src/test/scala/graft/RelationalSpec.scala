@@ -84,4 +84,43 @@ class RelationalSpec extends AnyFunSuite {
       .select("o_custkey").distinct().count()
     assert(both + only95 === buyers95)
   }
+
+  test("q47 percentiles are ordered and bracket the median") {
+    val rows = ops.Relational5.q47Percentiles(spark, sf).collect()
+    var n = 0L
+    rows.foreach { r =>
+      val (p25, med, p75) = (r.getAs[Double]("p25"),
+        r.getAs[Double]("median"), r.getAs[Double]("p75"))
+      assert(p25 <= med && med <= p75)
+      n += r.getAs[Long]("n")
+    }
+    assert(n === Tables(spark, sf, "orders").count())
+  }
+
+  test("q48 salted join equals the plain join") {
+    val salted = ops.Relational5.q48SaltedJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s_nationkey"), r.getAs[Double]("revenue"),
+        r.getAs[Long]("n_items")))
+    val li = Tables(spark, sf, "lineitem")
+    val sup = Tables(spark, sf, "supplier")
+    val plain = li.join(sup,
+        org.apache.spark.sql.functions.col("l_suppkey") ===
+          org.apache.spark.sql.functions.col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("l_extendedprice")
+            .cast("decimal(12,2)") *
+          (org.apache.spark.sql.functions.lit(1) -
+            org.apache.spark.sql.functions.col("l_discount")
+              .cast("decimal(3,2)")))
+          .cast("double").as("revenue"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_items"))
+      .orderBy("s_nationkey")
+      .collect()
+      .map(r => (r.getAs[Long]("s_nationkey"), r.getAs[Double]("revenue"),
+        r.getAs[Long]("n_items")))
+    assert(salted.sameElements(plain))
+  }
 }

@@ -230,15 +230,19 @@ object TextStats {
     val terms = d.select(col("doc_id"), explode(col("ws")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val nDocs = d.count() // one tiny job; the corpus row count
+    // corpus size as a broadcast 1-row frame, not a driver-side count():
+    // the whole query stays one lazy plan (no eager job), and the scalar
+    // rides a BroadcastExchange to every task
+    val nDocs = d.select(count(lit(1)).cast(DoubleType).as("n_docs"))
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        col("tf").cast(DoubleType) * ((lit(nDocs.toDouble) + 1.0) /
+        col("tf").cast(DoubleType) * ((col("n_docs") + 1.0) /
           (col("df").cast(DoubleType) + 1.0)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)

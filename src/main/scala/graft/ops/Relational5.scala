@@ -80,14 +80,36 @@ object Relational5 {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** Array reshaping over a real vector column: per embedding, the top-8
+    * components by value via sort + slice + reverse (all codegen'd array
+    * built-ins, no lambda), exploded to rows with their rank. Raw floats
+    * pass through untouched, so values are bit-exact in any engine. */
+  def q49ArrayOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        posexplode(reverse(slice(sort_array(col("embedding")), -8, 8)))
+          .as(Seq("pos", "component")))
+      .select(col("vec_id"), (col("pos") + 1).as("rank"), col("component"))
+      .orderBy(col("vec_id"), col("rank"))
+
+  val q49Sql: String =
+    """SELECT vec_id, CAST(i AS INT) AS rank,
+      |  list_sort(embedding, 'DESC')[i] AS component
+      |FROM embeddings, range(1, 9) t(i)
+      |WHERE vec_id < 100
+      |ORDER BY vec_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_range_frame" -> (q46RangeFrame _),
     "q47_percentiles" -> (q47Percentiles _),
     "q48_salted_join" -> (q48SaltedJoin _),
+    "q49_array_ops" -> (q49ArrayOps _),
   )
   val oracle: Map[String, String] = Map(
     "q46_range_frame" -> q46Sql,
     "q47_percentiles" -> q47Sql,
     "q48_salted_join" -> q48Sql,
+    "q49_array_ops" -> q49Sql,
   )
 }

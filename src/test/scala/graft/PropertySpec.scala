@@ -56,6 +56,60 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("rolling min-hash equals naive per-window recompute") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val B = BigInt(graft.functions.RollingMinHash.Base)
+      val M = BigInt(1) << 64
+      def poly(bs: Seq[Byte]): Long =
+        bs.foldLeft(BigInt(0))((h, b) => (h * B + (b & 0xff)) mod M).toLong
+      val naive =
+        if (bytes.isEmpty) 0L
+        else if (bytes.length <= 16) poly(bytes.toSeq)
+        else bytes.toSeq.sliding(16).map(poly).min
+      graft.functions.RollingMinHash.eval(bytes) == naive
+    }
+
+  property("word shingles equal naive sliding distinct n-grams") = {
+    val text = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "d", ""))
+      .map(_.mkString(" "))
+    forAll(text, Gen.chooseNum(2, 3)) { (t, n) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val words = t.split(" ", -1)
+      val naive = words.sliding(n).filter(_.length == n)
+        .map(_.mkString("_")).toSeq.distinct
+      val got = graft.functions.TextHash
+        .wordShingles(UTF8String.fromString(t), n)
+        .toArray[UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      (words.length >= n) ==> (got == naive)
+    }
+  }
+
+  property("jaccard prefix filter is complete (d08 candidate rule)") = {
+    // random token-set "documents" over a small vocab so overlaps and
+    // high-jaccard pairs actually occur
+    val doc = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 15).map(i => s"w$i")).map(_.distinct))
+    forAll(Gen.listOfN(8, doc)) { docs =>
+      val t = 0.8
+      // global rarest-first order: (document frequency, token)
+      val df = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(d: List[String]): List[String] = {
+        val sorted = d.sortBy(w => (df(w), w))
+        sorted.take(d.size - math.ceil(t * d.size).toInt + 1)
+      }
+      docs.combinations(2).forall { case Seq(a, b) =>
+        val inter = a.toSet.intersect(b.toSet).size
+        val j = inter.toDouble / (a.size + b.size - inter)
+        // every qualifying pair must survive BOTH d08 join predicates:
+        // shared prefix token and the length filter
+        j < t || (prefix(a).toSet.intersect(prefix(b).toSet).nonEmpty &&
+          b.size >= a.size * t && a.size >= b.size * t)
+      }
+    }
+  }
+
   property("minhash signature: superset token sets only lower slots") = {
     val toks = Gen.nonEmptyListOf(Gen.identifier.map(_.take(10)))
     forAll(toks, toks) { (a, b) =>

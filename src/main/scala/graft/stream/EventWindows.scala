@@ -93,6 +93,25 @@ object EventWindows {
       |FROM numbered GROUP BY user_id, sess
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Exact distinct users + event count per tumbling hour. The batch
+    * form of the classic streaming cardinality question; the streaming
+    * variant swaps `count_distinct` for `approx_count_distinct` (exact
+    * distinct needs the whole window's key set in state — the sketch is
+    * the 100 TB answer, cf. q35). */
+  def st04WindowedDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("n_users"),
+        col("n_events"))
+      .orderBy(col("hour_start"))
+
+  val st04Sql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+      | COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin
+
   // ---------------------------------------------------------------------
   // Streaming forms (exercised by StreamingSpec)
   // ---------------------------------------------------------------------
@@ -118,11 +137,13 @@ object EventWindows {
     "st01_tumbling_hourly" -> (st01TumblingHourly _),
     "st02_sliding_windows" -> (st02SlidingWindows _),
     "st03_session_windows" -> (st03SessionWindows _),
+    "st04_windowed_distinct" -> (st04WindowedDistinct _),
   )
 
   val oracle: Map[String, String] = Map(
     "st01_tumbling_hourly" -> st01Sql,
     "st02_sliding_windows" -> st02Sql,
     "st03_session_windows" -> st03Sql,
+    "st04_windowed_distinct" -> st04Sql,
   )
 }

@@ -198,4 +198,26 @@ class IoParitySpec extends AnyFunSuite {
     assert((xml \\ "Extension").head.text.contains("acctbal / (key + 1)"))
     assert((xml \\ "DataField").length === 2)
   }
+
+  test("binaryFile source: blob ingestion with pathGlobFilter") {
+    // the production ingestion path for multimodal blobs: Spark's
+    // binaryFile source enumerates an object-store dir, filters by
+    // glob, and yields (path, modificationTime, length, content) —
+    // the real-world feed for llm.Multimodal's decode plumbing
+    val dir = Files.createTempDirectory("blobs")
+    Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("b.img"), Array[Byte](5, 6))
+    Files.writeString(dir.resolve("ignore.txt"), "not a blob")
+    val blobs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img")
+      .load(dir.toString)
+      .select(col("path"), col("length"), col("content"))
+      .collect()
+    assert(blobs.length === 2)
+    val byName = blobs.map(r => r.getAs[String]("path").split('/').last ->
+      r.getAs[Array[Byte]]("content")).toMap
+    assert(byName("a.img").sameElements(Array[Byte](1, 2, 3, 4)))
+    assert(byName("b.img").sameElements(Array[Byte](5, 6)))
+    assert(blobs.map(_.getAs[Long]("length")).sorted.sameElements(Array(2L, 4L)))
+  }
 }

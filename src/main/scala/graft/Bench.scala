@@ -13,12 +13,25 @@ object Bench {
     // warm-up: run the whole query set once at the smallest SF — JIT,
     // codegen compilation, classloading and sink init all happen here,
     // so no timed query is charged for JVM startup (at sf0.001 the
-    // sweep is seconds; data volume is negligible)
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+    // sweep is seconds; data volume is negligible). Prefer the sf0.001
+    // sibling of the bench dir; fall back to the bench dir itself so
+    // the warm-up never silently degrades to a no-op on other layouts.
+    val warmDir = {
+      val sibling = new java.io.File(
+        new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
     }
+    var warmFailures = 0
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        warmFailures += 1
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
+    }
+    if (warmFailures > 0)
+      System.err.println(s"[bench] $warmFailures warm-up failures on " +
+        s"$warmDir — timings may include JIT noise")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column and

@@ -87,6 +87,29 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Rolling min-hash fold — the [[RollingMinHash]] expression's kernel
+    * lives here because generated code can only call it through a real
+    * static forwarder: the case class companion inherits Expression.eval,
+    * so scalac suppresses a `RollingMinHash.eval(byte[])` forwarder and
+    * codegen referencing it fails janino compilation (observed as a
+    * silent per-run fallback to interpreted mode). */
+  def rollingMin(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    var h = 0L
+    var i = 0
+    val w = math.min(RollingMinHashKernel.Window, n)
+    while (i < w) { h = h * RollingMinHashKernel.Base + (bytes(i) & 0xff); i += 1 }
+    var min = h
+    while (i < n) {
+      h = h * RollingMinHashKernel.Base + (bytes(i) & 0xff) -
+        RollingMinHashKernel.BasePowW * (bytes(i - RollingMinHashKernel.Window) & 0xff)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
   /** 64-bit SimHash of a string array (Charikar): per-bit ±1 vote from
     * each token's hash, sign of the vote sum forms the bit. */
   def simhash64(arr: ArrayData): Long = {
@@ -135,6 +158,21 @@ case class WordShingles(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
+}
+
+/** Constants of the rolling Karp-Rabin fingerprint (shared between the
+  * kernel above and the oracle-SQL generator). */
+object RollingMinHashKernel {
+  final val Window = 16
+  final val Base = 1099511628211L // FNV prime; 64-bit wraparound arithmetic
+
+  /** B^Window for removing the leading byte in O(1). */
+  final val BasePowW: Long = {
+    var p = 1L
+    var i = 0
+    while (i < Window) { p *= Base; i += 1 }
+    p
+  }
 }
 
 private[functions] trait StringArrayInput { self: UnaryExpression =>

@@ -107,43 +107,17 @@ case class RollingMinHash(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    RollingMinHash.eval(bytes)
+    TextHash.rollingMin(bytes)
   }
 
+  // the kernel lives in TextHash (a plain object with real static
+  // forwarders) — a companion-object method here would inherit the name
+  // `eval` clash with Expression.eval, lose its forwarder, and make
+  // this generated call fail janino compilation (interpreted fallback)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.RollingMinHash.eval($c.getBytes())")
+      s"graft.functions.TextHash.rollingMin($c.getBytes())")
 
   override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
     copy(child = newChild)
-}
-
-object RollingMinHash {
-  final val Window = 16
-  final val Base = 1099511628211L // FNV prime; 64-bit wraparound arithmetic
-
-  /** B^Window for removing the leading byte in O(1). */
-  private final val BasePowW: Long = {
-    var p = 1L
-    var i = 0
-    while (i < Window) { p *= Base; i += 1 }
-    p
-  }
-
-  /** Static so generated code can call it directly. */
-  def eval(bytes: Array[Byte]): Long = {
-    val n = bytes.length
-    if (n == 0) return 0L
-    var h = 0L
-    var i = 0
-    val w = math.min(Window, n)
-    while (i < w) { h = h * Base + (bytes(i) & 0xff); i += 1 }
-    var min = h
-    while (i < n) {
-      h = h * Base + (bytes(i) & 0xff) - BasePowW * (bytes(i - Window) & 0xff)
-      if (h < min) min = h
-      i += 1
-    }
-    min
-  }
 }

@@ -379,19 +379,11 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** d06 oracle: DuckDB's `list_dot_product` over a DOUBLE[] cast
-    * accumulates left-to-right in double — bit-identical to the
-    * [[graft.functions.VecDot]] kernel (floats widened per element,
-    * ascending-index double accumulation), so cosine and the 0.4
-    * threshold reproduce exactly. */
-  val d06Sql: String =
-    """WITH n AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings
-      |), nn AS (
-      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
-      |  WHERE sqrt(list_dot_product(v, v)) > 0
-      |)
+  /** d06 oracle: the shared DOUBLE[]-cast/norm CTE ([[Similarity.normCte]]
+    * — one definition of the "bit-identical to VecDot" contract) plus the
+    * 0.4-threshold pair select. */
+  val d06Sql: String = Similarity.normCte +
+    """
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
       |FROM nn a JOIN nn b ON a.vec_id < b.vec_id

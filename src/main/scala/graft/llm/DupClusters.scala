@@ -21,10 +21,15 @@ object DupClusters {
 
   /** @param pairs edges as (doc_a, doc_b); vertices default to the edge
     *              endpoints
+    * @param maxIter cap on *label-changing* rounds (≈ the largest
+    *                component diameter the caller will tolerate); a
+    *                final zero-change confirming round is always allowed
+    *                on top, so a component needing exactly maxIter
+    *                propagation rounds still completes
     * @return (doc_id, cluster) — cluster = min doc_id reachable
-    * @throws IllegalStateException if the propagation has not converged
-    *         after `maxIter` rounds (a component with diameter > maxIter)
-    *         — unconverged labels would be silently wrong minima */
+    * @throws IllegalStateException if labels still change after maxIter
+    *         propagation rounds (diameter > maxIter) — unconverged
+    *         labels would be silently wrong minima */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
@@ -39,8 +44,8 @@ object DupClusters {
     // unpersisting a projection is a silent no-op (cache leak)
     var cached = labels
     var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    var changingRounds = 0
+    while (!converged && changingRounds <= maxIter) {
       // each node adopts min(own label, neighbors' labels)
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -61,14 +66,14 @@ object DupClusters {
       cached = next
       labels = next.select(col("doc_id"), col("cluster"))
       converged = changed == 0
-      iter += 1
+      if (!converged) changingRounds += 1
     }
     if (!converged) {
       cached.unpersist()
       edges.unpersist()
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "a component's diameter exceeds maxIter; raise maxIter")
+        s"connectedComponents still changing after $maxIter propagation " +
+          "rounds — a component's diameter exceeds maxIter; raise maxIter")
     }
     // snap the result free of the iterative lineage, then release every
     // intermediate cache (the checkpoint itself is GC-managed)

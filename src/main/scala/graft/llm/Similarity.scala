@@ -143,7 +143,7 @@ object Similarity {
     * [[graft.plans.CosineTopK]]'s inner loop, so cosine scores (and
     * therefore the top-k sets and their tie-broken order) reproduce
     * exactly across engines. */
-  private val normCte =
+  private[llm] val normCte =
     """WITH n AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings

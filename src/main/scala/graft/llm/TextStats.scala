@@ -194,7 +194,7 @@ object TextStats {
     * never drift. */
   val t04Sql: String = {
     // p[1] = B^15 ... p[16] = B^0, computed with Long wraparound (= mod 2^64)
-    val powers = Iterator.iterate(1L)(_ * graft.functions.RollingMinHash.Base)
+    val powers = Iterator.iterate(1L)(_ * graft.functions.RollingMinHashKernel.Base)
       .take(16).toArray.reverse
     val plist = powers.map(p =>
       java.lang.Long.toUnsignedString(p) + "::HUGEINT").mkString("[", ",", "]")

@@ -131,7 +131,7 @@ class IoParitySpec extends AnyFunSuite {
     assert(one === 11.0)
     val rh = spark.sql("SELECT rolling_min_hash('hello world, hello graft') h")
       .collect().head.getLong(0)
-    assert(rh === graft.functions.RollingMinHash.eval(
+    assert(rh === graft.functions.TextHash.rollingMin(
       "hello world, hello graft".getBytes("UTF-8")))
     assert(spark.sql("SELECT simhash64(array('a','b')) s")
       .collect().head.getLong(0) !== 0L)

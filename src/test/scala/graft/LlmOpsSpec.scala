@@ -98,16 +98,16 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("rolling hash: short strings use whole-string hash; equal in = equal out") {
-    import graft.functions.RollingMinHash
-    val h1 = RollingMinHash.eval("abc".getBytes("UTF-8"))
-    val h2 = RollingMinHash.eval("abc".getBytes("UTF-8"))
-    val h3 = RollingMinHash.eval("abd".getBytes("UTF-8"))
+    import graft.functions.TextHash
+    val h1 = TextHash.rollingMin("abc".getBytes("UTF-8"))
+    val h2 = TextHash.rollingMin("abc".getBytes("UTF-8"))
+    val h3 = TextHash.rollingMin("abd".getBytes("UTF-8"))
     assert(h1 == h2 && h1 != h3)
     // window=16: a shared 32-byte prefix must yield the same windows at
     // the start; min can only decrease with more text
     val base = "0123456789abcdef0123456789abcdef"
-    val hBase = RollingMinHash.eval(base.getBytes("UTF-8"))
-    val hExt = RollingMinHash.eval((base + "zzz").getBytes("UTF-8"))
+    val hBase = TextHash.rollingMin(base.getBytes("UTF-8"))
+    val hExt = TextHash.rollingMin((base + "zzz").getBytes("UTF-8"))
     assert(hExt <= hBase)
   }
 

@@ -33,8 +33,8 @@ object PropertySpec extends Properties("graft") {
   property("rolling min-hash: appending never raises the min") =
     forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (a, b) =>
       (a.length >= 16) ==> {
-        val ha = graft.functions.RollingMinHash.eval(a.getBytes("UTF-8"))
-        val hab = graft.functions.RollingMinHash.eval(
+        val ha = graft.functions.TextHash.rollingMin(a.getBytes("UTF-8"))
+        val hab = graft.functions.TextHash.rollingMin(
           (a + b).getBytes("UTF-8"))
         hab <= ha
       }
@@ -59,7 +59,7 @@ object PropertySpec extends Properties("graft") {
   property("rolling min-hash equals naive per-window recompute") =
     forAll(Gen.asciiPrintableStr) { s =>
       val bytes = s.getBytes("UTF-8")
-      val B = BigInt(graft.functions.RollingMinHash.Base)
+      val B = BigInt(graft.functions.RollingMinHashKernel.Base)
       val M = BigInt(1) << 64
       def poly(bs: Seq[Byte]): Long =
         bs.foldLeft(BigInt(0))((h, b) => (h * B + (b & 0xff)) mod M).toLong
@@ -67,7 +67,7 @@ object PropertySpec extends Properties("graft") {
         if (bytes.isEmpty) 0L
         else if (bytes.length <= 16) poly(bytes.toSeq)
         else bytes.toSeq.sliding(16).map(poly).min
-      graft.functions.RollingMinHash.eval(bytes) == naive
+      graft.functions.TextHash.rollingMin(bytes) == naive
     }
 
   property("word shingles equal naive sliding distinct n-grams") = {

@@ -3,6 +3,47 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
+/** Mutable bounded top-k buffer: parallel arrays kept sorted by
+  * (score desc, id asc), insertion by binary search + arraycopy. A
+  * List-based buffer costs an O(k) allocation walk per candidate — at
+  * millions of reduce calls the garbage dominates; these arrays mutate
+  * in place (Spark's ObjectHashAggregate explicitly permits mutable
+  * aggregation buffers) and serialize compactly. */
+final class TopKBuf(val scores: Array[Double], val ids: Array[Long],
+    var n: Int) extends Serializable {
+
+  /** Insertion point for (s, id) in the sorted prefix [0, n). */
+  private def position(s: Double, id: Long): Int = {
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val better = scores(mid) > s || (scores(mid) == s && ids(mid) < id)
+      if (better) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  def insert(s: Double, id: Long): Unit = {
+    val k = scores.length
+    if (n == k) {
+      val last = n - 1
+      if (scores(last) > s || (scores(last) == s && ids(last) < id)) return
+    }
+    val pos = position(s, id)
+    val shift = math.min(n, k - 1) - pos
+    if (shift > 0) {
+      System.arraycopy(scores, pos, scores, pos + 1, shift)
+      System.arraycopy(ids, pos, ids, pos + 1, shift)
+    }
+    if (pos < k) {
+      scores(pos) = s
+      ids(pos) = id
+      if (n < k) n += 1
+    }
+  }
+}
+
 /** Typed bounded top-k aggregator: keeps the k largest (score, id) pairs
   * per group in a fixed-size buffer.
   *
@@ -17,34 +58,26 @@ import org.apache.spark.sql.expressions.Aggregator
   * Ordering: descending score, ascending id on ties (deterministic).
   */
 class TopKAggregator(k: Int)
-    extends Aggregator[(Double, Long), List[(Double, Long)],
-      Seq[(Double, Long)]] {
+    extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  override def zero: TopKBuf =
+    new TopKBuf(new Array[Double](k), new Array[Long](k), 0)
 
-  override def zero: List[(Double, Long)] = Nil
-
-  override def reduce(buf: List[(Double, Long)],
-      in: (Double, Long)): List[(Double, Long)] = insert(buf, in)
-
-  private def insert(buf: List[(Double, Long)],
-      in: (Double, Long)): List[(Double, Long)] = {
-    if (buf.lengthCompare(k) >= 0 && !better(in, buf.last)) buf
-    else {
-      val (ahead, behind) = buf.span(better(_, in))
-      (ahead ::: in :: behind).take(k)
-    }
+  override def reduce(buf: TopKBuf, in: (Double, Long)): TopKBuf = {
+    buf.insert(in._1, in._2)
+    buf
   }
 
-  override def merge(a: List[(Double, Long)],
-      b: List[(Double, Long)]): List[(Double, Long)] =
-    b.foldLeft(a)(insert)
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    var i = 0
+    while (i < b.n) { a.insert(b.scores(i), b.ids(i)); i += 1 }
+    a
+  }
 
-  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+  override def finish(buf: TopKBuf): Seq[(Double, Long)] =
+    (0 until buf.n).map(i => (buf.scores(i), buf.ids(i)))
 
-  override def bufferEncoder: Encoder[List[(Double, Long)]] =
-    Encoders.kryo[List[(Double, Long)]]
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.kryo[TopKBuf]
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     Encoders.kryo[Seq[(Double, Long)]]
 }

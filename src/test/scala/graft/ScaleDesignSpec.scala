@@ -136,4 +136,23 @@ class ScaleDesignSpec extends AnyFunSuite {
       .select("o_orderkey").collect().head.getLong(0)
     assert(r.getLong(3) === expect)
   }
+
+  test("plan lint: no cartesian/nested-loop join outside the documented quadratic ops") {
+    // the intentionally-quadratic similarity baselines, the IVF
+    // centroid fan-out, and t05's broadcast 1-row corpus-size frame are
+    // the only places a BroadcastNestedLoopJoin is allowed; a cartesian
+    // product is never allowed. Guards against a future query silently
+    // planning an accidental cross join at 100 TB.
+    val quadraticByDesign = Set("s01_cosine_topk", "s02_ivf_topk",
+      "s03_topk_aggregate", "d06_embedding_near_dup", "t05_tfidf")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      val nodes = plan.collectWithSubqueries { case p => p.nodeName }.toSet
+      assert(!nodes.exists(_.contains("CartesianProduct")),
+        s"$name plans a CartesianProduct")
+      if (!quadraticByDesign(name))
+        assert(!nodes.exists(_.contains("BroadcastNestedLoopJoin")),
+          s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
 }

@@ -155,4 +155,28 @@ class ScaleDesignSpec extends AnyFunSuite {
           s"$name plans a BroadcastNestedLoopJoin")
     }
   }
+
+  test("scan lint: filters push into the parquet scan, columns prune") {
+    // q01: the shipdate predicate must reach the lineitem scan, and the
+    // scan must not read columns the query never touches (l_comment is
+    // in the fixture schema but not in the query)
+    val plan = ops.Relational.q01PricingSummary(spark, sf)
+      .queryExecution.executedPlan match {
+      // AQE wraps the real plan; collect() does not descend into it
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val li = scans.find(_.tableIdentifier.toString.contains("lineitem"))
+      .getOrElse(scans.head)
+    assert(li.dataFilters.nonEmpty || li.metadata.get("PushedFilters")
+      .exists(_ != "[]"), "no pushed/data filters on the lineitem scan")
+    val readCols = li.output.map(_.name).toSet
+    assert(!readCols.contains("l_comment"),
+      s"scan reads unreferenced column l_comment: $readCols")
+  }
 }

@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles3",
         "word_shingles3(text) - distinct word 3-gram shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head, 3)))
+    ext.injectFunction((FunctionIdentifier("word_shingles2"),
+      info("word_shingles2",
+        "word_shingles2(text) - distinct word 2-gram shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, 2)))
   }
 }

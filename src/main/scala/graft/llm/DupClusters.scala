@@ -90,13 +90,26 @@ object DupClusters {
     connectedComponents(Dedup.d03MinHashLsh(spark, dir))
       .orderBy(col("doc_id"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d07_dup_clusters" -> (d07DupClusters _),
-  )
+  /** d09: the dedup pipeline's end product — the corpus with every
+    * non-representative cluster member removed (the representative is
+    * the minimum doc_id, i.e. the cluster label). Clusters from d07's
+    * label propagation; the removal is one anti join, so the full
+    * dedup-and-keep-one flow is LSH pairs → CC labels → anti join —
+    * every stage a shuffle-shaped DataFrame op. */
+  def d09DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = connectedComponents(Dedup.d03MinHashLsh(spark, dir))
+    val drop = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    graft.Tables(spark, dir, "documents")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"),
+        org.apache.spark.sql.functions.md5(col("text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
 
-  /** Oracle: recursive CTE reachability over the exact-Jaccard edge set
-    * (same edges as d03's oracle), min reachable id per node. */
-  val d07Sql: String = Dedup.shingleOracleCte
+  /** Shared recursive-reachability CTE block: exact-Jaccard 0.8 edges
+    * (d03's oracle edge set) → min reachable id per member node. */
+  private val reachCte: String = Dedup.shingleOracleCte
     .replaceFirst("^WITH ", "WITH RECURSIVE ") +
     """, pairs2 AS (
       |  SELECT doc_a, doc_b,
@@ -110,11 +123,30 @@ object DupClusters {
       |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
       |  UNION
       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-      |)
-      |SELECT src AS doc_id, MIN(dst) AS cluster FROM reach
-      |GROUP BY src ORDER BY doc_id""".stripMargin
+      |), labels AS (
+      |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+      |)""".stripMargin
+
+  /** Oracle: recursive CTE reachability over the exact-Jaccard edge set
+    * (same edges as d03's oracle), min reachable id per node. */
+  val d07Sql: String = reachCte +
+    """
+      |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin
+
+  val d09Sql: String = reachCte +
+    """
+      |SELECT doc_id, n_chars, MD5(text) AS content_md5 FROM documents
+      |WHERE doc_id NOT IN (
+      |  SELECT doc_id FROM labels WHERE doc_id <> cluster)
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d07_dup_clusters" -> (d07DupClusters _),
+    "d09_dedup_corpus" -> (d09DedupCorpus _),
+  )
 
   val oracle: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql,
+    "d09_dedup_corpus" -> d09Sql,
   )
 }

@@ -133,6 +133,29 @@ object EventWindows {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-stream inner join: every purchase attributed to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event time on both ends, so state
+    * for expired clicks/purchases is dropped — the join runs forever in
+    * bounded memory (the unbounded-state stream join is the classic
+    * 100 TB streaming failure mode). */
+  def streamingClickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("buy_ts", "1 hour")
+    buys.join(clicks,
+      col("b_user") === col("c_user") &&
+        col("click_ts") <= col("buy_ts") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("buy_id"), col("click_id"), col("b_user").as("user_id"),
+        col("buy_ts"), col("click_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_tumbling_hourly" -> (st01TumblingHourly _),
     "st02_sliding_windows" -> (st02SlidingWindows _),

@@ -142,4 +142,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(n === Tables(spark, sf, "events").count())
     } finally q.stop()
   }
+
+  test("stream-stream join: click attribution equals the batch join") {
+    val q = EventWindows.streamingClickAttribution(streamingEvents())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attribution").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attribution")
+        .select("buy_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = Tables(spark, sf, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"))
+      val batch = buys.join(clicks,
+          col("b_user") === col("c_user") &&
+            col("click_ts") <= col("buy_ts") &&
+            col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+        .select("buy_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -70,14 +70,36 @@ object Relational6 {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Multi-match regex extraction (regexp_extract_all) over document
+    * text: long-word matches per document as an exact array-derived
+    * projection — the extraction primitive of any rule-based text
+    * cleaner. Array stays internal; outputs are scalars. */
+  def q53RegexpExtractAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT doc_id,
+        |  size(regexp_extract_all(text, '[a-z]{7,}', 0)) AS n_long,
+        |  try_element_at(regexp_extract_all(text, '[a-z]{7,}', 0), 1)
+        |    AS first_long
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  val q53Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS INT) AS n_long,
+      |  regexp_extract_all(text, '[a-z]{7,}')[1] AS first_long
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_priority_check" -> (q50PriorityCheck _),
     "q51_customer_distribution" -> (q51CustomerDistribution _),
     "q52_global_sales" -> (q52GlobalSales _),
+    "q53_regexp_extract_all" -> (q53RegexpExtractAll _),
   )
   val oracle: Map[String, String] = Map(
     "q50_priority_check" -> q50Sql,
     "q51_customer_distribution" -> q51Sql,
     "q52_global_sales" -> q52Sql,
+    "q53_regexp_extract_all" -> q53Sql,
   )
 }

@@ -220,4 +220,14 @@ class IoParitySpec extends AnyFunSuite {
     assert(byName("b.img").sameElements(Array[Byte](5, 6)))
     assert(blobs.map(_.getAs[Long]("length")).sorted.sameElements(Array(2L, 4L)))
   }
+
+  test("S12: status reporter records completion and failure codes") {
+    val rep = new Store.InMemoryReporter
+    rep.report(Store.JobStatus("application_x", "n1", Store.StatusCompleted,
+      "/out/a", "ok"))
+    rep.report(Store.JobStatus("application_y", "n2", Store.StatusFailed,
+      "", "boom"))
+    assert(rep.all.map(_.status) === Seq(2, 3))
+    assert(rep.all.head.jobId.startsWith("application_"))
+  }
 }

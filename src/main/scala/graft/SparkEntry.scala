@@ -21,7 +21,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++ ops.Relational4.queries ++
       ops.Relational5.queries ++ ops.Relational6.queries ++ ops.AsOf.queries ++
       llm.Dedup.queries ++ llm.DupClusters.queries ++ llm.Similarity.queries ++
-      llm.TextStats.queries ++ llm.Multimodal.queries ++
+      llm.TextStats.queries ++ llm.Multimodal.queries ++ llm.Pipeline.queries ++
       stream.EventWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +30,6 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Relational2.oracle ++ ops.Relational3.oracle ++ ops.Relational4.oracle ++
       ops.Relational5.oracle ++ ops.Relational6.oracle ++ ops.AsOf.oracle ++
       llm.Dedup.oracle ++ llm.DupClusters.oracle ++ llm.Similarity.oracle ++
-      llm.TextStats.oracle ++ llm.Multimodal.oracle ++
+      llm.TextStats.oracle ++ llm.Multimodal.oracle ++ llm.Pipeline.oracle ++
       stream.EventWindows.oracle
 }

@@ -33,31 +33,39 @@ object Dedup {
 
   /** Word 3-gram shingle set per document (documents with ≥3 tokens),
     * via the codegen'd [[graft.functions.WordShingles]] single-pass
-    * kernel. */
-  private[llm] def shingled(spark: SparkSession, dir: String): DataFrame = {
-    VectorExpressions.register(spark)
-    Tables(spark, dir, "documents")
+    * kernel. Frame-parameterized: any (doc_id, text) relation works. */
+  private[llm] def shingledFrame(docs: DataFrame): DataFrame = {
+    VectorExpressions.register(docs.sparkSession)
+    docs
       .withColumn("shingles", expr("word_shingles3(text)"))
       .filter(size(col("shingles")) >= 1)
       .select(col("doc_id"), col("shingles"))
   }
 
-  private[llm] val shingleOracleCte =
-    """WITH w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3
-      |), sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(ws) - 1),
-      |      i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS s
-      |  FROM w
-      |), ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
-      |pr AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |)""".stripMargin
+  private[llm] def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledFrame(Tables(spark, dir, "documents"))
+
+  /** The exact-Jaccard pair CTE block over an arbitrary source relation
+    * (must expose doc_id, text) — shared by the d03/d04/d07/d08/d09 and
+    * pipeline oracles. */
+  private[llm] def shingleCteOver(table: String): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $table
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS s
+       |  FROM w
+       |), ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  private[llm] val shingleOracleCte = shingleCteOver("documents")
 
   // ---------------------------------------------------------------------
   // d01/d02: exact dedup
@@ -103,14 +111,19 @@ object Dedup {
     * candidate-recall at j ≥ 0.8 is 1 - (1 - 0.8⁴)¹⁶ ≈ 0.9998 and
     * ≈ 1 - 10⁻¹⁴ at j = 1, so LSH+verify equals the exact answer on any
     * non-adversarial corpus. */
-  def d03MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    VectorExpressions.register(spark)
+  def d03MinHashLsh(spark: SparkSession, dir: String): DataFrame =
+    minHashPairs(Tables(spark, dir, "documents"), threshold = 0.8)
+
+  /** Frame-parameterized core of d03: near-dup pairs of any
+    * (doc_id, text) relation via MinHash banding + exact verification. */
+  def minHashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    VectorExpressions.register(docs.sparkSession)
     // The shingle sets feed both sides of the band self-join and the
     // verification join; localCheckpoint materializes the
     // tokenize+shingle pipeline once (instead of four times) and, unlike
     // persist(), is released by the ContextCleaner when the frame is
     // garbage collected — query builders have no unpersist hook.
-    val sh = shingled(spark, dir).localCheckpoint()
+    val sh = shingledFrame(docs).localCheckpoint()
     val sig = sh.withColumn("sig", expr("minhash_sig(shingles)"))
     val bands = sig.select(
       col("doc_id"),
@@ -125,7 +138,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold = 0.8)
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** Join candidate pairs back to shingle sets and compute exact Jaccard. */

@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The end-to-end training-data cleaning pipeline as ONE lazy dataflow —
+  * what a user of this library actually runs over a raw corpus:
+  *
+  *  1. quality gate (Gopher/C4-style cheap filters, [[TextStats.qualityScored]]),
+  *  2. exact dedup (one hash shuffle on the content digest, keep the
+  *     smallest doc_id per identical text),
+  *  3. near-dup removal (MinHash LSH pairs → connected-component labels
+  *     → drop every non-representative member).
+  *
+  * Each stage consumes the previous stage's *frame*, so the whole thing
+  * is shuffle-shaped end to end: no driver materialization, no
+  * collect(), and every stage is the frame-parameterized core of an
+  * operator that is also tested standalone (t02/d01/d03/d07/d09). At
+  * 100 TB the stages are: one scan + filter, one digest shuffle, the
+  * LSH band shuffles over survivors only, and two label-propagation
+  * joins per CC round over the (tiny) near-dup subgraph.
+  */
+object Pipeline {
+
+  val QualityThreshold = 0.3
+
+  /** Frame-parameterized pipeline core. */
+  def cleanCorpus(docs: DataFrame): DataFrame = {
+    // 1. quality gate
+    val quality = TextStats.qualityScored(docs)
+      .filter(col("quality") >= QualityThreshold)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    // 2. exact dedup: keep the smallest doc_id per identical text
+    val keep = quality
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = quality.join(keep, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds the LSH band join twice + the anti join
+    // 3. near-dup removal among the survivors
+    val clusters = DupClusters.connectedComponents(
+      Dedup.minHashPairs(exact, threshold = 0.8))
+    val drop = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    exact.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  def p01DedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    cleanCorpus(Tables(spark, dir, "documents"))
+
+  /** Oracle: the same three stages as CTEs — quality gate with the
+    * shared [[TextStats.qualitySqlExpr]], exact dedup via min-per-digest,
+    * then the shared recursive-reachability block over the survivor
+    * relation and the final anti join. */
+  val p01Sql: String = {
+    val stages =
+      s"""WITH RECURSIVE qual AS (
+         |  SELECT doc_id, text, n_chars FROM documents
+         |  WHERE ${TextStats.qualitySqlExpr} >= ${Pipeline.QualityThreshold}
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY MD5(text)
+         |), exact AS (
+         |  SELECT q.* FROM qual q JOIN keep k ON q.doc_id = k.doc_id
+         |)""".stripMargin
+    val reach = Dedup.shingleCteOver("exact")
+      .replaceFirst("^WITH ", ", ") // splice into the existing WITH chain
+    stages + reach +
+      """, pairs2 AS (
+        |  SELECT doc_a, doc_b
+        |  FROM pr JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs2
+        |  UNION SELECT doc_b, doc_a FROM pairs2
+        |), reach AS (
+        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), labels AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+        |)
+        |SELECT doc_id, n_chars, MD5(text) AS content_md5 FROM exact
+        |WHERE doc_id NOT IN (
+        |  SELECT doc_id FROM labels WHERE doc_id <> cluster)
+        |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_dedup_pipeline" -> (p01DedupPipeline _),
+  )
+  val oracle: Map[String, String] = Map(
+    "p01_dedup_pipeline" -> p01Sql,
+  )
+}

@@ -65,12 +65,12 @@ object TextStats {
   private val stopwords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with")
 
-  /** Heuristic quality score from stopword ratio, non-text character
-    * ratio and a length factor — the Gopher/C4-style cheap filters,
-    * kept rational for oracle exactness. */
-  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-parameterized quality scorer: adds ws/n_stop/stop_ratio/
+    * junk_ratio/len_factor/quality to any (doc_id, text, n_chars)
+    * relation — the reusable core behind t02 and the dedup pipeline. */
+  private[llm] def qualityScored(d: DataFrame): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
-    docs(spark, dir)
+    d.withColumn("ws", split(col("text"), " "))
       .withColumn("n_stop",
         size(filter(col("ws"), w => array_contains(stopArr, w))))
       .withColumn("stop_ratio",
@@ -83,11 +83,29 @@ object TextStats {
       .withColumn("quality",
         (lit(1.0) - col("junk_ratio")) * col("len_factor") *
           (lit(1.0) - col("stop_ratio") * 0.5))
+  }
+
+  /** The quality expression as oracle SQL text over (text, n_chars) —
+    * kept in one place so t02's oracle and the pipeline oracle cannot
+    * drift from each other (both mirror [[qualityScored]]). */
+  private[llm] val qualitySqlExpr: String = {
+    val list = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""(1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / n_chars)
+       |   * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+       |   * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+       |       w -> list_contains([$list], w))) AS DOUBLE)
+       |     / len(string_split(text, ' ')) * 0.5)""".stripMargin
+  }
+
+  /** Heuristic quality score from stopword ratio, non-text character
+    * ratio and a length factor — the Gopher/C4-style cheap filters,
+    * kept rational for oracle exactness. */
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("n_stop").cast(LongType).as("n_stop"),
         col("stop_ratio"), col("junk_ratio"), col("len_factor"),
         col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   val t02Sql: String = {
     val list = stopwords.map(s => s"'$s'").mkString(", ")
@@ -101,11 +119,7 @@ object TextStats {
        |   / n_chars AS junk_ratio,
        | least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
        |   AS len_factor,
-       | (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / n_chars)
-       |   * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
-       |   * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-       |       w -> list_contains([$list], w))) AS DOUBLE)
-       |     / len(string_split(text, ' ')) * 0.5) AS quality
+       | $qualitySqlExpr AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

@@ -162,4 +162,25 @@ class LlmOpsSpec extends AnyFunSuite {
         assert(a.getAs[String]("bigram") < b.getAs[String]("bigram"))
     }
   }
+
+  test("p01 pipeline: unique contents, all above the quality gate") {
+    val out = llm.Pipeline.p01DedupPipeline(spark, sf).collect()
+    assert(out.nonEmpty && out.length < 500) // something was cleaned
+    // exact dedup held: every surviving content digest is unique
+    val digests = out.map(_.getAs[String]("content_md5"))
+    assert(digests.distinct.length === digests.length)
+    // quality gate held: every survivor scores >= the threshold
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    val scored = TextStats.t02QualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    ids.foreach { id =>
+      assert(scored(id) >= llm.Pipeline.QualityThreshold, s"doc $id")
+    }
+    // near-dup removal held: no surviving pair at jaccard >= 0.8
+    val survivors = Tables(spark, sf, "documents")
+      .join(llm.Pipeline.p01DedupPipeline(spark, sf).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minHashPairs(survivors, threshold = 0.8).collect()
+    assert(pairs.isEmpty)
+  }
 }

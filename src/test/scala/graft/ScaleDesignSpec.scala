@@ -179,4 +179,27 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(!readCols.contains("l_comment"),
       s"scan reads unreferenced column l_comment: $readCols")
   }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("events-part").toString
+    Tables(spark, sf, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val one = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+    val plan = one.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    // the partition filter must reach the scan: only the click
+    // directory is listed, the other event types are never touched
+    assert(scan.partitionFilters.nonEmpty,
+      "no partition filters on the scan — full-table read")
+    val expected = Tables(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(one.count() === expected)
+  }
 }

@@ -30,17 +30,18 @@ final class TopKBuf(val scores: Array[Double], val ids: Array[Long],
       val last = n - 1
       if (scores(last) > s || (scores(last) == s && ids(last) < id)) return
     }
+    // invariant: pos < k always — when full, the early return above
+    // guarantees the new entry beats the last (pos <= k-1); when not
+    // full, pos <= n <= k-1
     val pos = position(s, id)
     val shift = math.min(n, k - 1) - pos
     if (shift > 0) {
       System.arraycopy(scores, pos, scores, pos + 1, shift)
       System.arraycopy(ids, pos, ids, pos + 1, shift)
     }
-    if (pos < k) {
-      scores(pos) = s
-      ids(pos) = id
-      if (n < k) n += 1
-    }
+    scores(pos) = s
+    ids(pos) = id
+    if (n < k) n += 1
   }
 }
 

@@ -115,8 +115,18 @@ object Dedup {
     minHashPairs(Tables(spark, dir, "documents"), threshold = 0.8)
 
   /** Frame-parameterized core of d03: near-dup pairs of any
-    * (doc_id, text) relation via MinHash banding + exact verification. */
+    * (doc_id, text) relation via MinHash banding + exact verification.
+    *
+    * `threshold` is the exact-Jaccard *verification* threshold; the LSH
+    * banding is fixed at 16 bands × 4 rows, whose candidate recall is
+    * ≈ 1 only for j ≥ 0.8 (0.9998 at 0.8). A lower threshold would
+    * verify correctly but silently miss pairs the banding never
+    * surfaces (recall ≈ 0.64 at j = 0.5), so it is rejected rather
+    * than returning a quietly incomplete answer. */
   def minHashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold >= 0.8,
+      s"LSH banding (16x4) only has ~full recall for j >= 0.8; " +
+        s"got threshold=$threshold — use d04/d08's exact paths below that")
     VectorExpressions.register(docs.sparkSession)
     // The shingle sets feed both sides of the band self-join and the
     // verification join; localCheckpoint materializes the

@@ -90,30 +90,38 @@ object DupClusters {
     connectedComponents(Dedup.d03MinHashLsh(spark, dir))
       .orderBy(col("doc_id"))
 
-  /** d09: the dedup pipeline's end product — the corpus with every
-    * non-representative cluster member removed (the representative is
-    * the minimum doc_id, i.e. the cluster label). Clusters from d07's
-    * label propagation; the removal is one anti join, so the full
-    * dedup-and-keep-one flow is LSH pairs → CC labels → anti join —
-    * every stage a shuffle-shaped DataFrame op. */
-  def d09DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = connectedComponents(Dedup.d03MinHashLsh(spark, dir))
+  /** Drop every non-representative near-dup cluster member of `docs`
+    * (representative = minimum doc_id = the CC label) given near-dup
+    * `pairs`; fingerprint the survivors. One anti join after the label
+    * propagation — shared stage of d09 and [[Pipeline.cleanCorpus]]. */
+  private[llm] def dropNonRepresentatives(docs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(pairs)
     val drop = clusters.filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"))
-    graft.Tables(spark, dir, "documents")
-      .join(drop, Seq("doc_id"), "left_anti")
+    docs.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"),
         org.apache.spark.sql.functions.md5(col("text")).as("content_md5"))
       .orderBy(col("doc_id"))
   }
 
-  /** Shared recursive-reachability CTE block: exact-Jaccard 0.8 edges
-    * (d03's oracle edge set) → min reachable id per member node. */
-  private val reachCte: String = Dedup.shingleOracleCte
-    .replaceFirst("^WITH ", "WITH RECURSIVE ") +
+  /** d09: the dedup pipeline's end product — the corpus with every
+    * non-representative cluster member removed. Clusters from d07's
+    * label propagation; the removal is one anti join, so the full
+    * dedup-and-keep-one flow is LSH pairs → CC labels → anti join —
+    * every stage a shuffle-shaped DataFrame op. */
+  def d09DedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    dropNonRepresentatives(
+      graft.Tables(spark, dir, "documents"),
+      Dedup.d03MinHashLsh(spark, dir))
+
+  /** Recursive-reachability CTE block over an arbitrary source relation
+    * (appended to [[Dedup.shingleCteOver]]'s chain): exact-Jaccard 0.8
+    * edges → min reachable id per member node. One definition shared by
+    * the d07/d09 and pipeline oracles. */
+  private[llm] val reachCteTail: String =
     """, pairs2 AS (
-      |  SELECT doc_a, doc_b,
-      |    CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |  SELECT doc_a, doc_b
       |  FROM pr JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
       |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
       |), edges AS (
@@ -126,6 +134,10 @@ object DupClusters {
       |), labels AS (
       |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
       |)""".stripMargin
+
+  /** Shared block over the fixture `documents` table. */
+  private val reachCte: String = Dedup.shingleOracleCte
+    .replaceFirst("^WITH ", "WITH RECURSIVE ") + reachCteTail
 
   /** Oracle: recursive CTE reachability over the exact-Jaccard edge set
     * (same edges as d03's oracle), min reachable id per node. */

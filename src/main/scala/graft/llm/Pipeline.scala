@@ -39,14 +39,9 @@ object Pipeline {
       .select(col("doc_id"))
     val exact = quality.join(keep, Seq("doc_id"), "left_semi")
       .localCheckpoint() // feeds the LSH band join twice + the anti join
-    // 3. near-dup removal among the survivors
-    val clusters = DupClusters.connectedComponents(
+    // 3. near-dup removal among the survivors (shared stage with d09)
+    DupClusters.dropNonRepresentatives(exact,
       Dedup.minHashPairs(exact, threshold = 0.8))
-    val drop = clusters.filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id"))
-    exact.join(drop, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("content_md5"))
-      .orderBy(col("doc_id"))
   }
 
   def p01DedupPipeline(spark: SparkSession, dir: String): DataFrame =
@@ -67,22 +62,10 @@ object Pipeline {
          |  SELECT q.* FROM qual q JOIN keep k ON q.doc_id = k.doc_id
          |)""".stripMargin
     val reach = Dedup.shingleCteOver("exact")
-      .replaceFirst("^WITH ", ", ") // splice into the existing WITH chain
+      .replaceFirst("^WITH ", ", ") + // splice into the existing WITH chain
+      DupClusters.reachCteTail // one shared CC-oracle definition
     stages + reach +
-      """, pairs2 AS (
-        |  SELECT doc_a, doc_b
-        |  FROM pr JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs2
-        |  UNION SELECT doc_b, doc_a FROM pairs2
-        |), reach AS (
-        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        |), labels AS (
-        |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
-        |)
+      """
         |SELECT doc_id, n_chars, MD5(text) AS content_md5 FROM exact
         |WHERE doc_id NOT IN (
         |  SELECT doc_id FROM labels WHERE doc_id <> cluster)

@@ -74,15 +74,13 @@ object Relational6 {
     * text: long-word matches per document as an exact array-derived
     * projection — the extraction primitive of any rule-based text
     * cleaner. Array stays internal; outputs are scalars. */
-  def q53RegexpExtractAll(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
-    spark.sql(
+  def q53RegexpExtractAll(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
       """SELECT doc_id,
         |  size(regexp_extract_all(text, '[a-z]{7,}', 0)) AS n_long,
         |  try_element_at(regexp_extract_all(text, '[a-z]{7,}', 0), 1)
         |    AS first_long
         |FROM documents ORDER BY doc_id""".stripMargin)
-  }
 
   val q53Sql: String =
     """SELECT doc_id,

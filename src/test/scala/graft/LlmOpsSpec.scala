@@ -177,9 +177,10 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(scored(id) >= llm.Pipeline.QualityThreshold, s"doc $id")
     }
     // near-dup removal held: no surviving pair at jaccard >= 0.8
+    // (survivor set rebuilt from the ids already collected — re-running
+    // the pipeline frame would re-execute its eager CC/checkpoint jobs)
     val survivors = Tables(spark, sf, "documents")
-      .join(llm.Pipeline.p01DedupPipeline(spark, sf).select("doc_id"),
-        Seq("doc_id"), "left_semi")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
     val pairs = Dedup.minHashPairs(survivors, threshold = 0.8).collect()
     assert(pairs.isEmpty)
   }

@@ -146,13 +146,19 @@ class ScaleDesignSpec extends AnyFunSuite {
     val quadraticByDesign = Set("s01_cosine_topk", "s02_ivf_topk",
       "s03_topk_aggregate", "d06_embedding_near_dup", "t05_tfidf")
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan
+      // AQE wraps the whole plan in a LeafExecNode; collect* would see
+      // only {"AdaptiveSparkPlan"} without the unwrap
+      val plan = fn(spark, sf).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
       val nodes = plan.collectWithSubqueries { case p => p.nodeName }.toSet
       assert(!nodes.exists(_.contains("CartesianProduct")),
         s"$name plans a CartesianProduct")
       if (!quadraticByDesign(name))
         assert(!nodes.exists(_.contains("BroadcastNestedLoopJoin")),
-          s"$name plans a BroadcastNestedLoopJoin")
+          s"$name plans a BroadcastNestedLoopJoin: $nodes")
     }
   }
 

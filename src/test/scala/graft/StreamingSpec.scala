@@ -51,18 +51,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful streaming: mapGroupsWithState running counts match batch") {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val counts = streamingEvents()
-      .selectExpr("user_id", "event_id")
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, Long)],
-         state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          (user, n)
-      }
+    import org.apache.spark.sql.streaming.OutputMode
+    val counts = graft.stream.Stateful.runningCounts(
+      streamingEvents()
+        .selectExpr("user_id", "event_id")
+        .as[(Long, Long)]
+        .groupByKey(_._1))
     val q = counts.toDF("user_id", "n")
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName("state_counts").start()
@@ -81,35 +75,16 @@ class StreamingSpec extends AnyFunSuite {
 
   test("transformWithState: per-user value totals match batch") {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
-    import org.apache.spark.sql.Encoders
-
-    class TotalsProcessor
-        extends StatefulProcessor[Long, (Long, Double), (Long, Double)] {
-      @transient private var total: ValueState[Double] = _
-      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-        total = getHandle.getValueState[Double]("total",
-          Encoders.scalaDouble, TTLConfig.NONE)
-      override def handleInputRows(key: Long,
-          rows: Iterator[(Long, Double)],
-          timerValues: org.apache.spark.sql.streaming.TimerValues)
-          : Iterator[(Long, Double)] = {
-        var t = if (total.exists()) total.get() else 0.0
-        rows.foreach(t += _._2)
-        total.update(t)
-        Iterator.single((key, t))
-      }
-    }
+    import org.apache.spark.sql.streaming.OutputMode
 
     // transformWithState needs a column-family-capable state store
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val totals = streamingEvents()
-      .selectExpr("user_id", "value")
-      .as[(Long, Double)]
-      .groupByKey(_._1)
-      .transformWithState(new TotalsProcessor,
-        TimeMode.None(), OutputMode.Update())
+    val totals = graft.stream.Stateful.runningTotals(
+      streamingEvents()
+        .selectExpr("user_id", "value")
+        .as[(Long, Double)]
+        .groupByKey(_._1))
 
     val q = totals.toDF("user_id", "total")
       .writeStream.outputMode(OutputMode.Update())

@@ -88,13 +88,32 @@ object Relational6 {
       |  regexp_extract_all(text, '[a-z]{7,}')[1] AS first_long
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Correlated LATERAL join: each machinery customer's two priciest
+    * orders via a correlated, limited lateral subquery — the per-row
+    * dependent-join SQL form (Catalyst decorrelates it into a ranked
+    * join; no per-row execution survives in the plan). */
+  def q54Lateral(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, q54Sql)
+
+  val q54Sql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t
+      |WHERE c_mktsegment = 'MACHINERY'
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_lateral" -> (q54Lateral _),
     "q50_priority_check" -> (q50PriorityCheck _),
     "q51_customer_distribution" -> (q51CustomerDistribution _),
     "q52_global_sales" -> (q52GlobalSales _),
     "q53_regexp_extract_all" -> (q53RegexpExtractAll _),
   )
   val oracle: Map[String, String] = Map(
+    "q54_lateral" -> q54Sql,
     "q50_priority_check" -> q50Sql,
     "q51_customer_distribution" -> q51Sql,
     "q52_global_sales" -> q52Sql,

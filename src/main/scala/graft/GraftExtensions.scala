@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSig, RollingMinHash, SimHash64, VecDot, WordShingles}
+import graft.functions.{MinHashSig, RollingMinHash, SimHash64, VecDot, VectorExpressions, WordShingles}
 
 /** Session-extension entry point: registers the graft SQL functions on
   * every session built with
@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles2",
         "word_shingles2(text) - distinct word 2-gram shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head, 2)))
+    ext.injectFunction((FunctionIdentifier("count_in_set"),
+      info("count_in_set",
+        "count_in_set(arr, 'a,b,c') - members of the literal set, with multiplicity"),
+      (exprs: Seq[Expression]) => VectorExpressions.mkCountInSet(exprs)))
   }
 }

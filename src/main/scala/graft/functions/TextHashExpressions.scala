@@ -110,6 +110,28 @@ object TextHash {
     min
   }
 
+  /** Membership set for [[graft.functions.CountInSet]] — UTF8String
+    * members so probes need no per-token String allocation. (Raw
+    * java.util type: generated Java calls this, and janino's generics
+    * support is partial.) */
+  def buildSet(csv: String): java.util.HashSet[_] = {
+    val s = new java.util.HashSet[UTF8String]()
+    csv.split(",").foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** Count of array elements (with multiplicity) present in `set`. */
+  def countInSet(arr: ArrayData, set: java.util.HashSet[_]): Int = {
+    val n = arr.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** 64-bit SimHash of a string array (Charikar): per-bit ±1 vote from
     * each token's hash, sign of the vote sum forms the bit. */
   def simhash64(arr: ArrayData): Long = {
@@ -157,6 +179,36 @@ case class WordShingles(child: Expression, n: Int)
       s"graft.functions.TextHash.wordShingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `count_in_set(tokens, 'a,b,c')` → how many array elements (with
+  * multiplicity) are members of the static comma-separated set. Replaces
+  * the `size(filter(ws, w -> array_contains(lit_array, w)))` chain: that
+  * form is an interpreted higher-order lambda doing a linear
+  * literal-array scan per token; this is one codegen'd loop with a
+  * hashed membership probe, the set built once per operator instance. */
+case class CountInSet(child: Expression, csv: String)
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set = TextHash.buildSet(csv)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.countInSet(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the set is a per-operator static: built once at codegen init, a
+    // hashed probe per token afterwards
+    val escaped = csv.replace("\\", "\\\\").replace("\"", "\\\"")
+    val setRef = ctx.addMutableState("java.util.HashSet", "countInSet",
+      v => s"""$v = graft.functions.TextHash.buildSet("$escaped");""")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.countInSet($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
     copy(child = newChild)
 }
 

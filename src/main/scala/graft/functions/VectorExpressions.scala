@@ -35,6 +35,19 @@ object VectorExpressions {
       "word_shingles3", exprs => WordShingles(exprs.head, 3), "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles2", exprs => WordShingles(exprs.head, 2), "built-in")
+    reg.createOrReplaceTempFunction(
+      "count_in_set", exprs => VectorExpressions.mkCountInSet(exprs),
+      "built-in")
+  }
+
+  /** `count_in_set(arr, 'a,b,c')` — the member set must be a foldable
+    * string literal (it becomes a static of the generated operator). */
+  private[graft] def mkCountInSet(
+      exprs: Seq[Expression]): CountInSet = exprs(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>
+      CountInSet(exprs.head, s.toString)
+    case other => throw new IllegalArgumentException(
+      s"count_in_set expects a string literal set, got $other")
   }
 }
 

@@ -69,10 +69,12 @@ object TextStats {
     * junk_ratio/len_factor/quality to any (doc_id, text, n_chars)
     * relation — the reusable core behind t02 and the dedup pipeline. */
   private[llm] def qualityScored(d: DataFrame): DataFrame = {
-    val stopArr = array(stopwords.map(lit): _*)
+    VectorExpressions.register(d.sparkSession)
     d.withColumn("ws", split(col("text"), " "))
+      // codegen'd hashed membership count — the filter+array_contains
+      // HOF form runs an interpreted lambda + linear scan per token
       .withColumn("n_stop",
-        size(filter(col("ws"), w => array_contains(stopArr, w))))
+        expr(s"count_in_set(ws, '${stopwords.mkString(",")}')"))
       .withColumn("stop_ratio",
         col("n_stop").cast(DoubleType) / size(col("ws")))
       .withColumn("junk_ratio",
@@ -141,11 +143,12 @@ object TextStats {
     * accuracy against the label is meaningless — the operator contract
     * is the deterministic scoring itself.) */
   def t03LangId(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     val base = docs(spark, dir)
     val scored = langMarkers.foldLeft(base) { case (df, (lang, markers)) =>
-      val arr = array(markers.map(lit): _*)
       df.withColumn(s"cnt_$lang",
-        size(filter(col("ws"), w => array_contains(arr, w))).cast(LongType))
+        expr(s"count_in_set(ws, '${markers.mkString(",")}')")
+          .cast(LongType))
     }
     val Seq(en, es, de, fr, zh) =
       langMarkers.map { case (l, _) => col(s"cnt_$l") }

@@ -124,4 +124,20 @@ object PropertySpec extends Properties("graft") {
       sa.zip(sab).forall { case (x, y) => y <= x }
     }
   }
+
+  property("count_in_set equals naive membership count") = {
+    val word = Gen.oneOf("a", "b", "cc", "dd", "e", "")
+    forAll(Gen.listOf(word), Gen.nonEmptyListOf(word)) { (tokens, set0) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val set = set0.filter(_.nonEmpty).distinct
+      (set.nonEmpty) ==> {
+        val arr = new GenericArrayData(
+          tokens.map(s => UTF8String.fromString(s)).toArray[Any])
+        val got = graft.functions.TextHash.countInSet(arr,
+          graft.functions.TextHash.buildSet(set.mkString(",")))
+        got == tokens.count(set.contains)
+      }
+    }
+  }
 }

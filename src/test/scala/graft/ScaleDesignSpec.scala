@@ -226,4 +226,17 @@ class ScaleDesignSpec extends AnyFunSuite {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.3, s"IVF recall@5 = $recall")
   }
+
+  test("observe: lazy row-count metrics ride the action, no extra job") {
+    // production pipelines meter stages with observe() — the metric is
+    // collected DURING the action (an accumulator on the plan), not by
+    // a second count() job over the data
+    val observed = Tables(spark, sf, "documents")
+      .filter(col("n_chars") > 100)
+      .observe("gate", count(lit(1)).as("n_rows"))
+    val n = observed.collect().length
+    val metrics = observed.queryExecution.observedMetrics
+    assert(metrics.contains("gate"))
+    assert(metrics("gate").getAs[Long]("n_rows") === n.toLong)
+  }
 }

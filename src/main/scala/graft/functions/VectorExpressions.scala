@@ -51,20 +51,26 @@ object VectorExpressions {
   }
 }
 
-/** Dot product of two float vectors, accumulated in double, element order
-  * ascending (deterministic). Codegen emits a tight primitive loop — no
-  * boxing, stays inside WholeStageCodegen. */
+/** Dot product of two float or double vectors (each side independently
+  * typed; floats widen exactly to double), accumulated in double, element
+  * order ascending (deterministic). Codegen emits a tight primitive
+  * loop — no boxing, stays inside WholeStageCodegen. */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def isDoubleSide(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot expects (array<float>, array<float>), got " +
+      s"vec_dot expects array<float>/array<double> sides, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
@@ -73,11 +79,14 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (ld, rd) = (isDoubleSide(left), isDoubleSide(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
+      s += xv * yv
       i += 1
     }
     s
@@ -88,11 +97,13 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      def get(arr: String, dbl: Boolean) =
+        if (dbl) s"$arr.getDouble($i)" else s"((double) $arr.getFloat($i))"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $s += ${get(a, isDoubleSide(left))} * ${get(b, isDoubleSide(right))};
          |}
          |${ev.value} = $s;
        """.stripMargin

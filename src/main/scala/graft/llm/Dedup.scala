@@ -16,8 +16,9 @@ import graft.functions.VectorExpressions
   *  - MinHash/LSH turns the quadratic near-dup problem into a
   *    bucket-join: only documents sharing a band bucket ever meet. At
   *    100 TB the band join is shuffle-on-bucket, AQE handles skewed
-  *    buckets (a pathological all-identical corpus lands in one bucket →
-  *    salt the band key or cap bucket size);
+  *    buckets, and buckets over [[minHashPairs]]'s `hotBucketCap` emit a
+  *    star around their representative instead of the clique (a
+  *    boilerplate mega-cluster stays linear — see [[lshCandidates]]);
   *  - the exact n-gram Jaccard path uses an inverted-index join
   *    (posting-list self-join) rather than a cross join — cost is
   *    sum(posting²) not n², and stays distributed;
@@ -122,8 +123,14 @@ object Dedup {
     * ≈ 1 only for j ≥ 0.8 (0.9998 at 0.8). A lower threshold would
     * verify correctly but silently miss pairs the banding never
     * surfaces (recall ≈ 0.64 at j = 0.5), so it is rejected rather
-    * than returning a quietly incomplete answer. */
-  def minHashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * than returning a quietly incomplete answer.
+    *
+    * `hotBucketCap` bounds the quadratic blow-up of oversized band
+    * buckets — see [[lshCandidates]]. The default (64) is far above any
+    * bucket the fixtures produce (so the exact contract holds there)
+    * while keeping a boilerplate mega-cluster linear. */
+  def minHashPairs(docs: DataFrame, threshold: Double,
+      hotBucketCap: Int = 64): DataFrame = {
     require(threshold >= 0.8,
       s"LSH banding (16x4) only has ~full recall for j >= 0.8; " +
         s"got threshold=$threshold — use d04/d08's exact paths below that")
@@ -134,6 +141,32 @@ object Dedup {
     // persist(), is released by the ContextCleaner when the frame is
     // garbage collected — query builders have no unpersist hook.
     val sh = shingledFrame(docs).localCheckpoint()
+    verifyJaccard(lshCandidates(sh, hotBucketCap), sh, threshold)
+  }
+
+  /** LSH candidate pairs of a (doc_id, shingles) frame: MinHash(64)
+    * signatures, 16 bands × 4 rows, self-join on (band, bucket).
+    *
+    * Buckets larger than `hotBucketCap` — boilerplate-heavy corpora put
+    * millions of near-identical documents into the same bucket of every
+    * band, the normal case in web-scale training data — would go
+    * quadratic inside the bucket, and for a true duplicate mega-cluster
+    * even the *output* pair set is quadratic, so no exact algorithm is
+    * linear there. Hot buckets therefore emit a star around the bucket
+    * representative (min doc_id) instead of the clique: O(size) edges,
+    * every member still reaches the representative, so the
+    * connected-component consumers (d07/d09/p01) keep exactly the same
+    * clusters whenever hot-bucket members are genuine near-dups of their
+    * representative (verification stays exact, so false positives are
+    * impossible either way; only member–member pair *enumeration* inside
+    * a hot bucket is traded for boundedness). Buckets at or under the
+    * cap keep the exact clique join.
+    *
+    * Both the sizing window and the clique self-join cluster by
+    * (band, bucket), so the single hash shuffle is reused. */
+  private[llm] def lshCandidates(sh: DataFrame,
+      hotBucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sig = sh.withColumn("sig", expr("minhash_sig(shingles)"))
     val bands = sig.select(
       col("doc_id"),
@@ -141,14 +174,22 @@ object Dedup {
         """transform(sequence(0, 15),
           |  b -> xxhash64(slice(sig, b * 4 + 1, 4)))""".stripMargin))
         .as(Seq("band", "bucket")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    val byBucket = Window.partitionBy(col("band"), col("bucket"))
+    val sized = bands
+      .withColumn("bsz", count(lit(1)).over(byBucket))
+      .withColumn("rep", min(col("doc_id")).over(byBucket))
+    val small = sized.filter(col("bsz") <= hotBucketCap)
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val clique = small.as("a")
+      .join(small.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cand, sh, threshold)
+    val star = sized.filter(col("bsz") > hotBucketCap &&
+        col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    clique.unionByName(star).distinct()
   }
 
   /** Join candidate pairs back to shingle sets and compute exact Jaccard. */

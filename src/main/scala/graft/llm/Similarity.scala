@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.functions.VectorExpressions
@@ -51,24 +52,60 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** IVF approximate top-k: K=16 deterministic centroids (the 16 lowest
-    * vec_ids as a fixed "training sample"), nprobe=3, k=5. */
+  /** IVF approximate top-k (K=16 cells, nprobe=3, k=5), with trained
+    * centroids: the 16 lowest vec_ids seed the cells, then ONE Lloyd
+    * round refines them (assign every vector to its nearest seed by
+    * cosine, recompute each cell's centroid as the member mean,
+    * reassign) — the refinement that turns arbitrary seeds into
+    * Voronoi-balanced cells and lifts recall (assign/update are each a
+    * K·n broadcast fan-out + one groupBy, so more rounds cost the same
+    * shape; one round already recovers the fixtures' cluster structure).
+    *
+    * The mean is computed over components quantized to 2⁻²⁰ quanta
+    * (`floor(x·2²⁰)` as long): integer sums are order-independent, so
+    * the centroid — and every downstream cosine and tie-break — is
+    * bit-reproducible run-to-run and engine-to-engine, which any
+    * distributed k-means needs for deterministic re-planning anyway
+    * (float quanta are ≤ 2⁻²⁰ off the true mean, irrelevant to cell
+    * quality). The long sum overflows only past count·2²⁰·|x| ≈ 2⁶³,
+    * i.e. ~8·10¹² unit-scale members per cell — not a 100 TB concern. */
   def s02IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir)
-    val centroids = v.orderBy(col("vec_id")).limit(16)
+    val seeds = v.orderBy(col("vec_id")).limit(16)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"),
         col("norm").as("cnorm"))
 
-    // Assignment: nearest centroid per vector by cosine (rank 1), plus
-    // the nprobe nearest cells for the query side (rank <= 3).
-    val sims = v.join(broadcast(centroids), lit(true))
+    // Lloyd round: assign to nearest seed…
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val assign0 = v.join(broadcast(seeds), lit(true))
+      .withColumn("csim",
+        expr("vec_dot(embedding, centroid)") / (col("norm") * col("cnorm")))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("embedding"))
+    // …then recompute each cell's centroid as the quantized member mean
+    val centroids = assign0
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .withColumn("q",
+        floor(col("x").cast(DoubleType) * lit(1048576.0)).cast(LongType))
+      .groupBy(col("cell"), col("j"))
+      .agg((sum(col("q")).cast(DoubleType) / count(lit(1)) / lit(1048576.0))
+        .as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+      .withColumn("cnorm", sqrt(expr("vec_dot(centroid, centroid)")))
+
+    // Final assignment against the trained centroids: nearest cell per
+    // vector is the index cell (rank 1); queries probe the nprobe
+    // nearest cells (rank <= 3).
+    val ranked = v.join(broadcast(centroids), lit(true))
       .withColumn("csim",
         expr("vec_dot(embedding, centroid)") / (col("norm") * col("cnorm")))
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
         col("csim"))
-    val byCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cell").asc)
-    val ranked = sims.withColumn("cell_rank", row_number().over(byCell))
+      .withColumn("cell_rank", row_number().over(byVec))
 
     val index = ranked.filter(col("cell_rank") === 1)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
@@ -169,12 +206,35 @@ object Similarity {
       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
       |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
-  /** IVF replica: same deterministic centroid pick (16 lowest vec_ids),
-    * nprobe=3 probe ranking, cell-restricted candidate join, k=5. */
+  /** IVF replica: same seed pick (16 lowest vec_ids), the same one-Lloyd
+    * centroid refinement — quantized `floor(x·2²⁰)` component sums make
+    * the mean order-independent, so it reproduces bit-for-bit here —
+    * then nprobe=3 probe ranking, cell-restricted candidate join, k=5. */
   val s02Sql: String = normCte +
-    """, c AS (
+    """, seed AS (
       |  SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM nn
       |  ORDER BY vec_id LIMIT 16
+      |), s0 AS (
+      |  SELECT nn.vec_id, nn.v, seed.cell,
+      |    list_dot_product(nn.v, seed.cv) / (nn.nrm * seed.cnrm) AS csim
+      |  FROM nn CROSS JOIN seed
+      |), a0 AS (
+      |  SELECT cell, v FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cell) AS rk FROM s0)
+      |  WHERE rk = 1
+      |), comp AS (
+      |  SELECT cell, t.j,
+      |    CAST(FLOOR(v[CAST(t.j AS INT) + 1] * 1048576) AS BIGINT) AS q
+      |  FROM a0 CROSS JOIN range(0, 64) t(j)
+      |), cm AS (
+      |  SELECT cell, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS m
+      |  FROM comp GROUP BY cell, j
+      |), c AS (
+      |  SELECT cell, list(m ORDER BY j) AS cv,
+      |    sqrt(list_dot_product(list(m ORDER BY j),
+      |      list(m ORDER BY j))) AS cnrm
+      |  FROM cm GROUP BY cell
       |), sims AS (
       |  SELECT nn.vec_id, nn.v, nn.nrm, c.cell,
       |    list_dot_product(nn.v, c.cv) / (nn.nrm * c.cnrm) AS csim

@@ -163,6 +163,49 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d03 hot LSH bucket emits a linear star, and CC still collapses it") {
+    import spark.implicits._
+    // a boilerplate mega-cluster: n identical documents land in the SAME
+    // bucket of every band — the clique join would surface n(n-1)/2
+    // candidate pairs (44 850 here); the hot-bucket star must keep it at
+    // n-1, anchored at the representative
+    val n = 300
+    val boiler = "terms of service all rights reserved contact us about " +
+      "privacy policy cookie settings copyright"
+    val mega = (0L until n.toLong).map(i => (i, boiler))
+    val unique = (1000L until 1040L).map(i =>
+      (i, s"unique document $i with tokens u${i}a u${i}b u${i}c u${i}d"))
+    val docs = (mega ++ unique).toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.8).collect()
+    assert(pairs.length === n - 1,
+      s"expected a ${n - 1}-edge star, got ${pairs.length} pairs")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") === 0L) // every edge hits the rep
+      assert(r.getAs[Double]("jaccard") === 1.0)
+    }
+    // the CC consumer sees the same single cluster the clique would give
+    val clusters = llm.DupClusters.connectedComponents(
+      Dedup.minHashPairs(docs, threshold = 0.8)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size === n)
+    (0L until n.toLong).foreach(i => assert(clusters(i) === 0L))
+  }
+
+  test("d03 buckets at or under the cap keep the exact clique join") {
+    import spark.implicits._
+    // 3 identical docs (bucket size 3 <= cap): all 3 pairs must appear,
+    // not just the 2 star edges — the cap must not degrade small buckets
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "unrelated text about something else entirely different")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("p01 pipeline: unique contents, all above the quality gate") {
     val out = llm.Pipeline.p01DedupPipeline(spark, sf).collect()
     assert(out.nonEmpty && out.length < 500) // something was cleaned

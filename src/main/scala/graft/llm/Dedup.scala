@@ -162,11 +162,16 @@ object Dedup {
     * a hot bucket is traded for boundedness). Buckets at or under the
     * cap keep the exact clique join.
     *
-    * Both the sizing window and the clique self-join cluster by
-    * (band, bucket), so the single hash shuffle is reused. */
+    * Bucket sizing is a `groupBy(band, bucket)` partial-aggregate (one
+    * row per bucket) joined back to the bands frame — NOT a window
+    * function, which would force a sort of the full 16×n bands frame
+    * just to compute per-bucket count/min that need no ordering. The
+    * stats aggregate, the join back, and the clique self-join all hash
+    * by (band, bucket), so the exchanges line up. Singleton buckets —
+    * the overwhelming majority on a real corpus — are dropped before
+    * the join: they can produce neither a clique pair nor a star edge. */
   private[llm] def lshCandidates(sh: DataFrame,
       hotBucketCap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sig = sh.withColumn("sig", expr("minhash_sig(shingles)"))
     val bands = sig.select(
       col("doc_id"),
@@ -174,10 +179,10 @@ object Dedup {
         """transform(sequence(0, 15),
           |  b -> xxhash64(slice(sig, b * 4 + 1, 4)))""".stripMargin))
         .as(Seq("band", "bucket")))
-    val byBucket = Window.partitionBy(col("band"), col("bucket"))
-    val sized = bands
-      .withColumn("bsz", count(lit(1)).over(byBucket))
-      .withColumn("rep", min(col("doc_id")).over(byBucket))
+    val stats = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("rep"))
+      .filter(col("bsz") >= 2)
+    val sized = bands.join(stats, Seq("band", "bucket"))
     val small = sized.filter(col("bsz") <= hotBucketCap)
       .select(col("doc_id"), col("band"), col("bucket"))
     val clique = small.as("a")

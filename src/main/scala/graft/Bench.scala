@@ -32,20 +32,29 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures warm-up failures on " +
         s"$warmDir — timings may include JIT noise")
+    // median of 3 back-to-back runs per query: this box's wall-clock is
+    // ±20% noisy between identical runs (NOTES.md), and single-run
+    // numbers have swung >3× across rounds with zero code change — the
+    // median is robust to one GC pause / page-cache miss per query.
+    val Runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full computation of every output column and
-      // ordering (count() would let Catalyst prune projections/sorts
-      // and under-measure the actual query work). A failed query is
-      // reported as -1 so a broken run can never masquerade as a
-      // faster one.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: forces full computation of every output column and
+        // ordering (count() would let Catalyst prune projections/sorts
+        // and under-measure the actual query work). A failed run is
+        // reported as -1 so a broken run can never masquerade as a
+        // faster one.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val good = times.filter(_ >= 0).sorted
+      name -> (if (good.isEmpty) -1.0 else good(good.length / 2))
     }
     // seconds rounded to ms: keeps the whole JSON line short enough to
     // survive the driver's bounded output-tail capture intact

@@ -17,7 +17,8 @@ import graft.io.{Load, Manifest}
   * driver RAM before the script runs — every entry is a lazy plan;
   * registering a 100 TB table costs nothing until a query touches it.
   */
-final class TableCatalog(spark: SparkSession) {
+final class TableCatalog(spark: SparkSession,
+    cfg: graft.GraftConfig = graft.GraftConfig()) {
 
   private val tables = mutable.LinkedHashMap.empty[String, DataFrame]
 
@@ -40,7 +41,7 @@ final class TableCatalog(spark: SparkSession) {
   def loadManifest(manifestJson: String): this.type = {
     Manifest.parse(manifestJson).foreach { e =>
       register(e.name,
-        Load.csvDir(spark, e.dataLocation, e.columns, e.typeNames))
+        Load.csvDir(spark, e.dataLocation, e.columns, e.typeNames, cfg))
     }
     this
   }
@@ -51,7 +52,7 @@ final class TableCatalog(spark: SparkSession) {
   def loadUpstream(out: Manifest.UpstreamOutput): this.type = {
     out.locations.zipWithIndex.foreach { case (loc, i) =>
       register(s"${out.nodeCaption}_${i + 1}",
-        Load.csvDirWithMeta(spark, loc, out.metaData, out.metaDataType))
+        Load.csvDirWithMeta(spark, loc, out.metaData, out.metaDataType, cfg))
     }
     this
   }

@@ -25,9 +25,12 @@ object Load {
   val SkipNames: Set[String] = Set("_SUCCESS", "pmml", "pmml.xml")
 
   /** List a table directory, honoring the reference's skip-list (S1+S2).
-    * One FileSystem call; no data touched. */
-  def listPartFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val path = new Path(dir)
+    * One FileSystem call; no data touched. `cfg` normalizes
+    * fully-qualified `hdfs://host:port` locations the way the
+    * reference's `gsub(hdfspath,'',path)` does (GraftConfig). */
+  def listPartFiles(spark: SparkSession, dir: String,
+      cfg: graft.GraftConfig = graft.GraftConfig()): Seq[String] = {
+    val path = new Path(cfg.resolvePath(dir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(path)
       .filter(_.isFile)
@@ -43,14 +46,15 @@ object Load {
     * column names and type names arrive as metadata, never from the
     * files. All parts row-union into one distributed scan. */
   def csvDir(spark: SparkSession, dir: String, columns: Seq[String],
-      typeNames: Seq[String]): DataFrame = {
+      typeNames: Seq[String],
+      cfg: graft.GraftConfig = graft.GraftConfig()): DataFrame = {
     require(columns.length == typeNames.length,
       s"schema metadata mismatch: ${columns.length} columns vs " +
         s"${typeNames.length} types (corrupt sidecar?)")
     val schema = StructType(columns.zip(typeNames).map { case (c, t) =>
       StructField(c, TypeVocabulary(t))
     })
-    val parts = listPartFiles(spark, dir)
+    val parts = listPartFiles(spark, dir, cfg)
     require(parts.nonEmpty, s"no part files under $dir")
     spark.read
       .schema(schema)
@@ -61,10 +65,11 @@ object Load {
   /** Comma-separated `MetaData` / `MetaDataType` strings → typed reader
     * (the reference's sidecar contract, `R/DataFrameOperationR.R:148-153`). */
   def csvDirWithMeta(spark: SparkSession, dir: String, metaData: String,
-      metaDataType: String): DataFrame =
+      metaDataType: String,
+      cfg: graft.GraftConfig = graft.GraftConfig()): DataFrame =
     csvDir(spark, dir,
       metaData.split(",").map(_.trim).toSeq,
-      metaDataType.split(",").map(_.trim).toSeq)
+      metaDataType.split(",").map(_.trim).toSeq, cfg)
 }
 
 /** Canonical mapping from the reference's metadata type vocabulary to

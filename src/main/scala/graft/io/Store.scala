@@ -36,9 +36,10 @@ object Store {
   /** S9+S10: write the DataFrame as headerless CSV part files under
     * `<baseDir>/<uuid>/model/` (the reference's layout, `:257-258`) and
     * return the sidecar describing it. */
-  def writeCsvWithMeta(df: DataFrame, baseDir: String): ResultMeta = {
+  def writeCsvWithMeta(df: DataFrame, baseDir: String,
+      cfg: graft.GraftConfig = graft.GraftConfig()): ResultMeta = {
     val id = UUID.randomUUID().toString
-    val dataDir = s"$baseDir/$id/model"
+    val dataDir = s"${cfg.resolvePath(baseDir)}/$id/model"
     df.write.mode(SaveMode.Overwrite).option("header", "false").csv(dataDir)
     ResultMeta(
       MetaData = df.columns.mkString(","),

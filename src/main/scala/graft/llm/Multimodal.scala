@@ -163,11 +163,65 @@ object Multimodal {
         col("meta.width").as("width"), col("meta.height").as("height"))
       .orderBy(col("doc_id"))
 
+  /** Fixture blob directory for m05: the sandbox has no real media
+    * store, so the first call materializes one from the documents table
+    * — 40 tiny files (UTF-8 text bytes of doc_id < 40) plus a decoy the
+    * glob must skip. This is test-fixture setup standing in for the
+    * object store that already exists in production; it is driver-side,
+    * idempotent (marker file), and NOT part of the measured query — the
+    * plan m05 returns is a pure binaryFile scan → project. */
+  private def ensureBlobDir(spark: SparkSession, dir: String): String = {
+    val target = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_m05_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(target, "_FIXTURE_OK").exists()) {
+      target.mkdirs()
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text"))
+        .collect() // fixture setup only: 40 rows, see scaladoc
+        .foreach { r =>
+          java.nio.file.Files.write(
+            target.toPath.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      java.nio.file.Files.write(target.toPath.resolve("decoy.json"),
+        """{"not": "a blob"}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        target.toPath.resolve("_FIXTURE_OK"), Array.empty[Byte])
+    }
+    target.getPath
+  }
+
+  /** m05: blob ingestion through Spark's `binaryFile` source — the
+    * production entry point for media directories (m01-m04 pack blobs
+    * from a table column; this reads actual files). `pathGlobFilter`
+    * prunes non-media files at enumeration time (the decoy never
+    * reaches an executor), the scan parallelizes per file, and only
+    * (path, length, content) are materialized. */
+  def m05BinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    val blobDir = ensureBlobDir(spark, dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc_*.bin")
+      .load(blobDir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast(LongType).as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m05Sql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | MD5(text) AS content_md5
+      |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_frame_sample" -> (m03FrameSample _),
     "m04_resize" -> (m04Resize _),
+    "m05_binary_files" -> (m05BinaryFiles _),
   )
 
   /** m03's frame set is fully determined by (text, n_chars): nFrames =
@@ -239,5 +293,6 @@ object Multimodal {
     "m02_media_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "m04_resize" -> m04Sql,
+    "m05_binary_files" -> m05Sql,
   )
 }

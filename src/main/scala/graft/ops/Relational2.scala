@@ -89,19 +89,44 @@ object Relational2 {
       |ORDER BY user_id""".stripMargin
 
   /** Sketch aggregates: HyperLogLog++ distinct counts and quantile
-    * sketches per segment. Engine-specific sketch internals → rows-only
-    * (LlmOpsSpec bounds the error against exact counts). At 100 TB these
-    * replace exact distincts: fixed-size state, one pass, no
-    * count-distinct expansion. */
+    * sketches per segment. At 100 TB these replace exact distincts:
+    * fixed-size state, one pass, no count-distinct expansion.
+    *
+    * Sketch *internals* are engine-specific, so the raw approx values
+    * can never hash-match a DuckDB oracle. The output therefore carries
+    * (a) the exact sub-aggregates (row count, exact distinct) which ARE
+    * hash-checked, and (b) the sketch accuracy contracts folded into
+    * booleans: `approx_ok` = HLL within 3·rsd of the exact distinct,
+    * `median_ok` = the t-digest median lands between the exact 45th and
+    * 55th percentiles. A sketch outside its bound flips the boolean and
+    * fails the hash against the oracle's literal TRUE — the row is a
+    * real correctness gate, not rows-only. (The exact companions exist
+    * only to verify the sketches at test scale; production users read
+    * the sketch columns alone.) */
   def q35ApproxSketches(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-          .as("approx_median_price"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("ac"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("am"),
+        count_distinct(col("o_custkey")).as("exact_customers"),
+        expr("percentile(o_totalprice, 0.45)").as("p45"),
+        expr("percentile(o_totalprice, 0.55)").as("p55"),
         count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("n"), col("exact_customers"),
+        // HLL rsd = 0.02 → 3σ bound 6%
+        (abs(col("ac") - col("exact_customers")) <=
+          col("exact_customers") * 0.06).as("approx_ok"),
+        // accuracy 10000 → rank error ≤ n/10000, far inside p45..p55
+        (col("am") >= col("p45") && col("am") <= col("p55")).as("median_ok"))
       .orderBy(col("o_orderpriority"))
+
+  val q35Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      | COUNT(DISTINCT o_custkey) AS exact_customers,
+      | TRUE AS approx_ok, TRUE AS median_ok
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_left_outer" -> (q31LeftOuter _),
@@ -116,6 +141,6 @@ object Relational2 {
     "q32_having" -> q32Sql,
     "q33_in_subquery" -> q33Sql,
     "q34_full_outer" -> q34Sql,
-    // q35: sketch internals are engine-specific — rows-only.
+    "q35_approx_sketches" -> q35Sql,
   )
 }

@@ -23,7 +23,12 @@ object PmmlSerializer {
       description: String = "graft derived-column transformation",
       applicationName: String = "graft",
       functionName: String = "script.ScriptExecutor.execute",
-      copyright: String = "graft")
+      copyright: String = "graft",
+      // script-engine parameter block (CreateDerivedFunction call site,
+      // R/DataFrameOperationR.R:358-366)
+      paramName: String = "params",
+      paramOptype: String = "continuous",
+      paramDataType: String = "float")
 
   /** CDATA-safe payload: split any embedded "]]>" terminator. */
   private def cdata(s: String): String =
@@ -71,7 +76,23 @@ object PmmlSerializer {
     val (outDt, outOt) = pmmlType(dc.outputTypeName)
     sb ++= "  <TransformationDictionary>\n"
     sb ++= s"""    <DefineFunction name="${esc(meta.functionName)}" dataType="$outDt" optype="$outOt">""" += '\n'
-    sb ++= s"""      <ParameterField name="script" dataType="string" optype="categorical"/>""" += '\n'
+    // the reference's script calling convention (CreateDerivedFunction,
+    // R/DataFrameOperationR.R:474-520): one ParameterField for the packed
+    // `params` tuple, plus a Discretize block abusing defaultValue /
+    // DiscretizeBin@binValue to carry the argument-passing contract —
+    // formal names (args, argTypes, argValues), actual names
+    // (df, script, outparam) and their types (string, PythonCode, string).
+    // Consumers of the platform's PMML locate the convention by these
+    // exact attribute values, so they are emitted verbatim.
+    sb ++= s"""      <ParameterField name="${esc(meta.paramName)}" optype="${esc(meta.paramOptype)}" dataType="${esc(meta.paramDataType)}"/>""" += '\n'
+    sb ++= s"""      <Discretize field="${esc(meta.paramName)}" defaultValue="args,argTypes,argValues">""" += '\n'
+    sb ++= s"""        <DiscretizeBin binValue="df,script,outparam">""" += '\n'
+    sb ++= s"""          <Interval closure="openClosed"/>""" += '\n'
+    sb ++= "        </DiscretizeBin>\n"
+    sb ++= s"""        <DiscretizeBin binValue="string,PythonCode,string">""" += '\n'
+    sb ++= s"""          <Interval closure="openClosed"/>""" += '\n'
+    sb ++= "        </DiscretizeBin>\n"
+    sb ++= "      </Discretize>\n"
     sb ++= "    </DefineFunction>\n"
     sb ++= s"""    <DerivedField name="${esc(dc.outputName)}" dataType="$outDt" optype="$outOt">""" += '\n'
     sb ++= s"""      <Apply function="${esc(meta.functionName)}">""" += '\n'

@@ -171,6 +171,43 @@ class IoParitySpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0)
   }
 
+  test("GraftConfig: explicit arg > env > default; hdfs prefix resolution") {
+    // defaults (no env, no args)
+    val dflt = GraftConfig.resolve(env = Map.empty)
+    assert(dflt === GraftConfig("localhost", "9000", "50070", "hduser"))
+    // env beats default
+    val env = Map(
+      GraftConfig.EnvHost -> "envhost", GraftConfig.EnvHdfsPort -> "8020",
+      GraftConfig.EnvWebHdfsPort -> "9870", GraftConfig.EnvUser -> "envuser")
+    assert(GraftConfig.resolve(env = env) ===
+      GraftConfig("envhost", "8020", "9870", "envuser"))
+    // explicit beats env
+    val cfg = GraftConfig.resolve(hadoopHost = Some("arghost"),
+      hdfsUser = Some("arguser"), env = env)
+    assert(cfg === GraftConfig("arghost", "8020", "9870", "arguser"))
+    // URI construction mirrors the reference's client/hdfspath
+    // (R/DataFrameOperationR.R:27-28)
+    assert(cfg.hdfsUri === "hdfs://arghost:8020")
+    assert(cfg.webHdfsUri === "http://arghost:9870/webhdfs/v1")
+    // path normalization: own authority stripped, others untouched
+    assert(cfg.resolvePath("hdfs://arghost:8020/data/t1") === "/data/t1")
+    assert(cfg.resolvePath("hdfs://other:8020/data/t1") ===
+      "hdfs://other:8020/data/t1")
+    assert(cfg.resolvePath("/local/path") === "/local/path")
+  }
+
+  test("GraftConfig threads through Load: fully-qualified manifest location resolves") {
+    // a manifest written with the cluster's full hdfs:// authority must
+    // load through the session's default FS once the prefix is stripped
+    // (the reference's gsub(hdfspath,'',path), R/DataFrameOperationR.R:29)
+    val dir = mkTableDir()
+    val cfg = GraftConfig(hadoopHost = "nn", hdfsPort = "8020")
+    val qualified = s"hdfs://nn:8020$dir"
+    val df = Load.csvDir(spark, qualified,
+      Seq("id", "name", "score"), Seq("long", "String", "double"), cfg)
+    assert(df.count() === 3)
+  }
+
   test("type vocabulary is total over its own inverse") {
     val names = Seq("String", "float", "double", "integer", "long",
       "boolean", "timestamp", "date")
@@ -197,6 +234,24 @@ class IoParitySpec extends AnyFunSuite {
     assert((xml \\ "DerivedField").head \@ "name" === "score_scaled")
     assert((xml \\ "Extension").head.text.contains("acctbal / (key + 1)"))
     assert((xml \\ "DataField").length === 2)
+
+    // DefineFunction calling-convention parity with the reference
+    // (CreateDerivedFunction, R/DataFrameOperationR.R:474-520): the
+    // packed `params` ParameterField and the Discretize-carried
+    // argument-passing contract, attribute values verbatim
+    val defFn = (xml \\ "DefineFunction").head
+    val param = (defFn \ "ParameterField").head
+    assert(param \@ "name" === "params")
+    assert(param \@ "optype" === "continuous")
+    assert(param \@ "dataType" === "float")
+    val disc = (defFn \ "Discretize").head
+    assert(disc \@ "field" === "params")
+    assert(disc \@ "defaultValue" === "args,argTypes,argValues")
+    val bins = (disc \ "DiscretizeBin").map(_ \@ "binValue")
+    assert(bins === Seq("df,script,outparam", "string,PythonCode,string"))
+    (disc \ "DiscretizeBin").foreach { b =>
+      assert((b \ "Interval").head \@ "closure" === "openClosed")
+    }
   }
 
   test("binaryFile source: blob ingestion with pathGlobFilter") {

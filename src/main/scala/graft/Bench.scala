@@ -42,9 +42,7 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink: forces full computation of every output column and
         // ordering (count() would let Catalyst prune projections/sorts
-        // and under-measure the actual query work). A failed run is
-        // reported as -1 so a broken run can never masquerade as a
-        // faster one.
+        // and under-measure the actual query work).
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
@@ -53,8 +51,12 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val good = times.filter(_ >= 0).sorted
-      name -> (if (good.isEmpty) -1.0 else good(good.length / 2))
+      // ANY failed run → -1 in the JSON: flakiness must be visible in
+      // the parsed output, not only on stderr (which the driver's
+      // bounded tail capture can drop). A median over survivors would
+      // mask a query that throws on 1-2 of its 3 runs.
+      val sorted = times.sorted
+      name -> (if (times.exists(_ < 0)) -1.0 else sorted(sorted.length / 2))
     }
     // seconds rounded to ms: keeps the whole JSON line short enough to
     // survive the driver's bounded output-tail capture intact

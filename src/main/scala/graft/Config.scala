@@ -36,9 +36,14 @@ final case class GraftConfig(
   /** Reference parity for `gsub(hdfspath,'',path)` (`:29`): strip this
     * cluster's authority prefix so the remainder resolves through the
     * session's default filesystem. Paths under any *other* authority
-    * (or none) pass through untouched. */
+    * (or none) pass through untouched — including a LONGER authority
+    * that merely starts with this one's text (`hdfs://nn:80201/x` must
+    * not match `hdfs://nn:8020`), so the prefix only counts when it is
+    * followed by `/` or is the whole string. */
   def resolvePath(path: String): String =
-    if (path.startsWith(hdfsUri)) path.substring(hdfsUri.length) else path
+    if (path == hdfsUri) "/"
+    else if (path.startsWith(hdfsUri + "/")) path.substring(hdfsUri.length)
+    else path
 }
 
 object GraftConfig {

@@ -39,15 +39,23 @@ object Store {
   def writeCsvWithMeta(df: DataFrame, baseDir: String,
       cfg: graft.GraftConfig = graft.GraftConfig()): ResultMeta = {
     val id = UUID.randomUUID().toString
-    val dataDir = s"${cfg.resolvePath(baseDir)}/$id/model"
+    // resolve the base ONCE and derive all three sidecar locations from
+    // it: the reference qualifies DataLocation/ModelLocation/PMMLLocation
+    // with the same prefix (R/DataFrameOperationR.R:291-293), so a
+    // qualified baseDir must not yield a mixed-authority sidecar where
+    // the data path is stripped but the model/pmml paths are not —
+    // writePmml(meta.ModelLocation, ...) would target a different
+    // filesystem than the CSV it describes
+    val base = cfg.resolvePath(baseDir)
+    val dataDir = s"$base/$id/model"
     df.write.mode(SaveMode.Overwrite).option("header", "false").csv(dataDir)
     ResultMeta(
       MetaData = df.columns.mkString(","),
       MetaDataType = df.schema.fields
         .map(f => TypeVocabulary.nameOf(f.dataType)).mkString(","),
       DataLocation = dataDir,
-      ModelLocation = s"$baseDir/$id",
-      PMMLLocation = s"$baseDir/$id/pmml")
+      ModelLocation = s"$base/$id",
+      PMMLLocation = s"$base/$id/pmml")
   }
 
   /** S11: write a PMML document as `<folder>/pmml/part-00000`

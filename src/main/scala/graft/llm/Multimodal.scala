@@ -167,30 +167,53 @@ object Multimodal {
     * store, so the first call materializes one from the documents table
     * — 40 tiny files (UTF-8 text bytes of doc_id < 40) plus a decoy the
     * glob must skip. This is test-fixture setup standing in for the
-    * object store that already exists in production; it is driver-side,
-    * idempotent (marker file), and NOT part of the measured query — the
-    * plan m05 returns is a pure binaryFile scan → project. */
-  private def ensureBlobDir(spark: SparkSession, dir: String): String = {
-    val target = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_m05_" + Integer.toHexString(dir.hashCode))
-    if (!new java.io.File(target, "_FIXTURE_OK").exists()) {
-      target.mkdirs()
-      Tables(spark, dir, "documents")
+    * object store that already exists in production; it is driver-side
+    * (the tmpdir fixture therefore assumes a local master — on a real
+    * cluster m05 would point at the existing blob store and skip this
+    * entirely), idempotent, and NOT part of the measured query — the
+    * plan m05 returns is a pure binaryFile scan → project.
+    *
+    * The on-disk directory is keyed by a fingerprint of the fixture
+    * CONTENT (doc ids + text bytes), not the table-dir string: if the
+    * parquet under the same path is regenerated with different data, a
+    * stale blob dir must not be silently reused (it would hash-mismatch
+    * the oracle with no code change). Within one JVM the resolved path
+    * is memoized per table dir so repeated bench runs pay no extra
+    * Spark job. */
+  private val blobDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureBlobDir(spark: SparkSession, dir: String): String =
+    blobDirCache.computeIfAbsent(dir, _ => {
+      val rows = Tables(spark, dir, "documents")
         .filter(col("doc_id") < 40)
         .select(col("doc_id"), col("text"))
         .collect() // fixture setup only: 40 rows, see scaladoc
-        .foreach { r =>
+        .sortBy(_.getLong(0))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { r =>
+        md.update(r.getLong(0).toString.getBytes("UTF-8"))
+        md.update(0.toByte)
+        md.update(r.getString(1).getBytes("UTF-8"))
+        md.update(0.toByte)
+      }
+      val fp = md.digest().take(8).map(b => f"$b%02x").mkString
+      val target = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_m05_$fp")
+      if (!new java.io.File(target, "_FIXTURE_OK").exists()) {
+        target.mkdirs()
+        rows.foreach { r =>
           java.nio.file.Files.write(
             target.toPath.resolve(f"doc_${r.getLong(0)}%05d.bin"),
             r.getString(1).getBytes("UTF-8"))
         }
-      java.nio.file.Files.write(target.toPath.resolve("decoy.json"),
-        """{"not": "a blob"}""".getBytes("UTF-8"))
-      java.nio.file.Files.write(
-        target.toPath.resolve("_FIXTURE_OK"), Array.empty[Byte])
-    }
-    target.getPath
-  }
+        java.nio.file.Files.write(target.toPath.resolve("decoy.json"),
+          """{"not": "a blob"}""".getBytes("UTF-8"))
+        java.nio.file.Files.write(
+          target.toPath.resolve("_FIXTURE_OK"), Array.empty[Byte])
+      }
+      target.getPath
+    })
 
   /** m05: blob ingestion through Spark's `binaryFile` source — the
     * production entry point for media directories (m01-m04 pack blobs

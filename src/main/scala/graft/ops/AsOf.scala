@@ -91,13 +91,14 @@ object AsOf {
     * `floor(value*10)` is computed in floating point, and at a ulp-level
     * boundary the rounding of `value*10` can push the two sides' buckets
     * 2 apart — ±2 makes the candidate set provably complete. */
-  def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    // band width 0.1 over the error events; bucket the band dimension
-    // at exactly the band width
-    val ev = Tables(spark, dir, "events")
-      .filter(col("event_type") === "error")
-      .select(col("event_id"), col("event_type"), col("value"))
-    val bucketOf = floor(col("value") * 10).cast("long")
+  /** The bucketized band-join core over any `(event_id, event_type,
+    * value)` frame: candidates via ±2-bucket fan-out on
+    * `floor(value·mult)`, then the exact `|a−b| ≤ band` filter. Exposed
+    * separately from [[q45RangeJoin]] so the ulp-boundary property test
+    * can drive it with adversarial values (ScaleDesignSpec) — the
+    * fan-out width is exactly the claim under test. */
+  def bandPairs(ev: DataFrame, mult: Double, band: Double): DataFrame = {
+    val bucketOf = floor(col("value") * mult).cast("long")
     val build = ev.withColumn("bucket", bucketOf)
     val probe = ev
       .withColumn("bucket",
@@ -110,9 +111,18 @@ object AsOf {
           col("value").as("value_b"), col("bucket")),
         Seq("event_type", "bucket"))
       .filter(col("event_a") < col("event_b") &&
-        abs(col("value_a") - col("value_b")) <= 0.1)
+        abs(col("value_a") - col("value_b")) <= band)
       .select(col("event_type"), col("event_a"), col("event_b"),
         col("value_a"), col("value_b"))
+  }
+
+  def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    // band width 0.1 over the error events; bucket the band dimension
+    // at exactly the band width
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("event_type"), col("value"))
+    bandPairs(ev, mult = 10, band = 0.1)
       .orderBy(col("event_type"), col("event_a"), col("event_b"))
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.Tables
+import graft.{Tables, VerifyFlags}
 
 /** Second wave of relational coverage: outer joins, HAVING, IN
   * subqueries, full-outer set reconciliation, approximate sketches. */
@@ -90,36 +90,60 @@ object Relational2 {
 
   /** Sketch aggregates: HyperLogLog++ distinct counts and quantile
     * sketches per segment. At 100 TB these replace exact distincts:
-    * fixed-size state, one pass, no count-distinct expansion.
+    * fixed-size state, one pass, no count-distinct expansion — and
+    * that IS the plan this query runs (and the bench times): a single
+    * hash aggregate over the sketch buffers, nothing exact.
     *
     * Sketch *internals* are engine-specific, so the raw approx values
-    * can never hash-match a DuckDB oracle. The output therefore carries
-    * (a) the exact sub-aggregates (row count, exact distinct) which ARE
-    * hash-checked, and (b) the sketch accuracy contracts folded into
-    * booleans: `approx_ok` = HLL within 3·rsd of the exact distinct,
-    * `median_ok` = the t-digest median lands between the exact 45th and
-    * 55th percentiles. A sketch outside its bound flips the boolean and
-    * fails the hash against the oracle's literal TRUE — the row is a
-    * real correctness gate, not rows-only. (The exact companions exist
-    * only to verify the sketches at test scale; production users read
-    * the sketch columns alone.) */
+    * can never hash-match a DuckDB oracle. Correctness is therefore
+    * gated through [[q35Verified]]: the verify dump (and only it) joins
+    * the sketch output against a separate exact-companion aggregate and
+    * folds the accuracy contracts into booleans hash-compared with the
+    * oracle's literal TRUE. Mixing exact count_distinct + exact
+    * percentiles into THIS aggregate (as an earlier revision did)
+    * triggers Catalyst's distinct-rewrite Expand and a sort-based
+    * object-hash fallback — ~14× the sketch-only cost — and times the
+    * verification harness instead of the production query. */
   def q35ApproxSketches(spark: SparkSession, dir: String): DataFrame =
+    if (VerifyFlags.exactCompanions) q35Verified(spark, dir)
+    else q35Production(spark, dir)
+
+  /** The production (benched) shape: one pass, sketch state only. */
+  def q35Production(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
-        approx_count_distinct(col("o_custkey"), 0.02).as("ac"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("am"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("approx_median"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Verify-mode shape: the production sketches joined (5-row frames)
+    * against exact companions computed in their own aggregate, reduced
+    * to oracle-hashable columns. `approx_ok` = HLL within 3·rsd of the
+    * exact distinct; `median_ok` = the quantile sketch's median lands
+    * between the exact 45th and 55th percentiles. A sketch outside its
+    * bound flips the boolean and fails the hash against the oracle's
+    * literal TRUE — a real correctness gate, not rows-only. */
+  def q35Verified(spark: SparkSession, dir: String): DataFrame = {
+    val sketches = q35Production(spark, dir)
+    val exact = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("ep"))
+      .agg(
         count_distinct(col("o_custkey")).as("exact_customers"),
         expr("percentile(o_totalprice, 0.45)").as("p45"),
-        expr("percentile(o_totalprice, 0.55)").as("p55"),
-        count(lit(1)).as("n"))
+        expr("percentile(o_totalprice, 0.55)").as("p55"))
+    sketches.join(exact, col("o_orderpriority") === col("ep"))
       .select(col("o_orderpriority"), col("n"), col("exact_customers"),
         // HLL rsd = 0.02 → 3σ bound 6%
-        (abs(col("ac") - col("exact_customers")) <=
+        (abs(col("approx_customers") - col("exact_customers")) <=
           col("exact_customers") * 0.06).as("approx_ok"),
         // accuracy 10000 → rank error ≤ n/10000, far inside p45..p55
-        (col("am") >= col("p45") && col("am") <= col("p55")).as("median_ok"))
+        (col("approx_median") >= col("p45") &&
+          col("approx_median") <= col("p55")).as("median_ok"))
       .orderBy(col("o_orderpriority"))
+  }
 
   val q35Sql: String =
     """SELECT o_orderpriority, COUNT(*) AS n,

@@ -133,34 +133,64 @@ object EventWindows {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
-  /** Stream-stream inner join: every purchase attributed to the same
-    * user's clicks in the preceding hour. Both sides carry watermarks
-    * and the join condition bounds event time on both ends, so state
-    * for expired clicks/purchases is dropped — the join runs forever in
-    * bounded memory (the unbounded-state stream join is the classic
-    * 100 TB streaming failure mode). */
-  def streamingClickAttribution(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
+  // Click/purchase side projections and the attribution join are shared
+  // verbatim between the streaming form (watermarked inputs) and the
+  // oracle-checked batch form st05 — the join predicate tested against
+  // DuckDB is, by construction, the one the streaming query runs.
+  private def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
-      .withWatermark("click_ts", "1 hour")
-    val buys = events.filter(col("event_type") === "purchase")
+
+  private def buySide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
         col("event_id").as("buy_id"))
-      .withWatermark("buy_ts", "1 hour")
+
+  private def attributionJoin(buys: DataFrame, clicks: DataFrame): DataFrame =
     buys.join(clicks,
       col("b_user") === col("c_user") &&
         col("click_ts") <= col("buy_ts") &&
         col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("buy_id"), col("click_id"), col("b_user").as("user_id"),
         col("buy_ts"), col("click_ts"))
+
+  /** Stream-stream inner join: every purchase attributed to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event time on both ends, so state
+    * for expired clicks/purchases is dropped — the join runs forever in
+    * bounded memory (the unbounded-state stream join is the classic
+    * 100 TB streaming failure mode). */
+  def streamingClickAttribution(events: DataFrame): DataFrame =
+    attributionJoin(
+      buySide(events).withWatermark("buy_ts", "1 hour"),
+      clickSide(events).withWatermark("click_ts", "1 hour"))
+
+  /** st05: the attribution join's batch form over the bounded events
+    * table — same side projections, same predicate, no watermarks —
+    * which makes the stream-stream join's semantics oracle-checkable
+    * as a plain interval join in DuckDB. */
+  def st05ClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    attributionJoin(buySide(ev), clickSide(ev))
+      .orderBy(col("buy_id"), col("click_id"))
   }
+
+  val st05Sql: String =
+    """SELECT b.event_id AS buy_id, c.event_id AS click_id, b.user_id,
+      | b.ts AS buy_ts, c.ts AS click_ts
+      |FROM events b JOIN events c
+      |  ON b.user_id = c.user_id
+      | AND b.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL '1 hour'
+      |ORDER BY buy_id, click_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_tumbling_hourly" -> (st01TumblingHourly _),
     "st02_sliding_windows" -> (st02SlidingWindows _),
     "st03_session_windows" -> (st03SessionWindows _),
     "st04_windowed_distinct" -> (st04WindowedDistinct _),
+    "st05_click_attribution" -> (st05ClickAttribution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -168,5 +198,6 @@ object EventWindows {
     "st02_sliding_windows" -> st02Sql,
     "st03_session_windows" -> st03Sql,
     "st04_windowed_distinct" -> st04Sql,
+    "st05_click_attribution" -> st05Sql,
   )
 }

@@ -194,6 +194,33 @@ class IoParitySpec extends AnyFunSuite {
     assert(cfg.resolvePath("hdfs://other:8020/data/t1") ===
       "hdfs://other:8020/data/t1")
     assert(cfg.resolvePath("/local/path") === "/local/path")
+    // boundary cases: a longer authority that merely starts with this
+    // one's text must pass through, and the bare URI maps to the root
+    assert(cfg.resolvePath("hdfs://arghost:80201/x") ===
+      "hdfs://arghost:80201/x")
+    assert(cfg.resolvePath("hdfs://arghost:8020") === "/")
+  }
+
+  test("writeCsvWithMeta: all three sidecar locations share one resolved base") {
+    // a fully-qualified baseDir must not yield a mixed-authority sidecar
+    // (data stripped, model/pmml still qualified) — the reference
+    // derives all three from the same prefix (R/DataFrameOperationR.R:
+    // 291-293), and writePmml(meta.ModelLocation,...) must target the
+    // same filesystem as the CSV it describes
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_store_auth").toString
+    val cfg = GraftConfig(hadoopHost = "nn", hdfsPort = "8020")
+    val meta = Store.writeCsvWithMeta(
+      Tables(spark, sf, "region").select("r_regionkey", "r_name"),
+      s"hdfs://nn:8020$base", cfg)
+    assert(meta.DataLocation.startsWith(s"$base/"))
+    assert(meta.ModelLocation.startsWith(s"$base/"))
+    assert(meta.PMMLLocation.startsWith(s"$base/"))
+    assert(meta.DataLocation === s"${meta.ModelLocation}/model")
+    assert(meta.PMMLLocation === s"${meta.ModelLocation}/pmml")
+    // and the data really landed under the shared base
+    assert(new java.io.File(meta.DataLocation).listFiles()
+      .exists(_.getName.startsWith("part-")))
   }
 
   test("GraftConfig threads through Load: fully-qualified manifest location resolves") {

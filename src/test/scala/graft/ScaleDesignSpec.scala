@@ -21,7 +21,7 @@ class ScaleDesignSpec extends AnyFunSuite {
     // q35 folds the sketch accuracy contracts into approx_ok/median_ok
     // (hash-compared against the oracle's literal TRUE); here we assert
     // them directly and cross-check the exact distinct column
-    val rows = ops.Relational2.q35ApproxSketches(spark, sf).collect()
+    val rows = ops.Relational2.q35Verified(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
       .toMap
     val exact = Tables(spark, sf, "orders")
@@ -35,6 +35,114 @@ class ScaleDesignSpec extends AnyFunSuite {
       assert(ec === d, s"$k exact distinct")
       assert(approxOk, s"$k: HLL outside 3σ of exact distinct")
       assert(medianOk, s"$k: approx median outside p45..p55")
+    }
+  }
+
+  test("q45 band-join ±2-bucket fan-out is complete at ulp boundaries") {
+    // the one numerically delicate join: bucket = floor(value*10) is
+    // computed in floating point, and the scaladoc claims ±2 buckets
+    // make the candidate set complete. Attack exactly that claim:
+    // values a few ulps either side of every bucket edge, pairs exactly
+    // band-width apart (the <= edge), and seeded noise — engine pair
+    // set must equal the brute-force O(n²) reference.
+    import spark.implicits._
+    val boundaries = (-5 to 50).map(_ * 0.1)
+    val adversarial = boundaries.flatMap { b =>
+      (-3 to 3).map { u =>
+        var v = b
+        (1 to math.abs(u)).foreach { _ =>
+          v = if (u > 0) Math.nextUp(v) else Math.nextDown(v)
+        }
+        v
+      }
+    }
+    val edgePairs = boundaries.flatMap(b => Seq(b, b + 0.1, b - 0.1))
+    val rnd = new scala.util.Random(42)
+    val noise = Seq.fill(200)(rnd.nextDouble() * 6.0 - 1.0)
+    val values = (adversarial ++ edgePairs ++ noise).toArray
+    val df = values.zipWithIndex
+      .map { case (v, i) => (i.toLong, "t", v) }.toSeq
+      .toDF("event_id", "event_type", "value")
+    val got = ops.AsOf.bandPairs(df, mult = 10, band = 0.1)
+      .select("event_a", "event_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      i <- values.indices.iterator
+      j <- values.indices.iterator if i < j
+      if math.abs(values(i) - values(j)) <= 0.1
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got === expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
+  test("salted join actually spreads a hot key across tasks") {
+    // Skew.saltedEquiJoin is row-identity-verified in IoParitySpec; this
+    // is the SCALE claim: with a key holding 50% of the fact rows, the
+    // plain shuffled join funnels that key into one task while the
+    // salted join spreads it ~salt-fold. Measured, not asserted from
+    // the plan: per-task shuffle-read record counts via a SparkListener,
+    // AQE + broadcast off so nothing else rebalances the skew.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val sc = spark.sparkContext
+
+    def maxTaskShare(df: org.apache.spark.sql.DataFrame): Double = {
+      val byStage = scala.collection.concurrent.TrieMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) byStage.synchronized {
+            byStage.getOrElseUpdate(te.stageId,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+              m.shuffleReadMetrics.recordsRead
+          }
+        }
+      }
+      sc.addSparkListener(listener)
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        // the listener bus is async — poll until the totals go quiet
+        def total = byStage.synchronized(byStage.values.map(_.sum).sum)
+        var last = -1L
+        var spins = 0
+        while (total != last && spins < 50) {
+          last = total; spins += 1; Thread.sleep(100)
+        }
+        val recs = byStage.synchronized(byStage.values.maxBy(_.sum).toSeq)
+        recs.max.toDouble / recs.sum
+      } finally sc.removeSparkListener(listener)
+    }
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // 40k fact rows, half of them on key 1, the rest ~40/key
+      val fact = spark.range(40000).select(
+        when(col("id") % 2 === 0, lit(1L))
+          .otherwise(pmod(col("id"), lit(1000)) + 2).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(1002).select(
+        col("id").as("dk"), (col("id") * 7).as("dpayload"))
+
+      val plainShare = maxTaskShare(
+        fact.join(dim, col("k") === col("dk")))
+      val saltedShare = maxTaskShare(
+        ops.Skew.saltedEquiJoin(fact, dim, col("k"), col("dk"), salt = 8))
+
+      assert(plainShare > 0.4,
+        f"fixture not hot enough: plain max-task share $plainShare%.2f")
+      assert(saltedShare < 0.3,
+        f"salted max-task share $saltedShare%.2f — hot key not spread")
+      assert(saltedShare < plainShare / 1.8,
+        f"salting only improved $plainShare%.2f -> $saltedShare%.2f")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 

@@ -127,17 +127,9 @@ class StreamingSpec extends AnyFunSuite {
       val streamed = spark.table("attribution")
         .select("buy_id", "click_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val ev = Tables(spark, sf, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-          col("event_id").as("click_id"))
-      val buys = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
-          col("event_id").as("buy_id"))
-      val batch = buys.join(clicks,
-          col("b_user") === col("c_user") &&
-            col("click_ts") <= col("buy_ts") &&
-            col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+      // the oracle-checked batch form (st05) shares the side projections
+      // and join predicate with the streaming query by construction
+      val batch = EventWindows.st05ClickAttribution(spark, sf)
         .select("buy_id", "click_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(streamed === batch)

@@ -72,10 +72,55 @@ object Pipeline {
         |ORDER BY doc_id""".stripMargin
   }
 
+  /** p02: reproducible content-hash sharding + per-shard corpus stats —
+    * the step after cleaning: assign every document to one of N output
+    * shards by a hash of its CONTENT (the [[TextStats.t04Fingerprint]]
+    * rolling fingerprint), so the shard layout is a pure function of
+    * the corpus — independent of input ordering, partitioning, or
+    * cluster size — and any re-run (or a different engine) reproduces
+    * it exactly. The stats frame is what a pipeline operator watches
+    * for shard skew before the write fans out. At 100 TB: one narrow
+    * groupBy on N keys with map-side combine; the eventual
+    * `write.partitionBy(shard)` inherits whatever parallelism the
+    * corpus frame has. */
+  def p02ShardStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.types.LongType
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("rolling_min_hash(text)").as("fingerprint"),
+        col("n_chars"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("shard", pmod(col("fingerprint"), lit(8L)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"))
+      .orderBy(col("shard"))
+  }
+
+  /** Oracle: the shared fingerprint CTE ([[TextStats.fpWithCte]]), the
+    * same non-negative modulus (`pmod` ≡ ((x % 8) + 8) % 8), the same
+    * per-shard aggregates. */
+  val p02Sql: String = TextStats.fpWithCte +
+    """,
+      |tok AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT ((fingerprint % 8) + 8) % 8 AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM fp JOIN tok USING (doc_id)
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
+    "p02_shard_stats" -> (p02ShardStats _),
   )
   val oracle: Map[String, String] = Map(
     "p01_dedup_pipeline" -> p01Sql,
+    "p02_shard_stats" -> p02Sql,
   )
 }

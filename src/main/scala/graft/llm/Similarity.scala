@@ -167,11 +167,57 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s05: cosine top-k over int8-quantized vectors — the
+    * shuffle-width lever for embedding workloads at 100 TB: a 64-dim
+    * float vector is 256 bytes on the wire, its int8 form is 64, so
+    * every exchange, broadcast and cache in the candidate join shrinks
+    * 4× while recall stays high (symmetric per-vector quantization).
+    *
+    * Quantization is deterministic — `scale = 127/max|x|`, component
+    * `floor(x·scale)` (floor, not round: round's tie behavior differs
+    * across engines, floor is IEEE-exact everywhere) — so the oracle
+    * replays it bit-for-bit and the result is hash-checked, not
+    * rows-only. Quantization runs once per VECTOR (an O(n) transform;
+    * interpreted HOF lambdas are fine off the hot path), values fit
+    * int8 by construction ([-128, 127] — that is the at-rest/wire
+    * form in a production pipeline; here they ride as integer-valued
+    * doubles so the O(n²) candidate scoring stays on the codegen'd
+    * [[graft.functions.VecDot]] kernel, whose left-to-right double
+    * accumulation DuckDB's `list_dot_product` matches exactly). */
+  def s05QuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val v = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("q", expr( // Spark FLOOR yields BIGINT; widen for vec_dot
+        "transform(v, x -> CAST(FLOOR(x * (CAST(127 AS DOUBLE) / maxabs)) AS DOUBLE))"))
+      .withColumn("qn", sqrt(expr("vec_dot(q, q)")))
+      .filter(col("qn") > 0)
+      .select(col("vec_id"), col("q"), col("qn"))
+    val qs = v.select(col("vec_id").as("query_id"), col("q").as("qa"),
+      col("qn").as("na"))
+    val cs = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+      col("qn").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("neighbor_id").asc)
+    qs.join(cs, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcosine",
+        expr("vec_dot(qa, qb)") / (col("na") * col("nb")))
+      .select(col("query_id"), col("neighbor_id"), col("qcosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("qcosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s02_ivf_topk" -> (s02IvfTopK _),
     "s03_topk_aggregate" -> (s03TopKAggregate _),
     "s04_custom_plan_topk" -> (s04CustomPlanTopK _),
+    "s05_quantized_topk" -> (s05QuantizedTopK _),
   )
 
   /** Shared CTE: DOUBLE[]-cast vectors + norms. `list_dot_product` over
@@ -263,10 +309,44 @@ object Similarity {
       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** s05 oracle: replay the deterministic quantization (same floor,
+    * same 127/max|x| scale recomputed per component — double arithmetic
+    * is identical either way), integer dots via list_dot_product over
+    * the integer-valued DOUBLE lists. */
+  val s05Sql: String =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT vec_id, v,
+      |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS maxabs
+      |  FROM n
+      |), q AS (
+      |  SELECT vec_id,
+      |    list_transform(v,
+      |      x -> FLOOR(x * (CAST(127 AS DOUBLE) / maxabs))) AS qv
+      |  FROM m WHERE maxabs > 0
+      |), qq AS (
+      |  SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q
+      |  WHERE sqrt(list_dot_product(qv, qv)) > 0
+      |), sc AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    list_dot_product(a.qv, b.qv) / (a.qn * b.qn) AS qcosine
+      |  FROM qq a JOIN qq b ON a.vec_id <> b.vec_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, qcosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY qcosine DESC, neighbor_id) AS rn
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, qcosine
+      |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
     "s02_ivf_topk" -> s02Sql,
     "s03_topk_aggregate" -> s01Sql,
     "s04_custom_plan_topk" -> s01Sql,
+    "s05_quantized_topk" -> s05Sql,
   )
 }

@@ -209,7 +209,11 @@ object TextStats {
     * so `unicode(char)` equals the UTF-8 byte. Power constants are
     * generated from [[graft.functions.RollingMinHash]] so the two can
     * never drift. */
-  val t04Sql: String = {
+  /** The fingerprint computation as a reusable WITH-chain (`consts` +
+    * `fp(doc_id, fingerprint, n_chars)`) — shared by t04's oracle and
+    * p02's shard oracle so the SQL replica of the kernel cannot drift
+    * between them. */
+  private[llm] val fpWithCte: String = {
     // p[1] = B^15 ... p[16] = B^0, computed with Long wraparound (= mod 2^64)
     val powers = Iterator.iterate(1L)(_ * graft.functions.RollingMinHashKernel.Base)
       .take(16).toArray.reverse
@@ -222,20 +226,24 @@ object TextStats {
       "j -> unicode(text[i + j]) * p[j + 1]))")
     val whole = u("list_sum(list_transform(range(1, length(text) + 1), " +
       "j -> unicode(text[j]) * p[16 - length(text) + j]))")
-    s"""WITH consts AS (SELECT $plist AS p)
-       |SELECT doc_id,
-       |  CASE WHEN length(text) = 0 THEN 0
-       |  WHEN length(text) < 16 THEN
-       |    CAST((CASE WHEN $whole >= $two63
-       |      THEN $whole - $two64 ELSE $whole END) AS BIGINT)
-       |  ELSE
-       |    list_min(list_transform(range(1, length(text) - 14), i ->
-       |      CAST((CASE WHEN $win >= $two63
-       |        THEN $win - $two64 ELSE $win END) AS BIGINT)))
-       |  END AS fingerprint, n_chars
-       |FROM documents, consts
-       |ORDER BY doc_id""".stripMargin
+    s"""WITH consts AS (SELECT $plist AS p),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN 0
+       |    WHEN length(text) < 16 THEN
+       |      CAST((CASE WHEN $whole >= $two63
+       |        THEN $whole - $two64 ELSE $whole END) AS BIGINT)
+       |    ELSE
+       |      list_min(list_transform(range(1, length(text) - 14), i ->
+       |        CAST((CASE WHEN $win >= $two63
+       |          THEN $win - $two64 ELSE $win END) AS BIGINT)))
+       |    END AS fingerprint, n_chars
+       |  FROM documents, consts
+       |)""".stripMargin
   }
+
+  val t04Sql: String = fpWithCte +
+    "\nSELECT doc_id, fingerprint, n_chars FROM fp ORDER BY doc_id"
 
   /** TF-IDF top terms: term frequency per doc × a rational inverse
     * document frequency ((N+1)/(df+1) — no log, so the score stays
@@ -317,8 +325,72 @@ object TextStats {
       |  WHERE len(string_split(text, ' ')) >= 2)
       |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin
 
+  /** t07: repetition signals — the Gopher-style repetition filters a
+    * training-data pipeline runs after the cheap quality score:
+    * duplicate-bigram fraction (1 − distinct/total word bigrams) and
+    * top-token share (most frequent token's fraction of all tokens).
+    * Highly repetitive machine-generated text spikes both. Per-doc
+    * bigram stats are pure codegen'd column expressions (the
+    * [[graft.functions.WordShingles]] kernel); the top-token count is
+    * a (doc, term) aggregate with map-side combine — one shuffle,
+    * scale-limited only by the token explode, same shape as t05's df
+    * side. All ratios rational over exact integers → oracle-exact. */
+  def t07Repetition(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val d = docs(spark, dir)
+    val perDoc = d.select(col("doc_id"),
+      size(col("ws")).cast(LongType).as("n_tokens"),
+      greatest(size(col("ws")) - 1, lit(0)).cast(LongType).as("n_bigrams"),
+      size(expr("word_shingles2(text)")).cast(LongType)
+        .as("n_distinct_bigrams"))
+    val topTok = d.select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_tc"))
+    perDoc.join(topTok, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+        col("n_distinct_bigrams"),
+        when(col("n_bigrams") > 0,
+          lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) /
+            col("n_bigrams"))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"),
+        (col("max_tc").cast(DoubleType) / col("n_tokens"))
+          .as("top_token_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t07Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), tc AS (
+      |  SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+      |), mx AS (
+      |  SELECT doc_id, MAX(c) AS max_tc FROM tc GROUP BY doc_id
+      |), base AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    GREATEST(len(string_split(text, ' ')) - 1, 0) AS n_bigrams,
+      |    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+      |      len(list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' '))),
+      |        i -> string_split(text, ' ')[i] || '_'
+      |          || string_split(text, ' ')[i + 1])))
+      |    ELSE 0 END AS n_distinct_bigrams
+      |  FROM documents
+      |)
+      |SELECT b.doc_id, b.n_tokens, b.n_bigrams, b.n_distinct_bigrams,
+      |  CASE WHEN b.n_bigrams > 0
+      |    THEN 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+      |    ELSE 0.0 END AS dup_bigram_ratio,
+      |  CAST(mx.max_tc AS DOUBLE) / b.n_tokens AS top_token_share
+      |FROM base b JOIN mx USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_bigrams" -> (t06Bigrams _),
+    "t07_repetition" -> (t07Repetition _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_lang_id" -> (t03LangId _),
@@ -333,5 +405,6 @@ object TextStats {
     "t04_fingerprint" -> t04Sql,
     "t05_tfidf" -> t05Sql,
     "t06_bigrams" -> t06Sql,
+    "t07_repetition" -> t07Sql,
   )
 }

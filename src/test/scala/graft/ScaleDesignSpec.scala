@@ -38,6 +38,23 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("s05 int8-quantized top-k stays close to the exact top-k") {
+    // the 4x-narrower shuffle payload is only a win if recall holds:
+    // per-query overlap between the quantized and exact top-10 sets
+    val exact = llm.Similarity.s01BruteForceTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val quant = llm.Similarity.s05QuantizedTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(quant.keySet === exact.keySet)
+    val overlaps = exact.map { case (q, e) =>
+      (quant(q) & e).size.toDouble / e.size
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean > 0.8, f"mean top-10 overlap $mean%.3f — quantization too lossy")
+  }
+
   test("q45 band-join ±2-bucket fan-out is complete at ulp boundaries") {
     // the one numerically delicate join: bucket = floor(value*10) is
     // computed in floating point, and the scaladoc claims ±2 buckets
@@ -256,7 +273,8 @@ class ScaleDesignSpec extends AnyFunSuite {
     // product is never allowed. Guards against a future query silently
     // planning an accidental cross join at 100 TB.
     val quadraticByDesign = Set("s01_cosine_topk", "s02_ivf_topk",
-      "s03_topk_aggregate", "d06_embedding_near_dup", "t05_tfidf")
+      "s03_topk_aggregate", "s05_quantized_topk", "d06_embedding_near_dup",
+      "t05_tfidf")
     SparkEntry.queries.foreach { case (name, fn) =>
       // AQE wraps the whole plan in a LeafExecNode; collect* would see
       // only {"AdaptiveSparkPlan"} without the unwrap

@@ -212,12 +212,37 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s06: the SAME declarative window-top-k code as s01, but run under
+    * [[graft.plans.CosineTopKRewrite]] — the optimizer rule that proves
+    * the window pattern is a cosine top-k and swaps in the zero-shuffle
+    * [[graft.plans.CosineTopKPlan]] operator. The user-facing promise:
+    * write the natural DataFrame form, get s04's physical plan.
+    *
+    * Runs in a child session (own optimizer/strategy registry, shared
+    * SparkContext) because s01 is the engine's *declared* quadratic
+    * baseline: registering the rule globally would silently rewrite
+    * s01's benched plan and destroy the s01-vs-s04 contrast. */
+  def s06AutoRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val child = spark.newSession()
+    if (!child.experimental.extraStrategies
+        .contains(graft.plans.CosineTopKStrategy)) {
+      child.experimental.extraStrategies =
+        child.experimental.extraStrategies :+ graft.plans.CosineTopKStrategy
+    }
+    val rules = Seq(graft.plans.CosineTopKRewrite,
+      graft.plans.PruneCosineTopKChildren)
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations.filterNot(rules.contains) ++ rules
+    s01BruteForceTopK(child, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s02_ivf_topk" -> (s02IvfTopK _),
     "s03_topk_aggregate" -> (s03TopKAggregate _),
     "s04_custom_plan_topk" -> (s04CustomPlanTopK _),
     "s05_quantized_topk" -> (s05QuantizedTopK _),
+    "s06_auto_rewrite" -> (s06AutoRewrite _),
   )
 
   /** Shared CTE: DOUBLE[]-cast vectors + norms. `list_dot_product` over
@@ -348,5 +373,6 @@ object Similarity {
     "s03_topk_aggregate" -> s01Sql,
     "s04_custom_plan_topk" -> s01Sql,
     "s05_quantized_topk" -> s05Sql,
+    "s06_auto_rewrite" -> s01Sql, // same contract as the declarative form
   )
 }

@@ -208,6 +208,24 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(beforeSort.split("Exchange").length - 1 <= 1)
   }
 
+  test("s06: declarative window top-k auto-rewrites to the custom operator") {
+    val df = llm.Similarity.s06AutoRewrite(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("CosineTopK"),
+      s"CosineTopKRewrite did not fire:\n$physical")
+    // same answer as the window form, bit for bit
+    val a = llm.Similarity.s01BruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val b = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(a.sameElements(b))
+    // the rewrite lives in s06's child session only: s01 in THIS session
+    // must keep its window plan (it is the declared quadratic baseline)
+    val baseline = llm.Similarity.s01BruteForceTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!baseline.contains("CosineTopK"))
+  }
+
   test("PruneCosineTopKChildren: wide children prune back to 2-column scans") {
     // pass the FULL embeddings table (3 columns incl. label): the rule
     // must cut the scans down to (vec_id, embedding)

@@ -24,6 +24,12 @@ object SparkEntry {
       llm.TextStats.queries ++ llm.Multimodal.queries ++ llm.Pipeline.queries ++
       stream.EventWindows.queries
 
+  /** Verify-shape overlays: queries whose oracle-compared form carries
+    * extra verification columns the production (benched) form must not
+    * pay for. Applied by [[Verify]] only. */
+  def verifyOverrides: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational2.verifyOverrides
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -14,11 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the dump is the oracle-compare path: emit verify shapes (exact
-    // sketch companions) where the production shape is unhashable
-    VerifyFlags.exactCompanions = true
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // the dump is the oracle-compare path: overlay verify shapes (exact
+    // sketch companions) where the production shape is unhashable
+    (SparkEntry.queries ++ SparkEntry.verifyOverrides).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

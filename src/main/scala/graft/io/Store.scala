@@ -39,23 +39,28 @@ object Store {
   def writeCsvWithMeta(df: DataFrame, baseDir: String,
       cfg: graft.GraftConfig = graft.GraftConfig()): ResultMeta = {
     val id = UUID.randomUUID().toString
-    // resolve the base ONCE and derive all three sidecar locations from
-    // it: the reference qualifies DataLocation/ModelLocation/PMMLLocation
-    // with the same prefix (R/DataFrameOperationR.R:291-293), so a
-    // qualified baseDir must not yield a mixed-authority sidecar where
-    // the data path is stripped but the model/pmml paths are not —
-    // writePmml(meta.ModelLocation, ...) would target a different
-    // filesystem than the CSV it describes
-    val base = cfg.resolvePath(baseDir)
-    val dataDir = s"$base/$id/model"
-    df.write.mode(SaveMode.Overwrite).option("header", "false").csv(dataDir)
+    // the WRITE goes through the session-resolved path (this cluster's
+    // authority stripped so the default FS serves it); the SIDECAR
+    // locations all keep the caller's original prefix form, because the
+    // reference qualifies DataLocation/ModelLocation/PMMLLocation with
+    // one identical prefix (R/DataFrameOperationR.R:291-293) and an
+    // external consumer of the manifest expects that form back. Either
+    // way all three derive from ONE base — a qualified baseDir must
+    // never yield a mixed-authority sidecar where the data path is
+    // stripped but the model/pmml paths are not (writePmml on
+    // meta.ModelLocation would then target a different filesystem than
+    // the CSV it describes). Readers resolve via cfg.resolvePath.
+    val writeBase = cfg.resolvePath(baseDir)
+    df.write.mode(SaveMode.Overwrite).option("header", "false")
+      .csv(s"$writeBase/$id/model")
+    val locBase = baseDir.stripSuffix("/")
     ResultMeta(
       MetaData = df.columns.mkString(","),
       MetaDataType = df.schema.fields
         .map(f => TypeVocabulary.nameOf(f.dataType)).mkString(","),
-      DataLocation = dataDir,
-      ModelLocation = s"$base/$id",
-      PMMLLocation = s"$base/$id/pmml")
+      DataLocation = s"$locBase/$id/model",
+      ModelLocation = s"$locBase/$id",
+      PMMLLocation = s"$locBase/$id/pmml")
   }
 
   /** S11: write a PMML document as `<folder>/pmml/part-00000`

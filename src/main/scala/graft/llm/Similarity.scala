@@ -221,18 +221,24 @@ object Similarity {
     * Runs in a child session (own optimizer/strategy registry, shared
     * SparkContext) because s01 is the engine's *declared* quadratic
     * baseline: registering the rule globally would silently rewrite
-    * s01's benched plan and destroy the s01-vs-s04 contrast. */
+    * s01's benched plan and destroy the s01-vs-s04 contrast. The child
+    * is memoized per parent session — SessionState construction is not
+    * free and must not be charged to the timed query on every bench
+    * run. */
+  private val rewriteSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   def s06AutoRewrite(spark: SparkSession, dir: String): DataFrame = {
-    val child = spark.newSession()
-    if (!child.experimental.extraStrategies
-        .contains(graft.plans.CosineTopKStrategy)) {
-      child.experimental.extraStrategies =
-        child.experimental.extraStrategies :+ graft.plans.CosineTopKStrategy
-    }
-    val rules = Seq(graft.plans.CosineTopKRewrite,
-      graft.plans.PruneCosineTopKChildren)
-    child.experimental.extraOptimizations =
-      child.experimental.extraOptimizations.filterNot(rules.contains) ++ rules
+    val child = rewriteSessions.computeIfAbsent(spark, parent => {
+      val s = parent.newSession()
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.CosineTopKStrategy
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations ++
+          Seq(graft.plans.CosineTopKRewrite,
+            graft.plans.PruneCosineTopKChildren)
+      s
+    })
     s01BruteForceTopK(child, dir)
   }
 

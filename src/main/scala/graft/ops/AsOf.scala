@@ -77,27 +77,30 @@ object AsOf {
       |  ON e.user_id = d.user_id AND e.ts >= d.t
       |ORDER BY e.event_id""".stripMargin
 
-  /** Range (band) join — the other interval operator Spark's join set
-    * lacks a fast path for: pairs of same-type events whose values lie
-    * within ±0.1 of each other.
-    *
-    * Scalable form: bucketize the band dimension at the band width,
-    * explode the probe side into its candidate buckets, equi-join on
-    * (type, bucket), then apply the exact band predicate. The shuffle is
-    * an ordinary hash join on the bucket key — no per-key quadratic
-    * theta-join; each qualifying pair matches in exactly one bucket (the
-    * build row's own), so no dedup is needed. The probe fans out to
-    * ±2 buckets: mathematically in-band pairs sit ≤ 1 bucket apart, but
-    * `floor(value*10)` is computed in floating point, and at a ulp-level
-    * boundary the rounding of `value*10` can push the two sides' buckets
-    * 2 apart — ±2 makes the candidate set provably complete. */
   /** The bucketized band-join core over any `(event_id, event_type,
-    * value)` frame: candidates via ±2-bucket fan-out on
-    * `floor(value·mult)`, then the exact `|a−b| ≤ band` filter. Exposed
-    * separately from [[q45RangeJoin]] so the ulp-boundary property test
-    * can drive it with adversarial values (ScaleDesignSpec) — the
-    * fan-out width is exactly the claim under test. */
+    * value)` frame — the scalable form of the interval operator Spark's
+    * join set lacks a fast path for.
+    *
+    * Bucketize the band dimension at the band width, explode the probe
+    * side into its candidate buckets, equi-join on (type, bucket), then
+    * apply the exact band predicate. The shuffle is an ordinary hash
+    * join on the bucket key — no per-key quadratic theta-join; each
+    * qualifying pair matches in exactly one bucket (the build row's
+    * own), so no dedup is needed. The probe fans out to ±2 buckets:
+    * mathematically in-band pairs sit ≤ 1 bucket apart, but
+    * `floor(value·mult)` is computed in floating point, and at a
+    * ulp-level boundary the rounding can push the two sides' buckets 2
+    * apart — ±2 makes the candidate set provably complete (swept at ulp
+    * boundaries in ScaleDesignSpec, which drives this core directly).
+    *
+    * The ±2 completeness argument REQUIRES bucket width = band width,
+    * i.e. `mult ≈ 1/band` — with wider bands in-band pairs could sit
+    * 3+ buckets apart and silently vanish from the candidate set, so
+    * the coupling is enforced. */
   def bandPairs(ev: DataFrame, mult: Double, band: Double): DataFrame = {
+    require(math.abs(mult * band - 1.0) < 1e-9,
+      s"bucket width must equal band width (mult=$mult band=$band): " +
+        "the ±2-bucket fan-out is only complete when mult = 1/band")
     val bucketOf = floor(col("value") * mult).cast("long")
     val build = ev.withColumn("bucket", bucketOf)
     val probe = ev
@@ -116,6 +119,8 @@ object AsOf {
         col("value_a"), col("value_b"))
   }
 
+  /** Range (band) join query: pairs of same-type error events whose
+    * values lie within ±0.1 of each other, via [[bandPairs]]. */
   def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     // band width 0.1 over the error events; bucket the band dimension
     // at exactly the band width

@@ -70,9 +70,11 @@ object CosineTopKRewrite extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // k >= 1: CosineTopKExec's bounded-heap kernel requires a positive
+    // capacity; rn <= 0 stays on the window plan (zero rows, correctly)
     case f @ Filter(
         LessThanOrEqual(rnUse: Attribute, Literal(k: Int, IntegerType)),
-        w: Window) =>
+        w: Window) if k >= 1 =>
       rewrite(rnUse, k, w).getOrElse(f)
   }
 

@@ -201,25 +201,31 @@ class IoParitySpec extends AnyFunSuite {
     assert(cfg.resolvePath("hdfs://arghost:8020") === "/")
   }
 
-  test("writeCsvWithMeta: all three sidecar locations share one resolved base") {
+  test("writeCsvWithMeta: sidecar keeps one consistent authority, write resolves") {
     // a fully-qualified baseDir must not yield a mixed-authority sidecar
     // (data stripped, model/pmml still qualified) — the reference
-    // derives all three from the same prefix (R/DataFrameOperationR.R:
-    // 291-293), and writePmml(meta.ModelLocation,...) must target the
-    // same filesystem as the CSV it describes
+    // derives all three locations from one identical prefix
+    // (R/DataFrameOperationR.R:291-293). The sidecar echoes the
+    // caller's qualified form; the actual write resolves through the
+    // session filesystem (authority stripped).
     val base = java.nio.file.Files
       .createTempDirectory("graft_store_auth").toString
     val cfg = GraftConfig(hadoopHost = "nn", hdfsPort = "8020")
+    val qualified = s"hdfs://nn:8020$base"
     val meta = Store.writeCsvWithMeta(
       Tables(spark, sf, "region").select("r_regionkey", "r_name"),
-      s"hdfs://nn:8020$base", cfg)
-    assert(meta.DataLocation.startsWith(s"$base/"))
-    assert(meta.ModelLocation.startsWith(s"$base/"))
-    assert(meta.PMMLLocation.startsWith(s"$base/"))
+      qualified, cfg)
+    // all three share the caller's qualified prefix — no mixed authority
+    assert(meta.DataLocation.startsWith(s"$qualified/"))
+    assert(meta.ModelLocation.startsWith(s"$qualified/"))
+    assert(meta.PMMLLocation.startsWith(s"$qualified/"))
     assert(meta.DataLocation === s"${meta.ModelLocation}/model")
     assert(meta.PMMLLocation === s"${meta.ModelLocation}/pmml")
-    // and the data really landed under the shared base
-    assert(new java.io.File(meta.DataLocation).listFiles()
+    // the data really landed at the session-resolved path, and the
+    // sidecar round-trips to it through the same resolver readers use
+    val resolvedData = cfg.resolvePath(meta.DataLocation)
+    assert(resolvedData.startsWith(s"$base/"))
+    assert(new java.io.File(resolvedData).listFiles()
       .exists(_.getName.startsWith("part-")))
   }
 

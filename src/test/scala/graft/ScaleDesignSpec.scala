@@ -118,13 +118,20 @@ class ScaleDesignSpec extends AnyFunSuite {
       sc.addSparkListener(listener)
       try {
         df.write.format("noop").mode("overwrite").save()
-        // the listener bus is async — poll until the totals go quiet
+        // the listener bus is async — wait for events to arrive at all,
+        // then for the totals to stay quiet two consecutive samples
+        // (a single quiet 100ms sample can race a paused bus)
         def total = byStage.synchronized(byStage.values.map(_.sum).sum)
         var last = -1L
+        var quiet = 0
         var spins = 0
-        while (total != last && spins < 50) {
-          last = total; spins += 1; Thread.sleep(100)
+        while (quiet < 2 && spins < 100) {
+          val t = total
+          if (t == last && t > 0) quiet += 1 else quiet = 0
+          last = t; spins += 1; Thread.sleep(100)
         }
+        assert(byStage.synchronized(byStage.nonEmpty),
+          "no TaskEnd events observed within 10s")
         val recs = byStage.synchronized(byStage.values.maxBy(_.sum).toSeq)
         recs.max.toDouble / recs.sum
       } finally sc.removeSparkListener(listener)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -242,6 +242,76 @@ object Similarity {
     s01BruteForceTopK(child, dir)
   }
 
+  /** s07 banding: 8 bands × 4 hyperplanes. More bands = higher recall
+    * (a pair is a candidate if it collides in ANY band: 1−(1−p⁴)⁸);
+    * 4 bands measured ~0.40 mean top-5 recall on the unclustered
+    * gaussian fixture, 8 bands clears the 0.5 test floor with margin. */
+  private[llm] val LshBands = 8
+
+  /** Deterministic random-hyperplane set for s07: 32 planes × 64 dims,
+    * components `((m·2654435761) mod 2001 − 1000)/1000` for
+    * m = plane·64 + dim — a fixed integer mix, so both engines
+    * construct bit-identical planes (3-decimal rationals round-trip
+    * exactly through literals). */
+  private[llm] val LshPlanes: IndexedSeq[Array[Double]] =
+    (0 until 4 * LshBands).map { i =>
+      Array.tabulate(64) { j =>
+        val m = (i * 64 + j).toLong
+        val x = ((m * 2654435761L) % 2001 + 2001) % 2001
+        (x - 1000) / 1000.0
+      }
+    }
+
+  /** s07: LSH-bucketed ANN — the OTHER classic scale path next to IVF
+    * (s02), via random-hyperplane (angular) LSH: each vector hashes to
+    * a 4-bit bucket per band (sign of the dot with 4 fixed hyperplanes,
+    * Charikar, STOC'02), 4 bands; candidates are same-(band, bucket)
+    * pairs, deduped, then scored exactly and top-k'd. Close-in-angle
+    * vectors collide in some band with high probability; the candidate
+    * join shuffles on (band, bucket) — n²·E[1/bucket-count] work, never
+    * all-pairs — and at 100 TB band/bucket are the co-partition keys,
+    * same shape as the d03 text-LSH. The planes are fixed literals, so
+    * bucketing — and therefore the result — is deterministic and the
+    * oracle replays it bit-for-bit. */
+  def s07LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+        col("norm"))
+    def planeLit(p: Array[Double]): String =
+      p.map(_.toString + "D").mkString("array(", ",", ")")
+    def bucketCol(band: Int): Column =
+      (0 until 4).map { k =>
+        when(expr(s"vec_dot(v, ${planeLit(LshPlanes(4 * band + k))})") > 0,
+          lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val banded = v
+      .withColumn("bands", array((0 until LshBands).map(bucketCol): _*))
+      .select(col("vec_id"), col("v"), col("norm"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    // candidate ids via the (band, bucket) equi-join, deduped before
+    // the (wide) vector payloads are joined back for exact scoring
+    val pairs = banded.select(col("vec_id"), col("band"), col("bucket")).as("a")
+      .join(banded.select(col("vec_id").as("nid"), col("band"),
+        col("bucket")).as("b"), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id").as("query_id"), col("nid").as("neighbor_id"))
+      .distinct()
+    val qs = v.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("norm").as("qn"))
+    val cs = v.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.join(qs, "query_id").join(cs, "neighbor_id")
+      .withColumn("cosine", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s02_ivf_topk" -> (s02IvfTopK _),
@@ -249,6 +319,7 @@ object Similarity {
     "s04_custom_plan_topk" -> (s04CustomPlanTopK _),
     "s05_quantized_topk" -> (s05QuantizedTopK _),
     "s06_auto_rewrite" -> (s06AutoRewrite _),
+    "s07_lsh_topk" -> (s07LshTopK _),
   )
 
   /** Shared CTE: DOUBLE[]-cast vectors + norms. `list_dot_product` over
@@ -373,6 +444,45 @@ object Similarity {
       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, qcosine
       |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** s07 oracle: identical plane literals (generated from
+    * [[LshPlanes]], so the two sides cannot drift), identical banded
+    * bucketing, exact rescoring of the deduped candidate set. */
+  val s07Sql: String = {
+    def planeList(p: Array[Double]): String =
+      p.map(_.toString).mkString("[", ",", "]")
+    def bucketSql(band: Int): String =
+      (0 until 4).map { k =>
+        s"(CASE WHEN list_dot_product(v, ${planeList(LshPlanes(4 * band + k))}) > 0 " +
+          s"THEN ${1 << k} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val bucketCase = (0 until LshBands).map { b =>
+      s"WHEN ${b} THEN ${bucketSql(b)}"
+    }.mkString("CASE t.band ", " ", " END")
+    normCte +
+      s""", banded AS (
+         |  SELECT vec_id, v, nrm, t.band, $bucketCase AS bucket
+         |  FROM nn, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(band)
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.vec_id <> b.vec_id
+         |), sc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) AS cosine
+         |  FROM cand
+         |  JOIN nn qa ON qa.vec_id = query_id
+         |  JOIN nn qb ON qb.vec_id = neighbor_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM sc
+         |)
+         |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
     "s02_ivf_topk" -> s02Sql,
@@ -380,5 +490,6 @@ object Similarity {
     "s04_custom_plan_topk" -> s01Sql,
     "s05_quantized_topk" -> s05Sql,
     "s06_auto_rewrite" -> s01Sql, // same contract as the declarative form
+    "s07_lsh_topk" -> s07Sql,
   )
 }

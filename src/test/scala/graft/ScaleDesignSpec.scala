@@ -55,6 +55,23 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(mean > 0.8, f"mean top-10 overlap $mean%.3f — quantization too lossy")
   }
 
+  test("s07 LSH-bucketed top-k recalls most of the exact top-5") {
+    // angular LSH only pays off if close vectors actually collide in
+    // some band: per-query overlap of the LSH top-5 with the exact one
+    val exact = llm.Similarity.s01BruteForceTopK(spark, sf).collect()
+      .filter(_.getInt(1) <= 5)
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val lsh = llm.Similarity.s07LshTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val overlaps = exact.map { case (q, e) =>
+      lsh.get(q).map(l => (l & e).size.toDouble / e.size).getOrElse(0.0)
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean > 0.5, f"mean top-5 recall $mean%.3f — banding too lossy")
+  }
+
   test("q45 band-join ±2-bucket fan-out is complete at ulp boundaries") {
     // the one numerically delicate join: bucket = floor(value*10) is
     // computed in floating point, and the scaladoc claims ±2 buckets

@@ -125,6 +125,23 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("resolvePath strips exactly its own authority, boundary-safe") = {
+    val seg = Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    val port = Gen.chooseNum(1, 65535).map(_.toString)
+    forAll(seg, port, Gen.listOf(seg), Gen.numStr) { (host, p, segs, junk) =>
+      val cfg = graft.GraftConfig(hadoopHost = host, hdfsPort = p)
+      val rel = segs.map("/" + _).mkString
+      val own = cfg.hdfsUri + rel
+      // own authority strips to the path (or root); a LONGER authority
+      // that merely extends the port digits must pass through untouched
+      val longer = s"hdfs://$host:$p${junk.take(3)}1$rel"
+      cfg.resolvePath(own) == (if (rel.isEmpty) "/" else rel) &&
+        cfg.resolvePath(longer) == longer &&
+        cfg.resolvePath(rel.isEmpty.toString + rel) ==
+          rel.isEmpty.toString + rel
+    }
+  }
+
   property("count_in_set equals naive membership count") = {
     val word = Gen.oneOf("a", "b", "cc", "dd", "e", "")
     forAll(Gen.listOf(word), Gen.nonEmptyListOf(word)) { (tokens, set0) =>

@@ -63,7 +63,17 @@ object Bench {
     // (Locale.ROOT: a comma decimal separator would corrupt the JSON)
     def r(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
+    // JSON keys are the queries' unique id prefixes (q12, d03, st01 —
+    // the text before the first '_'): the driver's output-tail capture
+    // is 2000 chars and the full-name JSON line has exceeded it every
+    // round so far (BENCH_r0*.json all show "parsed": null with the
+    // line's head cut off). Prefixes keep the line ~1.3 KB with
+    // headroom to grow. Fall back to full names only if prefixes ever
+    // collide — a parseable line with long keys beats a wrong one.
+    val short = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    val keys = if (short.distinct.size == short.size) short
+               else results.map(_._1)
+    val qs = keys.zip(results).map { case (k, (_, v)) => "\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

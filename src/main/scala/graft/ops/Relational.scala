@@ -277,11 +277,22 @@ object Relational {
       |ORDER BY p_brand, rn""".stripMargin
 
   /** Running (prefix) revenue per supplier — frame UNBOUNDED PRECEDING..
-    * CURRENT ROW over a unique ordering; decimal arithmetic keeps the
-    * prefix sums engine-exact. */
+    * CURRENT ROW; decimal arithmetic keeps the prefix sums engine-exact.
+    *
+    * The order key ends with l_quantity — the summed column — as a
+    * last-resort tiebreaker: (l_orderkey, l_linenumber) is *almost* a
+    * key, but the sf0.1 fixture contains a duplicated pair whose two
+    * rows tie on (suppkey, shipdate, orderkey, linenumber) with
+    * DIFFERENT quantities, and a prefix sum over a non-total order is
+    * nondeterministic exactly at such ties (each engine — and each
+    * shuffle — may sum the peers in either order; observed as a
+    * one-row 7731-vs-7728 oracle flip). Ordering by the quantity too
+    * makes every prefix value order-independent: rows still tied after
+    * it have equal quantity, so either order yields the same sums. */
   def q12WindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, dir, "lineitem")
       .withColumn("running_qty", sum(dec2(col("l_quantity"))).over(w)
@@ -295,7 +306,7 @@ object Relational {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
       |   PARTITION BY l_suppkey
-      |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
       |   AS running_qty
       |FROM lineitem

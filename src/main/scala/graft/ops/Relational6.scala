@@ -105,12 +105,71 @@ object Relational6 {
       |WHERE c_mktsegment = 'MACHINERY'
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** Rank-family windows not covered by q11-q14: NTILE buckets,
+    * percent_rank, cume_dist — per-nation customer balance quantiles.
+    * The order key (acctbal, custkey) is total, so every rank — and the
+    * rational (rank−1)/(N−1)-style scores — is deterministic and
+    * engine-exact. One shuffle on the partition key, same cost model as
+    * any windowed agg. */
+  def q55WindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  val q55Sql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  NTILE(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
+  /** Multiset set operations (q19/q20 are the DISTINCT forms):
+    * INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts
+    * multiplicities — repeat buyers across years counted per order, the
+    * semantics Spark's `intersectAll`/`exceptAll` implement with a
+    * count-and-replicate aggregation instead of a distinct. */
+  def q56MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ord = Tables(spark, dir, "orders")
+    def buyers(y: Int) = ord
+      .filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    buyers(1995).intersectAll(buyers(2000)).withColumn("tag", lit("both"))
+      .unionByName(buyers(1995).exceptAll(buyers(2000))
+        .withColumn("tag", lit("only_1995")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  val q56Sql: String =
+    """SELECT 'both' AS tag, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2000)
+      |UNION ALL
+      |SELECT 'only_1995' AS tag, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2000)
+      |ORDER BY tag, o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_lateral" -> (q54Lateral _),
     "q50_priority_check" -> (q50PriorityCheck _),
     "q51_customer_distribution" -> (q51CustomerDistribution _),
     "q52_global_sales" -> (q52GlobalSales _),
     "q53_regexp_extract_all" -> (q53RegexpExtractAll _),
+    "q55_window_ranks" -> (q55WindowRanks _),
+    "q56_multiset_ops" -> (q56MultisetOps _),
   )
   val oracle: Map[String, String] = Map(
     "q54_lateral" -> q54Sql,
@@ -118,5 +177,7 @@ object Relational6 {
     "q51_customer_distribution" -> q51Sql,
     "q52_global_sales" -> q52Sql,
     "q53_regexp_extract_all" -> q53Sql,
+    "q55_window_ranks" -> q55Sql,
+    "q56_multiset_ops" -> q56Sql,
   )
 }

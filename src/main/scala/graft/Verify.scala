@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract: (sfDir, outDir). An optional third arg is a
+    // comma-separated query-name filter for fast local iteration —
+    // the driver never passes it.
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +22,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // the dump is the oracle-compare path: overlay verify shapes (exact
     // sketch companions) where the production shape is unhashable
-    (SparkEntry.queries ++ SparkEntry.verifyOverrides).foreach { case (name, fn) =>
+    (SparkEntry.queries ++ SparkEntry.verifyOverrides)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -115,12 +115,80 @@ object Pipeline {
       |FROM fp JOIN tok USING (doc_id)
       |GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** Per-shard token budget for [[p03TokenBudget]] — binding at
+    * sf0.01/sf0.1 (selects a strict subset), trivially-all at
+    * sf0.001 (a 50-doc corpus fits any budget; still hash-exact). */
+  val ShardTokenBudget = 2000L
+
+  /** p03: token-budget corpus selection — the final step of a
+    * training-data pipeline: given a cleaned corpus and a token budget,
+    * keep the highest-quality documents whose cumulative token count
+    * fits the budget.
+    *
+    * The selection is PER SHARD (the p02 content-hash shards), not
+    * global: each shard sorts only its own documents (quality desc,
+    * doc_id as the total-order tiebreak) and takes a prefix by running
+    * token sum — so there is no global sort anywhere, the one
+    * operation that cannot scale to 100 TB. Shard count is the
+    * parallelism knob (8 for the fixture; thousands at scale), and a
+    * global budget B just becomes B/N per shard — the same way every
+    * large corpus-selection run actually splits its budget. One narrow
+    * shuffle on the shard key, in-partition sort bounded by shard
+    * size, running sum in the same pass. */
+  def p03TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    graft.functions.VectorExpressions.register(spark)
+    val base = TextStats.qualityScored(Tables(spark, dir, "documents"))
+      .withColumn("shard",
+        pmod(expr("rolling_min_hash(text)"), lit(8L)))
+      .withColumn("n_tokens", size(col("ws")).cast(LongType))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w).cast(LongType))
+      .filter(col("cum_tokens") <= ShardTokenBudget)
+      .select(col("shard"), col("doc_id"), col("quality"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
+  /** Oracle: the shared fingerprint CTE + the shared quality
+    * expression, the same per-shard window prefix sum. The order key
+    * (quality DESC, doc_id) is total — doc_id is unique — so the
+    * running sums are deterministic in both engines. */
+  val p03Sql: String = TextStats.fpWithCte +
+    s""",
+       |qual AS (
+       |  SELECT doc_id, ${TextStats.qualitySqlExpr} AS quality,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents
+       |),
+       |sel AS (
+       |  SELECT ((f.fingerprint % 8) + 8) % 8 AS shard, q.doc_id,
+       |    q.quality, q.n_tokens,
+       |    CAST(SUM(q.n_tokens) OVER (
+       |      PARTITION BY ((f.fingerprint % 8) + 8) % 8
+       |      ORDER BY q.quality DESC, q.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM fp f JOIN qual q USING (doc_id)
+       |)
+       |SELECT shard, doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  cum_tokens
+       |FROM sel WHERE cum_tokens <= ${ShardTokenBudget}
+       |ORDER BY shard, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
     "p02_shard_stats" -> (p02ShardStats _),
+    "p03_token_budget" -> (p03TokenBudget _),
   )
   val oracle: Map[String, String] = Map(
     "p01_dedup_pipeline" -> p01Sql,
     "p02_shard_stats" -> p02Sql,
+    "p03_token_budget" -> p03Sql,
   )
 }

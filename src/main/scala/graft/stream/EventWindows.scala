@@ -185,12 +185,61 @@ object EventWindows {
       | AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL '1 hour'
       |ORDER BY buy_id, click_id""".stripMargin
 
+  /** st06: per-(user, event_type, hour) throttle — keep only the
+    * earliest event in each bucket (the dedup/rate-limit primitive:
+    * "at most one notification per user per type per hour"). The
+    * batch form is deterministic — ROW_NUMBER over the total order
+    * (ts, event_id) — which is exactly the semantics the streaming
+    * sibling [[streamingThrottle]] approximates with
+    * `dropDuplicatesWithinWatermark` (first *arrival* wins there;
+    * with in-order arrival the two agree, which StreamingSpec
+    * asserts). One shuffle on the bucket key; at 100 TB the state per
+    * streaming key is one row and expires with the watermark. */
+  def st06EventThrottle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), col("hour_start"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("hour_start"),
+        col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"), col("hour_start"))
+  }
+
+  val st06Sql: String =
+    """SELECT user_id, event_type, hour_start,
+      | event_id AS first_event_id, ts AS first_ts
+      |FROM (
+      |  SELECT user_id, event_type, date_trunc('hour', ts) AS hour_start,
+      |    event_id, ts,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY user_id, event_type, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type, hour_start""".stripMargin
+
+  /** The st06 throttle as a streaming query: state keyed on
+    * (user, type, hour bucket), each key kept only until the watermark
+    * passes the bucket — bounded state forever, unlike a plain
+    * `dropDuplicates` whose key set grows without bound. */
+  def streamingThrottle(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(
+        Seq("user_id", "event_type", "hour_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_tumbling_hourly" -> (st01TumblingHourly _),
     "st02_sliding_windows" -> (st02SlidingWindows _),
     "st03_session_windows" -> (st03SessionWindows _),
     "st04_windowed_distinct" -> (st04WindowedDistinct _),
     "st05_click_attribution" -> (st05ClickAttribution _),
+    "st06_event_throttle" -> (st06EventThrottle _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -199,5 +248,6 @@ object EventWindows {
     "st03_session_windows" -> st03Sql,
     "st04_windowed_distinct" -> st04Sql,
     "st05_click_attribution" -> st05Sql,
+    "st06_event_throttle" -> st06Sql,
   )
 }

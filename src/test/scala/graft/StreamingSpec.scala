@@ -118,6 +118,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming throttle keeps one event per user/type/hour bucket") {
+    val q = EventWindows.streamingThrottle(streamingEvents())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("throttled").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("throttled")
+        .select("user_id", "event_type", "hour_start").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      // exactly one survivor per bucket…
+      assert(streamed.length === streamed.toSet.size)
+      // …and the surviving bucket set is the batch throttle's (which
+      // event survives per bucket is arrival order in the streaming
+      // form — the batch st06 pins it to earliest event time instead)
+      val batch = EventWindows.st06EventThrottle(spark, sf)
+        .select("user_id", "event_type", "hour_start").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      assert(streamed.toSet === batch.toSet)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream join: click attribution equals the batch join") {
     val q = EventWindows.streamingClickAttribution(streamingEvents())
       .writeStream.outputMode("append")

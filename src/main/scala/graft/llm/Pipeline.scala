@@ -181,14 +181,69 @@ object Pipeline {
        |FROM sel WHERE cum_tokens <= ${ShardTokenBudget}
        |ORDER BY shard, doc_id""".stripMargin
 
+  /** Per-language keep rates in per-mille for [[p04StratifiedSample]] —
+    * the fixture corpus is ~44% English, so English is down-sampled
+    * hardest (the standard rebalancing move in corpus construction). */
+  val SampleRatesPerMille: Seq[(String, Long)] =
+    Seq("en" -> 400L, "es" -> 800L, "de" -> 800L, "fr" -> 1000L,
+      "zh" -> 600L)
+
+  /** p04: deterministic stratified down-sampling — keep a per-language
+    * fraction of the corpus, selected by CONTENT-hash bucket rather
+    * than a PRNG. `rand(seed)`-based sampling is partition-order
+    * dependent (a repartition or a different cluster silently changes
+    * the sample); hashing the text into one of 1000 buckets and keeping
+    * `bucket < rate‰` makes membership a pure function of the document
+    * — reproducible across runs, engines and cluster sizes, identical
+    * for byte-identical duplicates, and exactly mirrorable in oracle
+    * SQL. Plan-wise this is a narrow map + filter: zero shuffles, no
+    * state — at 100 TB it is scan-bound by construction. */
+  /** The selection core: a narrow map + filter with ZERO exchanges
+    * (asserted in ScaleDesignSpec) — the final presentation `orderBy`
+    * lives only in [[p04StratifiedSample]]. */
+  def stratifiedSampleCore(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    val keepBelow = SampleRatesPerMille.tail.foldLeft(
+      when(col("lang") === SampleRatesPerMille.head._1,
+        lit(SampleRatesPerMille.head._2))) {
+      case (acc, (lang, rate)) => acc.when(col("lang") === lang, lit(rate))
+    }.otherwise(lit(0L))
+    docs
+      .withColumn("bucket",
+        pmod(expr("rolling_min_hash(text)"), lit(1000L)))
+      .filter(col("bucket") < keepBelow)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
+  def p04StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleCore(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: the shared fingerprint CTE, the same non-negative modulus
+    * and the same per-language thresholds as a CASE. */
+  val p04Sql: String = {
+    val cases = SampleRatesPerMille
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    TextStats.fpWithCte +
+      s"""
+         |SELECT d.doc_id, d.lang,
+         |  ((f.fingerprint % 1000) + 1000) % 1000 AS bucket
+         |FROM documents d JOIN fp f ON d.doc_id = f.doc_id
+         |WHERE ((f.fingerprint % 1000) + 1000) % 1000
+         |  < CASE d.lang $cases ELSE 0 END
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
     "p02_shard_stats" -> (p02ShardStats _),
     "p03_token_budget" -> (p03TokenBudget _),
+    "p04_stratified_sample" -> (p04StratifiedSample _),
   )
   val oracle: Map[String, String] = Map(
     "p01_dedup_pipeline" -> p01Sql,
     "p02_shard_stats" -> p02Sql,
     "p03_token_budget" -> p03Sql,
+    "p04_stratified_sample" -> p04Sql,
   )
 }

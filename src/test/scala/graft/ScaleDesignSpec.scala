@@ -9,6 +9,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleDesignSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("p04 stratified sample: zero exchanges, per-stratum rates bind") {
+    val core = llm.Pipeline.stratifiedSampleCore(
+      Tables(spark, sf, "documents"))
+    val physical = core.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"the sampling core must be a narrow map+filter:\n$physical")
+    // the content-hash buckets are ~uniform, so each stratum's kept
+    // fraction should track its configured per-mille rate
+    val total = Tables(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = core.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    llm.Pipeline.SampleRatesPerMille.foreach { case (lang, rate) =>
+      val frac = kept.getOrElse(lang, 0L).toDouble / total(lang)
+      assert(math.abs(frac - rate / 1000.0) < 0.15,
+        s"$lang kept $frac of ${total(lang)} docs, want ~${rate / 1000.0}")
+    }
+  }
+
   test("s03 aggregator top-k equals s01 window top-k exactly") {
     val a = llm.Similarity.s01BruteForceTopK(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

@@ -298,15 +298,36 @@ object Dedup {
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("sg"))
     val bySet = Window.partitionBy(col("doc_id"))
+    // All prefilter thresholds are EXACT integer arithmetic on t = 4/5
+    // — the filters have no oracle mirror, so they must be lossless in
+    // exact math, and double forms are not: ceil(n * 0.8) rounds UP at
+    // multiples of 5 (5·0.8 = 4.0000000000000002 → ceil 5), cutting
+    // the prefix one token short, and `nb >= na * 0.8` wrongly prunes
+    // an exactly-threshold pair (4 >= 5·0.8 is false in doubles).
+    // Prefix length n - ceil(4n/5) + 1, with ceil(4n/5) = (4n+4) div 5.
     val pref = postings.join(dfreq, "sg")
       .withColumn("rk", row_number().over(byRarity))
       .withColumn("n", count(lit(1)).over(bySet))
-      .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("sg"), col("n"))
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("sg"), col("n"), col("rk"))
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") >= col("a.n") * t && col("a.n") >= col("b.n") * t)
+          // length filter t·na ≤ nb ≤ na/t, integerized
+          col("b.n") * 5 >= col("a.n") * 4 &&
+          col("a.n") * 5 >= col("b.n") * 4 &&
+          // positional filter (the PPJoin refinement): a shared prefix
+          // token at ranks (rka, rkb) bounds the overlap of the FIRST
+          // such token by 1 + min(na−rka, nb−rkb), and J ≥ t needs
+          // overlap ≥ ceil(t/(1+t)·(na+nb)) = ceil(4(na+nb)/9);
+          // integer `ub ≥ ceil(x/9)` ⟺ `9·ub ≥ x`. Later shared
+          // tokens' rows may fail the bound, but a true match's
+          // first-token row always passes, so the distinct pair set is
+          // lossless — while candidates entering the array-payload
+          // verify drop ~3.4× (43.5k → 12.7k at sf0.1).
+          lit(9) * (lit(1) + least(col("a.n") - col("a.rk"),
+            col("b.n") - col("b.rk"))) >=
+            lit(4) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, sh, threshold = t)

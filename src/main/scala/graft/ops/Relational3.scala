@@ -165,6 +165,46 @@ object Relational3 {
       | COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q57: linear-regression aggregates (regr_slope / regr_intercept /
+    * r²) of extended price on quantity per return flag — same
+    * exact-integer-moment discipline as [[q40Stats]]: the built-in
+    * `regr_*` aggregates stream doubles in partition order
+    * (engine-/run-specific low bits), so the power sums are exact wide
+    * integers (price in cents; Syy overflows a long → DECIMAL(38,0) /
+    * HUGEINT) and only the final formulas run in double, textually
+    * identical on both sides. One hash aggregate, map-side partials —
+    * the moment form IS the scalable one. */
+  def q57Regression(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q57SparkSql)
+  }
+
+  private def q57Moments(sq: String, yy: String): String =
+    s"""WITH m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    CAST(SUM(x) AS DOUBLE) AS sx,
+       |    CAST(SUM($sq) AS DOUBLE) AS sxx,
+       |    CAST(SUM(yc) AS DOUBLE) / 100.0 AS sy,
+       |    CAST(SUM($yy) AS DOUBLE) / 10000.0 AS syy,
+       |    CAST(SUM(x * yc) AS DOUBLE) / 100.0 AS sxy
+       |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+       |          CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+       |        FROM lineitem)
+       |  GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, n,
+       |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+       |    AS intercept,
+       |  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
+  val q57SparkSql: String =
+    q57Moments("x * x", "CAST(yc AS DECIMAL(38,0)) * yc")
+  val q57Sql: String =
+    q57Moments("x * x", "yc::HUGEINT * yc")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_unpivot" -> (q36Unpivot _),
     "q37_explode" -> (q37Explode _),
@@ -172,6 +212,7 @@ object Relational3 {
     "q39_collect_agg" -> (q39CollectAgg _),
     "q40_stats" -> (q40Stats _),
     "q41_from_json" -> (q41FromJson _),
+    "q57_regression" -> (q57Regression _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,5 +222,6 @@ object Relational3 {
     "q39_collect_agg" -> q39Sql,
     "q40_stats" -> q40Sql,
     "q41_from_json" -> q41Sql,
+    "q57_regression" -> q57Sql,
   )
 }

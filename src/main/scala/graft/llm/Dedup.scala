@@ -404,6 +404,81 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // d10: incremental dedup — new batch vs existing corpus
+  // ---------------------------------------------------------------------
+
+  /** Incremental dedup: classify a NEW batch of documents against an
+    * EXISTING corpus — the production shape of dedup (each day's crawl
+    * against the historical index), where re-deduping the whole corpus
+    * from scratch is not an option. The fixture split is deterministic
+    * (`doc_id % 3 = 0` is "new", the rest is the index).
+    *
+    * Each new document gets one status: `exact` (byte-identical text
+    * exists in the index — a digest semi-join, 16-byte keys), else
+    * `near` (an exact-verified MinHash-LSH pair connects it to an index
+    * doc — the shared [[minHashPairs]] core, cross-side pairs only),
+    * else `unique`. At 100 TB the index side of both joins ships only
+    * digests and band buckets (never text), the new batch is a small
+    * fraction of the corpus, and LSH buckets containing no new-batch
+    * member never produce a candidate — the per-increment cost scales
+    * with the batch, not the index. */
+  def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val isNew = col("doc_id") % 3 === 0
+    val newDocs = docs.filter(isNew)
+    val oldDigests = docs.filter(!isNew)
+      .select(md5(col("text")).as("h")).distinct()
+    val exact = newDocs.withColumn("h", md5(col("text")))
+      .join(oldDigests, Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    // cross-side near-dup pairs from the shared LSH+verify core
+    val pairs = minHashPairs(docs, threshold = 0.8)
+    val near = pairs
+      .filter((col("doc_a") % 3 === 0) =!= (col("doc_b") % 3 === 0))
+      .select(when(col("doc_a") % 3 === 0, col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    newDocs.select(col("doc_id"))
+      .join(exact.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact")
+          .when(col("is_near") === 1, "near")
+          .otherwise("unique").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same split, digest join, and the exact-Jaccard pair
+    * relation (= the d03 oracle's CTE — LSH+verify equals exact pairs
+    * at t = 0.8) restricted to cross-side pairs. */
+  val d10Sql: String = shingleOracleCte +
+    """,
+      |jp AS (
+      |  SELECT doc_a, doc_b FROM pr
+      |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+      |),
+      |exact AS (
+      |  SELECT DISTINCT n.doc_id
+      |  FROM documents n JOIN documents o
+      |    ON MD5(n.text) = MD5(o.text)
+      |  WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+      |),
+      |near AS (
+      |  SELECT doc_a AS doc_id FROM jp
+      |  WHERE doc_a % 3 = 0 AND doc_b % 3 <> 0
+      |  UNION
+      |  SELECT doc_b FROM jp WHERE doc_b % 3 = 0 AND doc_a % 3 <> 0
+      |)
+      |SELECT d.doc_id,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+      |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+      |       ELSE 'unique' END AS status
+      |FROM documents d
+      |LEFT JOIN exact e ON d.doc_id = e.doc_id
+      |LEFT JOIN near nr ON d.doc_id = nr.doc_id
+      |WHERE d.doc_id % 3 = 0
+      |ORDER BY d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
@@ -413,6 +488,7 @@ object Dedup {
     "d05_simhash" -> (d05SimHash _),
     "d06_embedding_near_dup" -> (d06EmbeddingNearDup _),
     "d08_ppjoin" -> (d08PpJoin _),
+    "d10_incremental_dedup" -> (d10IncrementalDedup _),
   )
 
   /** d05 oracle: the full SimHash pipeline re-expressed in SQL — the
@@ -488,5 +564,6 @@ object Dedup {
     "d05_simhash" -> d05Sql,
     "d06_embedding_near_dup" -> d06Sql,
     "d08_ppjoin" -> d08Sql,
+    "d10_incremental_dedup" -> d10Sql,
   )
 }

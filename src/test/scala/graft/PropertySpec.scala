@@ -86,26 +86,37 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
-  property("jaccard prefix filter is complete (d08 candidate rule)") = {
+  property("jaccard prefix+positional filter is complete (d08 rule)") = {
     // random token-set "documents" over a small vocab so overlaps and
-    // high-jaccard pairs actually occur
-    val doc = Gen.chooseNum(1, 12).flatMap(n =>
-      Gen.listOfN(n, Gen.chooseNum(0, 15).map(i => s"w$i")).map(_.distinct))
+    // high-jaccard pairs actually occur; sizes cover the multiples of
+    // 5 (prefix-length boundary) and sums hit multiples of 9
+    // (positional-bound boundary) where double arithmetic was lossy
+    val doc = Gen.chooseNum(1, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 17).map(i => s"w$i")).map(_.distinct))
     forAll(Gen.listOfN(8, doc)) { docs =>
       val t = 0.8
       // global rarest-first order: (document frequency, token)
       val df = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
-      def prefix(d: List[String]): List[String] = {
-        val sorted = d.sortBy(w => (df(w), w))
-        sorted.take(d.size - math.ceil(t * d.size).toInt + 1)
+      // EXACT replicas of the three d08 join predicates (t = 4/5):
+      // prefix length n - ceil(4n/5) + 1 with ceil(4n/5) = (4n+4) div 5
+      def prefix(d: List[String]): List[(String, Int)] = {
+        val ranked = d.sortBy(w => (df(w), w)).zipWithIndex
+          .map { case (w, i) => (w, i + 1) } // 1-based rank, as row_number
+        ranked.take(d.size - (4 * d.size + 4) / 5 + 1)
       }
       docs.combinations(2).forall { case Seq(a, b) =>
         val inter = a.toSet.intersect(b.toSet).size
         val j = inter.toDouble / (a.size + b.size - inter)
-        // every qualifying pair must survive BOTH d08 join predicates:
-        // shared prefix token and the length filter
-        j < t || (prefix(a).toSet.intersect(prefix(b).toSet).nonEmpty &&
-          b.size >= a.size * t && a.size >= b.size * t)
+        val (na, nb) = (a.size, b.size)
+        val (pa, pb) = (prefix(a).toMap, prefix(b).toMap)
+        val lengthOk = 5L * nb >= 4L * na && 5L * na >= 4L * nb
+        // candidate iff SOME shared prefix token's row passes the
+        // positional bound 9·(1 + min(na−rka, nb−rkb)) ≥ 4·(na+nb)
+        val posOk = pa.keySet.intersect(pb.keySet).exists { w =>
+          9L * (1 + math.min(na - pa(w), nb - pb(w))) >= 4L * (na + nb)
+        }
+        // completeness: every pair at or above threshold must survive
+        j < t || (lengthOk && posOk)
       }
     }
   }

@@ -388,6 +388,81 @@ object TextStats {
       |FROM base b JOIN mx USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t08: benchmark-contamination detection
+  // ---------------------------------------------------------------------
+
+  /** Contamination threshold: a training doc sharing ≥ half of its
+    * 3-gram shingles with the benchmark set is flagged (the fixture's
+    * synthetic text draws from a small vocabulary, so incidental
+    * overlap is high — the median ratio is ~0.38 at sf0.1; 0.5 flags
+    * the genuinely-overlapping tail up to the planted exact copies at
+    * ratio 1.0). */
+  val ContaminationRatio = 0.5
+
+  /** t08: benchmark contamination — for every training document, the
+    * fraction of its 3-gram shingles that also appear in a held-out
+    * benchmark set (here the `src0` slice of the corpus stands in for
+    * an eval benchmark). The decontamination step every serious
+    * training-data pipeline runs before training: n-gram overlap is
+    * the standard first-pass detector (exact-match variants are a
+    * special case at ratio 1.0 with longer n).
+    *
+    * Shape: training postings equi-join the DISTINCT benchmark shingle
+    * set, one groupBy per doc. Benchmarks are tiny next to a 100 TB
+    * corpus, so the benchmark set broadcasts (or becomes a bloom
+    * filter) — the corpus side streams through map-side, no corpus
+    * self-join anywhere. */
+  def t08Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val sh = Dedup.shingled(spark, dir).join(docs, "doc_id")
+    val benchSet = sh.filter(col("source") === "src0")
+      .select(explode(col("shingles")).as("sg")).distinct()
+    val train = sh.filter(col("source") =!= "src0")
+    val shared = train
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .join(benchSet, "sg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    train
+      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("ratio",
+        col("n_shared").cast(DoubleType) / col("n_shingles"))
+      .withColumn("contaminated", col("ratio") >= ContaminationRatio)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        col("ratio"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the shared shingle CTE's postings (`ex`) and sizes (`sz`),
+    * same benchmark split, same ratio arithmetic. */
+  val t08Sql: String = Dedup.shingleCteOver("documents") +
+    s""",
+       |bsh AS (
+       |  SELECT DISTINCT e.sg FROM ex e
+       |  JOIN documents d ON e.doc_id = d.doc_id WHERE d.source = 'src0'
+       |),
+       |shared AS (
+       |  SELECT e.doc_id, COUNT(*) AS n_shared FROM ex e
+       |  JOIN bsh USING (sg)
+       |  JOIN documents d ON e.doc_id = d.doc_id
+       |  WHERE d.source <> 'src0'
+       |  GROUP BY e.doc_id
+       |)
+       |SELECT z.doc_id, CAST(z.n AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / z.n AS ratio,
+       |  CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / z.n
+       |    >= ${ContaminationRatio} AS contaminated
+       |FROM sz z
+       |JOIN documents d ON z.doc_id = d.doc_id
+       |LEFT JOIN shared s ON z.doc_id = s.doc_id
+       |WHERE d.source <> 'src0'
+       |ORDER BY z.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_bigrams" -> (t06Bigrams _),
     "t07_repetition" -> (t07Repetition _),
@@ -396,6 +471,7 @@ object TextStats {
     "t03_lang_id" -> (t03LangId _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_tfidf" -> (t05TfIdf _),
+    "t08_contamination" -> (t08Contamination _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -406,5 +482,6 @@ object TextStats {
     "t05_tfidf" -> t05Sql,
     "t06_bigrams" -> t06Sql,
     "t07_repetition" -> t07Sql,
+    "t08_contamination" -> t08Sql,
   )
 }

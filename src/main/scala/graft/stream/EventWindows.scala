@@ -147,11 +147,13 @@ object EventWindows {
       .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
         col("event_id").as("buy_id"))
 
-  private def attributionJoin(buys: DataFrame, clicks: DataFrame): DataFrame =
+  private def attributionJoin(buys: DataFrame, clicks: DataFrame,
+      joinType: String = "inner"): DataFrame =
     buys.join(clicks,
       col("b_user") === col("c_user") &&
         col("click_ts") <= col("buy_ts") &&
-        col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("buy_id"), col("click_id"), col("b_user").as("user_id"),
         col("buy_ts"), col("click_ts"))
 
@@ -184,6 +186,40 @@ object EventWindows {
       | AND b.event_type = 'purchase' AND c.event_type = 'click'
       | AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL '1 hour'
       |ORDER BY buy_id, click_id""".stripMargin
+
+  /** st07: the attribution join's LEFT OUTER batch form — purchases
+    * with no qualifying click survive with null click columns (the
+    * "unattributed conversions" question). Same side projections and
+    * predicate as st05/the streaming forms; the outer rows are the only
+    * difference, so the oracle pins exactly the null-extension
+    * semantics the streaming outer join must reproduce. */
+  def st07UnattributedBuys(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    attributionJoin(buySide(ev), clickSide(ev), joinType = "left_outer")
+      .orderBy(col("buy_id"), col("click_id"))
+  }
+
+  val st07Sql: String =
+    """SELECT b.event_id AS buy_id, c.event_id AS click_id, b.user_id,
+      | b.ts AS buy_ts, c.ts AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON b.user_id = c.user_id
+      | AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL '1 hour'
+      |ORDER BY buy_id, click_id""".stripMargin
+
+  /** The st07 semantics as a streaming query: a watermarked LEFT OUTER
+    * stream-stream join. Outer (null-extended) rows for a purchase
+    * emit only once the click-side watermark passes the join window's
+    * upper bound — so a bounded replay that ends without advancing the
+    * watermark past the last events holds back the final outer rows
+    * (StreamingSpec asserts exactly this: inner rows match the batch
+    * join; emitted outer rows are a prefix of the batch outer set). */
+  def streamingUnattributedBuys(events: DataFrame): DataFrame =
+    attributionJoin(
+      buySide(events).withWatermark("buy_ts", "1 hour"),
+      clickSide(events).withWatermark("click_ts", "1 hour"),
+      joinType = "left_outer")
 
   /** st06: per-(user, event_type, hour) throttle — keep only the
     * earliest event in each bucket (the dedup/rate-limit primitive:
@@ -240,6 +276,7 @@ object EventWindows {
     "st04_windowed_distinct" -> (st04WindowedDistinct _),
     "st05_click_attribution" -> (st05ClickAttribution _),
     "st06_event_throttle" -> (st06EventThrottle _),
+    "st07_unattributed_buys" -> (st07UnattributedBuys _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -249,5 +286,6 @@ object EventWindows {
     "st04_windowed_distinct" -> st04Sql,
     "st05_click_attribution" -> st05Sql,
     "st06_event_throttle" -> st06Sql,
+    "st07_unattributed_buys" -> st07Sql,
   )
 }

@@ -159,6 +159,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: inner rows match batch, outer rows are held back correctly") {
+    val q = EventWindows.streamingUnattributedBuys(streamingEvents())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("unattributed").start()
+    try {
+      q.processAllAvailable()
+      def split(rows: Array[org.apache.spark.sql.Row]) = {
+        val (outer, inner) = rows.map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .partition(_._2.isEmpty)
+        (inner.toSet, outer.map(_._1).toSet)
+      }
+      val (sInner, sOuter) = split(
+        spark.table("unattributed").select("buy_id", "click_id").collect())
+      val (bInner, bOuter) = split(
+        EventWindows.st07UnattributedBuys(spark, sf)
+          .select("buy_id", "click_id").collect())
+      // matched rows don't wait for the watermark — exact equality
+      assert(sInner === bInner)
+      assert(sInner.nonEmpty)
+      // null-extended rows emit only once the watermark passes the
+      // purchase's join window; a bounded replay ends with the tail of
+      // the stream still inside the watermark, so the streamed outer
+      // set is a SUBSET of the batch outer set — never a superset, and
+      // never overlapping the batch inner buy set
+      assert(sOuter.subsetOf(bOuter))
+      assert(sOuter.intersect(bInner.map(_._1)).isEmpty)
+    } finally q.stop()
+  }
+
   test("checkpointed file-sink restart is exactly-once across new data") {
     // the recovery contract a long-running 100 TB ingestion relies on:
     // source offsets live in the checkpoint, committed output files in

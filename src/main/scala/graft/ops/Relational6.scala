@@ -162,6 +162,46 @@ object Relational6 {
       |  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2000)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** Navigation windows not covered by q12-q14: lead, first_value /
+    * last_value / nth_value over the full-partition ROWS frame (the
+    * default RANGE..CURRENT ROW frame makes last_value degenerate to
+    * the current row). Order key ends with l_quantity for the same
+    * reason as q12 — the sf0.1 fixture's duplicate (orderkey,
+    * linenumber) pair must not leave neighbor order engine-specific. */
+  def q58NavWindows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ord = Seq(col("l_shipdate"), col("l_orderkey"),
+      col("l_linenumber"), col("l_quantity"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1).over(w).as("next_qty"),
+        first(col("l_orderkey")).over(w2).as("first_order"),
+        last(col("l_orderkey")).over(w2).as("last_order"),
+        nth_value(col("l_orderkey"), 3).over(w2).as("third_order"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("prev_qty"))
+  }
+
+  val q58Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  lag(l_quantity, 1) OVER w AS prev_qty,
+      |  lead(l_quantity, 1) OVER w AS next_qty,
+      |  first_value(l_orderkey) OVER w2 AS first_order,
+      |  last_value(l_orderkey) OVER w2 AS last_order,
+      |  nth_value(l_orderkey, 3) OVER w2 AS third_order
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity),
+      |  w2 AS (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, prev_qty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_lateral" -> (q54Lateral _),
     "q50_priority_check" -> (q50PriorityCheck _),
@@ -170,6 +210,7 @@ object Relational6 {
     "q53_regexp_extract_all" -> (q53RegexpExtractAll _),
     "q55_window_ranks" -> (q55WindowRanks _),
     "q56_multiset_ops" -> (q56MultisetOps _),
+    "q58_nav_windows" -> (q58NavWindows _),
   )
   val oracle: Map[String, String] = Map(
     "q54_lateral" -> q54Sql,
@@ -179,5 +220,6 @@ object Relational6 {
     "q53_regexp_extract_all" -> q53Sql,
     "q55_window_ranks" -> q55Sql,
     "q56_multiset_ops" -> q56Sql,
+    "q58_nav_windows" -> q58Sql,
   )
 }

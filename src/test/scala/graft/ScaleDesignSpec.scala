@@ -129,6 +129,47 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("d02 digest dedup shuffles a fraction of d01's full-text bytes") {
+    // d02's scale claim is that the dedup shuffle ships 16-byte digests
+    // instead of documents. Measured, not asserted from the plan: total
+    // shuffle-WRITE bytes across all tasks via a SparkListener, for the
+    // two structurally-identical queries.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val sc = spark.sparkContext
+
+    def totalShuffleWrite(df: org.apache.spark.sql.DataFrame): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      sc.addSparkListener(listener)
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        var last = -1L
+        var quiet = 0
+        var spins = 0
+        while (quiet < 2 && spins < 100) {
+          val t = bytes.get()
+          if (t == last && t > 0) quiet += 1 else quiet = 0
+          last = t; spins += 1; Thread.sleep(100)
+        }
+        assert(bytes.get() > 0, "no shuffle-write bytes observed")
+        bytes.get()
+      } finally sc.removeSparkListener(listener)
+    }
+
+    val textBytes = totalShuffleWrite(llm.Dedup.d01ExactDedup(spark, sf))
+    val digestBytes = totalShuffleWrite(llm.Dedup.d02HashDedup(spark, sf))
+    // d02 also carries the hex digest through its output columns, so it
+    // is not a strict 16-vs-300-byte ratio — but the document text must
+    // be gone from the shuffle: well under half of d01's bytes
+    assert(digestBytes * 2 < textBytes,
+      s"digest dedup shuffled $digestBytes vs full-text $textBytes")
+  }
+
   test("salted join actually spreads a hot key across tasks") {
     // Skew.saltedEquiJoin is row-identity-verified in IoParitySpec; this
     // is the SCALE claim: with a key holding 50% of the fact rows, the

@@ -155,6 +155,41 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** m06: cross-media duplicate-frame detection — digest each media
+    * blob's fixed-offset 16-byte frames (the deterministic stand-in for
+    * per-frame content hashes) and keep digests appearing in more than
+    * one document: byte-identical frames shared across distinct media,
+    * the frame-level analogue of d02's digest dedup. At 100 TB this is
+    * one hash shuffle on 16-byte digests with map-side partial counts;
+    * frame payloads never travel. */
+  def m06DupFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        explode(sequence(lit(0), lit(3))).as("frame_idx"))
+      .filter(col("frame_idx") * 16 < col("n_chars"))
+      .select(col("doc_id"),
+        md5(concat(
+          expr("substring(text, frame_idx * 16 + 1, 16)"),
+          lit(":"), col("frame_idx").cast("string"))).as("frame_md5"))
+      .groupBy(col("frame_md5"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("first_doc"), col("frame_md5"))
+
+  val m06Sql: String =
+    """WITH frames AS (
+      |  SELECT doc_id,
+      |    md5(substr(text, 16 * i + 1, 16) || ':' || CAST(i AS VARCHAR))
+      |      AS frame_md5
+      |  FROM documents, range(0, 4) t(i)
+      |  WHERE 16 * i < n_chars
+      |)
+      |SELECT frame_md5, COUNT(DISTINCT doc_id) AS n_docs,
+      |  MIN(doc_id) AS first_doc
+      |FROM frames GROUP BY frame_md5 HAVING COUNT(DISTINCT doc_id) > 1
+      |ORDER BY first_doc, frame_md5""".stripMargin
+
   /** Resize pipeline: pack → stub-resize to 32×32 → size/meta audit. */
   def m04Resize(spark: SparkSession, dir: String): DataFrame =
     resize(packAsMedia(spark, dir), 32, 32)
@@ -240,6 +275,7 @@ object Multimodal {
     "m03_frame_sample" -> (m03FrameSample _),
     "m04_resize" -> (m04Resize _),
     "m05_binary_files" -> (m05BinaryFiles _),
+    "m06_dup_frames" -> (m06DupFrames _),
   )
 
   /** m03's frame set is fully determined by (text, n_chars): nFrames =
@@ -312,5 +348,6 @@ object Multimodal {
     "m03_frame_sample" -> m03Sql,
     "m04_resize" -> m04Sql,
     "m05_binary_files" -> m05Sql,
+    "m06_dup_frames" -> m06Sql,
   )
 }

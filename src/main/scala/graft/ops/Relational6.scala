@@ -202,6 +202,25 @@ object Relational6 {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY l_suppkey, l_orderkey, l_linenumber, prev_qty""".stripMargin
 
+  /** Time-hierarchy rollup with GROUPING() flags — the disambiguation
+    * q15-q17 leave implicit: a NULL group key cannot distinguish "the
+    * subtotal row" from "a genuinely NULL value"; the grouping flag
+    * can, and every BI layer on top of a rollup needs it. Same SQL
+    * text through Catalyst and DuckDB. */
+  def q59GroupingRollup(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, q59Sql)
+
+  val q59Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
+      |  CAST(QUARTER(o_orderdate) AS INT) AS q,
+      |  CAST(GROUPING(YEAR(o_orderdate)) AS INT) AS g_y,
+      |  CAST(GROUPING(QUARTER(o_orderdate)) AS INT) AS g_q,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP(YEAR(o_orderdate), QUARTER(o_orderdate))
+      |ORDER BY g_y, g_q, y NULLS FIRST, q NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_lateral" -> (q54Lateral _),
     "q50_priority_check" -> (q50PriorityCheck _),
@@ -211,6 +230,7 @@ object Relational6 {
     "q55_window_ranks" -> (q55WindowRanks _),
     "q56_multiset_ops" -> (q56MultisetOps _),
     "q58_nav_windows" -> (q58NavWindows _),
+    "q59_grouping_rollup" -> (q59GroupingRollup _),
   )
   val oracle: Map[String, String] = Map(
     "q54_lateral" -> q54Sql,
@@ -221,5 +241,6 @@ object Relational6 {
     "q55_window_ranks" -> q55Sql,
     "q56_multiset_ops" -> q56Sql,
     "q58_nav_windows" -> q58Sql,
+    "q59_grouping_rollup" -> q59Sql,
   )
 }

@@ -115,6 +115,79 @@ object DupClusters {
       graft.Tables(spark, dir, "documents"),
       Dedup.d03MinHashLsh(spark, dir))
 
+  /** d11 near-dup edge threshold — see the threshold note on
+    * [[d11SemDedup]]. */
+  val SemDedupThreshold = 0.45
+
+  /** d11: semantic dedup over IVF cells (cf. SemDeDup, Abbas et al.,
+    * arXiv:2303.09540) — the 100 TB shape of embedding near-dup removal:
+    * instead of d06's all-pairs cosine, restrict the quadratic search to
+    * the trained IVF cells ([[Similarity.ivfRanked]], shared with s02) —
+    * semantically-close vectors land in the same Voronoi cell, so
+    * within-cell pairs recover the near-dup edges at n²/K cost with
+    * `cell` as the co-partition key (the join shuffles on cell; AQE
+    * absorbs cell-size skew). Edges (cosine ≥ [[SemDedupThreshold]])
+    * feed the same label-propagation CC as the text path; the labels are
+    * the duplicate-cluster assignment — `cluster` = the kept
+    * representative.
+    *
+    * The threshold sits ABOVE d06's 0.4 deliberately: semantic dedup
+    * removes near-identical content, and label-propagation cost is
+    * O(component diameter) rounds — at 0.4 the bench-scale fixture's
+    * barely-similar pairs chain into ~75-node components of diameter
+    * ~10 (measured), i.e. threshold choice IS the scale knob for any
+    * transitive dedup. At 0.45 components stay ≤ ~5 nodes, diameter
+    * ≤ 3, at every fixture scale.
+    *
+    * The trade against d06 is the standard ANN one: a cross-cell
+    * near-dup pair is missed (LlmOpsSpec measures the within-cell
+    * recall); everything found is exact-verified, so precision is 1. */
+  def d11SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val members = Similarity.ivfRanked(spark, dir)
+      .filter(col("cell_rank") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
+      .localCheckpoint() // both self-join sides + nothing else re-trains IVF
+    val a = members.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = members.select(col("cell"), col("vec_id").as("doc_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine",
+        expr("vec_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cosine") >= SemDedupThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(edges)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** d11 oracle: the shared trained-IVF CTE chain
+    * ([[Similarity.ivfRankedCte]] — bit-reproducible by construction),
+    * within-cell exact-cosine edges, the same recursive-reachability
+    * labels as the text-dedup oracles. */
+  val d11Sql: String = Similarity.ivfRankedCte
+    .replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    """, mem AS (
+      |  SELECT cell, vec_id, v, nrm FROM ranked WHERE cell_rank = 1
+      |), sp AS (
+      |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+      |    >= """.stripMargin + SemDedupThreshold +
+    """
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM sp
+      |  UNION SELECT doc_b, doc_a FROM sp
+      |), reach AS (
+      |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |), labels AS (
+      |  SELECT src AS vec_id, MIN(dst) AS cluster FROM reach GROUP BY src
+      |)
+      |SELECT vec_id, cluster FROM labels ORDER BY vec_id""".stripMargin
+
   /** Recursive-reachability CTE block over an arbitrary source relation
     * (appended to [[Dedup.shingleCteOver]]'s chain): exact-Jaccard 0.8
     * edges → min reachable id per member node. One definition shared by
@@ -155,10 +228,12 @@ object DupClusters {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_dup_clusters" -> (d07DupClusters _),
     "d09_dedup_corpus" -> (d09DedupCorpus _),
+    "d11_semdedup" -> (d11SemDedup _),
   )
 
   val oracle: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql,
     "d09_dedup_corpus" -> d09Sql,
+    "d11_semdedup" -> d11Sql,
   )
 }

@@ -234,16 +234,72 @@ object Pipeline {
          |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** p05: uniform-mixture rebalancing — down-sample every language to
+    * the SMALLEST language's size, the standard move when one stratum
+    * dominates a corpus mix (the fixture is ~44% English). Unlike p04
+    * (fixed per-language rates), the keep rates here are DERIVED FROM
+    * THE DATA: per-language counts → per-mille rate `⌊1000·n_min/n_l⌋`
+    * — so the operator is self-tuning as the corpus drifts. Membership
+    * is the same content-hash bucket rule as p04 (pure function of the
+    * document; reproducible across runs, engines and partitionings —
+    * `rand()` sampling is none of those).
+    *
+    * Plan shape at 100 TB: one per-language count (K rows, map-side
+    * combine), a 1-row global min, the K-row rates frame broadcast back
+    * onto the corpus — the corpus itself is never shuffled; the filter
+    * is scan-adjacent and narrow. All arithmetic is integer, so the
+    * oracle replays membership exactly. */
+  def p05MixtureRebalance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val minCount = counts.agg(min(col("n_lang")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minCount))
+      .select(col("lang"),
+        expr("1000 * n_min DIV n_lang").as("keep_per_mille"))
+    docs
+      .withColumn("bucket",
+        pmod(expr("rolling_min_hash(text)"), lit(1000L)))
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("keep_per_mille"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the shared fingerprint CTE, the same integer rate
+    * derivation (`//` ≡ Spark's `DIV` on non-negative counts), the same
+    * non-negative modulus. */
+  val p05Sql: String = TextStats.fpWithCte +
+    """,
+      |counts AS (
+      |  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+      |),
+      |rates AS (
+      |  SELECT lang, 1000 * (SELECT MIN(n_lang) FROM counts) // n_lang
+      |    AS keep_per_mille
+      |  FROM counts
+      |)
+      |SELECT d.doc_id, d.lang,
+      |  ((f.fingerprint % 1000) + 1000) % 1000 AS bucket
+      |FROM documents d
+      |JOIN fp f ON d.doc_id = f.doc_id
+      |JOIN rates r ON d.lang = r.lang
+      |WHERE ((f.fingerprint % 1000) + 1000) % 1000 < r.keep_per_mille
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
     "p02_shard_stats" -> (p02ShardStats _),
     "p03_token_budget" -> (p03TokenBudget _),
     "p04_stratified_sample" -> (p04StratifiedSample _),
+    "p05_mixture_rebalance" -> (p05MixtureRebalance _),
   )
   val oracle: Map[String, String] = Map(
     "p01_dedup_pipeline" -> p01Sql,
     "p02_shard_stats" -> p02Sql,
     "p03_token_budget" -> p03Sql,
     "p04_stratified_sample" -> p04Sql,
+    "p05_mixture_rebalance" -> p05Sql,
   )
 }

@@ -69,7 +69,14 @@ object Similarity {
     * (float quanta are ≤ 2⁻²⁰ off the true mean, irrelevant to cell
     * quality). The long sum overflows only past count·2²⁰·|x| ≈ 2⁶³,
     * i.e. ~8·10¹² unit-scale members per cell — not a 100 TB concern. */
-  def s02IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained-IVF cell ranking shared by s02 and the semantic-dedup
+    * operator ([[DupClusters.d11SemDedup]]): seed pick, one Lloyd round
+    * with quantized-integer centroid means (see [[s02IvfTopK]]'s
+    * contract notes), then every vector ranked against the trained
+    * centroids. Returns `(vec_id, embedding, norm, cell, csim,
+    * cell_rank)` — `cell_rank = 1` is the index assignment, higher
+    * ranks are the probe cells. */
+  private[llm] def ivfRanked(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir)
     val seeds = v.orderBy(col("vec_id")).limit(16)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"),
@@ -100,12 +107,16 @@ object Similarity {
     // Final assignment against the trained centroids: nearest cell per
     // vector is the index cell (rank 1); queries probe the nprobe
     // nearest cells (rank <= 3).
-    val ranked = v.join(broadcast(centroids), lit(true))
+    v.join(broadcast(centroids), lit(true))
       .withColumn("csim",
         expr("vec_dot(embedding, centroid)") / (col("norm") * col("cnorm")))
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
         col("csim"))
       .withColumn("cell_rank", row_number().over(byVec))
+  }
+
+  def s02IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfRanked(spark, dir)
 
     val index = ranked.filter(col("cell_rank") === 1)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
@@ -354,11 +365,13 @@ object Similarity {
       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
       |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
-  /** IVF replica: same seed pick (16 lowest vec_ids), the same one-Lloyd
-    * centroid refinement — quantized `floor(x·2²⁰)` component sums make
-    * the mean order-independent, so it reproduces bit-for-bit here —
-    * then nprobe=3 probe ranking, cell-restricted candidate join, k=5. */
-  val s02Sql: String = normCte +
+  /** The [[ivfRanked]] training replayed in SQL — the CTE chain through
+    * `ranked`, shared by the s02 and d11 oracles: same seed pick (16
+    * lowest vec_ids), the same one-Lloyd centroid refinement — quantized
+    * `floor(x·2²⁰)` component sums make the mean order-independent, so
+    * it reproduces bit-for-bit here — then every vector ranked against
+    * the trained centroids. */
+  private[llm] val ivfRankedCte: String = normCte +
     """, seed AS (
       |  SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM nn
       |  ORDER BY vec_id LIMIT 16
@@ -391,7 +404,12 @@ object Similarity {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
       |    ORDER BY csim DESC, cell) AS cell_rank
       |  FROM sims
-      |), idx AS (
+      |)""".stripMargin
+
+  /** s02 oracle: probe ranking (nprobe=3), cell-restricted candidate
+    * join, k=5, over the shared trained-IVF chain. */
+  val s02Sql: String = ivfRankedCte +
+    """, idx AS (
       |  SELECT cell, vec_id AS neighbor_id, v AS iv, nrm AS inrm
       |  FROM ranked WHERE cell_rank = 1
       |), probes AS (

@@ -88,6 +88,59 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hits.toDouble / exact.size > 0.3)
   }
 
+  test("d11 semdedup: valid clusters, exact-verified members, cell recall") {
+    val labels = llm.DupClusters.d11SemDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(labels.nonEmpty)
+    // cluster label = minimum member id, and the representative is a member
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c)
+      assert(labels(c) == c)
+    }
+    // precision 1 by construction: every clustered vector took part in at
+    // least one exact-verified within-cell edge, and every such edge is a
+    // d06 pair at a stricter threshold (0.45 ≥ d06's 0.4)
+    val d06 = Dedup.d06EmbeddingNearDup(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")),
+        r.getAs[Double]("cosine"))).toMap
+    labels.keys.foreach { v =>
+      assert(d06.keys.exists(p => p._1 == v || p._2 == v))
+    }
+    // recall against the exact pair set AT d11's own threshold: pairs
+    // whose endpoints share a d11 cluster. The fixture is unclustered
+    // gaussian noise — the worst case for cell co-location; chance
+    // co-cell rate with 16 cells is ~1/16, so any sizable fraction
+    // proves the cells route similar vectors together
+    val exactAtTau = d06.collect {
+      case (p, c) if c >= llm.DupClusters.SemDedupThreshold => p
+    }.toSet
+    assert(exactAtTau.nonEmpty)
+    val recovered = exactAtTau.count { case (a, b) =>
+      labels.get(a).exists(ca => labels.get(b).contains(ca))
+    }
+    assert(recovered.toDouble / exactAtTau.size > 0.15)
+  }
+
+  test("p05 mixture rebalance: every language lands near the smallest stratum") {
+    val raw = Tables(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = raw.values.min
+    val sampled = llm.Pipeline.p05MixtureRebalance(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum survives, each down-sampled to ~the smallest one
+    // (content-hash buckets are binomial around n_min; the fixture is
+    // deterministic, observed spread 57-68 around n_min = 64)
+    assert(sampled.keySet == raw.keySet)
+    sampled.values.foreach { n =>
+      assert(n >= nMin * 3 / 4 && n <= nMin * 5 / 4, s"$sampled vs min $nMin")
+    }
+    // the dominant stratum actually shrank (en is ~40-44% of the fixture
+    // corpora; after rebalance it holds a ~1/K share like everyone else)
+    assert(sampled("en") < raw("en") / 2)
+  }
+
   test("t04 fingerprint is deterministic and discriminative") {
     val a = TextStats.t04Fingerprint(spark, sf).collect()
     val b = TextStats.t04Fingerprint(spark, sf).collect()

@@ -377,6 +377,8 @@ class ScaleDesignSpec extends AnyFunSuite {
     // planning an accidental cross join at 100 TB.
     val quadraticByDesign = Set("s01_cosine_topk", "s02_ivf_topk",
       "s03_topk_aggregate", "s05_quantized_topk", "d06_embedding_near_dup",
+      "d11_semdedup", // the s02 IVF fan-out (16 broadcast centroids), not n²
+      "p05_mixture_rebalance", // 1-row global-min frame broadcast, like t05
       "t05_tfidf")
     SparkEntry.queries.foreach { case (name, fn) =>
       // AQE wraps the whole plan in a LeafExecNode; collect* would see

@@ -288,12 +288,65 @@ object Pipeline {
       |WHERE ((f.fingerprint % 1000) + 1000) % 1000 < r.keep_per_mille
       |ORDER BY d.doc_id""".stripMargin
 
+  /** p06: leakage-safe train/validation split — the assignment step a
+    * training-data pipeline runs LAST, with the property that matters:
+    * near-duplicate documents can never straddle the split (a val doc
+    * whose near-twin sits in train silently inflates eval). Membership
+    * is decided per DUPLICATE CLUSTER, not per document: near-dup
+    * components (the shared MinHash-LSH + label-propagation stages of
+    * d03/d07) elect their min-id representative, every member inherits
+    * the representative's content-hash bucket, and bucket < 9 ⇒ train
+    * (a 90/10 split). Singletons are their own representative, so the
+    * whole assignment stays a pure function of corpus content —
+    * reproducible across runs, engines, partitionings.
+    *
+    * Plan shape at 100 TB: the LSH/CC stages are d03/d07's (banded,
+    * capped, O(diameter) rounds over the near-dup subgraph only); the
+    * rest is one left join of labels onto the corpus and one equi-join
+    * to fetch the representative's fingerprint bucket — all
+    * shuffle-shaped, nothing driver-side. */
+  def p06LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+    val labels = DupClusters.connectedComponents(
+      Dedup.minHashPairs(docs, threshold = 0.8))
+    val rep = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("rep"))
+    val buckets = docs.select(col("doc_id").as("fp_id"),
+      pmod(expr("rolling_min_hash(text)"), lit(10L)).as("bucket"))
+    rep.join(buckets, col("rep") === col("fp_id"))
+      .withColumn("split",
+        when(col("bucket") < 9, lit("train")).otherwise(lit("val")))
+      .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the shared exact-Jaccard reachability labels + the shared
+    * fingerprint CTE, representative bucket via the same COALESCE. */
+  val p06Sql: String = {
+    val reach = Dedup.shingleOracleCte
+      .replaceFirst("^WITH ", "WITH RECURSIVE ") + DupClusters.reachCteTail
+    reach + TextStats.fpWithCte.replaceFirst("^WITH ", ", ") +
+      """
+        |SELECT d.doc_id,
+        |  COALESCE(l.cluster, d.doc_id) AS rep,
+        |  ((f.fingerprint % 10) + 10) % 10 AS bucket,
+        |  CASE WHEN ((f.fingerprint % 10) + 10) % 10 < 9
+        |    THEN 'train' ELSE 'val' END AS split
+        |FROM documents d
+        |LEFT JOIN labels l ON d.doc_id = l.doc_id
+        |JOIN fp f ON f.doc_id = COALESCE(l.cluster, d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
     "p02_shard_stats" -> (p02ShardStats _),
     "p03_token_budget" -> (p03TokenBudget _),
     "p04_stratified_sample" -> (p04StratifiedSample _),
     "p05_mixture_rebalance" -> (p05MixtureRebalance _),
+    "p06_leakage_safe_split" -> (p06LeakageSafeSplit _),
   )
   val oracle: Map[String, String] = Map(
     "p01_dedup_pipeline" -> p01Sql,
@@ -301,5 +354,6 @@ object Pipeline {
     "p03_token_budget" -> p03Sql,
     "p04_stratified_sample" -> p04Sql,
     "p05_mixture_rebalance" -> p05Sql,
+    "p06_leakage_safe_split" -> p06Sql,
   )
 }

@@ -463,7 +463,60 @@ object TextStats {
        |WHERE d.source <> 'src0'
        |ORDER BY z.doc_id""".stripMargin
 
+  /** t09: unigram-surprisal quality proxy — rank documents by how rare
+    * their tokens are under the corpus's OWN unigram model: the shape of
+    * a perplexity filter (cf. CCNet, Wenzek et al., LREC'20), which a
+    * training-data pipeline runs to drop gibberish (very rare tokens)
+    * and boilerplate (very common ones). Per-token surprisal uses the
+    * repo's rational-arithmetic convention: `N DIV c(token)` — the
+    * integer floor of inverse unigram probability, monotone in
+    * −log p(token), so the induced ranking matches a log-based filter
+    * while staying engine-exact (`ln()` is not bit-reproducible across
+    * engines; integer floor-div is).
+    *
+    * Plan at 100 TB: token explode → vocab count (one shuffle on the
+    * token, map-side combine) → tokens⋈vocab equi-join (AQE splits the
+    * stopword skew) → per-doc sum. The corpus token total rides a
+    * broadcast 1-row frame like t05's n_docs — no driver-side count. */
+  def t09Surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"), explode(col("ws")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    val total = vocab.agg(sum(col("c_t")).as("n_total"))
+    toks.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("inv", expr("n_total DIV c_t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("inv")).as("rarity_sum"))
+      .withColumn("rarity",
+        col("rarity_sum").cast(DoubleType) / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_sum"),
+        col("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t09 oracle: same tokenization as t05, same integer floor-div
+    * surprisal, one final double division from identical operands. */
+  val t09Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT token, COUNT(*) AS c_t FROM toks GROUP BY token
+      |), tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_total FROM vocab),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(n_total // c_t) AS BIGINT) AS rarity_sum
+      |  FROM toks JOIN vocab USING (token) CROSS JOIN tot
+      |  GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, rarity_sum,
+      |  CAST(rarity_sum AS DOUBLE) / n_tokens AS rarity
+      |FROM per ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_surprisal" -> (t09Surprisal _),
     "t06_bigrams" -> (t06Bigrams _),
     "t07_repetition" -> (t07Repetition _),
     "t01_token_stats" -> (t01TokenStats _),
@@ -483,5 +536,6 @@ object TextStats {
     "t06_bigrams" -> t06Sql,
     "t07_repetition" -> t07Sql,
     "t08_contamination" -> t08Sql,
+    "t09_surprisal" -> t09Sql,
   )
 }

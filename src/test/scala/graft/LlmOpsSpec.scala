@@ -141,6 +141,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sampled("en") < raw("en") / 2)
   }
 
+  test("p06 split: no near-dup pair straddles train/val; ratio is ~90/10") {
+    val split = llm.Pipeline.p06LeakageSafeSplit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // the property the operator exists for: both endpoints of every
+    // near-dup edge land on the same side
+    val pairs = Dedup.d03MinHashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(split(a) == split(b)) }
+    // 1-in-10 buckets go to val; hash buckets are binomial around 10%
+    val nVal = split.values.count(_ == "val")
+    assert(nVal > 0 && nVal < split.size / 4)
+  }
+
+  test("t09 surprisal matches a driver-side recompute, discriminative") {
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val all = texts.values.toSeq.flatMap(_.split(" ", -1))
+    val c = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toLong
+    val rows = llm.TextStats.t09Surprisal(spark, sf).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val (id0, t0) = texts.head
+    val toks = t0.split(" ", -1)
+    assert(byId(id0).getAs[Long]("n_tokens") == toks.length)
+    assert(byId(id0).getAs[Long]("rarity_sum") == toks.map(t => n / c(t)).sum)
+    // every token satisfies c_t >= 1, so rarity >= 1; and the corpus's
+    // token mix must actually separate documents
+    val rarities = rows.map(_.getAs[Double]("rarity"))
+    assert(rarities.min >= 1.0 && rarities.max > rarities.min)
+  }
+
   test("t04 fingerprint is deterministic and discriminative") {
     val a = TextStats.t04Fingerprint(spark, sf).collect()
     val b = TextStats.t04Fingerprint(spark, sf).collect()

@@ -397,6 +397,36 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("scan parallelism: multi-part dirs split per file; maxPartitionBytes subdivides") {
+    // The fixtures are single-part files, so the bench never exercises
+    // Spark's file-splitting — this pins the contract the 100 TB path
+    // relies on: a multi-part directory scans in parallel (split count
+    // tracks cores while files are tiny), and once
+    // spark.sql.files.maxPartitionBytes drops below the file size every
+    // file yields multiple splits (parquet subdivides at row-group
+    // boundaries). Both knobs are per-read session confs; nothing in
+    // graft.Tables blocks them. Measured here (local[4], 8 files of
+    // ~20 KB): defaults -> 4 splits, 16 KB maxPartitionBytes -> 16.
+    val dir = java.nio.file.Files.createTempDirectory("graft_parts").toString
+    Tables(spark, sf, "lineitem").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/li8")
+    val conf = spark.conf
+    val oldMax = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+      val coarse = spark.read.parquet(s"$dir/li8").rdd.getNumPartitions
+      assert(coarse >= 2,
+        s"a multi-part dir must scan in parallel, got $coarse partitions")
+      conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val fine = spark.read.parquet(s"$dir/li8").rdd.getNumPartitions
+      assert(fine >= 8 && fine > coarse,
+        s"16 KB maxPartitionBytes should split per-file and finer: " +
+          s"$fine vs $coarse")
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+    }
+  }
+
   test("scan lint: filters push into the parquet scan, columns prune") {
     // q01: the shipdate predicate must reach the lineitem scan, and the
     // scan must not read columns the query never touches (l_comment is

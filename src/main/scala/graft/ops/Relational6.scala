@@ -105,6 +105,31 @@ object Relational6 {
       |WHERE c_mktsegment = 'MACHINERY'
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** TPC-H Q21 shape (the fixture schema has no commit/receipt dates,
+    * so "waiting" becomes "sole latest shipper"): suppliers who, in
+    * multi-supplier orders, were the only supplier shipping on the
+    * order's last ship date. Exercises the full correlated-subquery
+    * trio on ONE table — a correlated scalar MAX, a correlated EXISTS
+    * and a correlated NOT EXISTS — which Catalyst must decorrelate into
+    * aggregate + semi + anti joins over l_orderkey (the classic Q21
+    * planner stressor). Same SQL text through Catalyst and DuckDB. */
+  def q60LastShippers(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, q60Sql)
+
+  val q60Sql: String =
+    """SELECT s.l_suppkey AS suppkey, COUNT(DISTINCT s.l_orderkey) AS numwait
+      |FROM lineitem s
+      |WHERE s.l_shipdate = (SELECT MAX(l2.l_shipdate) FROM lineitem l2
+      |                      WHERE l2.l_orderkey = s.l_orderkey)
+      |  AND EXISTS (SELECT 1 FROM lineitem l3
+      |              WHERE l3.l_orderkey = s.l_orderkey
+      |                AND l3.l_suppkey <> s.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l4
+      |                  WHERE l4.l_orderkey = s.l_orderkey
+      |                    AND l4.l_suppkey <> s.l_suppkey
+      |                    AND l4.l_shipdate = s.l_shipdate)
+      |GROUP BY s.l_suppkey ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin
+
   /** Rank-family windows not covered by q11-q14: NTILE buckets,
     * percent_rank, cume_dist — per-nation customer balance quantiles.
     * The order key (acctbal, custkey) is total, so every rank — and the
@@ -231,6 +256,7 @@ object Relational6 {
     "q56_multiset_ops" -> (q56MultisetOps _),
     "q58_nav_windows" -> (q58NavWindows _),
     "q59_grouping_rollup" -> (q59GroupingRollup _),
+    "q60_last_shippers" -> (q60LastShippers _),
   )
   val oracle: Map[String, String] = Map(
     "q54_lateral" -> q54Sql,
@@ -242,5 +268,6 @@ object Relational6 {
     "q56_multiset_ops" -> q56Sql,
     "q58_nav_windows" -> q58Sql,
     "q59_grouping_rollup" -> q59Sql,
+    "q60_last_shippers" -> q60Sql,
   )
 }

@@ -269,6 +269,49 @@ object EventWindows {
       .dropDuplicatesWithinWatermark(
         Seq("user_id", "event_type", "hour_start"))
 
+  /** st08: dense-hour gap fill — a complete hour axis with explicit
+    * zero rows for silent hours (st01's groupBy can only report hours
+    * that HAVE events; a monitoring/report consumer needs the gaps).
+    * The grid comes from `sequence(min, max, 1 hour)` + explode — one
+    * tiny array on one row, exploded and joined against the per-hour
+    * partial-aggregated counts; even a decade of hours is ~90k grid
+    * rows, so the grid side is always broadcastable. (A recursive-CTE
+    * grid was investigated and rejected: Spark 4.1 executes each
+    * recursion step as its own iteration — ~0.15 s/step, 100+ s for a
+    * 720-hour grid — and recursive UNION-distinct, needed for cyclic
+    * closures, is unsupported. `sequence()` is the Spark-native answer;
+    * at sf0.001 189 of 720 hours are genuinely silent.) */
+  def st08GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = bounds.select(
+      explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_start"))
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    grid.join(counts, Seq("hour_start"), "left")
+      .select(col("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("hour_start"))
+  }
+
+  val st08Sql: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+      |         date_trunc('hour', MAX(ts)) AS h1 FROM events
+      |), grid AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+      |    AS hour_start FROM b
+      |), counts AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT g.hour_start, COALESCE(c.n, 0) AS n_events
+      |FROM grid g LEFT JOIN counts c USING (hour_start)
+      |ORDER BY g.hour_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_tumbling_hourly" -> (st01TumblingHourly _),
     "st02_sliding_windows" -> (st02SlidingWindows _),
@@ -277,6 +320,7 @@ object EventWindows {
     "st05_click_attribution" -> (st05ClickAttribution _),
     "st06_event_throttle" -> (st06EventThrottle _),
     "st07_unattributed_buys" -> (st07UnattributedBuys _),
+    "st08_gap_fill" -> (st08GapFill _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -287,5 +331,6 @@ object EventWindows {
     "st05_click_attribution" -> st05Sql,
     "st06_event_throttle" -> st06Sql,
     "st07_unattributed_buys" -> st07Sql,
+    "st08_gap_fill" -> st08Sql,
   )
 }

@@ -33,6 +33,24 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  test("st08 gap fill: complete hour axis, real zeros, counts match st01") {
+    val rows = stream.EventWindows.st08GapFill(spark, sf).collect()
+    val hours = rows.map(_.getTimestamp(0).getTime)
+    // a complete, step-exact hour axis from min to max
+    assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600000L })
+    // the sf0.001 stream is sparse enough to have genuinely silent hours
+    val zeros = rows.count(_.getLong(1) == 0L)
+    assert(zeros > 0, "expected silent hours at sf0.001")
+    // nonzero rows must agree with st01's per-hour totals across types
+    val st01 = stream.EventWindows.st01TumblingHourly(spark, sf).collect()
+      .groupBy(_.getTimestamp(0)).view
+      .mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    rows.filter(_.getLong(1) > 0L).foreach { r =>
+      assert(st01(r.getTimestamp(0)) == r.getLong(1))
+    }
+    assert(rows.length == st01.size + zeros)
+  }
+
   test("streaming hourly counts equal the batch result") {
     val q = EventWindows.streamingHourlyCounts(streamingEvents())
       .writeStream.outputMode("complete")

@@ -340,8 +340,96 @@ object Pipeline {
         |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** p07: the complete corpus-preparation run — "prepare a training
+    * corpus" end to end, as ONE lazy dataflow:
+    *
+    *  1. benchmark decontamination (t08's n-gram-overlap core): drop
+    *     the benchmark slice itself (source = src0) and every training
+    *     doc sharing ≥ [[TextStats.ContaminationRatio]] of its 3-gram
+    *     shingles with it,
+    *  2. quality gate → 3. exact dedup → 4. near-dup removal: the
+    *     [[cleanCorpus]] stages, reused unchanged.
+    *
+    * Docs too short to shingle have no measurable overlap and pass the
+    * decontamination gate (they are absent from the contaminated set).
+    * Scale shape: the benchmark shingle set is tiny next to a 100 TB
+    * corpus and broadcasts; the corpus is never self-joined outside the
+    * LSH band buckets inside cleanCorpus; decontamination itself is one
+    * posting join + per-doc aggregate. The contaminated set carries
+    * n_shingles through the groupBy instead of joining sizes back —
+    * docs with zero shared shingles can never reach the 0.5 ratio, so
+    * their absence from the aggregate is exactly the semantics. */
+  def p07CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val docs = Tables(spark, dir, "documents")
+    val sh = Dedup.shingledFrame(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val benchSet = sh.filter(col("source") === "src0")
+      .select(explode(col("shingles")).as("sg")).distinct()
+    val contaminated = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+        explode(col("shingles")).as("sg"))
+      .join(benchSet, "sg")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared").cast(DoubleType) / col("n_shingles")
+        >= TextStats.ContaminationRatio)
+      .select(col("doc_id"))
+    val decon = docs.filter(col("source") =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    cleanCorpus(decon)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the full-corpus shingle chain (suffix 0) feeds the
+    * contamination gate; the survivor chain (default names) feeds the
+    * shared reachability block — two spliced [[Dedup.shingleCteOver]]
+    * instances plus [[DupClusters.reachCteTail]], then p01's final
+    * anti-join shape with lang joined back. */
+  val p07Sql: String = {
+    val full = Dedup.shingleCteOver("documents", "0")
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    val clean =
+      s""", bsh AS (
+         |  SELECT DISTINCT e.sg FROM ex0 e
+         |  JOIN documents d ON e.doc_id = d.doc_id WHERE d.source = 'src0'
+         |), contam AS (
+         |  SELECT e.doc_id FROM ex0 e
+         |  JOIN bsh USING (sg)
+         |  JOIN documents d ON e.doc_id = d.doc_id
+         |  JOIN sz0 z ON e.doc_id = z.doc_id
+         |  WHERE d.source <> 'src0'
+         |  GROUP BY e.doc_id, z.n
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / z.n
+         |    >= ${TextStats.ContaminationRatio}
+         |), decon AS (
+         |  SELECT d.* FROM documents d WHERE d.source <> 'src0'
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+         |), qual AS (
+         |  SELECT doc_id, text, n_chars FROM decon
+         |  WHERE ${TextStats.qualitySqlExpr} >= ${Pipeline.QualityThreshold}
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY MD5(text)
+         |), exact AS (
+         |  SELECT q.* FROM qual q JOIN keep k ON q.doc_id = k.doc_id
+         |)""".stripMargin
+    val reach = Dedup.shingleCteOver("exact").replaceFirst("^WITH ", ", ") +
+      DupClusters.reachCteTail
+    full + clean + reach +
+      """
+        |SELECT e.doc_id, d.lang, e.n_chars, MD5(e.text) AS content_md5
+        |FROM exact e JOIN documents d ON e.doc_id = d.doc_id
+        |WHERE e.doc_id NOT IN (
+        |  SELECT doc_id FROM labels WHERE doc_id <> cluster)
+        |ORDER BY e.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
+    "p07_corpus_prep" -> (p07CorpusPrep _),
     "p02_shard_stats" -> (p02ShardStats _),
     "p03_token_budget" -> (p03TokenBudget _),
     "p04_stratified_sample" -> (p04StratifiedSample _),
@@ -350,6 +438,7 @@ object Pipeline {
   )
   val oracle: Map[String, String] = Map(
     "p01_dedup_pipeline" -> p01Sql,
+    "p07_corpus_prep" -> p07Sql,
     "p02_shard_stats" -> p02Sql,
     "p03_token_budget" -> p03Sql,
     "p04_stratified_sample" -> p04Sql,

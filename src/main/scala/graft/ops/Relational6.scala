@@ -246,7 +246,33 @@ object Relational6 {
       |GROUP BY ROLLUP(YEAR(o_orderdate), QUARTER(o_orderdate))
       |ORDER BY g_y, g_q, y NULLS FIRST, q NULLS FIRST""".stripMargin
 
+  /** TPC-H Q15 shape: a derived per-supplier revenue view, its scalar
+    * MAX, and the join back to pick the top supplier(s) — the
+    * max-of-aggregate join-back pattern the other composites don't
+    * cover. The tie comparison runs on the EXACT decimal sums (cast to
+    * double only on output), so "equals the max" is deterministic in
+    * both engines. Catalyst reuses the revenue subtree for the scalar
+    * subquery; the supplier dim joins broadcast. */
+  def q61TopSupplier(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, q61Sql)
+
+  val q61Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1995-01-01'
+      |    AND l_shipdate < DATE '1995-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_top_supplier" -> (q61TopSupplier _),
     "q54_lateral" -> (q54Lateral _),
     "q50_priority_check" -> (q50PriorityCheck _),
     "q51_customer_distribution" -> (q51CustomerDistribution _),
@@ -259,6 +285,7 @@ object Relational6 {
     "q60_last_shippers" -> (q60LastShippers _),
   )
   val oracle: Map[String, String] = Map(
+    "q61_top_supplier" -> q61Sql,
     "q54_lateral" -> q54Sql,
     "q50_priority_check" -> q50Sql,
     "q51_customer_distribution" -> q51Sql,

@@ -359,9 +359,14 @@ object Pipeline {
     * n_shingles through the groupBy instead of joining sizes back —
     * docs with zero shared shingles can never reach the 0.5 ratio, so
     * their absence from the aggregate is exactly the semantics. */
-  def p07CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+  def p07CorpusPrep(spark: SparkSession, dir: String): DataFrame =
+    prepareCorpus(Tables(spark, dir, "documents"))
+
+  /** Frame-parameterized core of p07 over any (doc_id, text, lang,
+    * source, n_chars) relation — unit-tested with planted benchmark
+    * copies and near-dup pairs in LlmOpsSpec. */
+  private[graft] def prepareCorpus(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val docs = Tables(spark, dir, "documents")
     val sh = Dedup.shingledFrame(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
     val benchSet = sh.filter(col("source") === "src0")

@@ -312,4 +312,36 @@ class LlmOpsSpec extends AnyFunSuite {
     val pairs = Dedup.minHashPairs(survivors, threshold = 0.8).collect()
     assert(pairs.isEmpty)
   }
+
+  test("p07 core: decontamination, quality, exact + near dedup compose") {
+    import spark.implicits._
+    // four disjoint 40-token vocabularies of letter-only tokens (no
+    // digits = no junk penalty, none collide with the stopword list),
+    // 40 words => len_factor 0.4 => quality 0.4 >= the 0.3 gate
+    def vocab(p: Char): IndexedSeq[String] =
+      (0 until 40).map(i =>
+        s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val v = vocab('v'); val w = vocab('w'); val u = vocab('u')
+    val z = vocab('z')
+    val benchText = v.mkString(" ")
+    // 25 of 40 tokens shared with the benchmark prefix => 23 of its 38
+    // trigram shingles shared => ratio 0.605 >= 0.5 (contaminated)
+    val halfText = (v.take(25) ++ w.take(15)).mkString(" ")
+    val nearA = u.mkString(" ")                      // 38 shingles
+    val nearB = (u.take(39) :+ "vox").mkString(" ")  // J = 37/39 = 0.949
+    val dupText = z.mkString(" ")
+    val docs = Seq(
+      (1L, benchText, "en", "src0", benchText.length.toLong), // benchmark
+      (2L, benchText, "en", "web", benchText.length.toLong),  // exact copy of bench -> contaminated
+      (3L, halfText, "en", "web", halfText.length.toLong),    // 0.605 overlap -> contaminated
+      (4L, w.mkString(" "), "en", "web", w.mkString(" ").length.toLong), // clean
+      (5L, nearA, "en", "web", nearA.length.toLong),           // near-dup pair:
+      (6L, nearB, "en", "web", nearB.length.toLong),           //   6 dropped, 5 kept
+      (7L, dupText, "en", "web", dupText.length.toLong),       // exact-dup pair:
+      (8L, dupText, "en", "web", dupText.length.toLong)        //   8 dropped, 7 kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = llm.Pipeline.prepareCorpus(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L, 5L, 7L))
+    out.foreach(r => assert(r.getAs[String]("lang") == "en"))
+  }
 }

@@ -35,7 +35,7 @@ object Dedup {
   /** Word 3-gram shingle set per document (documents with ≥3 tokens),
     * via the codegen'd [[graft.functions.WordShingles]] single-pass
     * kernel. Frame-parameterized: any (doc_id, text) relation works. */
-  private[llm] def shingledFrame(docs: DataFrame): DataFrame = {
+  private[graft] def shingledFrame(docs: DataFrame): DataFrame = {
     VectorExpressions.register(docs.sparkSession)
     docs
       .withColumn("shingles", expr("word_shingles3(text)"))
@@ -117,6 +117,28 @@ object Dedup {
   def d03MinHashLsh(spark: SparkSession, dir: String): DataFrame =
     minHashPairs(Tables(spark, dir, "documents"), threshold = 0.8)
 
+  /** (doc_id, band, bucket) banding of a (doc_id, shingles) frame:
+    * MinHash(64) signature, 16 bands × 4 rows, xxhash64 bucket keys —
+    * THE banding definition, shared by the batch self-join
+    * ([[lshCandidates]]) and the streaming per-bucket-state sibling
+    * ([[graft.stream.StreamDedup]]). Stateless projections only, so it
+    * applies unchanged to a streaming frame. */
+  private[graft] def bandedBuckets(sh: DataFrame): DataFrame =
+    sh.withColumn("sig", expr("minhash_sig(shingles)"))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, 15),
+            |  b -> xxhash64(slice(sig, b * 4 + 1, 4)))""".stripMargin))
+          .as(Seq("band", "bucket")))
+
+  /** [[bandedBuckets]] over a raw (doc_id, text) relation — the entry
+    * point the streaming sibling uses (shingling + banding in one). */
+  private[graft] def bandedDocs(docs: DataFrame): DataFrame = {
+    VectorExpressions.register(docs.sparkSession)
+    bandedBuckets(shingledFrame(docs))
+  }
+
   /** Frame-parameterized core of d03: near-dup pairs of any
     * (doc_id, text) relation via MinHash banding + exact verification.
     *
@@ -172,15 +194,9 @@ object Dedup {
     * by (band, bucket), so the exchanges line up. Singleton buckets —
     * the overwhelming majority on a real corpus — are dropped before
     * the join: they can produce neither a clique pair nor a star edge. */
-  private[llm] def lshCandidates(sh: DataFrame,
+  private[graft] def lshCandidates(sh: DataFrame,
       hotBucketCap: Int): DataFrame = {
-    val sig = sh.withColumn("sig", expr("minhash_sig(shingles)"))
-    val bands = sig.select(
-      col("doc_id"),
-      posexplode(expr(
-        """transform(sequence(0, 15),
-          |  b -> xxhash64(slice(sig, b * 4 + 1, 4)))""".stripMargin))
-        .as(Seq("band", "bucket")))
+    val bands = bandedBuckets(sh)
     val stats = bands.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("rep"))
       .filter(col("bsz") >= 2)

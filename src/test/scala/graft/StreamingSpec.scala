@@ -245,4 +245,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.length === ids.distinct.length, "restart duplicated rows")
     assert(ids.toSet === all.toSet, "restart lost rows")
   }
+
+  test("streaming LSH near-dup candidates equal the batch operator's") {
+    import spark.implicits._
+    // stage the documents fixture as TWO files and deliver them as two
+    // micro-batches (maxFilesPerTrigger=1): bucket state must carry
+    // across batches for cross-batch near-dup pairs to surface
+    val dir = java.nio.file.Files.createTempDirectory("docs-stream")
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs-half")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "part-0.parquet")
+    stage(docs.filter(col("doc_id") % 2 === 1), "part-1.parquet")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val banded = graft.llm.Dedup.bandedDocs(stream)
+      .select(col("doc_id"), col("band").cast(IntegerType), col("bucket"))
+      .as[(Long, Int, Long)]
+    val pairs = graft.stream.StreamDedup.lshCandidatePairs(
+      banded.groupByKey(r => (r._2, r._3)))
+    val q = pairs.toDF("doc_a", "doc_b")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_lsh").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_lsh").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.llm.Dedup
+        .lshCandidates(graft.llm.Dedup.shingledFrame(docs), 64).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      // fixture buckets stay under the cap, so the incremental clique
+      // equals the batch clique exactly (pairs, not just clusters)
+      assert(streamed === batch)
+      assert(batch.nonEmpty) // the corpus plants near-dups: not vacuous
+    } finally q.stop()
+  }
 }

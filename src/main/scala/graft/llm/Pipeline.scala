@@ -432,9 +432,50 @@ object Pipeline {
         |ORDER BY e.doc_id""".stripMargin
   }
 
+  /** p08: per-language quality calibration — raw quality scores are not
+    * comparable across languages (heuristics like stopword ratio are
+    * language-biased: the stopword list here is English), so a global
+    * quality gate silently skews the mix. The standard fix: replace the
+    * raw score with its WITHIN-LANGUAGE percentile (percent_rank over a
+    * total order), then gate on the calibrated score — "keep the top
+    * half of every language" instead of "keep whatever clears an
+    * English-tuned constant".
+    *
+    * The order key (quality, doc_id) is total (doc_id unique), so every
+    * rank — and the rational (rank−1)/(N−1) percentile — is
+    * deterministic and engine-exact (quality itself is rational
+    * arithmetic, NOTES.md). Plan shape at any scale: one shuffle on
+    * lang, in-partition sort; per-language skew is the one watch item
+    * (a 90%-English corpus sorts 90% of rows in one partition — shard
+    * the window key the way p03 shards its budget if that bites). */
+  def p08QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality"), col("doc_id"))
+    TextStats.qualityScored(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .withColumn("q_cal", percent_rank().over(w))
+      .withColumn("keep", col("q_cal") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the shared quality expression + the same window. */
+  val p08Sql: String =
+    s"""WITH qual AS (
+       |  SELECT doc_id, lang, ${TextStats.qualitySqlExpr} AS quality
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, quality,
+       |  percent_rank() OVER (PARTITION BY lang
+       |    ORDER BY quality, doc_id) AS q_cal,
+       |  percent_rank() OVER (PARTITION BY lang
+       |    ORDER BY quality, doc_id) >= 0.5 AS keep
+       |FROM qual ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
     "p07_corpus_prep" -> (p07CorpusPrep _),
+    "p08_quality_calibration" -> (p08QualityCalibration _),
     "p02_shard_stats" -> (p02ShardStats _),
     "p03_token_budget" -> (p03TokenBudget _),
     "p04_stratified_sample" -> (p04StratifiedSample _),
@@ -444,6 +485,7 @@ object Pipeline {
   val oracle: Map[String, String] = Map(
     "p01_dedup_pipeline" -> p01Sql,
     "p07_corpus_prep" -> p07Sql,
+    "p08_quality_calibration" -> p08Sql,
     "p02_shard_stats" -> p02Sql,
     "p03_token_budget" -> p03Sql,
     "p04_stratified_sample" -> p04Sql,

@@ -287,4 +287,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.nonEmpty) // the corpus plants near-dups: not vacuous
     } finally q.stop()
   }
+
+  test("streaming LSH hot-bucket cap: star emission, connectivity kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // 8 byte-identical docs => identical shingles => one shared bucket
+    // per band; cap 4 => per band: C(4,2) cliques then stars only
+    val text = (1 to 40).map(i => s"m${('a' + i % 26).toChar}x").mkString(" ")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val banded = graft.llm.Dedup.bandedDocs(
+        src.toDF().toDF("doc_id", "text"))
+      .select(col("doc_id"), col("band").cast(IntegerType), col("bucket"))
+      .as[(Long, Int, Long)]
+    val pairs = graft.stream.StreamDedup.lshCandidatePairs(
+      banded.groupByKey(r => (r._2, r._3)), hotBucketCap = 4)
+    val q = pairs.toDF("doc_a", "doc_b")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_lsh_cap").start()
+    try {
+      src.addData((1L to 5L).map(i => (i, text)): _*)
+      q.processAllAvailable()
+      src.addData((6L to 8L).map(i => (i, text)): _*) // arrive at-cap
+      q.processAllAvailable()
+      val got = spark.table("stream_lsh_cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // per band: at most the first-4 clique (6) + stars for the rest
+      // (4) — far below the 28-pair full clique; and every doc must be
+      // connected to doc 1 (stars keep CC clusters identical)
+      assert(got.size <= 10, s"cap leaked a clique: ${got.size} pairs")
+      got.foreach { case (a, b) => assert(a < b) }
+      val adj = got.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var seen = Set(1L); var frontier = Set(1L)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      assert(seen == (1L to 8L).toSet, s"component split: $seen")
+    } finally q.stop()
+  }
 }

@@ -472,10 +472,87 @@ object Pipeline {
        |    ORDER BY quality, doc_id) >= 0.5 AS keep
        |FROM qual ORDER BY doc_id""".stripMargin
 
+  /** Epoch cap for [[p09EpochMixing]]: no language repeats more than
+    * this many times however rare it is (the standard guard against
+    * over-repeating a tiny stratum until the model memorizes it). */
+  val MaxEpochsPerMille = 4000L
+
+  /** p09: epoch-weighted corpus materialization — the OVERSAMPLING
+    * counterpart of p05: instead of cutting every language down to the
+    * smallest stratum, repeat rare languages for fractional epochs so
+    * the training mix approaches uniform without discarding majority
+    * data. Per-language repeat rate (per-mille) is data-derived:
+    * `min(cap, 1000·n_max DIV n_l)` — the largest language runs exactly
+    * 1 epoch, rarer ones proportionally more, capped at
+    * [[MaxEpochsPerMille]]. Whole epochs copy every document; the
+    * fractional remainder is decided per document by the same
+    * content-hash bucket rule as p04/p05 (a pure function of the text —
+    * reproducible across runs, engines, partitionings; `rand()` is
+    * none of those). Output is one row per (doc, epoch).
+    *
+    * Plan shape at 100 TB: K-row rates frame (two tiny aggregates)
+    * broadcast onto the corpus, then a narrow explode — the corpus is
+    * never shuffled and the blow-up is bounded by the epoch cap. All
+    * arithmetic is integer, so the oracle replays membership exactly. */
+  def p09EpochMixing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    graft.functions.VectorExpressions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val maxCount = counts.agg(max(col("n_lang")).as("n_max"))
+    val rates = counts.crossJoin(broadcast(maxCount))
+      .select(col("lang"),
+        least(lit(MaxEpochsPerMille), expr("1000 * n_max DIV n_lang"))
+          .as("rate_pm"))
+    docs
+      .withColumn("bucket",
+        pmod(expr("rolling_min_hash(text)"), lit(1000L)))
+      .join(broadcast(rates), "lang")
+      // whole epochs + one more iff the doc's bucket clears the
+      // fractional remainder; rate_pm >= 1000 so n_copies >= 1 always
+      .withColumn("n_copies",
+        (expr("rate_pm DIV 1000") +
+          when(col("bucket") < col("rate_pm") % 1000, lit(1L))
+            .otherwise(lit(0L))).cast(LongType))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(0L, n_copies - 1)")).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** Oracle: same integer rate derivation, same bucket rule, copies via
+    * an uncorrelated range + filter (DuckDB 1.0 has no LATERAL range —
+    * the m03 technique). The range bound is the epoch cap. */
+  val p09Sql: String = TextStats.fpWithCte +
+    s""",
+       |counts AS (
+       |  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+       |),
+       |rates AS (
+       |  SELECT lang,
+       |    least($MaxEpochsPerMille,
+       |      1000 * (SELECT MAX(n_lang) FROM counts) // n_lang) AS rate_pm
+       |  FROM counts
+       |),
+       |base AS (
+       |  SELECT d.doc_id, d.lang,
+       |    r.rate_pm // 1000 +
+       |      CASE WHEN ((f.fingerprint % 1000) + 1000) % 1000
+       |        < r.rate_pm % 1000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM documents d
+       |  JOIN fp f ON d.doc_id = f.doc_id
+       |  JOIN rates r ON d.lang = r.lang
+       |)
+       |SELECT b.doc_id, b.lang, CAST(t.i AS BIGINT) AS epoch
+       |FROM base b JOIN range(0, ${MaxEpochsPerMille / 1000}) t(i)
+       |  ON t.i < b.n_copies
+       |ORDER BY b.doc_id, epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
     "p07_corpus_prep" -> (p07CorpusPrep _),
     "p08_quality_calibration" -> (p08QualityCalibration _),
+    "p09_epoch_mixing" -> (p09EpochMixing _),
     "p02_shard_stats" -> (p02ShardStats _),
     "p03_token_budget" -> (p03TokenBudget _),
     "p04_stratified_sample" -> (p04StratifiedSample _),
@@ -486,6 +563,7 @@ object Pipeline {
     "p01_dedup_pipeline" -> p01Sql,
     "p07_corpus_prep" -> p07Sql,
     "p08_quality_calibration" -> p08Sql,
+    "p09_epoch_mixing" -> p09Sql,
     "p02_shard_stats" -> p02Sql,
     "p03_token_budget" -> p03Sql,
     "p04_stratified_sample" -> p04Sql,

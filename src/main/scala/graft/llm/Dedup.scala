@@ -51,22 +51,31 @@ object Dedup {
     * pipeline oracles. `suffix` renames the CTEs (w1/sh1/ex1/sz1/pr1)
     * so two shingle chains can coexist in one spliced oracle (p07 needs
     * postings over BOTH the full corpus and its cleaned survivors). */
-  private[llm] def shingleCteOver(table: String, suffix: String = ""): String =
-    s"""WITH w$suffix AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $table
-       |  WHERE len(string_split(text, ' ')) >= 3
-       |), sh$suffix AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, len(ws) - 1),
-       |      i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS s
-       |  FROM w$suffix
-       |), ex$suffix AS (SELECT doc_id, unnest(s) AS sg FROM sh$suffix),
-       |sz$suffix AS (SELECT doc_id, len(s) AS n FROM sh$suffix),
-       |pr$suffix AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM ex$suffix a JOIN ex$suffix b ON a.sg = b.sg AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2
-       |)""".stripMargin
+  private[llm] def shingleCteOver(table: String, suffix: String = "",
+      pairs: Boolean = true): String = {
+    val base =
+      s"""WITH w$suffix AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM $table
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |), sh$suffix AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS s
+         |  FROM w$suffix
+         |), ex$suffix AS (SELECT doc_id, unnest(s) AS sg FROM sh$suffix),
+         |sz$suffix AS (SELECT doc_id, len(s) AS n FROM sh$suffix)""".stripMargin
+    // the pair self-join is the expensive block — emit it only for
+    // consumers that read pr (an engine materializing named CTEs must
+    // never pay a posting self-join a query doesn't use)
+    if (!pairs) base
+    else base +
+      s""",
+         |pr$suffix AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM ex$suffix a JOIN ex$suffix b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+  }
 
   private[llm] val shingleOracleCte = shingleCteOver("documents")
 

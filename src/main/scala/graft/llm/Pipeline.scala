@@ -366,24 +366,16 @@ object Pipeline {
     * source, n_chars) relation — unit-tested with planted benchmark
     * copies and near-dup pairs in LlmOpsSpec. */
   private[graft] def prepareCorpus(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
-    // the shingled frame feeds two plan branches (benchmark set and
-    // training postings); recomputing the codegen'd shingle pass per
-    // branch measured FASTER than localCheckpoint'ing it once (5.1 vs
-    // 5.7 s median at sf0.1) — the wide shingle arrays cost more to
-    // materialize than to recompute
-    val sh = Dedup.shingledFrame(docs)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-    val benchSet = sh.filter(col("source") === "src0")
-      .select(explode(col("shingles")).as("sg")).distinct()
-    val contaminated = sh.filter(col("source") =!= "src0")
-      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
-        explode(col("shingles")).as("sg"))
-      .join(benchSet, "sg")
-      .groupBy(col("doc_id"), col("n_shingles"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared").cast(DoubleType) / col("n_shingles")
-        >= TextStats.ContaminationRatio)
+    // decontamination = t08's shared core ([[TextStats
+    // .contaminationScores]]) filtered at the same threshold; docs too
+    // short to shingle are absent from the scores and survive the anti
+    // join. (The shingled frame inside the core feeds two plan
+    // branches; recomputing the codegen'd shingle pass per branch
+    // measured FASTER than localCheckpoint'ing it once — 5.1 vs 5.7 s
+    // median at sf0.1: wide shingle arrays cost more to materialize
+    // than to recompute.)
+    val contaminated = TextStats.contaminationScores(docs)
+      .filter(col("ratio") >= TextStats.ContaminationRatio)
       .select(col("doc_id"))
     val decon = docs.filter(col("source") =!= "src0")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -400,7 +392,7 @@ object Pipeline {
     * instances plus [[DupClusters.reachCteTail]], then p01's final
     * anti-join shape with lang joined back. */
   val p07Sql: String = {
-    val full = Dedup.shingleCteOver("documents", "0")
+    val full = Dedup.shingleCteOver("documents", "0", pairs = false)
       .replaceFirst("^WITH ", "WITH RECURSIVE ")
     val clean =
       s""", bsh AS (
@@ -549,7 +541,7 @@ object Pipeline {
        |  JOIN rates r ON d.lang = r.lang
        |)
        |SELECT b.doc_id, b.lang, CAST(t.i AS BIGINT) AS epoch
-       |FROM base b JOIN range(0, ${MaxEpochsPerMille / 1000}) t(i)
+       |FROM base b JOIN range(0, ${MaxEpochsPerMille / 1000 + 1}) t(i)
        |  ON t.i < b.n_copies
        |ORDER BY b.doc_id, epoch""".stripMargin
 

@@ -413,10 +413,22 @@ object TextStats {
     * corpus, so the benchmark set broadcasts (or becomes a bloom
     * filter) — the corpus side streams through map-side, no corpus
     * self-join anywhere. */
-  def t08Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"))
-    val sh = Dedup.shingled(spark, dir).join(docs, "doc_id")
+  def t08Contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationScores(Tables(spark, dir, "documents"))
+      .withColumn("contaminated", col("ratio") >= ContaminationRatio)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        col("ratio"), col("contaminated"))
+      .orderBy(col("doc_id"))
+
+  /** Frame-parameterized contamination core over any (doc_id, text,
+    * source) relation: per shingleable non-benchmark document, its
+    * shingle count, shared-with-benchmark count (zero if none) and
+    * overlap ratio. ONE definition shared by t08 and p07's
+    * decontamination stage, so the detector and the pipeline gate
+    * cannot drift. */
+  private[llm] def contaminationScores(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val sh = Dedup.shingledFrame(docs).join(src, "doc_id")
     val benchSet = sh.filter(col("source") === "src0")
       .select(explode(col("shingles")).as("sg")).distinct()
     val train = sh.filter(col("source") =!= "src0")
@@ -431,15 +443,11 @@ object TextStats {
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .withColumn("ratio",
         col("n_shared").cast(DoubleType) / col("n_shingles"))
-      .withColumn("contaminated", col("ratio") >= ContaminationRatio)
-      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
-        col("ratio"), col("contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   /** Oracle: the shared shingle CTE's postings (`ex`) and sizes (`sz`),
     * same benchmark split, same ratio arithmetic. */
-  val t08Sql: String = Dedup.shingleCteOver("documents") +
+  val t08Sql: String = Dedup.shingleCteOver("documents", pairs = false) +
     s""",
        |bsh AS (
        |  SELECT DISTINCT e.sg FROM ex e

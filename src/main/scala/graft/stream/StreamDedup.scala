@@ -20,14 +20,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Hot buckets (boilerplate mega-clusters, the normal case in web-scale
   * streams): once a bucket holds `hotBucketCap` members it stops
   * storing arrivals and pairs each one with the bucket representative
-  * (min doc_id among the stored members) — O(cap) state per bucket
-  * FOREVER, O(1) work per arrival. This emits the first cap members'
-  * clique plus a star around the representative, where the batch
-  * operator emits only the star: a superset of edges over the same
-  * members, so connected-component consumers (the d07/d09/p01 stages)
-  * produce identical clusters; only the enumeration differs, and only
-  * past the cap. (An incremental operator cannot retract
-  * already-emitted clique pairs when a bucket later crosses the cap.)
+  * (min doc_id among the STORED members) — O(cap) state per bucket
+  * FOREVER, O(1) work per arrival. Contract differences vs the batch
+  * operator, both only past the cap: (a) the emitted edges are the
+  * first cap members' clique plus a star around the stored-min
+  * representative, where batch emits a star around the bucket's GLOBAL
+  * min — the same candidate-graph connectivity (every member reaches
+  * the representative), but not the same pair enumeration, and, as
+  * with the batch star itself, downstream CC clusters coincide only
+  * when hot-bucket members are genuine near-dups of the representative
+  * (exact verification can drop different star edges on the two
+  * sides); (b) arrivals past the cap are not remembered, so a REPLAYED
+  * past-cap document re-emits its star pair — consumers must treat
+  * candidates as at-least-once and dedup pairs (the batch operator's
+  * `.distinct()` step), which every verify-then-CC consumer here
+  * already does. (An incremental operator cannot retract emitted
+  * clique pairs when a bucket later crosses the cap.)
   *
   * Scale posture: state is partitioned by (band, bucket) across
   * executors like any keyed state; with the RocksDB provider it spills
@@ -64,7 +72,10 @@ object StreamDedup {
         var members = state.getOption.fold(Seq.empty[Long])(_.members)
         val out = Seq.newBuilder[(Long, Long)]
         rows.foreach { case (doc, _, _) =>
-          if (!members.contains(doc)) { // replays/duplicates are no-ops
+          // replays are no-ops only while the doc is stored; past-cap
+          // docs are not remembered (bounded state), so their replays
+          // re-emit — downstream pair-dedup absorbs it (scaladoc (b))
+          if (!members.contains(doc)) {
             if (members.size >= hotBucketCap) {
               val rep = members.min
               out += ((math.min(rep, doc), math.max(rep, doc)))

@@ -269,6 +269,54 @@ object Multimodal {
       | MD5(text) AS content_md5
       |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin
 
+  /** Chunk size for [[m07BlobChunks]] — small so the fixture's short
+    * blobs still span several chunks; real media uses MBs. */
+  val ChunkBytes = 64
+
+  /** m07: blob chunking — how a 100 TB media corpus actually ships and
+    * dedups: fixed-size chunks with per-chunk digests
+    * (content-addressable storage; identical chunks across blobs share
+    * a digest, so a groupBy(chunk_md5) downstream is chunk-level
+    * dedup). The slicing runs on the BINARY blob (Spark's `substring`
+    * operates on BinaryType byte-wise); one narrow explode per blob,
+    * zero shuffles until a consumer aggregates digests. */
+  def m07BlobChunks(spark: SparkSession, dir: String): DataFrame =
+    packAsMedia(spark, dir).toDF()
+      .select(col("doc_id"), col("blob"),
+        length(col("blob")).cast(LongType).as("n_bytes"))
+      .filter(col("n_bytes") > 0) // sequence(0, -1) would run backwards
+      .select(col("doc_id"), col("n_bytes"), col("blob"),
+        explode(expr(s"sequence(0L, (n_bytes - 1) DIV $ChunkBytes)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkBytes.toLong),
+          col("n_bytes") - col("chunk_idx") * ChunkBytes)
+          .cast(LongType).as("chunk_len"),
+        md5(expr(s"substring(blob, " +
+          s"cast(chunk_idx * $ChunkBytes + 1 as int), $ChunkBytes)"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Oracle: the fixture blob is the text's UTF-8 bytes and the texts
+    * are pure ASCII (byte == character), so VARCHAR substring + md5
+    * replays the byte-level chunking exactly; per-row chunk indexes
+    * via the scalar list `range` + unnest (the table-function range
+    * cannot take per-row bounds). */
+  val m07Sql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+       |    unnest(range(0,
+       |      (octet_length(encode(text)) + ${ChunkBytes - 1}) // $ChunkBytes))
+       |      AS chunk_idx
+       |  FROM documents WHERE octet_length(encode(text)) > 0
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(least($ChunkBytes, n_bytes - $ChunkBytes * chunk_idx)
+       |    AS BIGINT) AS chunk_len,
+       |  md5(substring(text, CAST($ChunkBytes * chunk_idx + 1 AS BIGINT),
+       |    $ChunkBytes)) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -276,6 +324,7 @@ object Multimodal {
     "m04_resize" -> (m04Resize _),
     "m05_binary_files" -> (m05BinaryFiles _),
     "m06_dup_frames" -> (m06DupFrames _),
+    "m07_blob_chunks" -> (m07BlobChunks _),
   )
 
   /** m03's frame set is fully determined by (text, n_chars): nFrames =
@@ -349,5 +398,6 @@ object Multimodal {
     "m04_resize" -> m04Sql,
     "m05_binary_files" -> m05Sql,
     "m06_dup_frames" -> m06Sql,
+    "m07_blob_chunks" -> m07Sql,
   )
 }

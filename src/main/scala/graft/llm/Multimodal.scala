@@ -297,25 +297,57 @@ object Multimodal {
           .as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
-  /** Oracle: the fixture blob is the text's UTF-8 bytes and the texts
-    * are pure ASCII (byte == character), so VARCHAR substring + md5
-    * replays the byte-level chunking exactly; per-row chunk indexes
-    * via the scalar list `range` + unnest (the table-function range
-    * cannot take per-row bounds). */
-  val m07Sql: String =
+  /** Oracle chunk derivation shared by m07/m08: the fixture blob is
+    * the text's UTF-8 bytes and the texts are pure ASCII (byte ==
+    * character), so VARCHAR substring + md5 replays the byte-level
+    * chunking exactly; per-row chunk indexes via the scalar list
+    * `range` + unnest (the table-function range cannot take per-row
+    * bounds). */
+  private val chunksCte: String =
     s"""WITH c AS (
        |  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
        |    unnest(range(0,
        |      (octet_length(encode(text)) + ${ChunkBytes - 1}) // $ChunkBytes))
        |      AS chunk_idx
        |  FROM documents WHERE octet_length(encode(text)) > 0
-       |)
-       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-       |  CAST(least($ChunkBytes, n_bytes - $ChunkBytes * chunk_idx)
-       |    AS BIGINT) AS chunk_len,
-       |  md5(substring(text, CAST($ChunkBytes * chunk_idx + 1 AS BIGINT),
-       |    $ChunkBytes)) AS chunk_md5
-       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+       |), ch AS (
+       |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |    CAST(least($ChunkBytes, n_bytes - $ChunkBytes * chunk_idx)
+       |      AS BIGINT) AS chunk_len,
+       |    md5(substring(text, CAST($ChunkBytes * chunk_idx + 1 AS BIGINT),
+       |      $ChunkBytes)) AS chunk_md5
+       |  FROM c
+       |)""".stripMargin
+
+  val m07Sql: String = chunksCte +
+    """
+      |SELECT doc_id, chunk_idx, chunk_len, chunk_md5
+      |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** m08: shared-chunk detection — the payoff of m07's
+    * content-addressable chunking: chunks whose digest recurs across
+    * DIFFERENT blobs are shared boilerplate (intros, headers, silence,
+    * black frames), and a store that keys chunks by digest stores them
+    * once. One hash shuffle on the digest (map-side combine), the same
+    * shape as d01's exact dedup but at sub-blob granularity. */
+  def m08SharedChunks(spark: SparkSession, dir: String): DataFrame =
+    m07BlobChunks(spark, dir)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_refs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("chunk_md5"), col("n_docs"), col("n_refs"),
+        col("first_doc"))
+      .orderBy(col("chunk_md5"))
+
+  /** Oracle: the shared chunk CTE, same digest aggregate. */
+  val m08Sql: String = chunksCte +
+    """
+      |SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_refs, MIN(doc_id) AS first_doc
+      |FROM ch GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY chunk_md5""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
@@ -325,6 +357,7 @@ object Multimodal {
     "m05_binary_files" -> (m05BinaryFiles _),
     "m06_dup_frames" -> (m06DupFrames _),
     "m07_blob_chunks" -> (m07BlobChunks _),
+    "m08_shared_chunks" -> (m08SharedChunks _),
   )
 
   /** m03's frame set is fully determined by (text, n_chars): nFrames =
@@ -399,5 +432,6 @@ object Multimodal {
     "m05_binary_files" -> m05Sql,
     "m06_dup_frames" -> m06Sql,
     "m07_blob_chunks" -> m07Sql,
+    "m08_shared_chunks" -> m08Sql,
   )
 }

@@ -312,7 +312,47 @@ object EventWindows {
       |FROM grid g LEFT JOIN counts c USING (hour_start)
       |ORDER BY g.hour_start""".stripMargin
 
+  /** st09: per-window top-k — the standard streaming-dashboard ask
+    * ("top event types each hour"): tumbling-window counts, then a rank
+    * within each window, top 2 kept with a deterministic tiebreak
+    * (count desc, event_type). In a live stream the windowed counts run
+    * incrementally and the rank is applied per emitted window — Spark
+    * disallows rank() directly on a streaming aggregate, so the
+    * streaming form ranks inside `foreachBatch` (or emits complete-mode
+    * counts and lets the sink rank); the window-then-rank plan here is
+    * that exact computation in batch form. One shuffle for the count,
+    * one narrow per-window sort over K event types. */
+  def st09TopEventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"))
+    val w = Window.partitionBy(col("hour_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 2)
+      .orderBy(col("hour_start"), col("rk"))
+  }
+
+  val st09Sql: String =
+    """WITH counts AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT hour_start, event_type, n,
+      |  rk
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY hour_start
+      |    ORDER BY n DESC, event_type) AS rk
+      |  FROM counts)
+      |WHERE rk <= 2 ORDER BY hour_start, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st09_top_events_hourly" -> (st09TopEventsHourly _),
     "st01_tumbling_hourly" -> (st01TumblingHourly _),
     "st02_sliding_windows" -> (st02SlidingWindows _),
     "st03_session_windows" -> (st03SessionWindows _),
@@ -332,5 +372,6 @@ object EventWindows {
     "st06_event_throttle" -> st06Sql,
     "st07_unattributed_buys" -> st07Sql,
     "st08_gap_fill" -> st08Sql,
+    "st09_top_events_hourly" -> st09Sql,
   )
 }

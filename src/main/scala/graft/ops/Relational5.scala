@@ -100,14 +100,39 @@ object Relational5 {
       |WHERE vec_id < 100
       |ORDER BY vec_id, rank""".stripMargin
 
+  /** Time-INTERVAL range frame (q46 covers numeric RANGE bounds): each
+    * event's rolling trailing-hour count and value total per user — the
+    * temporal rolling aggregate every sessionization/rate-limit job
+    * needs, and the batch twin of a sliding streaming window. The SUM
+    * rides exact DECIMAL cents (order-independent, so the frame's
+    * engine-specific accumulation order cannot bite), cast to double on
+    * output. Frame peers at equal ts are included by RANGE semantics in
+    * both engines, so ties are deterministic. One shuffle on user_id,
+    * per-user time sort, two-pointer frame walk. */
+  def q62TimeRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q62Sql)
+  }
+
+  val q62Sql: String =
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_range_frame" -> (q46RangeFrame _),
+    "q62_time_range_frame" -> (q62TimeRangeFrame _),
     "q47_percentiles" -> (q47Percentiles _),
     "q48_salted_join" -> (q48SaltedJoin _),
     "q49_array_ops" -> (q49ArrayOps _),
   )
   val oracle: Map[String, String] = Map(
     "q46_range_frame" -> q46Sql,
+    "q62_time_range_frame" -> q62Sql,
     "q47_percentiles" -> q47Sql,
     "q48_salted_join" -> q48Sql,
     "q49_array_ops" -> q49Sql,

@@ -246,6 +246,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSet === all.toSet, "restart lost rows")
   }
 
+  test("streaming per-window top-k via foreachBatch matches st09") {
+    // rank() is disallowed directly on a streaming aggregate; the
+    // streaming form runs the windowed counts incrementally and ranks
+    // inside foreachBatch — st09's scaladoc contract, pinned here
+    import org.apache.spark.sql.expressions.Window
+    val counts = EventWindows.streamingHourlyCounts(streamingEvents())
+    @volatile var last: Array[(java.sql.Timestamp, String, Long, Long)] =
+      Array.empty
+    val q = counts.writeStream.outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = Window.partitionBy(col("hour_start"))
+          .orderBy(col("n").desc, col("event_type"))
+        last = df
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 2)
+          .select("hour_start", "event_type", "n", "rk")
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+            r.getLong(3)))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val batch = EventWindows.st09TopEventsHourly(spark, sf)
+        .select("hour_start", "event_type", "n", "rk").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      assert(last.toSet === batch.toSet)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup candidates equal the batch operator's") {
     import spark.implicits._
     // stage the documents fixture as TWO files and deliver them as two

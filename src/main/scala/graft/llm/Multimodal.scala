@@ -285,16 +285,18 @@ object Multimodal {
       .select(col("doc_id"), col("blob"),
         length(col("blob")).cast(LongType).as("n_bytes"))
       .filter(col("n_bytes") > 0) // sequence(0, -1) would run backwards
-      .select(col("doc_id"), col("n_bytes"), col("blob"),
-        explode(expr(s"sequence(0L, (n_bytes - 1) DIV $ChunkBytes)"))
-          .as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
-        least(lit(ChunkBytes.toLong),
-          col("n_bytes") - col("chunk_idx") * ChunkBytes)
-          .cast(LongType).as("chunk_len"),
-        md5(expr(s"substring(blob, " +
-          s"cast(chunk_idx * $ChunkBytes + 1 as int), $ChunkBytes)"))
-          .as("chunk_md5"))
+      // slice BEFORE exploding: each generated row carries only its
+      // own ≤ChunkBytes slice, not a copy of the whole blob (which
+      // would cost O(n²/chunk) transient bytes per blob at MB scale)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0L, (n_bytes - 1) DIV $ChunkBytes),
+             |  i -> substring(blob, cast(i * $ChunkBytes + 1 as int),
+             |    $ChunkBytes))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        length(col("chunk")).cast(LongType).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Oracle chunk derivation shared by m07/m08: the fixture blob is
@@ -337,8 +339,6 @@ object Multimodal {
         count(lit(1)).as("n_refs"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
-      .select(col("chunk_md5"), col("n_docs"), col("n_refs"),
-        col("first_doc"))
       .orderBy(col("chunk_md5"))
 
   /** Oracle: the shared chunk CTE, same digest aggregate. */

@@ -344,4 +344,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L, 5L, 7L))
     out.foreach(r => assert(r.getAs[String]("lang") == "en"))
   }
+
+  test("m07 chunks tile each blob exactly: lengths sum, indexes dense") {
+    val perDoc = llm.Multimodal.m07BlobChunks(spark, sf)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("chunk_len")).as("bytes"),
+        count(org.apache.spark.sql.functions.lit(1)).as("k"),
+        max(col("chunk_idx")).as("mx"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bytes"), r.getAs[Long]("k"), r.getAs[Long]("mx")))
+      .toMap
+    val sizes = Tables(spark, sf, "documents")
+      .select(col("doc_id"), octet_length(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("n").longValue())
+      .toMap
+    assert(perDoc.keySet == sizes.filter(_._2 > 0).keySet)
+    perDoc.foreach { case (id, (bytes, k, mx)) =>
+      val n = sizes(id)
+      assert(bytes == n, s"doc $id: chunk lengths sum $bytes != $n")
+      assert(k == (n + 63) / 64, s"doc $id: chunk count")
+      assert(mx == k - 1, s"doc $id: indexes not dense 0..k-1")
+    }
+  }
 }

@@ -137,19 +137,24 @@ object TextStats {
     "zh" -> Seq("de5", "shi4", "zai4", "he2", "you3", "wo3", "le5"),
   )
 
+  /** Per-language marker hit counts (cnt_en..cnt_zh) over a frame with
+    * a `ws` token array — the shared scoring core of t03 and t10. */
+  private def markerCounts(spark: SparkSession, base: DataFrame): DataFrame = {
+    VectorExpressions.register(spark)
+    langMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+      df.withColumn(s"cnt_$lang",
+        expr(s"count_in_set(ws, '${markers.mkString(",")}')")
+          .cast(LongType))
+    }
+  }
+
   /** N-gram/marker-word language ID: hit-count per language's marker
     * list, argmax with a fixed precedence order for ties. (The fixture
     * corpus is synthetic English-ish text with random `lang` labels, so
     * accuracy against the label is meaningless — the operator contract
     * is the deterministic scoring itself.) */
   def t03LangId(spark: SparkSession, dir: String): DataFrame = {
-    VectorExpressions.register(spark)
-    val base = docs(spark, dir)
-    val scored = langMarkers.foldLeft(base) { case (df, (lang, markers)) =>
-      df.withColumn(s"cnt_$lang",
-        expr(s"count_in_set(ws, '${markers.mkString(",")}')")
-          .cast(LongType))
-    }
+    val scored = markerCounts(spark, docs(spark, dir))
     val Seq(en, es, de, fr, zh) =
       langMarkers.map { case (l, _) => col(s"cnt_$l") }
     scored
@@ -182,6 +187,52 @@ object TextStats {
        |  ELSE 'zh' END AS predicted_lang,
        | lang AS labeled_lang
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** t10: mixed-language (code-switching) detection — the confidence
+    * gate behind any language-ID filter: a document whose second-best
+    * language scores at least half of its best is not confidently
+    * monolingual, and a pipeline routing docs per language should hold
+    * it out rather than mislabel it. Reuses t03's marker-count core;
+    * the top-2 extraction sorts the 5 integer counts (exact in any
+    * engine), and the "mixed" rule is pure integer arithmetic. Narrow
+    * per-doc map, scan-bound at any scale. */
+  def t10MixedLang(spark: SparkSession, dir: String): DataFrame = {
+    val scored = markerCounts(spark, docs(spark, dir))
+      .withColumn("cnts",
+        sort_array(array(langMarkers.map { case (l, _) =>
+          col(s"cnt_$l") }: _*), asc = false))
+    scored
+      .select(col("doc_id"),
+        element_at(col("cnts"), 1).as("top_cnt"),
+        element_at(col("cnts"), 2).as("second_cnt"),
+        langMarkers.map { case (l, _) => col(s"cnt_$l") }
+          .reduce(_ + _).as("total_markers"))
+      .withColumn("mixed",
+        col("second_cnt") > 0 && col("second_cnt") * 2 >= col("top_cnt"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same marker counts (t03's list_filter form), top-2 via
+    * an ascending list_sort (positions 5 and 4 of the 5-element list),
+    * same integer mixed rule. */
+  val t10Sql: String = {
+    def cnt(markers: Seq[String]): String = {
+      val list = markers.map(s => s"'$s'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> list_contains([$list], w)))"
+    }
+    val cs = langMarkers.map(m => cnt(m._2))
+    s"""WITH c AS (
+       |  SELECT doc_id, list_sort([${cs.mkString(", ")}]) AS l,
+       |    ${cs.mkString(" + ")} AS total
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(l[5] AS BIGINT) AS top_cnt,
+       |  CAST(l[4] AS BIGINT) AS second_cnt,
+       |  CAST(total AS BIGINT) AS total_markers,
+       |  l[4] > 0 AND l[4] * 2 >= l[5] AS mixed
+       |FROM c ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -525,6 +576,7 @@ object TextStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t09_surprisal" -> (t09Surprisal _),
+    "t10_mixed_lang" -> (t10MixedLang _),
     "t06_bigrams" -> (t06Bigrams _),
     "t07_repetition" -> (t07Repetition _),
     "t01_token_stats" -> (t01TokenStats _),
@@ -545,5 +597,6 @@ object TextStats {
     "t07_repetition" -> t07Sql,
     "t08_contamination" -> t08Sql,
     "t09_surprisal" -> t09Sql,
+    "t10_mixed_lang" -> t10Sql,
   )
 }

@@ -545,11 +545,64 @@ object Pipeline {
        |  ON t.i < b.n_copies
        |ORDER BY b.doc_id, epoch""".stripMargin
 
+  /** p10: curriculum ordering — the LAST decision a training-data
+    * pipeline makes: in what order the corpus is fed. Docs are binned
+    * into 4 quality bands by their within-language percentile (p08's
+    * calibration, so bands are language-fair), and within each band the
+    * feed order is assigned PER content-hash shard (p02's sharding):
+    * `ord` is a row_number over (band, shard) keyed by the rolling
+    * fingerprint — a pure function of corpus content, so the curriculum
+    * is reproducible across runs/engines/partitionings, and no global
+    * sort exists anywhere (the consumer interleaves shards round-robin
+    * within a band). floor(percentile·4) is computed on bit-identical
+    * doubles in both engines, so band edges cannot disagree. One
+    * lang-window shuffle + one (band, shard)-window shuffle. */
+  def p10Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    graft.functions.VectorExpressions.register(spark)
+    val wLang = Window.partitionBy(col("lang"))
+      .orderBy(col("quality"), col("doc_id"))
+    val scored = TextStats.qualityScored(Tables(spark, dir, "documents"))
+      .withColumn("fp", expr("rolling_min_hash(text)"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("fp"))
+      .withColumn("band",
+        least(lit(3L), floor(percent_rank().over(wLang) * 4)))
+    scored
+      .withColumn("shard", pmod(col("fp"), lit(8L)))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("band"), col("shard"))
+          .orderBy(col("fp"), col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("band"), col("shard"), col("ord"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the shared quality expression + fingerprint CTE, the same
+    * percentile banding and per-(band, shard) row_number. */
+  val p10Sql: String = TextStats.fpWithCte +
+    s""",
+       |qual AS (
+       |  SELECT doc_id, lang, ${TextStats.qualitySqlExpr} AS quality
+       |  FROM documents
+       |),
+       |banded AS (
+       |  SELECT q.doc_id,
+       |    least(3, CAST(floor(percent_rank() OVER (PARTITION BY q.lang
+       |      ORDER BY q.quality, q.doc_id) * 4) AS BIGINT)) AS band,
+       |    ((f.fingerprint % 8) + 8) % 8 AS shard, f.fingerprint AS fp
+       |  FROM qual q JOIN fp f ON q.doc_id = f.doc_id
+       |)
+       |SELECT doc_id, band, shard,
+       |  CAST(row_number() OVER (PARTITION BY band, shard
+       |    ORDER BY fp, doc_id) AS BIGINT) AS ord
+       |FROM banded ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
     "p07_corpus_prep" -> (p07CorpusPrep _),
     "p08_quality_calibration" -> (p08QualityCalibration _),
     "p09_epoch_mixing" -> (p09EpochMixing _),
+    "p10_curriculum" -> (p10Curriculum _),
     "p02_shard_stats" -> (p02ShardStats _),
     "p03_token_budget" -> (p03TokenBudget _),
     "p04_stratified_sample" -> (p04StratifiedSample _),
@@ -561,6 +614,7 @@ object Pipeline {
     "p07_corpus_prep" -> p07Sql,
     "p08_quality_calibration" -> p08Sql,
     "p09_epoch_mixing" -> p09Sql,
+    "p10_curriculum" -> p10Sql,
     "p02_shard_stats" -> p02Sql,
     "p03_token_budget" -> p03Sql,
     "p04_stratified_sample" -> p04Sql,

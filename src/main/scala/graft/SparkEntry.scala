@@ -21,8 +21,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++ ops.Relational4.queries ++
       ops.Relational5.queries ++ ops.Relational6.queries ++ ops.AsOf.queries ++
       llm.Dedup.queries ++ llm.DupClusters.queries ++ llm.Similarity.queries ++
-      llm.TextStats.queries ++ llm.Multimodal.queries ++ llm.Pipeline.queries ++
-      stream.EventWindows.queries
+      llm.TextStats.queries ++ llm.TextClean.queries ++ llm.Multimodal.queries ++
+      llm.Pipeline.queries ++ stream.EventWindows.queries
 
   /** Verify-shape overlays: queries whose oracle-compared form carries
     * extra verification columns the production (benched) form must not
@@ -36,6 +36,6 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Relational2.oracle ++ ops.Relational3.oracle ++ ops.Relational4.oracle ++
       ops.Relational5.oracle ++ ops.Relational6.oracle ++ ops.AsOf.oracle ++
       llm.Dedup.oracle ++ llm.DupClusters.oracle ++ llm.Similarity.oracle ++
-      llm.TextStats.oracle ++ llm.Multimodal.oracle ++ llm.Pipeline.oracle ++
-      stream.EventWindows.oracle
+      llm.TextStats.oracle ++ llm.TextClean.oracle ++ llm.Multimodal.oracle ++
+      llm.Pipeline.oracle ++ stream.EventWindows.oracle
 }

@@ -1,0 +1,201 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-cleaning operators a training-data pipeline runs between
+  * ingestion and dedup: interdoc boilerplate removal (t11) and PII
+  * redaction (t12).
+  *
+  * The reference (`/root/reference/R/DataFrameOperationR.R:70-86`)
+  * hands user scripts raw frames and persists what they return; these
+  * are the canonical "user script" cleaning stages re-expressed as
+  * engine operators — declarative plans Catalyst can optimize, no
+  * driver-side text processing anywhere.
+  */
+object TextClean {
+
+  // ---------------------------------------------------------------------
+  // t11: interdoc boilerplate removal
+  // ---------------------------------------------------------------------
+
+  /** Tokens per non-overlapping chunk. 8 keeps chunks long enough that
+    * cross-doc repeats signal shared boilerplate rather than chance
+    * n-gram collisions (the fixture vocabulary is ~40 words; 8-token
+    * chunks still land ~96% unique at sf0.1). */
+  val ChunkTokens = 8
+
+  /** A chunk appearing in ≥ this many DISTINCT docs is boilerplate.
+    * 3 (not 2) keeps planted near-duplicate PAIRS intact — pairwise
+    * duplication is dedup's job (d01-d11), not boilerplate removal's;
+    * template text shared by whole families of docs is what this
+    * operator strips (headers, footers, licence blocks, nav chrome). */
+  val BoilerplateDf = 3
+
+  /** Frame-parameterized core over any (doc_id, text) relation: split
+    * each doc into non-overlapping [[ChunkTokens]]-token chunks, count
+    * each distinct chunk's document frequency corpus-wide, drop chunks
+    * in ≥ [[BoilerplateDf]] docs, and reassemble the surviving chunks
+    * in original order.
+    *
+    * Plan shape at 100 TB (the CCNet paragraph-dedup shape): one
+    * chunk-explode (narrow), one groupBy(chunk) for document
+    * frequency — the only shuffle that moves chunk text, with map-side
+    * partial counts — and the boilerplate set (df ≥ 3 survivors, a
+    * tiny fraction of distinct chunks) broadcasts back onto the
+    * exploded frame as an anti-join. Reassembly is a per-doc groupBy
+    * whose array_sort(collect_list) restores chunk order without a
+    * global sort. */
+  private[graft] def boilerplateCleaned(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, CAST((size(ws) + ${ChunkTokens - 1}) DIV $ChunkTokens AS INT) - 1),
+             |  i -> array_join(slice(ws, i * $ChunkTokens + 1, $ChunkTokens), ' '))"""
+            .stripMargin)).as(Seq("chunk_idx", "chunk")))
+    val boiler = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerplateDf)
+      .select(col("chunk"))
+    val kept = chunks.join(boiler, Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(chunk_idx, chunk))), x -> x.chunk), ' ')")
+          .as("clean_text"))
+    chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** t11: interdoc boilerplate removal over the documents table. */
+  def t11Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateCleaned(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: same chunking (DuckDB's 1-based clamped list_slice ≡
+    * Spark's slice), same df threshold, string_agg ORDER BY chunk_idx
+    * ≡ the array_sort reassembly. */
+  val t11Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), idx AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(0, (len(ws) + ${ChunkTokens - 1}) // $ChunkTokens)) AS ci
+       |  FROM toks
+       |), ck AS (
+       |  SELECT doc_id, ci,
+       |    array_to_string(
+       |      list_slice(ws, ci * $ChunkTokens + 1, ci * $ChunkTokens + $ChunkTokens),
+       |      ' ') AS chunk
+       |  FROM idx
+       |), boiler AS (
+       |  SELECT chunk FROM ck GROUP BY chunk
+       |  HAVING COUNT(DISTINCT doc_id) >= $BoilerplateDf
+       |), kept AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+       |  FROM ck WHERE chunk NOT IN (SELECT chunk FROM boiler)
+       |  GROUP BY doc_id
+       |), tot AS (
+       |  SELECT doc_id, COUNT(*) AS n_chunks FROM ck GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, t.n_chunks,
+       |  COALESCE(k.n_kept, 0) AS n_kept,
+       |  COALESCE(k.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN kept k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t12: PII redaction
+  // ---------------------------------------------------------------------
+
+  /** RE2-compatible PII patterns (no backreferences, no lookaround —
+    * identical semantics under Java regex and DuckDB's RE2): email,
+    * dotted-quad IPv4, NNN-NNNN phone. Shared verbatim by the Spark
+    * plan and the oracle SQL so the two regex engines see one source
+    * of truth. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+  val PhoneRe = """\b\d{3}-\d{4}\b"""
+
+  /** Redact all three PII classes in `c` (order matters only in that
+    * email runs first — its local-part may contain digits a later
+    * pattern could clip mid-token). */
+  private[graft] def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** t12: PII detection + redaction. The fixture corpus carries no PII
+    * by construction, so the query first plants a deterministic PII
+    * tail (email/IP/phone derived from doc_id) on each document to
+    * exercise the redactor end-to-end — in production the same
+    * [[redact]] column expression points at the raw text column and
+    * the planting projection disappears. Everything is a codegen'd
+    * per-row projection: no shuffle, no UDF, scan → project. */
+  def t12PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir, "documents")
+      .withColumn("text2", concat_ws(" ",
+        col("text"),
+        lit("contact"),
+        concat(lit("user"), col("doc_id"), lit("@example.com")),
+        lit("ip"),
+        concat(lit("10."), col("doc_id") % 256, lit("."),
+          (col("doc_id") * 7) % 256, lit("."), (col("doc_id") * 13) % 256),
+        lit("tel"),
+        concat(lit("555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))
+    planted.select(
+      col("doc_id"),
+      regexp_count(col("text2"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("text2"), lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(col("text2"), lit(PhoneRe)).cast("long").as("n_phone"),
+      redact(col("text2")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same planted tail, same patterns, DuckDB regexp with the
+    * 'g' flag ≡ Spark's replace-all default; counts via
+    * len(regexp_extract_all). */
+  val t12Sql: String = {
+    val email = EmailRe
+    val ip = Ipv4Re
+    val phone = PhoneRe
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com ip 10.' ||
+       |      (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' ||
+       |      ((doc_id * 13) % 256) || ' tel 555-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text2, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text2, '$ip')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(text2, '$phone')) AS BIGINT) AS n_phone,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(text2, '$email', '<EMAIL>', 'g'),
+       |      '$ip', '<IP>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS redacted
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_boilerplate" -> (t11Boilerplate _),
+    "t12_pii_redact" -> (t12PiiRedact _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t11_boilerplate" -> t11Sql,
+    "t12_pii_redact" -> t12Sql,
+  )
+}

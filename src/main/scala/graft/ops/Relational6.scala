@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 
@@ -271,7 +273,67 @@ object Relational6 {
       |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Session gap: a pause longer than this opens a new session. 12 h
+    * sits between the fixture's median inter-event gap (~7 h) and its
+    * p90 (~29 h), so every user splits into several multi-event
+    * sessions — the interesting regime for the operator. */
+  val SessionGapUs: Long = 12L * 3600 * 1000 * 1000
+
+  /** q63: batch sessionization via gaps-and-islands — assign every
+    * event to a per-user session (a new session opens when the gap to
+    * the previous event exceeds [[SessionGapUs]]), then aggregate per
+    * session. The classic lag → boundary-flag → running-sum island id.
+    * st03 is the streaming form (session_window); this is the batch
+    * backfill form a pipeline runs over historical data.
+    *
+    * Scale: ONE shuffle on user_id serves both window passes and the
+    * final groupBy (same partitioning, Catalyst reuses the exchange);
+    * per-user event counts are small, so the in-partition sorts are
+    * local. Gap arithmetic is integer micros — engine-exact. */
+  def q63Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q63Sql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |), f AS (
+       |  SELECT *,
+       |    CASE WHEN lag(us) OVER w IS NULL
+       |           OR us - lag(us) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), s AS (
+       |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS session_id
+       |  FROM f
+       |)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  MAX(us) - MIN(us) AS duration_us
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_sessionize" -> (q63Sessionize _),
     "q61_top_supplier" -> (q61TopSupplier _),
     "q54_lateral" -> (q54Lateral _),
     "q50_priority_check" -> (q50PriorityCheck _),
@@ -285,6 +347,7 @@ object Relational6 {
     "q60_last_shippers" -> (q60LastShippers _),
   )
   val oracle: Map[String, String] = Map(
+    "q63_sessionize" -> q63Sql,
     "q61_top_supplier" -> q61Sql,
     "q54_lateral" -> q54Sql,
     "q50_priority_check" -> q50Sql,

@@ -281,7 +281,14 @@ object Multimodal {
     * operates on BinaryType byte-wise); one narrow explode per blob,
     * zero shuffles until a consumer aggregates digests. */
   def m07BlobChunks(spark: SparkSession, dir: String): DataFrame =
-    packAsMedia(spark, dir).toDF()
+    chunkDigests(packAsMedia(spark, dir).toDF())
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Chunk-digest core over any (doc_id, blob) relation — shared by
+    * m07/m08 (manifest derivation) and m09 (re-derivation over received
+    * blobs). */
+  private def chunkDigests(blobs: DataFrame): DataFrame =
+    blobs
       .select(col("doc_id"), col("blob"),
         length(col("blob")).cast(LongType).as("n_bytes"))
       .filter(col("n_bytes") > 0) // sequence(0, -1) would run backwards
@@ -297,7 +304,6 @@ object Multimodal {
       .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
         length(col("chunk")).cast(LongType).as("chunk_len"),
         md5(col("chunk")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Oracle chunk derivation shared by m07/m08: the fixture blob is
     * the text's UTF-8 bytes and the texts are pure ASCII (byte ==
@@ -305,21 +311,23 @@ object Multimodal {
     * chunking exactly; per-row chunk indexes via the scalar list
     * `range` + unnest (the table-function range cannot take per-row
     * bounds). */
-  private val chunksCte: String =
-    s"""WITH c AS (
+  private def chunkCteOver(src: String, c: String, ch: String): String =
+    s"""$c AS (
        |  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
        |    unnest(range(0,
        |      (octet_length(encode(text)) + ${ChunkBytes - 1}) // $ChunkBytes))
        |      AS chunk_idx
-       |  FROM documents WHERE octet_length(encode(text)) > 0
-       |), ch AS (
+       |  FROM $src WHERE octet_length(encode(text)) > 0
+       |), $ch AS (
        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        |    CAST(least($ChunkBytes, n_bytes - $ChunkBytes * chunk_idx)
        |      AS BIGINT) AS chunk_len,
        |    md5(substring(text, CAST($ChunkBytes * chunk_idx + 1 AS BIGINT),
        |      $ChunkBytes)) AS chunk_md5
-       |  FROM c
+       |  FROM $c
        |)""".stripMargin
+
+  private val chunksCte: String = "WITH " + chunkCteOver("documents", "c", "ch")
 
   val m07Sql: String = chunksCte +
     """
@@ -349,7 +357,69 @@ object Multimodal {
       |FROM ch GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY chunk_md5""".stripMargin
 
+  /** m09: blob integrity audit over the content-addressable chunks —
+    * recompute each received blob's chunk digests and compare them to
+    * the m07 manifest (the digests recorded at ingest), flagging any
+    * blob whose bytes changed in transit and the first chunk where.
+    * The audit a media store runs after replication/migration; chunk
+    * granularity localizes the damage instead of re-fetching whole
+    * blobs.
+    *
+    * The sandbox has no real transport, so the query plants
+    * deterministic corruption (docs with doc_id % 7 == 3 get their
+    * first byte overwritten with 'X' — the fixture texts start
+    * lowercase, so the digest always changes); production compares two
+    * real replicas. Plan: two narrow chunk-explodes and ONE join on
+    * (doc_id, chunk_idx) + a per-doc agg — both sides partition the
+    * same way, no other shuffle. */
+  def m09IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val manifest = chunkDigests(packAsMedia(spark, dir).toDF())
+    val received = chunkDigests(
+      packAsMedia(spark, dir).toDF()
+        .withColumn("blob",
+          when(col("doc_id") % 7 === 3,
+            concat(encode(lit("X"), "UTF-8"),
+              expr("substring(blob, 2, 2147483647)")))
+            .otherwise(col("blob"))))
+    manifest.alias("m")
+      .join(received.alias("r"), Seq("doc_id", "chunk_idx"))
+      .withColumn("bad",
+        when(col("m.chunk_md5") =!= col("r.chunk_md5"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("bad")).as("n_bad"),
+        coalesce(min(when(col("bad") === 1L, col("chunk_idx"))), lit(-1L))
+          .as("first_bad_chunk"))
+      .withColumn("status",
+        when(col("n_bad") > 0, "corrupt").otherwise(lit("ok")))
+      .select(col("doc_id"), col("n_chunks"), col("n_bad"),
+        col("first_bad_chunk"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same planted corruption in VARCHAR space (texts are pure
+    * ASCII, byte == character), both chunk chains from the shared CTE
+    * generator, same join + audit agg. */
+  val m09Sql: String =
+    s"""WITH corrupted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 3 THEN 'X' || substring(text, 2)
+       |         ELSE text END AS text
+       |  FROM documents
+       |), ${chunkCteOver("documents", "c", "ch")},
+       |${chunkCteOver("corrupted", "c2", "ch2")}
+       |SELECT m.doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN m.chunk_md5 <> r.chunk_md5 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_bad,
+       |  COALESCE(MIN(CASE WHEN m.chunk_md5 <> r.chunk_md5
+       |    THEN m.chunk_idx END), -1) AS first_bad_chunk,
+       |  CASE WHEN SUM(CASE WHEN m.chunk_md5 <> r.chunk_md5 THEN 1
+       |    ELSE 0 END) > 0 THEN 'corrupt' ELSE 'ok' END AS status
+       |FROM ch m JOIN ch2 r USING (doc_id, chunk_idx)
+       |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_integrity_audit" -> (m09IntegrityAudit _),
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_frame_sample" -> (m03FrameSample _),
@@ -425,6 +495,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "m09_integrity_audit" -> m09Sql,
     "m01_media_meta" -> m01Sql,
     "m02_media_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,

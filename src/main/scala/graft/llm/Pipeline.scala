@@ -597,7 +597,132 @@ object Pipeline {
        |    ORDER BY fp, doc_id) AS BIGINT) AS ord
        |FROM banded ORDER BY doc_id""".stripMargin
 
+  /** Tokens per training pack for [[p12ShardPacking]] — small so the
+    * fixture yields many packs per shard; real pipelines use
+    * sequence-length × batch-size. */
+  val PackTokens = 512L
+
+  /** p12: training-shard packing — the sequence-packing step between
+    * corpus selection and training: stream each shard's documents (in
+    * the reproducible content-hash order, as p10) into consecutive
+    * ~[[PackTokens]]-token packs. A document's pack is where its FIRST
+    * token lands (streaming fill — packs absorb boundary overflow
+    * rather than splitting documents), so pack assignment is one
+    * prefix sum + one integer division: no iteration, no driver state.
+    *
+    * Scale: identical shape to p03 — one shuffle on the shard key,
+    * per-shard in-partition sort, running sum and the pack agg in the
+    * same partitioning. Pack sizes concentrate around PackTokens
+    * (boundary docs overflow by at most one doc's tokens). */
+  def p12ShardPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    graft.functions.VectorExpressions.register(spark)
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("rolling_min_hash(text)").as("fingerprint"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("shard", pmod(col("fingerprint"), lit(8L)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("fingerprint"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) DIV $PackTokens"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  /** Oracle: the shared fingerprint CTE, same content-hash order
+    * (fingerprint, doc_id — total, doc_id unique), same fill-start
+    * integer division (both floor on non-negative operands). */
+  val p12Sql: String = TextStats.fpWithCte +
+    s""",
+       |tok AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents
+       |),
+       |sh AS (
+       |  SELECT f.doc_id, f.fingerprint,
+       |    ((f.fingerprint % 8) + 8) % 8 AS shard, t.n_tokens,
+       |    SUM(t.n_tokens) OVER (
+       |      PARTITION BY ((f.fingerprint % 8) + 8) % 8
+       |      ORDER BY f.fingerprint, f.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS cum_tokens
+       |  FROM fp f JOIN tok t USING (doc_id)
+       |)
+       |SELECT shard, CAST((cum_tokens - n_tokens) // $PackTokens AS BIGINT)
+       |    AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |  MIN(doc_id) AS first_doc
+       |FROM sh GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
+
+  /** p11: corpus snapshot diff — the dataset-versioning audit run
+    * between two crawls/releases: which documents were added, removed,
+    * or changed. Comparison is by content digest (like d02's hash
+    * dedup), so the join ships 16-byte md5s, never the text; the join
+    * keys on doc_id, which both snapshots would be bucketed by in a
+    * real store — co-located merge join, no extra exchange.
+    *
+    * Snapshot B is simulated in-query (the fixture has only one
+    * snapshot): every doc_id % 10 == 0 removed, every surviving
+    * doc_id % 7 == 0 revised, and a doc_id % 13 == 0 slice re-ingested
+    * under new ids. Production points the same diff at two real
+    * snapshot tables. */
+  def p11SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val a = docs.select(col("doc_id"), md5(col("text")).as("md5_a"))
+    val bKept = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text"))
+    val bNew = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("fresh "), col("text")).as("text"))
+    val b = bKept.union(bNew)
+      .select(col("doc_id"), md5(col("text")).as("md5_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("md5_a").isNull, "added")
+          .when(col("md5_b").isNull, "removed")
+          .when(col("md5_a") =!= col("md5_b"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p11Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS md5_a FROM documents
+      |), b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)
+      |      AS md5_b
+      |  FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, md5('fresh ' || text) AS md5_b
+      |  FROM documents WHERE doc_id % 13 = 0
+      |), j AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN a.md5_a IS NULL THEN 'added'
+      |         WHEN b.md5_b IS NULL THEN 'removed'
+      |         WHEN a.md5_a <> b.md5_b THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |)
+      |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_shard_packing" -> (p12ShardPacking _),
+    "p11_snapshot_diff" -> (p11SnapshotDiff _),
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
     "p07_corpus_prep" -> (p07CorpusPrep _),
     "p08_quality_calibration" -> (p08QualityCalibration _),
@@ -610,6 +735,8 @@ object Pipeline {
     "p06_leakage_safe_split" -> (p06LeakageSafeSplit _),
   )
   val oracle: Map[String, String] = Map(
+    "p12_shard_packing" -> p12Sql,
+    "p11_snapshot_diff" -> p11Sql,
     "p01_dedup_pipeline" -> p01Sql,
     "p07_corpus_prep" -> p07Sql,
     "p08_quality_calibration" -> p08Sql,

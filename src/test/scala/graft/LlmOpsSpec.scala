@@ -367,4 +367,48 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(mx == k - 1, s"doc $id: indexes not dense 0..k-1")
     }
   }
+
+  test("m09 flags exactly the planted corruption, localized to chunk 0") {
+    val rows = llm.Multimodal.m09IntegrityAudit(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 7 == 3) {
+        assert(r.getAs[String]("status") == "corrupt", s"doc $id")
+        // a single flipped byte must damage exactly one chunk: the first
+        assert(r.getAs[Long]("n_bad") == 1L, s"doc $id")
+        assert(r.getAs[Long]("first_bad_chunk") == 0L, s"doc $id")
+      } else {
+        assert(r.getAs[String]("status") == "ok", s"doc $id")
+        assert(r.getAs[Long]("n_bad") == 0L, s"doc $id")
+        assert(r.getAs[Long]("first_bad_chunk") == -1L, s"doc $id")
+      }
+    }
+  }
+
+  test("p12 packs tile the corpus: token and doc totals preserved, packs non-empty") {
+    val packs = llm.Pipeline.p12ShardPacking(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n")).collect()
+    assert(packs.map(_.getAs[Long]("pack_tokens")).sum == docs.map(_.getLong(0)).sum)
+    assert(packs.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    packs.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 1L)
+      assert(r.getAs[Long]("pack_tokens") >= 1L)
+    }
+  }
+
+  test("p11 snapshot diff statuses match the planted snapshot-B rules") {
+    val rows = llm.Pipeline.p11SnapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val all = Tables(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(byStatus("removed") == all.filter(_ % 10 == 0))
+    assert(byStatus("changed") == all.filter(id => id % 7 == 0 && id % 10 != 0))
+    assert(byStatus("added") == all.filter(_ % 13 == 0).map(_ + 10000000L))
+    // statuses are disjoint and cover every diff row
+    assert(rows.length ==
+      byStatus.values.map(_.size).sum)
+  }
 }

@@ -293,6 +293,56 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d12: edit-distance verification on n-gram candidates
+  // ---------------------------------------------------------------------
+
+  /** Max Levenshtein distance for [[d12EditDistance]] — 4 keeps the
+    * one-or-two-word edits (the OCR/typo near-identical regime) and
+    * rejects looser rewrites: the fixture's jaccard-0.5 candidates
+    * span edit distances 0-12, median 4. */
+  val MaxEditDistance = 4
+
+  /** d12: minimal-edit duplicate pairs — character-level Levenshtein
+    * verification on top of the token-level candidates: among pairs
+    * with exact 3-gram Jaccard ≥ 0.5 ([[d04NgramJaccard]]), keep those
+    * within [[MaxEditDistance]] character edits. The precision pass a
+    * pipeline runs when near-identical means "a typo or an OCR glitch",
+    * not "same topic": shingle Jaccard tolerates word reorderings that
+    * edit distance correctly rejects.
+    *
+    * Scale: Levenshtein is O(len_a·len_b) per pair, so it must NEVER
+    * see the corpus cross product — here it runs only on the inverted-
+    * index candidate set (sum-of-posting² pairs, the d04 bound), and
+    * d04's `t·na ≤ nb ≤ na/t` length filter also bounds each DP table.
+    * The text join-back ships the two candidate texts once per pair. */
+  def d12EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    d04NgramJaccard(spark, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast(LongType))
+      .filter(col("edit_dist") <= MaxEditDistance)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: the shared shingle-pair CTE at the d04 threshold plus the
+    * same Levenshtein gate (both engines implement unit-cost
+    * Levenshtein; texts are ASCII, so codepoints == bytes). */
+  val d12Sql: String = shingleOracleCte +
+    s"""
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+       |FROM pr p JOIN sz x ON x.doc_id = p.doc_a
+       |JOIN sz y ON y.doc_id = p.doc_b
+       |JOIN documents da ON da.doc_id = p.doc_a
+       |JOIN documents db ON db.doc_id = p.doc_b
+       |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
+       |  AND levenshtein(da.text, db.text) <= $MaxEditDistance
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d08: PPJoin-style prefix-filtered exact Jaccard (high threshold)
   // ---------------------------------------------------------------------
 
@@ -516,6 +566,7 @@ object Dedup {
     "d06_embedding_near_dup" -> (d06EmbeddingNearDup _),
     "d08_ppjoin" -> (d08PpJoin _),
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
+    "d12_edit_distance" -> (d12EditDistance _),
   )
 
   /** d05 oracle: the full SimHash pipeline re-expressed in SQL — the
@@ -592,5 +643,6 @@ object Dedup {
     "d06_embedding_near_dup" -> d06Sql,
     "d08_ppjoin" -> d08Sql,
     "d10_incremental_dedup" -> d10Sql,
+    "d12_edit_distance" -> d12Sql,
   )
 }

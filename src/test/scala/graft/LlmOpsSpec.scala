@@ -26,6 +26,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // 0.8-threshold pairs ⊆ 0.5-threshold pairs
   }
 
+  test("d12 edit-distance pairs are a bounded subset of the d04 candidates") {
+    def keys(rows: Array[Row]) =
+      rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val ed = Dedup.d12EditDistance(spark, sf).collect()
+    val cand = keys(Dedup.d04NgramJaccard(spark, sf).collect())
+    assert(keys(ed).subsetOf(cand))
+    assert(ed.nonEmpty)
+    ed.foreach(r => assert(r.getAs[Long]("edit_dist") <= Dedup.MaxEditDistance))
+  }
+
   test("d05 simhash pairs include the jaccard near-duplicates") {
     def keys(rows: Array[Row]) =
       rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

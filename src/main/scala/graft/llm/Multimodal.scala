@@ -155,14 +155,9 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** m06: cross-media duplicate-frame detection — digest each media
-    * blob's fixed-offset 16-byte frames (the deterministic stand-in for
-    * per-frame content hashes) and keep digests appearing in more than
-    * one document: byte-identical frames shared across distinct media,
-    * the frame-level analogue of d02's digest dedup. At 100 TB this is
-    * one hash shuffle on 16-byte digests with map-side partial counts;
-    * frame payloads never travel. */
-  def m06DupFrames(spark: SparkSession, dir: String): DataFrame =
+  /** Per-media frame digests (doc_id, frame_md5) — shared by m06
+    * (digest-level dup report) and m10 (pair-level co-occurrence). */
+  private def frameDigests(spark: SparkSession, dir: String): DataFrame =
     graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"),
         explode(sequence(lit(0), lit(3))).as("frame_idx"))
@@ -171,6 +166,16 @@ object Multimodal {
         md5(concat(
           expr("substring(text, frame_idx * 16 + 1, 16)"),
           lit(":"), col("frame_idx").cast("string"))).as("frame_md5"))
+
+  /** m06: cross-media duplicate-frame detection — digest each media
+    * blob's fixed-offset 16-byte frames (the deterministic stand-in for
+    * per-frame content hashes) and keep digests appearing in more than
+    * one document: byte-identical frames shared across distinct media,
+    * the frame-level analogue of d02's digest dedup. At 100 TB this is
+    * one hash shuffle on 16-byte digests with map-side partial counts;
+    * frame payloads never travel. */
+  def m06DupFrames(spark: SparkSession, dir: String): DataFrame =
+    frameDigests(spark, dir)
       .groupBy(col("frame_md5"))
       .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
         min(col("doc_id")).as("first_doc"))
@@ -189,6 +194,62 @@ object Multimodal {
       |  MIN(doc_id) AS first_doc
       |FROM frames GROUP BY frame_md5 HAVING COUNT(DISTINCT doc_id) > 1
       |ORDER BY first_doc, frame_md5""".stripMargin
+
+  /** Hot-digest cap for [[m10SharedFrameDups]]: digests in more media
+    * than this are boilerplate (black frames, intro cards) — they say
+    * nothing about pairwise duplication and would explode the posting
+    * self-join quadratically. The fixture's max digest df is ~10, so
+    * the cap is inert at test scale; at 100 TB it is the thing that
+    * keeps the join sum-of-posting², not n². */
+  val HotFrameCap = 64
+
+  /** Minimum shared frames for an m10 pair — 1 shared frame is chance
+    * overlap on short media; ≥ 2 is the edited-copy signal. */
+  val MinSharedFrames = 2
+
+  /** m10: cross-media near-duplicate detection by shared-frame
+    * counting — two media objects sharing ≥ [[MinSharedFrames]] frame
+    * digests are cuts/edits of the same source (the video-dedup shape:
+    * frame-level containment, robust to trims and re-muxing that defeat
+    * whole-blob hashing). Pairs come from a posting self-join on the
+    * digest — the d04 inverted-index shape at frame granularity — with
+    * [[HotFrameCap]] keeping boilerplate frames out of the join. */
+  def m10SharedFrameDups(spark: SparkSession, dir: String): DataFrame = {
+    val frames = frameDigests(spark, dir).distinct()
+    val ok = frames.groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= HotFrameCap)
+      .select(col("frame_md5"))
+    val capped = frames.join(ok, "frame_md5")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.frame_md5") === col("b.frame_md5") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFrames)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: same frame digests, same hot cap, same pair count. */
+  val m10Sql: String =
+    s"""WITH frames AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(substr(text, 16 * i + 1, 16) || ':' || CAST(i AS VARCHAR))
+       |      AS fm
+       |  FROM documents, range(0, 4) t(i)
+       |  WHERE 16 * i < n_chars
+       |), ok AS (
+       |  SELECT fm FROM frames GROUP BY fm HAVING COUNT(*) <= $HotFrameCap
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM frames a JOIN ok USING (fm)
+       |  JOIN frames b ON a.fm = b.fm AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_shared FROM pairs
+       |WHERE n_shared >= $MinSharedFrames
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Resize pipeline: pack → stub-resize to 32×32 → size/meta audit. */
   def m04Resize(spark: SparkSession, dir: String): DataFrame =
@@ -420,6 +481,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m09_integrity_audit" -> (m09IntegrityAudit _),
+    "m10_shared_frame_dups" -> (m10SharedFrameDups _),
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_frame_sample" -> (m03FrameSample _),
@@ -496,6 +558,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "m09_integrity_audit" -> m09Sql,
+    "m10_shared_frame_dups" -> m10Sql,
     "m01_media_meta" -> m01Sql,
     "m02_media_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,

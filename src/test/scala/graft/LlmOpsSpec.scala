@@ -396,6 +396,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m10 recovers exact-duplicate media and never pairs below 2 shared frames") {
+    val pairs = llm.Multimodal.m10SharedFrameDups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(a < b) }
+    // identical texts share every frame -> any exact-dup pair long
+    // enough for >= 2 frames must surface as an m10 pair
+    val exactDups = Tables(spark, sf, "documents")
+      .filter(col("n_chars") > 16)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1).collect()
+      .flatMap { r =>
+        val ids = r.getAs[Seq[Long]]("ids").sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    assert(exactDups.subsetOf(pairs))
+  }
+
   test("p12 packs tile the corpus: token and doc totals preserved, packs non-empty") {
     val packs = llm.Pipeline.p12ShardPacking(spark, sf).collect()
     val docs = Tables(spark, sf, "documents")

@@ -574,8 +574,97 @@ object TextStats {
       |  CAST(rarity_sum AS DOUBLE) / n_tokens AS rarity
       |FROM per ORDER BY doc_id""".stripMargin
 
+  /** t13: corpus drift detection — for every source slice, the total-
+    * variation distance between its unigram token distribution and the
+    * rest of the corpus: TV = ½ Σ_t |p_s(t) − p_r(t)|. The monitor a
+    * pipeline runs per crawl/source to catch a slice whose language
+    * suddenly diverges (scraper broke, spam flood, domain shift).
+    *
+    * Exactness: the distance is computed as an INTEGER numerator
+    * Σ_t |c_s(t)·N_r − c_r(t)·N_s| over common denominator N_s·N_r
+    * (counts ≤ 10⁶, totals ≤ 10⁸ ⇒ products ≤ 10¹⁴, far inside BIGINT),
+    * so both engines agree bit-for-bit; the one double division
+    * num / (2·N_s·N_r) happens on identical operands. No logs — KL
+    * would need ln(), which is not bit-reproducible across engines.
+    *
+    * Scale: one token-count shuffle on (source, token) with map-side
+    * combine; everything after runs on the (sources × vocab) aggregate
+    * — thousands of rows, never the corpus. */
+  def t13CorpusDrift(spark: SparkSession, dir: String): DataFrame =
+    corpusDrift(Tables(spark, dir, "documents"))
+
+  /** Frame-parameterized drift core over any (source, text) relation. */
+  private[graft] def corpusDrift(d: DataFrame): DataFrame = {
+    val counts = d
+      .select(col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val grand = totals.agg(sum(col("n")).as("n_all"))
+    // per (source, token): this slice's count vs the rest-of-corpus
+    // count (corpus-wide count minus the slice's own). Tokens ABSENT
+    // from the slice never appear here — their mass (each contributes
+    // exactly c_rest·N_s) is added in closed form after the aggregate:
+    // Σ_absent c_rest = N_rest − Σ_present c_rest.
+    val corpus = counts.groupBy(col("token")).agg(sum(col("c")).as("c_all"))
+    counts.join(corpus, "token")
+      .join(totals, "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("c_rest", col("c_all") - col("c"))
+      .withColumn("n_rest", col("n_all") - col("n"))
+      .withColumn("term",
+        abs(col("c") * col("n_rest") - col("c_rest") * col("n")))
+      .groupBy(col("source"), col("n").as("n_slice"), col("n_rest"))
+      .agg(sum(col("term")).as("num_present"),
+        sum(col("c_rest")).as("rest_present"))
+      .withColumn("tv_num", col("num_present") +
+        (col("n_rest") - col("rest_present")) * col("n_slice"))
+      .withColumn("tv",
+        col("tv_num").cast(DoubleType) /
+          (lit(2.0) * col("n_slice") * col("n_rest")))
+      .select(col("source"), col("n_slice"), col("n_rest"),
+        col("tv_num"), col("tv"))
+      .orderBy(col("source"))
+  }
+
+  /** t13 oracle: same tokenization, same integer numerator, same final
+    * division on identical operands.
+    *
+    * A token absent from a slice contributes |0·N_r − c_r·N_s| to that
+    * slice's sum — both sides restrict the join to tokens present in
+    * the slice and add the missing mass in the same closed form:
+    * Σ_t∈s |c_s·N_r − c_r·N_s| + (N_r − Σ_t∈s c_r)·N_s. */
+  val t13Sql: String =
+    """WITH toks AS (
+      |  SELECT d.source, unnest(string_split(d.text, ' ')) AS token
+      |  FROM documents d
+      |), counts AS (
+      |  SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
+      |), grand AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM totals),
+      |corpus AS (
+      |  SELECT token, CAST(SUM(c) AS BIGINT) AS c_all FROM counts GROUP BY 1
+      |), present AS (
+      |  SELECT k.source, t.n AS n_slice, (g.n_all - t.n) AS n_rest,
+      |    SUM(ABS(k.c * (g.n_all - t.n) - (p.c_all - k.c) * t.n))
+      |      AS num_present,
+      |    SUM(p.c_all - k.c) AS rest_present
+      |  FROM counts k JOIN corpus p USING (token)
+      |  JOIN totals t USING (source) CROSS JOIN grand g
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT source, n_slice, n_rest,
+      |  CAST(num_present + (n_rest - rest_present) * n_slice AS BIGINT)
+      |    AS tv_num,
+      |  CAST(num_present + (n_rest - rest_present) * n_slice AS BIGINT)
+      |    / (2.0 * n_slice * n_rest) AS tv
+      |FROM present ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t09_surprisal" -> (t09Surprisal _),
+    "t13_corpus_drift" -> (t13CorpusDrift _),
     "t10_mixed_lang" -> (t10MixedLang _),
     "t06_bigrams" -> (t06Bigrams _),
     "t07_repetition" -> (t07Repetition _),
@@ -598,5 +687,6 @@ object TextStats {
     "t08_contamination" -> t08Sql,
     "t09_surprisal" -> t09Sql,
     "t10_mixed_lang" -> t10Sql,
+    "t13_corpus_drift" -> t13Sql,
   )
 }

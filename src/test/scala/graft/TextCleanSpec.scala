@@ -105,6 +105,30 @@ class TextCleanSpec extends AnyFunSuite {
     assert(sess(1L) == 1L && sess(2L) == 1L && sess(3L) == 2L)
   }
 
+  test("t13 drift: disjoint vocabularies give TV=1, identical give TV=0") {
+    import spark.implicits._
+    val disjoint = Seq(
+      ("s1", "apple banana cherry apple"),
+      ("s2", "dog elephant fox dog dog")).toDF("source", "text")
+    val dj = graft.llm.TextStats.corpusDrift(disjoint)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("tv")).toMap
+    assert(dj("s1") == 1.0 && dj("s2") == 1.0)
+    val same = Seq(
+      ("s1", "alpha beta alpha beta"),
+      ("s2", "alpha beta alpha beta")).toDF("source", "text")
+    val sm = graft.llm.TextStats.corpusDrift(same)
+      .collect().map(r => r.getAs[Double]("tv"))
+    assert(sm.forall(_ == 0.0))
+    // fixture: every slice's TV strictly inside (0, 1)
+    val fx = graft.llm.TextStats.corpusDrift(
+      Tables(spark, sf, "documents")).collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      val tv = r.getAs[Double]("tv")
+      assert(tv > 0.0 && tv < 1.0)
+    }
+  }
+
   test("q63 sessions partition the events: counts sum to the table size") {
     val out = Relational6.q63Sessionize(spark, sf)
     val total = out.agg(sum(col("n_events"))).collect()(0).getLong(0)

@@ -380,7 +380,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "d11_semdedup", // the s02 IVF fan-out (16 broadcast centroids), not n²
       "p05_mixture_rebalance", // 1-row global-min frame broadcast, like t05
       "p09_epoch_mixing", // 1-row global-max frame broadcast, like p05
-      "t05_tfidf", "t09_surprisal") // 1-row corpus-total broadcast frames
+      "t05_tfidf", "t09_surprisal", // 1-row corpus-total broadcast frames
+      "t13_corpus_drift") // 1-row grand-total broadcast frame, like t05
     SparkEntry.queries.foreach { case (name, fn) =>
       // AQE wraps the whole plan in a LeafExecNode; collect* would see
       // only {"AdaptiveSparkPlan"} without the unwrap

@@ -129,6 +129,26 @@ class TextCleanSpec extends AnyFunSuite {
     }
   }
 
+  test("t13 drift is symmetric on any two-source corpus") {
+    import spark.implicits._
+    // with exactly two sources, each slice's "rest" IS the other slice,
+    // so TV(s1‖s2) must equal TV(s2‖s1) — numerator and all
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to 3).foreach { _ =>
+      val docsSeq = for {
+        src <- Seq("s1", "s2"); _ <- 1 to 5
+      } yield (src,
+        Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val out = graft.llm.TextStats.corpusDrift(docsSeq.toDF("source", "text"))
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("tv_num"), r.getAs[Double]("tv"))).toMap
+      assert(out("s1")._1 == out("s2")._1)
+      assert(out("s1")._2 == out("s2")._2)
+    }
+  }
+
   test("q63 sessions partition the events: counts sum to the table size") {
     val out = Relational6.q63Sessionize(spark, sf)
     val total = out.agg(sum(col("n_events"))).collect()(0).getLong(0)

@@ -38,6 +38,13 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "count_in_set", exprs => VectorExpressions.mkCountInSet(exprs),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "cms_estimate", exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
+    // the sketch-merge re-aggregator rides the UDF registry (it is an
+    // Aggregator, not an Expression); registration is idempotent
+    spark.udf.register("cms_merge",
+      org.apache.spark.sql.functions.udaf(
+        SketchExpressions.CmsMerge, org.apache.spark.sql.Encoders.BINARY))
   }
 
   /** `count_in_set(arr, 'a,b,c')` — the member set must be a foldable

@@ -63,6 +63,33 @@ object Store {
       PMMLLocation = s"$locBase/$id/pmml")
   }
 
+  /** Scale-path sink (beyond the reference's CSV surface): Hive-style
+    * partitioned parquet with deterministic in-file ordering. At 100 TB
+    * this is THE layout decision — `partitionBy` gives readers
+    * partition pruning (a `WHERE lang = 'en'` never opens other
+    * directories), and the within-partition sort clusters each file so
+    * min/max row-group stats prune inside files too.
+    *
+    * The explicit `repartition(partitionCols)` routes every output
+    * partition value to one task, so a 1000-executor write produces one
+    * file per (task, partition-value) instead of up to
+    * tasks × values tiny files — the classic partitioned-write
+    * small-file explosion. Skewed partition values would concentrate in
+    * single tasks; callers with one giant value add a salt column to
+    * `partitionCols` and drop it from the written frame. */
+  def writePartitionedParquet(df: DataFrame, baseDir: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      cfg: graft.GraftConfig = graft.GraftConfig()): String = {
+    val base = cfg.resolvePath(baseDir)
+    import org.apache.spark.sql.functions.col
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(base)
+    base
+  }
+
   /** S11: write a PMML document as `<folder>/pmml/part-00000`
     * (`R/DataFrameOperationR.R:388-436`) — a single small file, so a
     * plain FileSystem write, not a Spark job. */

@@ -189,13 +189,99 @@ object TextClean {
        |FROM planted ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t14: hard-rule document filter (C4/Gopher-style keep/reject gates)
+  // ---------------------------------------------------------------------
+
+  /** Stopword set shared with t02's scorer — the C4 "contains natural
+    * language" proxy needs function words, and one list must serve both
+    * the soft score and the hard gate so they cannot drift. */
+  private val filterStopwords =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** t14: the hard-gate counterpart of t02's soft quality score — each
+    * document gets one boolean per published filter rule (C4: minimum
+    * word count + minimum stopword evidence; Gopher: mean-word-length
+    * band, symbol ratio, lexical-diversity floor) and a conjunctive
+    * `keep`. Production pipelines run the gate as a filter; the query
+    * emits the per-rule verdicts so rejected docs are attributable (the
+    * usual corpus-card requirement).
+    *
+    * Every rule is integer arithmetic on token/char counts — no
+    * doubles anywhere, so both engines agree bit-for-bit:
+    *   - `r_len`: n_words ≥ 20 (C4 short-doc gate)
+    *   - `r_wordlen`: 3·n_words ≤ total_word_chars ≤ 10·n_words
+    *     (Gopher mean-word-length band, cross-multiplied)
+    *   - `r_stop`: ≥ 2 stopword tokens (C4 natural-language evidence)
+    *   - `r_symbol`: 10 · junk_chars ≤ n_chars (symbol ratio ≤ 10%)
+    *   - `r_diverse`: 2 · n_distinct ≥ n_words (type-token ratio ≥ ½,
+    *     the Gopher repetition gate — the fixture vocabulary is ~40
+    *     words, so long synthetic docs genuinely fail this one)
+    *
+    * Plan shape at 100 TB: scan → codegen'd per-row projection, no
+    * shuffle, no UDF (`count_in_set` is a custom codegen Expression);
+    * the ORDER BY is presentation-only. */
+  def t14RuleFilter(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    Tables(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("word_chars", (col("n_chars") - col("n_words") + 1))
+      .withColumn("n_stop",
+        expr(s"count_in_set(ws, '${filterStopwords.mkString(",")}')")
+          .cast("long"))
+      .withColumn("n_junk",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("long"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_stop"),
+        (col("n_words") >= 20).as("r_len"),
+        (col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10).as("r_wordlen"),
+        (col("n_stop") >= 2).as("r_stop"),
+        (col("n_junk") * 10 <= col("n_chars")).as("r_symbol"),
+        (col("n_distinct") * 2 >= col("n_words")).as("r_diverse"))
+      .withColumn("keep",
+        col("r_len") && col("r_wordlen") && col("r_stop") &&
+          col("r_symbol") && col("r_diverse"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t14Sql: String = {
+    val list = filterStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    n_chars - len(string_split(text, ' ')) + 1 AS word_chars,
+       |    len(list_filter(string_split(text, ' '),
+       |      w -> list_contains([$list], w))) AS n_stop,
+       |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_junk,
+       |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       |    n_chars
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_stop AS BIGINT) AS n_stop,
+       |  n_words >= 20 AS r_len,
+       |  word_chars BETWEEN n_words * 3 AND n_words * 10 AS r_wordlen,
+       |  n_stop >= 2 AS r_stop,
+       |  n_junk * 10 <= n_chars AS r_symbol,
+       |  n_distinct * 2 >= n_words AS r_diverse,
+       |  (n_words >= 20 AND word_chars BETWEEN n_words * 3 AND n_words * 10
+       |    AND n_stop >= 2 AND n_junk * 10 <= n_chars
+       |    AND n_distinct * 2 >= n_words) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_boilerplate" -> (t11Boilerplate _),
     "t12_pii_redact" -> (t12PiiRedact _),
+    "t14_rule_filter" -> (t14RuleFilter _),
   )
 
   val oracle: Map[String, String] = Map(
     "t11_boilerplate" -> t11Sql,
     "t12_pii_redact" -> t12Sql,
+    "t14_rule_filter" -> t14Sql,
   )
 }

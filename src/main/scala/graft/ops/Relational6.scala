@@ -332,8 +332,157 @@ object Relational6 {
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** q64: mergeable-sketch reaggregation — the 100 TB pre-aggregation
+    * pattern q35's single-pass sketch does not cover. Level 1 builds one
+    * Datasketches HLL per (year, month) of ordering customers; level 2
+    * merges the monthly sketches per year (`hll_union_agg`) and
+    * estimates. Customers recur across months, so the merge genuinely
+    * deduplicates — the yearly estimate sits far below the sum of
+    * monthly distincts. At 100 TB level 1 is the stored sketch table
+    * (KBs per group, built once by the ingestion pass); every coarser
+    * rollup — year, all-time, any ad-hoc slice — re-aggregates sketch
+    * BYTES without touching raw data, which is what makes distinct-count
+    * reporting tractable at that scale. The benched plan is two hash
+    * aggregates: a (yr, mo) shuffle carrying partial sketch state, then
+    * a yr shuffle over ~84 sketch rows.
+    *
+    * Sketch internals are engine-specific, so the raw estimate can never
+    * hash-match DuckDB; correctness gates through [[q64Verified]]
+    * (registered in [[verifyOverrides]], same contract as q35): exact
+    * companions hash-compared, plus a 3σ accuracy boolean the oracle
+    * emits as literal TRUE. */
+  def q64SketchReagg(spark: SparkSession, dir: String): DataFrame =
+    q64Production(spark, dir)
+
+  /** The production (benched) shape: sketch build + sketch merge only. */
+  def q64Production(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        count(lit(1)).as("mn"))
+      .groupBy(col("yr"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_buyers"),
+        count(lit(1)).as("n_months"),
+        sum(col("mn")).as("n_orders"))
+      .orderBy(col("yr"))
+
+  /** Verify-mode shape: estimate vs an exact count_distinct companion,
+    * reduced to oracle-hashable columns. Default lgConfigK = 12 → HLL
+    * rse ≈ 1.04/√4096 ≈ 1.6%; 3σ ≈ 4.9%, bound 6%. */
+  def q64Verified(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Tables(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("ey"))
+      .agg(count_distinct(col("o_custkey")).as("exact_buyers"))
+    q64Production(spark, dir).join(exact, col("yr") === col("ey"))
+      .select(col("yr"), col("n_months"), col("n_orders"),
+        col("exact_buyers"),
+        (abs(col("approx_buyers") - col("exact_buyers")) <=
+          col("exact_buyers") * 0.06).as("approx_ok"))
+      .orderBy(col("yr"))
+  }
+
+  val q64Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+      | COUNT(DISTINCT MONTH(o_orderdate)) AS n_months,
+      | COUNT(*) AS n_orders,
+      | COUNT(DISTINCT o_custkey) AS exact_buyers,
+      | TRUE AS approx_ok
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** q65: mergeable frequency sketches — the Count-Min companion to
+    * q64's HLL distinct-count merge. Level 1 builds one CMS per source
+    * over its token stream (`count_min_sketch`, map-side partial agg,
+    * fixed 160 KB state per group); level 2 merges the serialized
+    * sketches into one corpus sketch (`cms_merge`) and probes it for a
+    * fixed token set (`cms_estimate`). At 100 TB the per-source sketches
+    * are the stored artifact — any later frequency question over any
+    * source subset is a merge of KB-sized blobs, no raw re-scan — and
+    * the probe list stands in for the ad-hoc "how often does X appear"
+    * reporting such sketches exist to serve. The probe join is a 1-row
+    * broadcast of the merged sketch (whitelisted in the plan lint with
+    * the other broadcast-scalar frames).
+    *
+    * CMS estimates are engine-specific (seeded Murmur rows), so
+    * correctness gates through [[q65Verified]] in [[verifyOverrides]]:
+    * exact per-probe counts hash-compared, plus the two CMS contracts —
+    * never undercounts; overshoot ≤ ⌈ε·N⌉ — as booleans the oracle
+    * emits as literal TRUE. */
+  def q65CmsFreq(spark: SparkSession, dir: String): DataFrame =
+    q65Production(spark, dir)
+
+  /** Probe tokens: fixture-vocabulary members spanning common ("table")
+    * to rare, plus one absent token pinning the zero path. */
+  private val q65Probes = Seq(
+    "table", "scan", "the", "a", "value", "fast", "window", "agg",
+    "join", "zz_absent_token")
+
+  private def q65Tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+
+  /** The production (benched) shape: build per-source sketches, merge,
+    * probe. */
+  def q65Production(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val merged = q65Tokens(spark, dir)
+      .groupBy(col("source"))
+      .agg(expr("count_min_sketch(token, 0.001d, 0.999d, 42)").as("sk"),
+        count(lit(1)).as("n_tokens"))
+      .agg(expr("cms_merge(sk)").as("sk"),
+        sum(col("n_tokens")).as("n_total"))
+    spark.range(1)
+      .select(explode(array(q65Probes.map(lit): _*)).as("token"))
+      .join(merged)
+      .select(col("token"), expr("cms_estimate(sk, token)").as("approx_count"),
+        col("n_total"))
+      .orderBy(col("token"))
+  }
+
+  /** Verify-mode shape: probes joined against exact token counts,
+    * reduced to oracle-hashable columns. `no_undercount` is CMS's hard
+    * guarantee; `bound_ok` is the ε-overshoot bound, deterministic here
+    * because the seed is fixed. */
+  def q65Verified(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q65Tokens(spark, dir)
+      .filter(col("token").isin(q65Probes: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("ec"))
+    q65Production(spark, dir).join(exact, Seq("token"), "left")
+      .select(col("token"),
+        coalesce(col("ec"), lit(0L)).as("exact_count"),
+        col("n_total"),
+        (col("approx_count") >= coalesce(col("ec"), lit(0L)))
+          .as("no_undercount"),
+        (col("approx_count") <= coalesce(col("ec"), lit(0L)) +
+          ceil(col("n_total") * 0.001).cast("long")).as("bound_ok"))
+      .orderBy(col("token"))
+  }
+
+  val q65Sql: String = {
+    val values = q65Probes.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+       |), tot AS (SELECT COUNT(*) AS n_total FROM toks),
+       |probes(token) AS (VALUES $values)
+       |SELECT p.token, CAST(COUNT(t.token) AS BIGINT) AS exact_count,
+       |  CAST(tot.n_total AS BIGINT) AS n_total,
+       |  TRUE AS no_undercount, TRUE AS bound_ok
+       |FROM probes p CROSS JOIN tot LEFT JOIN toks t ON t.token = p.token
+       |GROUP BY p.token, tot.n_total
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** See [[graft.SparkEntry.verifyOverrides]]. */
+  val verifyOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_sketch_reagg" -> (q64Verified _),
+    "q65_cms_freq" -> (q65Verified _),
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_sessionize" -> (q63Sessionize _),
+    "q64_sketch_reagg" -> (q64SketchReagg _),
+    "q65_cms_freq" -> (q65CmsFreq _),
     "q61_top_supplier" -> (q61TopSupplier _),
     "q54_lateral" -> (q54Lateral _),
     "q50_priority_check" -> (q50PriorityCheck _),
@@ -348,6 +497,8 @@ object Relational6 {
   )
   val oracle: Map[String, String] = Map(
     "q63_sessionize" -> q63Sql,
+    "q64_sketch_reagg" -> q64Sql,
+    "q65_cms_freq" -> q65Sql,
     "q61_top_supplier" -> q61Sql,
     "q54_lateral" -> q54Sql,
     "q50_priority_check" -> q50Sql,

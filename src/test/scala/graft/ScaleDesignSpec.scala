@@ -58,6 +58,119 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 sketch reagg: merged estimate in bound, merge deduplicates") {
+    // the verify shape's boolean gates the oracle hash; assert it
+    // directly, then pin the property that makes the op worth having:
+    // the merged yearly estimate deduplicates customers recurring
+    // across months (strictly below the sum of monthly distincts)
+    val verified = ops.Relational6.q64Verified(spark, sf).collect()
+    assert(verified.nonEmpty)
+    verified.foreach { r =>
+      assert(r.getAs[Boolean]("approx_ok"),
+        s"year ${r.get(0)}: merged HLL estimate outside 6% of exact")
+    }
+    val monthlySum = Tables(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")))
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .groupBy(col("yr")).agg(sum(col("d")).as("msum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val yearly = ops.Relational6.q64Production(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every year with >1 active month must merge below its monthly sum
+    val multiMonth = yearly.keySet.filter(y => monthlySum(y) > yearly(y))
+    assert(multiMonth.nonEmpty, "fixture has no cross-month recurrence")
+  }
+
+  test("runtime bloom filter: selective dim filter reaches the fact scan as might_contain") {
+    // at 100 TB the shuffle join's probe side is the cost; Spark's
+    // runtime row-level filtering builds a bloom filter from the
+    // filtered (creation) side and injects might_contain() into the
+    // probe scan, cutting shuffled fact rows before the exchange. The
+    // prod thresholds (10 GB probe scan) are sized for clusters, so a
+    // child session lowers them to observe the mechanism at test scale;
+    // broadcast is disabled because a broadcast join already prunes at
+    // the build-hash and never needs the bloom.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val orders = Tables(s2, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val joined = Tables(s2, sf, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_quantity"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      s"no runtime bloom filter injected:\n${optimized.take(2000)}")
+    // and the filter is transparent: same rows as the plain join
+    val expect = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(joined.count() == expect)
+  }
+
+  test("partitioned parquet sink: directory pruning, in-file ordering, round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_sink").toString
+    try {
+      val docs = Tables(spark, sf, "documents")
+      io.Store.writePartitionedParquet(
+        docs, dir, partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+      // hive layout: one lang=<value> dir per distinct lang, nothing else
+      val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+      val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSet
+      assert(subdirs == langs.map(l => s"lang=$l"))
+      // a selective read PRUNES: the scan's partition filters carry the
+      // predicate, so other directories are never opened
+      val back = spark.read.parquet(dir).filter(col("lang") === "en")
+      val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+        s"partition filter not pushed to the scan:\n$scan")
+      assert(back.count() == docs.filter(col("lang") === "en").count())
+      // within-partition sort clustered the file: any single part file
+      // must be ascending in doc_id (row-group stats prune inside files)
+      val part = new java.io.File(dir, s"lang=${langs.head}").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val ids = spark.read.parquet(part.getPath)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted),
+        s"part file not sorted by doc_id: ${ids.take(5).mkString(",")}...")
+      assert(spark.read.parquet(dir).count() == docs.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("q65 CMS merge: estimates bounded, exact on this vocabulary, absent token zero") {
+    val verified = ops.Relational6.q65Verified(spark, sf).collect()
+    assert(verified.length == 10)
+    verified.foreach { r =>
+      assert(r.getAs[Boolean]("no_undercount"),
+        s"token ${r.get(0)}: CMS undercounted — impossible, merge is broken")
+      assert(r.getAs[Boolean]("bound_ok"),
+        s"token ${r.get(0)}: CMS overshoot above the eps*N bound")
+    }
+    // ~30-token vocabulary in a 2000-cell sketch: no collisions, so the
+    // merged estimate must be EXACT — a mismatch means the merge or the
+    // estimate hash path diverged from the aggregate's add path
+    val prod = ops.Relational6.q65Production(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    verified.foreach { r =>
+      assert(prod(r.getString(0)) == r.getAs[Long]("exact_count"),
+        s"token ${r.get(0)}: estimate ${prod(r.getString(0))} != exact")
+    }
+    assert(prod("zz_absent_token") == 0L)
+  }
+
   test("s05 int8-quantized top-k stays close to the exact top-k") {
     // the 4x-narrower shuffle payload is only a win if recall holds:
     // per-query overlap between the quantized and exact top-10 sets
@@ -381,7 +494,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "p05_mixture_rebalance", // 1-row global-min frame broadcast, like t05
       "p09_epoch_mixing", // 1-row global-max frame broadcast, like p05
       "t05_tfidf", "t09_surprisal", // 1-row corpus-total broadcast frames
-      "t13_corpus_drift") // 1-row grand-total broadcast frame, like t05
+      "t13_corpus_drift", // 1-row grand-total broadcast frame, like t05
+      "q65_cms_freq") // 1-row merged-sketch broadcast onto the probe list
     SparkEntry.queries.foreach { case (name, fn) =>
       // AQE wraps the whole plan in a LeafExecNode; collect* would see
       // only {"AdaptiveSparkPlan"} without the unwrap

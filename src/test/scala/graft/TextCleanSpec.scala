@@ -158,4 +158,30 @@ class TextCleanSpec extends AnyFunSuite {
     val bad = out.filter(col("duration_us") < 0).count()
     assert(bad == 0L)
   }
+
+  test("t14 hard gates discriminate on the fixture and keep is their conjunction") {
+    val out = TextClean.t14RuleFilter(spark, sf).collect()
+    assert(out.length == Tables(spark, sf, "documents").count())
+    // the gates that must cut both ways on this fixture: short docs
+    // exist (r_len), stopword-free docs exist (r_stop), and the ~40-word
+    // vocabulary forces long docs under TTR 1/2 (r_diverse)
+    for (rule <- Seq("r_len", "r_stop", "r_diverse")) {
+      val passed = out.count(_.getAs[Boolean](rule))
+      assert(passed > 0 && passed < out.length,
+        s"$rule does not discriminate: $passed/${out.length} pass")
+    }
+    // all-lowercase-word fixture: the wordlen band and symbol gate must
+    // pass everywhere — a failure means the integer cross-multiplication
+    // drifted from the documented ratio semantics
+    assert(out.forall(_.getAs[Boolean]("r_wordlen")))
+    assert(out.forall(_.getAs[Boolean]("r_symbol")))
+    out.foreach { r =>
+      val conj = Seq("r_len", "r_wordlen", "r_stop", "r_symbol", "r_diverse")
+        .forall(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") == conj,
+        s"doc ${r.get(0)}: keep != conjunction of rule columns")
+    }
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < out.length)
+  }
 }

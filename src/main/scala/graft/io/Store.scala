@@ -90,6 +90,46 @@ object Store {
     base
   }
 
+  /** 2-D Morton (z-order) key over the low 16 bits of two integer
+    * columns — the multi-dimensional clustering complement to
+    * [[writePartitionedParquet]]'s single-dimension sort. A file sorted
+    * by `(a, b)` gives row-group min/max skipping on `a` only; a file
+    * sorted by the interleaved key keeps BOTH dimensions range-bounded
+    * per file/row group (each contiguous key run is a small quad of the
+    * (a,b) plane), so predicates on either column prune. This is how a
+    * 100 TB fact table serves `WHERE ship_date = X` and
+    * `WHERE part = Y` queries from one layout without a second copy.
+    *
+    * Pure closed-form bit arithmetic (the classic shift-or-mask bit
+    * spread), fully codegen'd, byte-identical in any engine with 64-bit
+    * `& | <<` — the oracle replays it in SQL. Callers quantize inputs
+    * into 0..65535 first (ranks, days-since-epoch, hash buckets);
+    * higher bits are masked off. */
+  def zorderKey(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    def spread(c: org.apache.spark.sql.Column) = {
+      val m0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      val m1 = m0.bitwiseOR(shiftleft(m0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+      m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** The same bit spread as SQL text, for oracle parity. */
+  def zorderKeySql(a: String, b: String): String = {
+    def spread(e: String): String = {
+      val m0 = s"($e & 65535)"
+      val m1 = s"(($m0 | ($m0 << 8)) & 16711935)"
+      val m2 = s"(($m1 | ($m1 << 4)) & 252645135)"
+      val m3 = s"(($m2 | ($m2 << 2)) & 858993459)"
+      s"(($m3 | ($m3 << 1)) & 1431655765)"
+    }
+    s"(${spread(a)} | (${spread(b)} << 1))"
+  }
+
   /** S11: write a PMML document as `<folder>/pmml/part-00000`
     * (`R/DataFrameOperationR.R:388-436`) — a single small file, so a
     * plain FileSystem write, not a Spark job. */

@@ -473,6 +473,159 @@ object Relational6 {
        |ORDER BY 1""".stripMargin
   }
 
+  /** q66: z-order (Morton) layout key over (ship-day, partkey) — the
+    * multi-dimensional clustering pass a 100 TB fact table runs before
+    * [[graft.io.Store.writePartitionedParquet]] so that BOTH
+    * `l_shipdate` and `l_partkey` predicates get file/row-group min-max
+    * skipping from one layout (ScaleDesignSpec measures the per-file
+    * range narrowing against a plain single-column sort). The query
+    * aggregates per 64Ki-key curve segment: `count` pins every row's
+    * high bits, `sum` pins every row's full interleaved key bit-exactly,
+    * so the oracle replaying the same shift-or-mask arithmetic in SQL
+    * hash-verifies the whole Morton kernel, not just extremes.
+    *
+    * Plan shape: scan (2 columns read) → codegen'd bit arithmetic →
+    * one partial-aggregated groupBy shuffle on ~256 buckets. */
+  def q66ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val zkey = graft.io.Store.zorderKey(
+      datediff(col("l_shipdate"), lit("1995-01-01")), col("l_partkey"))
+    Tables(spark, dir, "lineitem")
+      .select(zkey.as("zkey"))
+      .groupBy(shiftright(col("zkey"), 16).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("zkey")).as("zmin"),
+        max(col("zkey")).as("zmax"), sum(col("zkey")).as("zsum"))
+      .orderBy(col("bucket"))
+  }
+
+  val q66Sql: String = {
+    val z = graft.io.Store.zorderKeySql(
+      "datediff('day', DATE '1995-01-01', l_shipdate)", "l_partkey")
+    s"""WITH z AS (SELECT $z AS zkey FROM lineitem)
+       |SELECT zkey >> 16 AS bucket, COUNT(*) AS n,
+       |  MIN(zkey) AS zmin, MAX(zkey) AS zmax,
+       |  CAST(SUM(zkey) AS BIGINT) AS zsum
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  /** q67: slowly-changing-dimension (type 2) build — turn each user's
+    * event stream into attribute-version intervals: a new version opens
+    * only when `event_type` CHANGES (consecutive repeats collapse into
+    * the open version), `valid_to` is the next version's start, and the
+    * open version is flagged current. This is the standard
+    * warehouse-dimension derivation (and the batch form of
+    * `mapGroupsWithState` session tracking): the history table that
+    * as-of joins (q30) probe.
+    *
+    * Same SQL text through Catalyst and DuckDB. Plan shape: ONE
+    * user_id exchange serves both windows and survives the change
+    * filter (lag and lead share the (user_id; ts, event_id) sort), so
+    * at 100 TB the cost is a single keyed shuffle of the event log —
+    * the change filter then drops repeat rows BEFORE the second window
+    * pass reads them. The version-opening event_id rides along for
+    * lineage and makes the output order total. */
+  def q67Scd2(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, q67Sql)
+
+  val q67Sql: String =
+    """SELECT user_id, event_id, event_type, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM (
+      |  SELECT user_id, event_id, event_type, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id
+      |                   ORDER BY ts, event_id) AS valid_to
+      |  FROM (
+      |    SELECT user_id, event_id, event_type, ts,
+      |      LAG(event_type) OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS prev
+      |    FROM events)
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  /** q68: incremental aggregate maintenance — the nightly-delta pattern
+    * that keeps a 100 TB running aggregate current without rescanning
+    * history. The "stored" per-customer aggregate (orders before
+    * 1998) and the "delta" batch (1998 onward) are each aggregated
+    * separately, then merged by a full-outer coalesce of the partial
+    * states — sums add, counts add, maxes max. The ORACLE is the direct
+    * aggregate over ALL orders, so the hash match is the semantic
+    * proof that merge-of-partials equals full recompute (sum/count/max
+    * are the mergeable-state trio; q64/q65 extend the same idea to
+    * sketch state).
+    *
+    * Plan shape: two pruned scans (the date predicate reaches both
+    * parquet scans) → two partial-aggregated shuffles on o_custkey →
+    * one co-partitioned full-outer merge (both sides arrive hashed on
+    * the join key, so AQE plans no extra exchange). At scale the
+    * "base" side is the stored aggregate table — KBs per customer, not
+    * the raw history. */
+  def q68IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val cutoff = lit("1998-01-01").cast("date")
+    def part(df: DataFrame): DataFrame = df
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).as("spend"),
+        max(col("o_orderdate")).as("last_order"))
+    val base = part(orders.filter(col("o_orderdate") < cutoff))
+    val delta = part(orders.filter(col("o_orderdate") >= cutoff))
+    base.as("b").join(delta.as("d"),
+        col("b.o_custkey") === col("d.o_custkey"), "full_outer")
+      .select(
+        coalesce(col("b.o_custkey"), col("d.o_custkey")).as("custkey"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("b.spend"), lit(0).cast("decimal(14,2)")) +
+          coalesce(col("d.spend"), lit(0).cast("decimal(14,2)")))
+          .cast("double").as("spend"),
+        greatest(col("b.last_order"), col("d.last_order")).as("last_order"))
+      .orderBy(col("custkey"))
+  }
+
+  /** The oracle recomputes from scratch — equality IS the claim. */
+  val q68Sql: String =
+    """SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend,
+      |  MAX(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_custkey ORDER BY custkey""".stripMargin
+
+  /** q69: warehouse MERGE (upsert) with action attribution — apply a
+    * change batch onto the customer snapshot: matched keys update
+    * (balance += recent spend), unmatched change keys insert (synthetic
+    * new customers derived from order keys), unmatched snapshot rows
+    * carry over. Each output row says which MERGE arm produced it — the
+    * audit column every incremental-load pipeline wants. Same SQL text
+    * through Catalyst and DuckDB: the full-outer join + CASE is exactly
+    * what engines with a native MERGE INTO lower it to, and at 100 TB
+    * it is one co-partitioned shuffle join on the key (the change batch
+    * is typically small enough to broadcast).
+    *
+    * Balances stay in exact DECIMAL cents through the arithmetic and
+    * cast to DOUBLE only at output. */
+  def q69MergeUpsert(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, q69Sql)
+
+  val q69Sql: String =
+    """WITH chg AS (
+      |  SELECT o_custkey AS k,
+      |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+      |  FROM orders WHERE o_orderdate >= DATE '1998-06-01'
+      |  GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT 1000000 + o_orderkey AS k,
+      |    CAST(o_totalprice AS DECIMAL(14,2)) AS spend
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |)
+      |SELECT COALESCE(c.c_custkey, chg.k) AS custkey,
+      |  CASE WHEN c.c_custkey IS NULL THEN 'insert'
+      |       WHEN chg.k IS NULL THEN 'carryover'
+      |       ELSE 'update' END AS action,
+      |  CAST(COALESCE(CAST(c.c_acctbal AS DECIMAL(14,2)),
+      |                CAST(0 AS DECIMAL(14,2)))
+      |       + COALESCE(chg.spend, CAST(0 AS DECIMAL(14,2)))
+      |    AS DOUBLE) AS new_balance
+      |FROM customer c FULL OUTER JOIN chg ON c.c_custkey = chg.k
+      |ORDER BY custkey""".stripMargin
+
   /** See [[graft.SparkEntry.verifyOverrides]]. */
   val verifyOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_sketch_reagg" -> (q64Verified _),
@@ -483,6 +636,10 @@ object Relational6 {
     "q63_sessionize" -> (q63Sessionize _),
     "q64_sketch_reagg" -> (q64SketchReagg _),
     "q65_cms_freq" -> (q65CmsFreq _),
+    "q66_zorder_layout" -> (q66ZorderLayout _),
+    "q67_scd2" -> (q67Scd2 _),
+    "q68_incremental_agg" -> (q68IncrementalAgg _),
+    "q69_merge_upsert" -> (q69MergeUpsert _),
     "q61_top_supplier" -> (q61TopSupplier _),
     "q54_lateral" -> (q54Lateral _),
     "q50_priority_check" -> (q50PriorityCheck _),
@@ -499,6 +656,10 @@ object Relational6 {
     "q63_sessionize" -> q63Sql,
     "q64_sketch_reagg" -> q64Sql,
     "q65_cms_freq" -> q65Sql,
+    "q66_zorder_layout" -> q66Sql,
+    "q67_scd2" -> q67Sql,
+    "q68_incremental_agg" -> q68Sql,
+    "q69_merge_upsert" -> q69Sql,
     "q61_top_supplier" -> q61Sql,
     "q54_lateral" -> q54Sql,
     "q50_priority_check" -> q50Sql,

@@ -283,6 +283,143 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"digest dedup shuffled $digestBytes vs full-text $textBytes")
   }
 
+  test("q68 incremental merge: co-partitioned, and the delta is the only recomputed part") {
+    // the full-outer merge of the two partial aggregates must reuse
+    // their hash partitioning on o_custkey — a third exchange before
+    // the join would mean the merge re-shuffles what the aggregates
+    // already co-located. Expected exchanges: one per aggregate side
+    // plus the presentation ORDER BY range exchange.
+    val df = ops.Relational6.q68IncrementalAgg(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan):
+        org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val exchanges = unwrap(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 3,
+      s"merge join must reuse the aggregates' partitioning:\n$plan")
+    // and actions split as expected on the fixture: customers with only
+    // pre-1998 orders, only 1998+ orders, and both must all exist
+    val both = df.collect()
+    assert(both.nonEmpty)
+    val direct = Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(both.length == direct.size)
+    both.foreach { r =>
+      assert(r.getAs[Long]("n_orders") == direct(r.getAs[Long]("custkey")))
+    }
+  }
+
+  test("q69 merge upsert: all three MERGE arms fire and keys stay unique") {
+    val out = ops.Relational6.q69MergeUpsert(spark, sf).collect()
+    val byAction = out.groupBy(_.getAs[String]("action")).view.mapValues(_.length)
+    for (a <- Seq("insert", "update", "carryover"))
+      assert(byAction.getOrElse(a, 0) > 0, s"MERGE arm '$a' never fired")
+    val keys = out.map(_.getAs[Long]("custkey"))
+    assert(keys.distinct.length == keys.length, "duplicate keys after merge")
+  }
+
+  test("z-order layout bounds BOTH dimensions per file; linear sort only one") {
+    // the claim behind q66/Store.zorderKey: range-splitting the Morton
+    // curve into files keeps each file a small quad of the
+    // (ship-day, partkey) plane, so min/max stats prune scans on EITHER
+    // column; a plain shipdate sort leaves partkey unbounded per file.
+    // Measured on the real files via input_file_name(), not asserted
+    // from theory.
+    // the zorderKey contract says callers quantize first: both dims are
+    // scaled to the same 12-bit width from their GLOBAL min/max (a
+    // 2500-day dim interleaved raw with a 200-value dim would put all
+    // the top curve bits on the wide dim and degenerate to a linear
+    // sort on it)
+    val days = datediff(col("l_shipdate"), lit("1995-01-01"))
+    val raw = Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"), days.as("d"))
+    val dom = raw.agg(min(col("d")), max(col("d")),
+      min(col("l_partkey")), max(col("l_partkey"))).collect()(0)
+    val (dLo, dHi) = (dom.getInt(0), dom.getInt(1))
+    val (pLo, pHi) = (dom.getLong(2), dom.getLong(3))
+    def quant(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      (c.cast("long") - lo) * 4096L / (hi - lo + 1L)
+    val li = raw.withColumn("zkey", io.Store.zorderKey(
+      quant(col("d"), dLo, dHi), quant(col("l_partkey"), pLo, pHi)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    try {
+      li.repartitionByRange(8, col("zkey")).sortWithinPartitions(col("zkey"))
+        .write.mode("overwrite").parquet(s"$dir/z")
+      li.repartitionByRange(8, col("d")).sortWithinPartitions(col("d"))
+        .write.mode("overwrite").parquet(s"$dir/linear")
+      // avg fraction of each dimension's global range a single file spans
+      def coverage(path: String): (Double, Double) = {
+        val ranges = spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg((max(col("d")) - min(col("d"))).as("dr"),
+            (max(col("l_partkey")) - min(col("l_partkey"))).as("pr"))
+          .collect()
+        val (dDom, pDom) = ((dHi - dLo).toDouble, (pHi - pLo).toDouble)
+        (ranges.map(_.getAs[Int]("dr")).sum.toDouble / ranges.length / dDom,
+          ranges.map(_.getAs[Long]("pr")).sum.toDouble / ranges.length / pDom)
+      }
+      val (zDay, zPart) = coverage(s"$dir/z")
+      val (lDay, lPart) = coverage(s"$dir/linear")
+      // linear: near-perfect on the sort key, useless on the other
+      assert(lDay < 0.25, s"linear layout should bound ship-day: $lDay")
+      assert(lPart > 0.9, s"linear layout can't bound partkey: $lPart")
+      // z-order: BOTH dimensions bounded well below the full domain
+      assert(zDay < 0.75 && zPart < 0.75,
+        s"z-order should bound both dims: day=$zDay part=$zPart")
+      assert(zPart < lPart / 2,
+        s"z-order partkey coverage $zPart not << linear $lPart")
+    } finally rm(new java.io.File(dir))
+  }
+
+  test("AQE skew join splits the hot partition at runtime") {
+    // q48's salting is the MANUAL skew remedy; the platform remedy is
+    // AQE's OptimizeSkewedJoin, which observes the actual partition
+    // sizes after the shuffle map stage and splits oversized partitions
+    // into parallel sub-joins — no salt column, no query rewrite. At
+    // 100 TB this is the default posture (salting is reserved for keys
+    // so hot that even split sub-partitions overwhelm a task). The prod
+    // thresholds are sized for clusters (256 MB), so a child session
+    // lowers them to observe the mechanism at test scale; broadcast is
+    // off because the skewed side must actually shuffle.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    // 100k fact rows, half on key 1 (+ payload so the hot partition
+    // clears the byte threshold), dim covering all keys
+    val fact = s2.range(100000).select(
+      when(col("id") % 2 === 0, lit(1L)).otherwise(col("id") % 500)
+        .as("k"),
+      concat(lit("x" * 64), col("id")).as("payload"))
+    val dim = s2.range(500).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("dname"))
+    val joined = fact.join(dim, "k")
+    // execute THIS frame's own QueryExecution (a write/count would plan
+    // its own copy and leave this one isFinalPlan=false), then read the
+    // adaptively replanned join back out of it
+    val n = joined.collect().length
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not mark the skewed join:\n${finalPlan.take(3000)}")
+    // and the runtime split is transparent: same rows as the plain join
+    assert(n == 100000)
+  }
+
   test("salted join actually spreads a hot key across tasks") {
     // Skew.saltedEquiJoin is row-identity-verified in IoParitySpec; this
     // is the SCALE claim: with a key holding 50% of the fact rows, the

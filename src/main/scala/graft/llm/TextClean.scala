@@ -273,15 +273,106 @@ object TextClean {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t15: intra-doc repetition removal
+  // ---------------------------------------------------------------------
+
+  /** t15: WITHIN-document repetition removal — the transform counterpart
+    * of t07's repetition *signals* and the intra-doc sibling of t11's
+    * interdoc boilerplate strip (Gopher drops highly repetitious docs
+    * wholesale; pipelines that would rather salvage them strip the
+    * repeats). Each doc is chunked exactly like t11; a chunk survives
+    * only at its FIRST occurrence within its own document, and the
+    * survivors reassemble in original order.
+    *
+    * The dedup IS the aggregation: `groupBy(doc_id, chunk).min(chunk_idx)`
+    * both removes repeats and remembers where each survivor goes — no
+    * window function, so the plan is two partial-aggregated shuffles
+    * ((doc_id, chunk) then doc_id reassembly) and chunk text never
+    * moves except for those two hops. Per-doc state is bounded by the
+    * doc's own distinct-chunk count, so a pathological 1 GB document
+    * cannot hot-spot a task beyond its own size. */
+  def t15RepeatStrip(spark: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus has no natural intra-doc chunk repeats at
+    // any SF, so the operator's input PLANTS them deterministically
+    // (t13 precedent): every 7th doc with >= 16 tokens is truncated to
+    // a chunk-aligned prefix and its first two chunks are re-appended —
+    // byte-identical planting in the oracle, so the strip itself is
+    // what the hash verifies
+    val chunks = Tables(spark, dir, "documents")
+      .withColumn("ws0", split(col("text"), " "))
+      .withColumn("ws", expr(
+        s"""CASE WHEN doc_id % 7 = 0 AND size(ws0) >= 16
+           |  THEN concat(slice(ws0, 1, (size(ws0) DIV $ChunkTokens) * $ChunkTokens),
+           |              slice(ws0, 1, ${2 * ChunkTokens}))
+           |  ELSE ws0 END""".stripMargin))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, CAST((size(ws) + ${ChunkTokens - 1}) DIV $ChunkTokens AS INT) - 1),
+             |  i -> array_join(slice(ws, i * $ChunkTokens + 1, $ChunkTokens), ' '))"""
+            .stripMargin)).as(Seq("chunk_idx", "chunk")))
+    val kept = chunks
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(min(col("chunk_idx")).as("ci"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(ci, chunk))), x -> x.chunk), ' ')")
+          .as("clean_text"))
+    chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        (col("n_chunks") - col("n_kept")).as("n_stripped"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t15Sql: String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws0 FROM documents
+       |), toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 AND len(ws0) >= 16
+       |      THEN list_concat(
+       |        list_slice(ws0, 1, (len(ws0) // $ChunkTokens) * $ChunkTokens),
+       |        list_slice(ws0, 1, ${2 * ChunkTokens}))
+       |      ELSE ws0 END AS ws
+       |  FROM toks0
+       |), idx AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(0, (len(ws) + ${ChunkTokens - 1}) // $ChunkTokens)) AS ci
+       |  FROM toks
+       |), ck AS (
+       |  SELECT doc_id, ci,
+       |    array_to_string(
+       |      list_slice(ws, ci * $ChunkTokens + 1, ci * $ChunkTokens + $ChunkTokens),
+       |      ' ') AS chunk
+       |  FROM idx
+       |), firsts AS (
+       |  SELECT doc_id, chunk, MIN(ci) AS ci FROM ck GROUP BY doc_id, chunk
+       |), kept AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+       |  FROM firsts GROUP BY doc_id
+       |), tot AS (
+       |  SELECT doc_id, COUNT(*) AS n_chunks FROM ck GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, t.n_chunks, k.n_kept,
+       |  t.n_chunks - k.n_kept AS n_stripped, k.clean_text
+       |FROM tot t JOIN kept k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_boilerplate" -> (t11Boilerplate _),
     "t12_pii_redact" -> (t12PiiRedact _),
     "t14_rule_filter" -> (t14RuleFilter _),
+    "t15_repeat_strip" -> (t15RepeatStrip _),
   )
 
   val oracle: Map[String, String] = Map(
     "t11_boilerplate" -> t11Sql,
     "t12_pii_redact" -> t12Sql,
     "t14_rule_filter" -> t14Sql,
+    "t15_repeat_strip" -> t15Sql,
   )
 }

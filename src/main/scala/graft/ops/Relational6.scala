@@ -626,6 +626,43 @@ object Relational6 {
       |FROM customer c FULL OUTER JOIN chg ON c.c_custkey = chg.k
       |ORDER BY custkey""".stripMargin
 
+  /** q70: forward fill (last-observation-carried-forward) — time-series
+    * repair for gappy telemetry: each user's missing readings take the
+    * most recent earlier value; leading gaps stay NULL. Missingness is
+    * derived deterministically (`event_id % 5 = 0`) so both engines
+    * plant identical holes, and `was_missing` keeps the repair
+    * attributable. `filled` COPIES values (no arithmetic), so
+    * double-exactness is free.
+    *
+    * Spark-side this is `last(col, ignoreNulls = true)` over a running
+    * row frame — one user_id exchange, per-partition sort, single pass
+    * with O(1) state per partition (the running frame never
+    * re-scans). The growing-frame pitfall (`collect_list` + element_at)
+    * would be O(n²) per user; `last(ignoreNulls)` is the
+    * scale-correct form. */
+  def q70ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("v",
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("v").isNull.as("was_missing"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val q70Sql: String =
+    """SELECT user_id, event_id, ts, v IS NULL AS was_missing,
+      |  LAST_VALUE(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      |      FROM events)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   /** See [[graft.SparkEntry.verifyOverrides]]. */
   val verifyOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_sketch_reagg" -> (q64Verified _),
@@ -640,6 +677,7 @@ object Relational6 {
     "q67_scd2" -> (q67Scd2 _),
     "q68_incremental_agg" -> (q68IncrementalAgg _),
     "q69_merge_upsert" -> (q69MergeUpsert _),
+    "q70_forward_fill" -> (q70ForwardFill _),
     "q61_top_supplier" -> (q61TopSupplier _),
     "q54_lateral" -> (q54Lateral _),
     "q50_priority_check" -> (q50PriorityCheck _),
@@ -660,6 +698,7 @@ object Relational6 {
     "q67_scd2" -> q67Sql,
     "q68_incremental_agg" -> q68Sql,
     "q69_merge_upsert" -> q69Sql,
+    "q70_forward_fill" -> q70Sql,
     "q61_top_supplier" -> q61Sql,
     "q54_lateral" -> q54Sql,
     "q50_priority_check" -> q50Sql,

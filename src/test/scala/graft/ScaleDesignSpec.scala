@@ -283,6 +283,23 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"digest dedup shuffled $digestBytes vs full-text $textBytes")
   }
 
+  test("observe() accounting rides the existing action — no second pass") {
+    // instrument the t14 gate stage: the rule-pass counts and the row
+    // count must come out of the one action that computes the output,
+    // and match what separate (re-scanning) queries would report
+    val gated = llm.TextClean.t14RuleFilter(spark, sf)
+    val (instrumented, obs) = ops.Observe.counted(
+      gated, "t14_gates",
+      "len" -> col("r_len"), "keep" -> col("keep"))
+    val outRows = instrumented.collect().length
+    val m = obs.get
+    assert(m("rows") == outRows.toLong)
+    assert(m("len_pass") == gated.filter(col("r_len")).count())
+    assert(m("keep_pass") == gated.filter(col("keep")).count())
+    // gates discriminate, so the accounting is non-trivial
+    assert(m("keep_pass").asInstanceOf[Long] < m("rows").asInstanceOf[Long])
+  }
+
   test("q68 incremental merge: co-partitioned, and the delta is the only recomputed part") {
     // the full-outer merge of the two partial aggregates must reuse
     // their hash partitioning on o_custkey — a third exchange before

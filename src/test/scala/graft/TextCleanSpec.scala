@@ -159,6 +159,43 @@ class TextCleanSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("t15 strips within-doc repeats only, keeps first occurrences in order") {
+    val out = TextClean.t15RepeatStrip(spark, sf).collect()
+    assert(out.length == Tables(spark, sf, "documents").count())
+    // the fixture's ~40-word vocabulary with 8-token chunks repeats
+    // within at least some docs; and no doc may LOSE non-repeat chunks
+    assert(out.exists(_.getAs[Long]("n_stripped") > 0),
+      "fixture planted no intra-doc repeats — threshold or chunking drifted")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_stripped") ==
+        r.getAs[Long]("n_chunks"))
+      // reassembled text has exactly n_kept chunks' worth of structure:
+      // distinct chunks of the cleaned text == chunks of the cleaned text
+      val cleaned = r.getAs[String]("clean_text").split(" ")
+        .grouped(TextClean.ChunkTokens).map(_.mkString(" ")).toSeq
+      assert(cleaned.distinct.length == cleaned.length,
+        s"doc ${r.get(0)}: repeats survived the strip")
+    }
+  }
+
+  test("q70 forward fill: holes take the last earlier value, leading holes stay null") {
+    val out = ops.Relational6.q70ForwardFill(spark, sf).collect()
+    // replay per user in output order with a driver-side LOCF reference
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      var lastSeen: Option[Double] = None
+      rows.foreach { r =>
+        if (!r.getAs[Boolean]("was_missing"))
+          lastSeen = Some(r.getAs[Double]("filled"))
+        lastSeen match {
+          case Some(v) => assert(r.getAs[Double]("filled") == v)
+          case None => assert(r.isNullAt(r.fieldIndex("filled")),
+            "leading hole must stay null")
+        }
+      }
+    }
+    assert(out.exists(_.getAs[Boolean]("was_missing")))
+  }
+
   test("t14 hard gates discriminate on the fixture and keep is their conjunction") {
     val out = TextClean.t14RuleFilter(spark, sf).collect()
     assert(out.length == Tables(spark, sf, "documents").count())

@@ -122,6 +122,149 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming forward fill equals the batch q70 on an in-order source") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    // plant the same holes q70 plants (event_id % 5 = 0), carry ts as
+    // micros so ordering inside the group function is exact
+    val in = streamingEvents()
+      .selectExpr("user_id",
+        "unix_micros(ts) AS ts_micros", "event_id",
+        "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v")
+      .as[(Long, Long, Long, Option[Double])]
+      .map { case (u, t, e, v) => graft.stream.Stateful.FillIn(u, t, e, v) }
+    val filled = graft.stream.Stateful.forwardFill(in.groupByKey(_.userId))
+    val q = filled.toDF("user_id", "event_id", "was_missing", "filled")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_fill").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_fill").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getBoolean(2), if (r.isNullAt(3)) null else r.getDouble(3)))
+        .toMap
+      val batch = ops.Relational6.q70ForwardFill(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getBoolean(3), if (r.isNullAt(4)) null else r.getDouble(4)))
+        .toMap
+      assert(streamed.size == batch.size)
+      assert(streamed === batch)
+      // the parity is non-trivial: holes exist and some were filled
+      assert(streamed.values.exists { case (miss, f) => miss && f != null })
+    } finally q.stop()
+  }
+
+  test("streaming forward fill carries state ACROSS micro-batches") {
+    // the reason the streaming form exists: a hole arriving hours (here:
+    // one batch) after the last good reading still fills from it, while
+    // a key with no observation ever stays null. Two staged files +
+    // maxFilesPerTrigger=1 force two genuine micro-batches.
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val srcDir = Files.createTempDirectory("fill-src").toString
+    def stage(rows: Seq[(Long, Long, Long, Option[Double])], tag: String): Unit = {
+      val tmp = Files.createTempDirectory("fill-half").toString
+      rows.toDF("userId", "tsMicros", "eventId", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, s"$tag.parquet"))
+    }
+    // batch 1: user 1 observes 10.5 then a hole; user 2 only holes
+    stage(Seq((1L, 1L, 1L, Some(10.5)), (1L, 2L, 2L, None),
+      (2L, 1L, 3L, None)), "b1")
+    val schema = Seq((1L, 1L, 1L, Option(1.0)))
+      .toDF("userId", "tsMicros", "eventId", "v").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .as[graft.stream.Stateful.FillIn]
+    val filled = graft.stream.Stateful.forwardFill(in.groupByKey(_.userId))
+    val q = filled.toDF("user_id", "event_id", "was_missing", "filled")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_fill_xbatch").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: both users hole — user 1 must fill from batch 1's 10.5,
+      // user 2 has still never observed anything
+      stage(Seq((1L, 3L, 4L, None), (2L, 2L, 5L, None)), "b2")
+      q.processAllAvailable()
+      val out = spark.table("stream_fill_xbatch").collect()
+        .map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+      assert(out(2L) == 10.5, "same-batch fill")
+      assert(out(4L) == 10.5, "cross-batch fill lost the carried state")
+      assert(out(3L) == null && out(5L) == null,
+        "never-observed key must stay null across batches")
+    } finally q.stop()
+  }
+
+  test("streaming SCD2 emits exactly the batch q67's closed versions; later batch closes an open one") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    // phase 1: full fixture in-order — closed versions must equal the
+    // batch operator's non-current rows
+    val in = streamingEvents()
+      .selectExpr("user_id AS userId", "unix_micros(ts) AS tsMicros",
+        "event_id AS eventId", "event_type AS eventType")
+      .as[graft.stream.Stateful.ScdIn]
+    val closed = graft.stream.Stateful.scd2(in.groupByKey(_.userId))
+    val q = closed.toDF("user_id", "event_id", "event_type", "f", "t")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_scd2").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_scd2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+      val batch = ops.Relational6.q67Scd2(spark, sf)
+        .filter(!col("is_current"))
+        .selectExpr("user_id", "event_id", "event_type",
+          "unix_micros(valid_from) AS f", "unix_micros(valid_to) AS t")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+      assert(streamed.size == batch.size)
+      assert(streamed === batch)
+    } finally q.stop()
+
+    // phase 2: a staged two-batch stream — the change in batch 2 must
+    // close the version opened in batch 1 with the right interval
+    val srcDir = Files.createTempDirectory("scd-src").toString
+    def stage(rows: Seq[(Long, Long, Long, String)], tag: String): Unit = {
+      val tmp = Files.createTempDirectory("scd-half").toString
+      rows.toDF("userId", "tsMicros", "eventId", "eventType")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, s"$tag.parquet"))
+    }
+    stage(Seq((1L, 100L, 1L, "view"), (1L, 200L, 2L, "view")), "b1")
+    val schema = Seq((1L, 1L, 1L, "x"))
+      .toDF("userId", "tsMicros", "eventId", "eventType").schema
+    val in2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .as[graft.stream.Stateful.ScdIn]
+    val closed2 = graft.stream.Stateful.scd2(in2.groupByKey(_.userId))
+    val q2 = closed2.toDF("user_id", "event_id", "event_type", "f", "t")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_scd2_xbatch").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("stream_scd2_xbatch").count() == 0,
+        "no change yet — nothing may close")
+      stage(Seq((1L, 300L, 3L, "click")), "b2")
+      q2.processAllAvailable()
+      val rows = spark.table("stream_scd2_xbatch").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getLong(1) == 1L && r.getString(2) == "view" &&
+        r.getLong(3) == 100L && r.getLong(4) == 300L,
+        s"wrong closed version: $r")
+    } finally q2.stop()
+  }
+
   test("streaming dedup keeps each event_id once") {
     val doubled = streamingEvents().union(streamingEvents())
     val q = EventWindows.streamingDedup(doubled)

@@ -332,6 +332,27 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("q67/q70: one keyed exchange serves every window pass") {
+    // both queries claim their windows (lag+lead / last-ignoreNulls)
+    // share a single user_id shuffle; the only other exchange allowed
+    // is the presentation ORDER BY's range partitioning
+    for (name <- Seq("q67_scd2", "q70_forward_fill")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution
+        .executedPlan
+      val unwrapped = plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val shuffles = unwrapped.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length <= 2,
+        s"$name: expected <= 2 exchanges (user_id + ORDER BY), got " +
+          s"${shuffles.length}:\n${unwrapped.toString.take(1500)}")
+    }
+  }
+
   test("q69 merge upsert: all three MERGE arms fire and keys stay unique") {
     val out = ops.Relational6.q69MergeUpsert(spark, sf).collect()
     val byAction = out.groupBy(_.getAs[String]("action")).view.mapValues(_.length)

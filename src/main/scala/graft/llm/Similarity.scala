@@ -323,6 +323,61 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Deterministic projection matrix for s08: 16 rows × 64 dims, the
+    * same 3-decimal rational integer-mix family as [[LshPlanes]] but a
+    * different multiplier, so the two plane sets share no structure. */
+  private[llm] val ProjPlanes: IndexedSeq[Array[Double]] =
+    (0 until 16).map { i =>
+      Array.tabulate(64) { j =>
+        val m = (i * 64 + j).toLong
+        val x = ((m * 2246822519L) % 2001 + 2001) % 2001
+        (x - 1000) / 1000.0
+      }
+    }
+
+  /** s08: random-projection dimensionality reduction (Johnson-
+    * Lindenstrauss), 64 → 16 dims — the compression pass that runs
+    * BEFORE the ANN paths when the raw embeddings are too wide to
+    * shuffle: pairwise geometry survives to within the JL distortion
+    * (ScaleDesignSpec measures it on this fixture), while every
+    * downstream shuffle/index/state ships 4× fewer bytes — the same
+    * motivation as s05's int8 quantization, trading dims instead of
+    * precision.
+    *
+    * Plan shape: scan → 16 codegen'd `vec_dot`s per row (no UDF, no
+    * shuffle; the ORDER BY is presentation-only). The planes are fixed
+    * 3-decimal rational literals, so projections are bit-identical in
+    * any engine that sums left-to-right — the oracle replays them with
+    * `list_dot_product`. */
+  def s08RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    def planeLit(p: Array[Double]): String =
+      p.map(_.toString + "D").mkString("array(", ",", ")")
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id") +:
+        (0 until 16).map { k =>
+          expr(s"vec_dot(v, ${planeLit(ProjPlanes(k))})").as(f"p$k%02d")
+        }: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val s08Sql: String = {
+    def planeList(p: Array[Double]): String =
+      p.map(_.toString).mkString("[", ",", "]")
+    val cols = (0 until 16).map { k =>
+      s"list_dot_product(v, ${planeList(ProjPlanes(k))}) AS p${f"$k%02d"}"
+    }.mkString(",\n  ")
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |)
+       |SELECT vec_id,
+       |  $cols
+       |FROM n ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s02_ivf_topk" -> (s02IvfTopK _),
@@ -331,6 +386,7 @@ object Similarity {
     "s05_quantized_topk" -> (s05QuantizedTopK _),
     "s06_auto_rewrite" -> (s06AutoRewrite _),
     "s07_lsh_topk" -> (s07LshTopK _),
+    "s08_random_projection" -> (s08RandomProjection _),
   )
 
   /** Shared CTE: DOUBLE[]-cast vectors + norms. `list_dot_product` over
@@ -509,5 +565,6 @@ object Similarity {
     "s05_quantized_topk" -> s05Sql,
     "s06_auto_rewrite" -> s01Sql, // same contract as the declarative form
     "s07_lsh_topk" -> s07Sql,
+    "s08_random_projection" -> s08Sql,
   )
 }

@@ -171,6 +171,41 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(prod("zz_absent_token") == 0L)
   }
 
+  test("s08 random projection preserves distance scale; recall honest on the isotropic fixture") {
+    // the embeddings fixture is an ISOTROPIC gaussian (same-label and
+    // cross-label mean distances are equal), so fine neighbor ranking
+    // through ANY 16-dim projection is inherently weak — the honest
+    // claims are (a) squared distances scale by ~k*Var(plane) = 16/3
+    // (JL preserves geometry in expectation) and (b) top-10 recall
+    // beats the random baseline 10/59. Both are deterministic here:
+    // fixed planes, fixed fixture.
+    val raw = Tables(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .orderBy("vec_id").limit(60).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val proj = llm.Similarity.s08RandomProjection(spark, sf)
+      .orderBy("vec_id").limit(60).collect()
+      .map(r => (1 to 16).map(r.getDouble).toArray)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val n = raw.length
+    val pairs = for (a <- 0 until n; b <- a + 1 until n) yield (a, b)
+    val ratios = pairs.map { case (a, b) => d2(proj(a), proj(b)) / d2(raw(a), raw(b)) }
+      .sorted
+    val median = ratios(ratios.length / 2)
+    val kvar = 16.0 * (2001.0 * 2001.0 - 1) / 12 / 1e6 // 16 * Var(plane) ~ 5.34
+    assert(median / kvar > 0.6 && median / kvar < 1.3,
+      s"projected distance scale off: median ratio $median vs k*var $kvar")
+    def top10(dm: (Int, Int) => Double, i: Int): Set[Int] =
+      (0 until n).filter(_ != i).sortBy(j => dm(i, j)).take(10).toSet
+    val dRaw = (i: Int, j: Int) => d2(raw(i), raw(j))
+    val dPrj = (i: Int, j: Int) => d2(proj(i), proj(j))
+    val recall = (0 until n)
+      .map(i => (top10(dRaw, i) & top10(dPrj, i)).size / 10.0).sum / n
+    assert(recall > 0.22, // random baseline: 10/59 ~ 0.17; measured 0.283
+      s"projection recall $recall not above the random baseline")
+  }
+
   test("s05 int8-quantized top-k stays close to the exact top-k") {
     // the 4x-narrower shuffle payload is only a win if recall holds:
     // per-query overlap between the quantized and exact top-10 sets

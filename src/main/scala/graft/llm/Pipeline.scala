@@ -720,7 +720,201 @@ object Pipeline {
       |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
       |ORDER BY doc_id""".stripMargin
 
+  /** p13: incremental corpus update — the daily production loop: a new
+    * crawl batch (doc_id % 3 = 0, d10's split) arrives against the
+    * standing corpus (the rest, treated as already cleaned — a real
+    * increment never re-cleans its index), and every new doc gets ONE
+    * attributable disposition, first matching rule wins:
+    *
+    *   1. `rejected_quality` — fails the [[QualityThreshold]] gate;
+    *   2. `dup_exact_index`  — byte-identical to a standing doc;
+    *   3. `dup_exact_batch`  — byte-identical to a smaller-id batch doc;
+    *   4. `dup_near_index`   — near-dup (Jaccard ≥ 0.8) of a standing doc;
+    *   5. `dup_near_batch`   — near-dup of a smaller-id quality-passing
+    *      batch doc (greedy first-seen-wins; if the smaller doc itself
+    *      gets dropped the bigger one is a transitive dup — same rule
+    *      in the oracle, so the semantics cannot drift);
+    *   6. `accepted`.
+    *
+    * Scale posture is d10's: the standing side ships digests and band
+    * buckets only (never text), LSH buckets with no new-batch member
+    * produce no candidates, so per-increment cost scales with the
+    * batch, not the corpus. The disposition column is what corpus
+    * cards and ingestion dashboards consume (q69's `action` pattern,
+    * applied to documents). */
+  def p13IncrementalUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val pass = TextStats.qualityScored(newDocs)
+      .filter(col("quality") >= QualityThreshold)
+      .select(col("doc_id"), col("text"))
+    val oldDig = oldDocs.select(md5(col("text")).as("h")).distinct()
+    val exactIndex = pass.withColumn("h", md5(col("text")))
+      .join(oldDig, Seq("h"), "left_semi").select(col("doc_id"))
+    val keepers = pass.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val exactBatch = pass.withColumn("h", md5(col("text")))
+      .join(keepers, "h").filter(col("doc_id") > col("keeper"))
+      .select(col("doc_id"))
+    // near-dup pairs over standing corpus + quality-passing batch only
+    // (a quality-rejected doc must not shadow a batch near-dup)
+    val pairs = Dedup.minHashPairs(
+      oldDocs.select(col("doc_id"), col("text")).union(pass),
+      threshold = 0.8)
+    val nearIndex = pairs
+      .filter((col("doc_a") % 3 === 0) =!= (col("doc_b") % 3 === 0))
+      .select(when(col("doc_a") % 3 === 0, col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    val nearBatch = pairs
+      .filter((col("doc_a") % 3 === 0) && (col("doc_b") % 3 === 0))
+      .select(greatest(col("doc_a"), col("doc_b")).as("doc_id"))
+      .distinct()
+    newDocs.select(col("doc_id"), col("n_chars"))
+      .join(pass.select(col("doc_id")).withColumn("q", lit(1)),
+        Seq("doc_id"), "left")
+      .join(exactIndex.withColumn("ei", lit(1)), Seq("doc_id"), "left")
+      .join(exactBatch.withColumn("eb", lit(1)), Seq("doc_id"), "left")
+      .join(nearIndex.withColumn("ni", lit(1)), Seq("doc_id"), "left")
+      .join(nearBatch.withColumn("nb", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("q").isNull, "rejected_quality")
+          .when(col("ei") === 1, "dup_exact_index")
+          .when(col("eb") === 1, "dup_exact_batch")
+          .when(col("ni") === 1, "dup_near_index")
+          .when(col("nb") === 1, "dup_near_batch")
+          .otherwise("accepted").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: identical rules — the shared quality expression, digest
+    * joins, and the exact-Jaccard pair relation (= LSH+verify at
+    * t = 0.8, the d03/d10 equivalence) over standing ∪ passing docs. */
+  val p13Sql: String = {
+    val head =
+      s"""WITH qual AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 0
+         |    AND ${TextStats.qualitySqlExpr} >= $QualityThreshold
+         |), univ AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+         |  UNION ALL SELECT doc_id, text FROM qual
+         |)""".stripMargin
+    head + Dedup.shingleCteOver("univ").replaceFirst("^WITH ", ", ") +
+      """,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pr
+        |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+        |), ei AS (
+        |  SELECT DISTINCT q.doc_id FROM qual q JOIN documents o
+        |    ON MD5(q.text) = MD5(o.text) AND o.doc_id % 3 <> 0
+        |), eb AS (
+        |  SELECT q.doc_id FROM qual q
+        |  JOIN (SELECT MD5(text) AS h, MIN(doc_id) AS keeper
+        |        FROM qual GROUP BY 1) k
+        |    ON MD5(q.text) = k.h AND q.doc_id > k.keeper
+        |), ni AS (
+        |  SELECT DISTINCT CASE WHEN doc_a % 3 = 0 THEN doc_a ELSE doc_b END
+        |    AS doc_id
+        |  FROM jp WHERE (doc_a % 3 = 0) <> (doc_b % 3 = 0)
+        |), nb AS (
+        |  SELECT DISTINCT GREATEST(doc_a, doc_b) AS doc_id FROM jp
+        |  WHERE doc_a % 3 = 0 AND doc_b % 3 = 0
+        |)
+        |SELECT d.doc_id, d.n_chars,
+        |  CASE WHEN q.doc_id IS NULL THEN 'rejected_quality'
+        |       WHEN ei.doc_id IS NOT NULL THEN 'dup_exact_index'
+        |       WHEN eb.doc_id IS NOT NULL THEN 'dup_exact_batch'
+        |       WHEN ni.doc_id IS NOT NULL THEN 'dup_near_index'
+        |       WHEN nb.doc_id IS NOT NULL THEN 'dup_near_batch'
+        |       ELSE 'accepted' END AS status
+        |FROM documents d
+        |LEFT JOIN qual q ON q.doc_id = d.doc_id
+        |LEFT JOIN ei ON ei.doc_id = d.doc_id
+        |LEFT JOIN eb ON eb.doc_id = d.doc_id
+        |LEFT JOIN ni ON ni.doc_id = d.doc_id
+        |LEFT JOIN nb ON nb.doc_id = d.doc_id
+        |WHERE d.doc_id % 3 = 0
+        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** p14: per-source corpus card — the dataset-documentation frame every
+    * corpus release ships (datasheet/data-card row per source): doc and
+    * char volume, language spread (distinct langs + modal lang with a
+    * deterministic lexicographic tie-break), the quality pass-rate
+    * (shared [[TextStats.qualityScored]] expression, so card and gate
+    * cannot drift), and a head-fingerprint duplicate count (docs whose
+    * first-64-char digest repeats within the source — the cheap
+    * boilerplate/mirror proxy; exact and near dedup have their own
+    * operators d01/d03, this column is the card-level smell test).
+    *
+    * Scale shape: the card aggregate is ONE pass over the corpus — the
+    * two distinct aggregates (langs, head digests) plan as Catalyst's
+    * Expand(×3) with map-side partial collapse, so the shuffle carries
+    * per-(source, gid, value) partials, never documents; the modal-lang
+    * frame is a (source, lang) aggregate (tiny — sources × langs rows)
+    * window-ranked and joined back, AQE-broadcastable. The only wide
+    * payload anywhere is a 16-byte digest. quality_rate is one double
+    * division of two exact longs, identical operands in the oracle. */
+  def p14CorpusCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val scored = TextStats.qualityScored(docs)
+      .select(col("source"), col("lang"), col("n_chars"), col("quality"),
+        md5(substring(col("text"), 1, 64)).as("head_h"))
+    val cards = scored.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("quality") >= QualityThreshold, 1L).otherwise(0L))
+        .as("n_quality"),
+      (count(lit(1)) - countDistinct(col("head_h"))).as("n_head_dups"))
+    val topLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    cards.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("n_langs"),
+        (col("n_quality").cast("double") / col("n_docs").cast("double"))
+          .as("quality_rate"),
+        col("n_head_dups"), col("top_lang"))
+      .orderBy(col("source"))
+  }
+
+  val p14Sql: String =
+    s"""WITH scored AS (
+       |  SELECT source, lang, n_chars, md5(substr(text, 1, 64)) AS head_h,
+       |    ${TextStats.qualitySqlExpr} AS quality
+       |  FROM documents
+       |), cards AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |    COUNT(DISTINCT lang) AS n_langs,
+       |    CAST(SUM(CASE WHEN quality >= $QualityThreshold THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_quality,
+       |    COUNT(*) - COUNT(DISTINCT head_h) AS n_head_dups
+       |  FROM scored GROUP BY source
+       |), top AS (
+       |  SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY COUNT(*) DESC, lang) AS rk
+       |    FROM documents GROUP BY source, lang)
+       |  WHERE rk = 1
+       |)
+       |SELECT c.source, n_docs, total_chars, n_langs,
+       |  CAST(n_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) AS quality_rate,
+       |  n_head_dups, top_lang
+       |FROM cards c JOIN top USING (source) ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_corpus_card" -> (p14CorpusCard _),
+    "p13_incremental_update" -> (p13IncrementalUpdate _),
     "p12_shard_packing" -> (p12ShardPacking _),
     "p11_snapshot_diff" -> (p11SnapshotDiff _),
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
@@ -735,6 +929,8 @@ object Pipeline {
     "p06_leakage_safe_split" -> (p06LeakageSafeSplit _),
   )
   val oracle: Map[String, String] = Map(
+    "p14_corpus_card" -> p14Sql,
+    "p13_incremental_update" -> p13Sql,
     "p12_shard_packing" -> p12Sql,
     "p11_snapshot_diff" -> p11Sql,
     "p01_dedup_pipeline" -> p01Sql,

@@ -97,6 +97,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(n === Tables(spark, sf, "orders").count())
   }
 
+  test("q72 doubling closure equals the closed-form ancestor chain") {
+    // the fixture hierarchy is parent(n) = n >> 1, so node n's true
+    // ancestor at distance k is n >> k (down to the root 0) — the
+    // engine must reproduce that enumeration while treating the edge
+    // table as opaque edges (pointer doubling, O(log depth) rounds)
+    val keys = Tables(spark, sf, "supplier")
+      .select("s_suppkey").collect().map(_.getLong(0)).filter(_ >= 1)
+    // (n, n >> k, k) for k = 1..bitLength(n): the last shift reaches 0,
+    // the root, and deeper shifts stay 0 (no more edges)
+    val closed = keys.flatMap { n =>
+      (1 to (64 - java.lang.Long.numberOfLeadingZeros(n)))
+        .map(k => (n, n >> k, k.toLong))
+    }.toSet
+    val got = ops.Relational7.q72Ancestors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == closed,
+      s"closure mismatch: extra=${(got -- closed).take(5)} " +
+        s"missing=${(closed -- got).take(5)}")
+  }
+
+  test("p14 corpus card: volumes reconcile and rates are probabilities") {
+    val cards = llm.Pipeline.p14CorpusCard(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+    assert(cards.length == docs.select("source").distinct().count())
+    assert(cards.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    cards.foreach { r =>
+      val rate = r.getAs[Double]("quality_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_langs") >= 1)
+      assert(r.getAs[Long]("n_head_dups") >= 0)
+    }
+  }
+
   test("q48 salted join equals the plain join") {
     val salted = ops.Relational5.q48SaltedJoin(spark, sf).collect()
       .map(r => (r.getAs[Long]("s_nationkey"), r.getAs[Double]("revenue"),

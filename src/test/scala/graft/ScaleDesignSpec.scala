@@ -371,7 +371,10 @@ class ScaleDesignSpec extends AnyFunSuite {
     // both queries claim their windows (lag+lead / last-ignoreNulls)
     // share a single user_id shuffle; the only other exchange allowed
     // is the presentation ORDER BY's range partitioning
-    for (name <- Seq("q67_scd2", "q70_forward_fill")) {
+    // q71's three chained conditional-min windows share the same
+    // user_id partitioning and the final per-user aggregate reuses it,
+    // so it makes the same one-keyed-exchange claim
+    for (name <- Seq("q67_scd2", "q70_forward_fill", "q71_funnel")) {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution
         .executedPlan
       val unwrapped = plan match {

@@ -169,4 +169,81 @@ object Stateful {
         last.foreach(state.update)
         out.iterator
     }
+
+  /** Conversion window for [[funnel]] — 8 hours in micros, the SAME
+    * window `ops.Relational7.q71Sql` hard-codes as `INTERVAL 8 HOUR`
+    * (StreamingSpec asserts the parity, so the two cannot drift
+    * silently). */
+  val FunnelWindowMicros: Long = 8L * 3600 * 1000000
+
+  /** Input row for [[funnel]]. */
+  case class FunnelIn(userId: Long, tsMicros: Long, eventId: Long,
+      eventType: String)
+
+  /** Per-key funnel state: the accepted timestamp of each reached
+    * stage — three Option[Long]s, O(1) regardless of stream length. */
+  case class FunnelState(view: Option[Long], click: Option[Long],
+      purchase: Option[Long])
+
+  /** A stage ADVANCE: emitted exactly once per key per stage, the
+    * moment the qualifying event arrives. */
+  case class FunnelAdvance(userId: Long, stage: String, tsMicros: Long,
+      eventId: Long)
+
+  private implicit val funnelStateEnc
+      : org.apache.spark.sql.Encoder[FunnelState] =
+    Encoders.product[FunnelState]
+  private implicit val funnelAdvanceEnc
+      : org.apache.spark.sql.Encoder[FunnelAdvance] =
+    Encoders.product[FunnelAdvance]
+
+  /** Streaming ordered-funnel attribution — the streaming twin of the
+    * batch q71 (`ops.Relational7.q71Funnel`): per user, the first
+    * `view` opens the funnel, the first `click` strictly after it
+    * within [[FunnelWindowMicros]] advances it, and the first
+    * `purchase` strictly after that click within the window completes
+    * it. Each advance emits immediately (append output) — the live
+    * feed a conversion dashboard increments on — so a user's furthest
+    * emitted stage at any moment IS their current funnel position, and
+    * on an in-order source the final positions equal the batch
+    * operator's stages exactly (StreamingSpec asserts both that and
+    * the cross-batch carry: a click arriving batches after its view
+    * still converts, because the accepted stage timestamps live in
+    * per-key state).
+    *
+    * Within a micro-batch the group's rows are processed in event-time
+    * order; across batches, arrival order — the standard append-stream
+    * caveat (an out-of-order view arriving after a click was rejected
+    * cannot resurrect that click). State never retracts: stages only
+    * advance, exactly like the batch form's conditional minimums on an
+    * in-order stream. A production deployment would add an event-time
+    * TTL (the funnel is dead once the window can no longer be met);
+    * kept timeout-free here so parity with the batch semantics is
+    * exact. */
+  def funnel(
+      grouped: KeyValueGroupedDataset[Long, FunnelIn]): Dataset[FunnelAdvance] =
+    grouped.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (key: Long, rows: Iterator[FunnelIn], state: GroupState[FunnelState]) =>
+        var s = state.getOption.getOrElse(FunnelState(None, None, None))
+        val out = Seq.newBuilder[FunnelAdvance]
+        rows.toSeq.sortBy(r => (r.tsMicros, r.eventId)).foreach { r =>
+          r.eventType match {
+            case "view" if s.view.isEmpty =>
+              s = s.copy(view = Some(r.tsMicros))
+              out += FunnelAdvance(key, "view", r.tsMicros, r.eventId)
+            case "click" if s.click.isEmpty && s.view.exists(v =>
+                r.tsMicros > v && r.tsMicros <= v + FunnelWindowMicros) =>
+              s = s.copy(click = Some(r.tsMicros))
+              out += FunnelAdvance(key, "click", r.tsMicros, r.eventId)
+            case "purchase" if s.purchase.isEmpty && s.click.exists(c =>
+                r.tsMicros > c && r.tsMicros <= c + FunnelWindowMicros) =>
+              s = s.copy(purchase = Some(r.tsMicros))
+              out += FunnelAdvance(key, "purchase", r.tsMicros, r.eventId)
+            case _ => // repeat stage, out-of-window, or out-of-sequence
+          }
+        }
+        state.update(s)
+        out.result().iterator
+    }
 }

@@ -525,4 +525,87 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected, s"got $got")
     } finally q.stop()
   }
+
+  test("streaming funnel advances equal the batch q71 stages on an in-order source") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val in = streamingEvents()
+      .selectExpr("user_id AS userId", "unix_micros(ts) AS tsMicros",
+        "event_id AS eventId", "event_type AS eventType")
+      .as[graft.stream.Stateful.FunnelIn]
+    val adv = graft.stream.Stateful.funnel(in.groupByKey(_.userId))
+    val q = adv.toDF("user_id", "stage", "ts_micros", "event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_funnel").start()
+    try {
+      q.processAllAvailable()
+      // streamed: per user, stage -> accepted ts
+      val streamed = spark.table("stream_funnel").collect()
+        .groupBy(_.getLong(0)).view.mapValues(
+          _.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+      val batch = ops.Relational7.q71Funnel(spark, sf)
+        .selectExpr("user_id", "stage", "unix_micros(t_view) AS v",
+          "unix_micros(t_click) AS c", "unix_micros(t_purchase) AS p")
+        .collect().map { r =>
+          def ts(i: Int): Option[Long] =
+            if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getLong(0) -> (r.getString(1), ts(2), ts(3), ts(4))
+        }.toMap
+      batch.foreach { case (user, (stage, tView, tClick, tPurchase)) =>
+        val got = streamed.getOrElse(user, Map.empty[String, Long])
+        // every batch stage timestamp must have emitted exactly once
+        assert(got.get("view") == tView, s"user $user view")
+        assert(got.get("click") == tClick, s"user $user click")
+        assert(got.get("purchase") == tPurchase, s"user $user purchase")
+        // the furthest emitted stage is the batch stage
+        val furthest =
+          if (got.contains("purchase")) "purchase"
+          else if (got.contains("click")) "click"
+          else if (got.contains("view")) "view" else "none"
+        assert(furthest == stage, s"user $user: $furthest != $stage")
+      }
+      assert(streamed.keySet.subsetOf(batch.keySet))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: cross-batch conversion, window and order rejections") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val srcDir = Files.createTempDirectory("funnel-src").toString
+    def stage(rows: Seq[(Long, Long, Long, String)], tag: String): Unit = {
+      val tmp = Files.createTempDirectory("funnel-half").toString
+      rows.toDF("userId", "tsMicros", "eventId", "eventType")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, s"$tag.parquet"))
+    }
+    val W = graft.stream.Stateful.FunnelWindowMicros
+    // batch 1: user 1 views; user 2 clicks with NO prior view (must be
+    // rejected — out of sequence); user 3 views
+    stage(Seq((1L, 1000L, 1L, "view"), (2L, 1000L, 2L, "click"),
+      (3L, 1000L, 3L, "view")), "b1")
+    val schema = Seq((1L, 1L, 1L, "view"))
+      .toDF("userId", "tsMicros", "eventId", "eventType").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .as[graft.stream.Stateful.FunnelIn]
+    val adv = graft.stream.Stateful.funnel(in.groupByKey(_.userId))
+    val q = adv.toDF("user_id", "stage", "ts_micros", "event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_funnel_xbatch").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: user 1 clicks INSIDE the window (cross-batch state
+      // must convert); user 3 clicks OUTSIDE the window (reject)
+      stage(Seq((1L, 2000L, 4L, "click"),
+        (3L, 1000L + W + 1L, 5L, "click")), "b2")
+      q.processAllAvailable()
+      val got = spark.table("stream_funnel_xbatch").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "view"), (3L, "view"), (1L, "click")),
+        s"got $got")
+    } finally q.stop()
+  }
 }

@@ -343,6 +343,71 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d13: shingle containment (asymmetric near-dup: doc inside doc)
+  // ---------------------------------------------------------------------
+
+  /** Containment threshold for [[d13Containment]] — 0.9 means ≥ 90% of
+    * the contained doc's shingles appear in the container. */
+  val ContainmentThreshold = 0.9
+
+  /** d13: DIRECTED containment pairs — `|A ∩ B| / |A| ≥ 0.9` says doc A
+    * is (nearly) inside doc B: the quote/excerpt/boilerplate-wrapper
+    * case symmetric Jaccard misses by construction (a paragraph quoted
+    * inside a 100× longer page has Jaccard ≈ 0.01 but containment
+    * ≈ 1.0 — d03/d04/d08 all score it "not a duplicate", yet a
+    * training pipeline must catch it or the paragraph trains twice).
+    *
+    * Plan: the same inverted-index posting self-join as [[d04NgramJaccard]]
+    * — shared-shingle pairs only, sum(posting²) never n² — but WITHOUT
+    * d04's Jaccard length filter, which is unsound here: containment
+    * relates `inter` to ONE side's size, so a tiny doc legitimately
+    * pairs with a huge one and no `na ~ nb` band can be assumed. Each
+    * undirected pair then yields up to two directed rows (A-in-B tests
+    * inter/na, B-in-A tests inter/nb) in a cheap post-aggregation
+    * projection over the already-counted pair frame. At 100 TB the
+    * hot-shingle cap that protects every posting join here (stopword
+    * 3-grams) is the same df-cap argument as [[d08PpJoin]]'s
+    * rarest-first ordering; the fixture's shingle dfs are small enough
+    * that the uncapped join is the honest baseline. */
+  def d13Containment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val postings = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val pairCounts = postings.as("a")
+      .join(postings.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val withSizes = pairCounts
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val aInB = withSizes.select(col("doc_a").as("contained"),
+      col("doc_b").as("container"),
+      (col("inter").cast(DoubleType) / col("na")).as("containment"))
+    val bInA = withSizes.select(col("doc_b").as("contained"),
+      col("doc_a").as("container"),
+      (col("inter").cast(DoubleType) / col("nb")).as("containment"))
+    aInB.unionByName(bInA)
+      .filter(col("containment") >= ContainmentThreshold)
+      .orderBy(col("contained"), col("container"))
+  }
+
+  /** Oracle: the shared unfiltered pair CTE, then both directions'
+    * containment — identical division operands, so the doubles match
+    * bit-for-bit. */
+  val d13Sql: String = shingleOracleCte +
+    s"""
+       |SELECT * FROM (
+       |  SELECT doc_a AS contained, doc_b AS container,
+       |    CAST(inter AS DOUBLE) / x.n AS containment
+       |  FROM pr JOIN sz x ON x.doc_id = doc_a
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, CAST(inter AS DOUBLE) / y.n
+       |  FROM pr JOIN sz y ON y.doc_id = doc_b
+       |) WHERE containment >= $ContainmentThreshold
+       |ORDER BY contained, container""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d08: PPJoin-style prefix-filtered exact Jaccard (high threshold)
   // ---------------------------------------------------------------------
 
@@ -567,6 +632,7 @@ object Dedup {
     "d08_ppjoin" -> (d08PpJoin _),
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
     "d12_edit_distance" -> (d12EditDistance _),
+    "d13_containment" -> (d13Containment _),
   )
 
   /** d05 oracle: the full SimHash pipeline re-expressed in SQL — the
@@ -644,5 +710,6 @@ object Dedup {
     "d08_ppjoin" -> d08Sql,
     "d10_incremental_dedup" -> d10Sql,
     "d12_edit_distance" -> d12Sql,
+    "d13_containment" -> d13Sql,
   )
 }

@@ -391,6 +391,45 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
+    // the 100 TB pattern behind every partitioned fact table: the
+    // WHERE lives on the dimension side, so static pruning can't see
+    // it — Spark must inject the dim's join keys as a runtime partition
+    // filter (DPP). Without it, a lang-filtered join over a
+    // lang-partitioned corpus scans every partition.
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString + "/docs"
+    try {
+      io.Store.writePartitionedParquet(
+        Tables(spark, sf, "documents"), dir, Seq("lang"), Seq("doc_id"))
+      val fact = spark.read.parquet(dir)
+      // the dim predicate must be on a NON-join column: a filter on the
+      // join key itself is propagated statically by constraint
+      // inference (no DPP needed) — only a runtime-valued filter forces
+      // the dynamic subquery
+      val dim = Tables(spark, sf, "documents")
+        .filter(col("source") === "src1")
+        .select(col("lang")).distinct()
+      val joined = fact.join(dim, "lang")
+      val rows = joined.collect().length.toLong // same-frame execution
+      // the scan must carry a dynamicpruning PartitionFilter...
+      val leaves = joined.queryExecution.executedPlan.collectLeaves()
+      val factScan = leaves.map(_.toString).find(_.contains("PartitionFilters"))
+      assert(factScan.exists(_.contains("dynamicpruning")),
+        s"no dynamic pruning filter on the fact scan:\n${factScan.getOrElse("")}")
+      // ...and the result must equal the statically-computed join
+      val langs = Tables(spark, sf, "documents")
+        .filter(col("source") === "src1")
+        .select("lang").distinct().collect().map(_.getString(0)).toSet
+      assert(rows == Tables(spark, sf, "documents")
+        .filter(col("lang").isin(langs.toSeq: _*)).count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("q69 merge upsert: all three MERGE arms fire and keys stay unique") {
     val out = ops.Relational6.q69MergeUpsert(spark, sf).collect()
     val byAction = out.groupBy(_.getAs[String]("action")).view.mapValues(_.length)

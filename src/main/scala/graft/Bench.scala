@@ -58,11 +58,13 @@ object Bench {
       val sorted = times.sorted
       name -> (if (times.exists(_ < 0)) -1.0 else sorted(sorted.length / 2))
     }
-    // seconds rounded to ms: keeps the whole JSON line short enough to
-    // survive the driver's bounded output-tail capture intact
+    // seconds rounded to 10 ms: at 146 queries the ms form is ~1.86 KB
+    // — within ~140 chars of the driver's 2,000-char tail capture; one
+    // fewer decimal keeps ~290 chars of headroom. -1 failure markers
+    // and the wall-clock noise floor (±20%) both survive the rounding.
     // (Locale.ROOT: a comma decimal separator would corrupt the JSON)
     def r(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // JSON keys are the queries' unique id prefixes (q12, d03, st01 —
     // the text before the first '_'): the driver's output-tail capture
     // is 2000 chars and the full-name JSON line has exceeded it every

@@ -633,7 +633,72 @@ object Dedup {
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
     "d12_edit_distance" -> (d12EditDistance _),
     "d13_containment" -> (d13Containment _),
+    "d14_bloom_prefilter" -> (d14BloomPrefilter _),
   )
+
+  /** d14: Bloom-style hash-bucket prefilter for incremental exact
+    * dedup — the accelerator that keeps d10's vs-standing-corpus exact
+    * stage from shuffling the whole new batch at 100 TB. The standing
+    * corpus is summarized as the distinct set of 16-bit content-hash
+    * buckets (`pmod(rolling_min_hash(text), 65536)` — the p04
+    * fingerprint convention); that summary BROADCASTS (≤ 64 Ki rows —
+    * at real scale, a Bloom bitmap at a few MiB). A new-batch doc
+    * whose bucket misses is `unique_fast`: proven new by the filter
+    * alone, because identical text implies identical fingerprint
+    * implies identical bucket — the no-false-negative property — so
+    * it never enters the digest join. Only bucket hits pay the exact
+    * md5 comparison, splitting into `exact_dup` (real duplicate) and
+    * `collision` (filter false positive, proven new by the exact
+    * check). Cost at scale: the expensive digest shuffle processes
+    * only the hit fraction (dup rate + ~n_standing/65536 collision
+    * rate), not the batch; the attribution column makes the filter's
+    * efficacy auditable per run. Within-batch duplicates are d10's
+    * separate stage — this operator accelerates the vs-standing check
+    * only. New/standing split follows d10 (`doc_id % 3`). */
+  def d14BloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+    val isNew = col("doc_id") % 3 === 0
+    val bucketOf = pmod(expr("rolling_min_hash(text)"), lit(65536L))
+    val standing = docs.filter(!isNew)
+    val standingBuckets = standing.select(bucketOf.as("bucket")).distinct()
+      .withColumn("hit", lit(1))
+    val standingDigests = standing.select(md5(col("text")).as("h")).distinct()
+      .withColumn("dup", lit(1))
+    val tagged = docs.filter(isNew)
+      .select(col("doc_id"), bucketOf.as("bucket"), md5(col("text")).as("h"))
+      .join(broadcast(standingBuckets), Seq("bucket"), "left")
+    val misses = tagged.filter(col("hit").isNull)
+      .select(col("doc_id"), col("bucket"), lit("unique_fast").as("status"))
+    val hits = tagged.filter(col("hit") === 1)
+      .join(standingDigests, Seq("h"), "left")
+      .select(col("doc_id"), col("bucket"),
+        when(col("dup") === 1, "exact_dup").otherwise("collision").as("status"))
+    misses.unionByName(hits).orderBy(col("doc_id"))
+  }
+
+  /** d14 oracle: the shared fingerprint CTE, the same non-negative
+    * 16-bit modulus, and the same miss/dup/collision CASE. */
+  val d14Sql: String = graft.llm.TextStats.fpWithCte +
+    """, nb AS (
+      |  SELECT d.doc_id, ((f.fingerprint % 65536) + 65536) % 65536 AS bucket,
+      |    md5(d.text) AS h
+      |  FROM documents d JOIN fp f ON d.doc_id = f.doc_id
+      |  WHERE d.doc_id % 3 = 0
+      |), sb AS (
+      |  SELECT DISTINCT ((f.fingerprint % 65536) + 65536) % 65536 AS bucket
+      |  FROM documents d JOIN fp f ON d.doc_id = f.doc_id
+      |  WHERE d.doc_id % 3 <> 0
+      |), sd AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+      |)
+      |SELECT n.doc_id, n.bucket,
+      |  CASE WHEN sb.bucket IS NULL THEN 'unique_fast'
+      |       WHEN sd.h IS NOT NULL THEN 'exact_dup'
+      |       ELSE 'collision' END AS status
+      |FROM nb n LEFT JOIN sb ON n.bucket = sb.bucket
+      |LEFT JOIN sd ON n.h = sd.h
+      |ORDER BY n.doc_id""".stripMargin
 
   /** d05 oracle: the full SimHash pipeline re-expressed in SQL — the
     * FNV-1a + murmur-finalizer token hash as a `list_reduce` fold in
@@ -711,5 +776,6 @@ object Dedup {
     "d10_incremental_dedup" -> d10Sql,
     "d12_edit_distance" -> d12Sql,
     "d13_containment" -> d13Sql,
+    "d14_bloom_prefilter" -> d14Sql,
   )
 }

@@ -378,8 +378,236 @@ object Similarity {
        |FROM n ORDER BY vec_id""".stripMargin
   }
 
+  /** Product-quantization geometry for [[s09PqTopK]]: 8 subspaces of 8
+    * dims, 16 codewords each — a 64-dim float vector (256 B) becomes 8
+    * codes (8 B at rest), 32× compression. */
+  val PqM = 8
+  val PqK = 16
+
+  /** s09: product-quantized top-k (PQ + asymmetric distance, Jégou et
+    * al., TPAMI 2011) — the STORAGE answer for 100 TB embedding
+    * corpora, complementing s02's routing (IVF cells) and s05's wire
+    * narrowing (int8): vectors are stored as [[PqM]] codebook indices
+    * (8 bytes), raw floats never reach the scoring join. Per query,
+    * one 128-entry lookup table (its dot products against every
+    * codeword of every subspace) is broadcast; each candidate's score
+    * is then 8 CODEGEN'D array lookups + integer adds — no
+    * per-pair float kernel at all, and the LUT entries are
+    * floor-quantized to 2⁻²⁰ quanta so the 8-term sum is an
+    * order-independent exact BIGINT (hash-checkable, unlike a float
+    * sum whose low bits depend on add order).
+    *
+    * Training mirrors s02's determinism contract: seeds are the 16
+    * lowest vec_ids' subvectors, one Lloyd round with quantized-integer
+    * member means, L2 assignment (`|c|² − 2·x·c`, the shared-text
+    * expression both engines evaluate identically) with code-ascending
+    * tie-break. Vectors are L2-normalized before quantization so the
+    * ADC inner product approximates cosine. Queries are the vec_id % 4
+    * stratum — PQ serves a query workload against a compressed index;
+    * the benched shape stays index-dominated. At 100 TB the codebook
+    * trains on a sample and broadcasts (8·16·8 doubles — 8 KB); only
+    * the 8-byte codes shuffle. */
+  def s09PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val nv = normed(spark, dir)
+      .withColumn("nv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .select(col("vec_id"), col("nv"))
+    val sub = nv
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("nv"))
+      .withColumn("sv", expr("slice(nv, m * 8 + 1, 8)"))
+      .select(col("vec_id"), col("m"), col("sv"))
+    // 16 seed codewords per subspace; code = seed's rank (16-row window)
+    val seeds = nv.orderBy(col("vec_id")).limit(PqK)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .cast("integer"))
+    val seedSub = seeds
+      .select(col("code"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("nv"))
+      .withColumn("cw", expr("slice(nv, m * 8 + 1, 8)"))
+      .select(col("m"), col("code"), col("cw"))
+    // nearest codeword per (vector, subspace): L2 argmin — |x|² is
+    // constant per row, so |c|² − 2·x·c orders identically
+    def assign(cwF: DataFrame): DataFrame = {
+      val byVm = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2").asc, col("code").asc)
+      sub.join(broadcast(cwF), "m")
+        .withColumn("d2", expr("vec_dot(cw, cw) - 2 * vec_dot(sv, cw)"))
+        .withColumn("rk", row_number().over(byVm))
+        .filter(col("rk") === 1)
+    }
+    // one Lloyd round: quantized-integer member means (s02's contract)
+    val trained = assign(seedSub)
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("j", "x")))
+      .withColumn("q", floor(col("x") * lit(1048576.0)).cast(LongType))
+      .groupBy(col("m"), col("code"), col("j"))
+      .agg((sum(col("q")).cast(DoubleType) / count(lit(1)) / lit(1048576.0))
+        .as("cwj"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cwj")))),
+        s => s.getField("cwj")).as("cw"))
+    val codes = assign(trained)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    val lut = sub.filter(col("vec_id") % 4 === 0)
+      .join(broadcast(trained), "m")
+      .withColumn("lv",
+        floor(expr("vec_dot(sv, cw)") * lit(1048576.0)).cast(LongType))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code"), col("lv")))),
+        s => s.getField("lv")).as("lut"))
+      .withColumnRenamed("vec_id", "query_id")
+    // ADC: 8 codegen'd lookups, exact BIGINT sum — the raw vectors are
+    // out of the picture from here on
+    val scoreExpr = (0 until PqM)
+      .map(m => s"element_at(lut, $m * 16 + element_at(codes, ${m + 1}) + 1)")
+      .mkString(" + ")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    codes.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(lut), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", expr(scoreExpr))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** s11: multi-vector late-interaction retrieval (MaxSim, cf.
+    * ColBERT, Khattab & Zaharia, SIGIR '20) — documents are BAGS of
+    * vectors (here: 8 consecutive `vec_id`s = one doc, `vec_id div 8`),
+    * scored `Σ_qtok max_ctok ⟨q, c⟩`, which single-vector ANN (s01–s09)
+    * cannot express. Two stages, the production retrieval shape:
+    *
+    *  1. COARSE — each doc's quantized-integer-mean centroid (s02's
+    *     bit-reproducibility contract) ranks candidates by centroid
+    *     dot; top-8 per query survive. This prunes the n²·64
+    *     token-pair space to Q·8 doc pairs before any token math.
+    *  2. EXACT — surviving pairs expand to their 8×8 token dots on the
+    *     codegen'd `vec_dot` kernel (never a HOF lambda per pair — the
+    *     s05 lesson), each dot floor-quantized to 2⁻²⁰ quanta so
+    *     per-token max and the 8-term MaxSim sum are order-independent
+    *     BIGINTs, hash-comparable against the oracle's replay.
+    *
+    * 100 TB posture: the centroid build is one groupBy over the vector
+    * table; the coarse join broadcasts only Q centroids; the exact
+    * stage touches candidate pairs only (Q·8·64 dots, not n²·64). At
+    * real scale stage 1 composes with the IVF index (s02) instead of
+    * the flat centroid scan — the two-stage contract is unchanged. */
+  def s11MaxSimTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val nv = normed(spark, dir)
+      .withColumn("nv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .select(col("vec_id"), expr("vec_id div 8").as("did"),
+        (col("vec_id") % 8).as("tok"), col("nv"))
+    val cent = nv
+      .select(col("did"), posexplode(col("nv")).as(Seq("j", "x")))
+      .withColumn("q", floor(col("x") * lit(1048576.0)).cast(LongType))
+      .groupBy(col("did"), col("j"))
+      .agg((sum(col("q")).cast(DoubleType) / count(lit(1)) / lit(1048576.0))
+        .as("cj"))
+      .groupBy(col("did"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+        s => s.getField("cj")).as("c"))
+    val qc = cent.filter(col("did") % 5 === 0)
+      .select(col("did").as("qdid"), col("c").as("qc"))
+    val wCoarse = Window.partitionBy(col("qdid"))
+      .orderBy(col("cscore").desc, col("cdid").asc)
+    val cand = cent.select(col("did").as("cdid"), col("c").as("cc"))
+      .join(broadcast(qc), col("qdid") =!= col("cdid"))
+      .withColumn("cscore",
+        floor(expr("vec_dot(qc, cc)") * lit(1048576.0)).cast(LongType))
+      .withColumn("cr", row_number().over(wCoarse))
+      .filter(col("cr") <= 8)
+      .select(col("qdid"), col("cdid"))
+    val qtok = nv.filter(col("did") % 5 === 0)
+      .select(col("did").as("qdid"), col("tok").as("qtok"), col("nv").as("qnv"))
+    val ctok = nv.select(col("did").as("cdid"), col("nv").as("cnv"))
+    val w = Window.partitionBy(col("qdid"))
+      .orderBy(col("maxsim").desc, col("cdid").asc)
+    broadcast(cand).join(qtok, "qdid").join(ctok, "cdid")
+      .withColumn("dot",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
+      .groupBy(col("qdid"), col("cdid"), col("qtok"))
+      .agg(max(col("dot")).as("md"))
+      .groupBy(col("qdid"), col("cdid"))
+      .agg(sum(col("md")).as("maxsim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qdid").as("query_doc"), col("rn").cast("integer").as("rn"),
+        col("cdid").as("neighbor_doc"), col("maxsim"))
+      .orderBy(col("query_doc"), col("rn"))
+  }
+
+  /** s12: margin-based bitext mining (Artetxe & Schwenk, ACL '19 — the
+    * LASER/CCMatrix parallel-corpus construction operator): align the
+    * even-`vec_id` "source language" stratum to the odd-`vec_id`
+    * "target language" stratum by RATIO MARGIN rather than raw cosine
+    * — `margin(x,y) = cos(x,y) / ((Σ_top4 cos(x,·) + Σ_top4 cos(·,y)) /
+    * 2k)` — which cancels the hubness that makes raw-cosine alignment
+    * pick the same promiscuous target for many sources. Every cosine
+    * is floor-quantized to a BIGINT; the k-NN denominators are integer
+    * sums of those; the final margin divides doubles built from
+    * identical operands on both engines, so ranking and hash both
+    * agree. Each source emits its best target plus a `mutual` flag
+    * (target's best source is this source — the forward-backward
+    * agreement CCMatrix filters on).
+    *
+    * The all-pairs cosine matrix is computed ONCE and
+    * `localCheckpoint`ed — the x-side top-4, y-side top-4 and final
+    * ranking all reuse it instead of re-running the quadratic kernel
+    * three times. Quadratic by design at fixture scale (the mining
+    * BASELINE, like s01); at 100 TB the pair candidates come from the
+    * IVF index (s02) or LSH banding (s07) and the margin math is
+    * unchanged — it only ever needs each side's top-k list. */
+  def s12BitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val nv = normed(spark, dir)
+      .withColumn("nv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .select(col("vec_id"), col("nv"))
+    val src = nv.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x"), col("nv").as("xv"))
+    val tgt = nv.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y"), col("nv").as("yv"))
+    val p = src.join(tgt, col("x") =!= col("y"))
+      .withColumn("qc",
+        floor(expr("vec_dot(xv, yv)") * lit(1048576.0)).cast(LongType))
+      .select(col("x"), col("y"), col("qc"))
+      .localCheckpoint()
+    def top4Sum(key: String, other: String, out: String) = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("qc").desc, col(other).asc)
+      p.withColumn("r", row_number().over(w)).filter(col("r") <= 4)
+        .groupBy(col(key)).agg(sum(col("qc")).as(out))
+    }
+    val scored = p.join(top4Sum("x", "y", "dxs"), "x")
+      .join(top4Sum("y", "x", "dys"), "y")
+      .withColumn("margin", col("qc").cast(DoubleType) * lit(8.0)
+        / (col("dxs") + col("dys")).cast(DoubleType))
+    scored
+      .withColumn("rx", row_number().over(Window.partitionBy(col("x"))
+        .orderBy(col("margin").desc, col("y").asc)))
+      .withColumn("ry", row_number().over(Window.partitionBy(col("y"))
+        .orderBy(col("margin").desc, col("x").asc)))
+      .filter(col("rx") === 1)
+      .select(col("x").as("src_id"), col("y").as("tgt_id"),
+        col("margin"), (col("ry") === 1).as("mutual"))
+      .orderBy(col("src_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01BruteForceTopK _),
+    "s09_pq_topk" -> (s09PqTopK _),
+    "s11_maxsim_topk" -> (s11MaxSimTopK _),
+    "s12_bitext_margin" -> (s12BitextMargin _),
     "s02_ivf_topk" -> (s02IvfTopK _),
     "s03_topk_aggregate" -> (s03TopKAggregate _),
     "s04_custom_plan_topk" -> (s04CustomPlanTopK _),
@@ -557,7 +785,177 @@ object Similarity {
          |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
   }
 
+  /** s09 oracle: replay the whole PQ chain — normalization, subvector
+    * slicing, seed ranking, the shared-text L2 assignment, the
+    * quantized-mean Lloyd update, the floor-quantized LUT and the
+    * 8-term BIGINT ADC sum — in DuckDB SQL. Every float step uses the
+    * established bit-exact forms (list_dot_product left-to-right,
+    * identical division/multiplication text), every ranking the same
+    * tie-breaks, so the codes, LUTs and scores match hash-for-hash. */
+  val s09Sql: String = {
+    val scoreTerms = (0 until PqM)
+      .map(m => s"l.lut[$m * 16 + cd.codes[${m + 1}] + 1]")
+      .mkString(" + ")
+    normCte +
+      s""", nv AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nn
+         |), sub AS (
+         |  SELECT vec_id, t.m,
+         |    list_slice(nv, t.m * 8 + 1, t.m * 8 + 8) AS sv
+         |  FROM nv CROSS JOIN range(0, 8) t(m)
+         |), seedv AS (
+         |  SELECT vec_id, nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+         |  FROM (SELECT * FROM nv ORDER BY vec_id LIMIT 16)
+         |), seedsub AS (
+         |  SELECT t.m, code, list_slice(nv, t.m * 8 + 1, t.m * 8 + 8) AS cw
+         |  FROM seedv CROSS JOIN range(0, 8) t(m)
+         |), a0 AS (
+         |  SELECT m, code, sv FROM (
+         |    SELECT s.vec_id, s.m, c.code, s.sv,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_dot_product(c.cw, c.cw)
+         |          - 2 * list_dot_product(s.sv, c.cw) ASC, c.code ASC) AS rk
+         |    FROM sub s JOIN seedsub c USING (m))
+         |  WHERE rk = 1
+         |), comp AS (
+         |  SELECT m, code, t.j,
+         |    CAST(FLOOR(sv[CAST(t.j AS INT) + 1] * 1048576) AS BIGINT) AS q
+         |  FROM a0 CROSS JOIN range(0, 8) t(j)
+         |), cm AS (
+         |  SELECT m, code, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0
+         |    AS cwj
+         |  FROM comp GROUP BY m, code, j
+         |), trained AS (
+         |  SELECT m, code, list(cwj ORDER BY j) AS cw FROM cm GROUP BY m, code
+         |), fc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_dot_product(c.cw, c.cw)
+         |          - 2 * list_dot_product(s.sv, c.cw) ASC, c.code ASC) AS rk
+         |    FROM sub s JOIN trained c USING (m))
+         |  WHERE rk = 1
+         |), codes AS (
+         |  SELECT vec_id, list(code ORDER BY m) AS codes FROM fc
+         |  GROUP BY vec_id
+         |), lutv AS (
+         |  SELECT s.vec_id AS query_id, s.m, c.code,
+         |    CAST(FLOOR(list_dot_product(s.sv, c.cw) * 1048576) AS BIGINT)
+         |      AS lv
+         |  FROM sub s JOIN trained c USING (m)
+         |  WHERE s.vec_id % 4 = 0
+         |), lut AS (
+         |  SELECT query_id, list(lv ORDER BY m, code) AS lut FROM lutv
+         |  GROUP BY query_id
+         |), sc AS (
+         |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         |    $scoreTerms AS score
+         |  FROM lut l JOIN codes cd ON l.query_id <> cd.vec_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rn
+         |  FROM sc
+         |)
+         |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id,
+         |  CAST(score AS BIGINT) AS score
+         |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** s11 oracle: replay both stages — normalization, doc/token split,
+    * quantized-mean centroids, coarse centroid ranking with identical
+    * tie-breaks, then the floor-quantized 8×8 token dots, per-token
+    * MAX and the BIGINT MaxSim sum — in DuckDB SQL, every float step
+    * in the established bit-exact shared-text forms. */
+  val s11Sql: String = normCte +
+    """, nv AS (
+      |  SELECT vec_id, vec_id // 8 AS did, vec_id % 8 AS tok,
+      |    list_transform(v, x -> x / nrm) AS nv
+      |  FROM nn
+      |), comp AS (
+      |  SELECT did, t.j,
+      |    CAST(FLOOR(nv[CAST(t.j AS INT) + 1] * 1048576) AS BIGINT) AS q
+      |  FROM nv CROSS JOIN range(0, 64) t(j)
+      |), cm AS (
+      |  SELECT did, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS cj
+      |  FROM comp GROUP BY did, j
+      |), cent AS (
+      |  SELECT did, list(cj ORDER BY j) AS c FROM cm GROUP BY did
+      |), coarse AS (
+      |  SELECT qdid, cdid FROM (
+      |    SELECT qdid, cdid,
+      |      ROW_NUMBER() OVER (PARTITION BY qdid
+      |        ORDER BY cscore DESC, cdid ASC) AS cr
+      |    FROM (
+      |      SELECT q.did AS qdid, d.did AS cdid,
+      |        CAST(FLOOR(list_dot_product(q.c, d.c) * 1048576) AS BIGINT)
+      |          AS cscore
+      |      FROM cent q JOIN cent d ON q.did <> d.did
+      |      WHERE q.did % 5 = 0))
+      |  WHERE cr <= 8
+      |), tokdot AS (
+      |  SELECT co.qdid, co.cdid, qt.tok AS qtok,
+      |    MAX(CAST(FLOOR(list_dot_product(qt.nv, ct.nv) * 1048576)
+      |      AS BIGINT)) AS md
+      |  FROM coarse co
+      |  JOIN nv qt ON qt.did = co.qdid
+      |  JOIN nv ct ON ct.did = co.cdid
+      |  GROUP BY co.qdid, co.cdid, qt.tok
+      |), ms AS (
+      |  SELECT qdid, cdid, CAST(SUM(md) AS BIGINT) AS maxsim FROM tokdot
+      |  GROUP BY qdid, cdid
+      |), r AS (
+      |  SELECT qdid, cdid, maxsim,
+      |    ROW_NUMBER() OVER (PARTITION BY qdid
+      |      ORDER BY maxsim DESC, cdid ASC) AS rn
+      |  FROM ms
+      |)
+      |SELECT qdid AS query_doc, CAST(rn AS INT) AS rn,
+      |  cdid AS neighbor_doc, maxsim
+      |FROM r WHERE rn <= 5 ORDER BY query_doc, rn""".stripMargin
+
+  /** s12 oracle: replay the quantized cosine matrix, both top-4 sums,
+    * the shared-operand double margin and both rankings. */
+  val s12Sql: String = normCte +
+    """, nv2 AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nn
+      |), src AS (
+      |  SELECT vec_id AS x, nv AS xv FROM nv2 WHERE vec_id % 2 = 0
+      |), tgt AS (
+      |  SELECT vec_id AS y, nv AS yv FROM nv2 WHERE vec_id % 2 = 1
+      |), p AS (
+      |  SELECT x, y,
+      |    CAST(FLOOR(list_dot_product(xv, yv) * 1048576) AS BIGINT) AS qc
+      |  FROM src JOIN tgt ON x <> y
+      |), dx AS (
+      |  SELECT x, CAST(SUM(qc) AS BIGINT) AS dxs FROM (
+      |    SELECT x, qc, ROW_NUMBER() OVER (PARTITION BY x
+      |      ORDER BY qc DESC, y ASC) AS r FROM p)
+      |  WHERE r <= 4 GROUP BY x
+      |), dy AS (
+      |  SELECT y, CAST(SUM(qc) AS BIGINT) AS dys FROM (
+      |    SELECT y, qc, ROW_NUMBER() OVER (PARTITION BY y
+      |      ORDER BY qc DESC, x ASC) AS r FROM p)
+      |  WHERE r <= 4 GROUP BY y
+      |), sc AS (
+      |  SELECT p.x, p.y,
+      |    CAST(qc AS DOUBLE) * 8 / CAST(dxs + dys AS DOUBLE) AS margin
+      |  FROM p JOIN dx ON p.x = dx.x JOIN dy ON p.y = dy.y
+      |), rk AS (
+      |  SELECT x, y, margin,
+      |    ROW_NUMBER() OVER (PARTITION BY x
+      |      ORDER BY margin DESC, y ASC) AS rx,
+      |    ROW_NUMBER() OVER (PARTITION BY y
+      |      ORDER BY margin DESC, x ASC) AS ry
+      |  FROM sc
+      |)
+      |SELECT x AS src_id, y AS tgt_id, margin, (ry = 1) AS mutual
+      |FROM rk WHERE rx = 1 ORDER BY src_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s09_pq_topk" -> s09Sql,
+    "s11_maxsim_topk" -> s11Sql,
+    "s12_bitext_margin" -> s12Sql,
     "s01_cosine_topk" -> s01Sql,
     "s02_ivf_topk" -> s02Sql,
     "s03_topk_aggregate" -> s01Sql,

@@ -439,4 +439,117 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.length ==
       byStatus.values.map(_.size).sum)
   }
+
+  test("s09 PQ top-k: 10 neighbors per query, ADC scores descending") {
+    val rows = Similarity.s09PqTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to 10),
+        s"query $q rankings")
+      val scores = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not descending")
+      rs.foreach(r => assert(r.getAs[Long]("neighbor_id") != q))
+    }
+    // the query stratum is vec_id % 4 == 0 over nonzero-norm vectors
+    assert(byQ.keySet.forall(_ % 4 == 0))
+  }
+
+  test("s11 MaxSim exact-stage scores match a brute-force replay") {
+    import SparkTestSession.spark.implicits._
+    val got = Similarity.s11MaxSimTopK(spark, sf).collect()
+    val byQ = got.groupBy(_.getAs[Long]("query_doc"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to 5))
+      val scores = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("maxsim"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      rs.foreach(r => assert(r.getAs[Long]("neighbor_doc") != q))
+    }
+    // brute-force MaxSim for query doc 0 over EVERY doc (no coarse
+    // pruning): the pairs s11 reports for doc 0 must carry exactly the
+    // brute-force score — validates the token-max/sum arithmetic
+    // independently of candidate selection
+    graft.functions.VectorExpressions.register(spark)
+    val nv = Tables(spark, sf, "embeddings")
+      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .filter(col("norm") > 0)
+      .withColumn("nv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .select(expr("vec_id div 8").as("did"), col("nv"))
+    val brute = nv.filter(col("did") === 0).select(col("nv").as("qnv"))
+      .crossJoin(nv.filter(col("did") =!= 0)
+        .select(col("did").as("cdid"), col("nv").as("cnv")))
+      .withColumn("dot",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast("long"))
+      .groupBy(col("cdid"), col("qnv"))
+      .agg(max(col("dot")).as("md"))
+      .groupBy(col("cdid")).agg(sum(col("md")).as("maxsim"))
+      .as[(Long, Long)].collect().toMap
+    byQ(0L).foreach { r =>
+      assert(r.getAs[Long]("maxsim") ==
+        brute(r.getAs[Long]("neighbor_doc")),
+        s"doc-0 pair ${r.getAs[Long]("neighbor_doc")}")
+    }
+  }
+
+  test("d14 bloom prefilter: sound fast-path, exact_dup set equals d10's") {
+    val rows = Dedup.d14BloomPrefilter(spark, sf).collect()
+    val newBatch = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(rows.length == newBatch) // one disposition per new-batch doc
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(byStatus.keySet.subsetOf(Set("unique_fast", "exact_dup", "collision")))
+    // the filter's no-false-negative property: every doc d10 calls an
+    // exact duplicate must have HIT the bucket filter (status exact_dup,
+    // never unique_fast) — and nothing else may be called exact_dup
+    val d10Exact = Dedup.d10IncrementalDedup(spark, sf).collect()
+      .filter(_.getAs[String]("status") == "exact")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(byStatus.getOrElse("exact_dup", Set.empty) == d10Exact)
+  }
+
+  test("s12 bitext margins: one best target per source, both strata") {
+    val rows = Similarity.s12BitextMargin(spark, sf).collect()
+    val srcs = rows.map(_.getAs[Long]("src_id"))
+    assert(srcs.distinct.length == srcs.length) // one row per source
+    rows.foreach { r =>
+      assert(r.getAs[Long]("src_id") % 2 == 0)
+      assert(r.getAs[Long]("tgt_id") % 2 == 1)
+      val m = r.getAs[Double]("margin")
+      assert(!m.isNaN && !m.isInfinite)
+    }
+    // forward-backward agreement must mark at least one aligned pair
+    assert(rows.exists(_.getAs[Boolean]("mutual")))
+  }
+
+  test("g01 PageRank: integer mass conserved up to floor loss") {
+    val rows = llm.Authority.g01PageRank(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("qrank")).sum.toDouble
+    val n = rows.length
+    // every damped update floors twice; losses stay under 1% of the
+    // N·2^20 invariant mass, and no node can fall below the teleport base
+    assert(total <= n * 1048576.0 * 1.0001, s"mass $total over $n nodes")
+    assert(total >= n * 1048576.0 * 0.99, s"mass $total under $n nodes")
+    rows.foreach(r => assert(r.getAs[Long]("qrank") >= 157286L))
+    // output is one row per graph node, rank-descending
+    val ranks = rows.map(_.getAs[Long]("qrank"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("g02 TrustRank: trust concentrates on and around the seeds") {
+    val rows = llm.Authority.g02TrustRank(spark, sf).collect()
+    val items = rows.filter(_.getAs[String]("node_type") == "item")
+    val (seeds, rest) = items.partition(_.getAs[Long]("node_id") < 10)
+    assert(seeds.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("qrank")).sum.toDouble / rs.length
+    // seeds hold the teleport mass; non-seed trust is propagation only
+    assert(mean(seeds) > 5 * mean(rest),
+      s"seed mean ${mean(seeds)} vs non-seed ${mean(rest)}")
+    rows.foreach(r => assert(r.getAs[Long]("qrank") >= 0L))
+    // same node universe as PageRank: trust adds no nodes, drops none
+    assert(rows.length ==
+      llm.Authority.g01PageRank(spark, sf).count())
+  }
 }

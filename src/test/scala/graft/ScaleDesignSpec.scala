@@ -335,6 +335,29 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(m("keep_pass").asInstanceOf[Long] < m("rows").asInstanceOf[Long])
   }
 
+  test("g01 PageRank: iterations run on the checkpointed graph, bounded shuffles") {
+    val df = llm.Authority.g01PageRank(spark, sf)
+    df.collect() // finalize AQE on THIS QueryExecution (see q68 note)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the distinct-pairs shuffle must be paid once into the
+    // localCheckpoint, not re-derived per iteration: no file scan may
+    // survive into the iteration plan
+    assert(!plan.toString.contains("FileSourceScan"),
+      s"iterations must reuse the checkpointed edges/degrees:\n$plan")
+    // each damped round is one contribution join + one dst partial agg;
+    // with 3 rounds plus the presentation sort the keyed-shuffle count
+    // stays O(iters), never O(edges)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 10,
+      s"expected <= 2 keyed shuffles per round + final sort:\n$plan")
+  }
+
   test("q68 incremental merge: co-partitioned, and the delta is the only recomputed part") {
     // the full-outer merge of the two partial aggregates must reuse
     // their hash partitioning on o_custkey — a third exchange before
@@ -742,6 +765,10 @@ class ScaleDesignSpec extends AnyFunSuite {
     // planning an accidental cross join at 100 TB.
     val quadraticByDesign = Set("s01_cosine_topk", "s02_ivf_topk",
       "s03_topk_aggregate", "s05_quantized_topk", "d06_embedding_near_dup",
+      "s09_pq_topk", // ADC scan: every 8-byte code row scored vs broadcast LUTs
+      "s11_maxsim_topk", // coarse stage: flat centroid scan vs broadcast queries
+      "s12_bitext_margin", // all-pairs mining baseline (scale path: s02/s07 candidates)
+
       "d11_semdedup", // the s02 IVF fan-out (16 broadcast centroids), not n²
       "p05_mixture_rebalance", // 1-row global-min frame broadcast, like t05
       "p09_epoch_mixing", // 1-row global-max frame broadcast, like p05

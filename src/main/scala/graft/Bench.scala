@@ -21,8 +21,15 @@ object Bench {
         new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
+    // dev filter: SPARK_GRAFT_ONLY=s09,d03 times just those queries
+    // (full names or id prefixes). The driver never sets it, so the
+    // recorded per-round bench always covers the whole inventory.
+    val onlySet = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean =
+      onlySet.forall(s => s.contains(name) || s.contains(name.takeWhile(_ != '_')))
     var warmFailures = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         warmFailures += 1
@@ -37,7 +44,8 @@ object Bench {
     // numbers have swung >3× across rounds with zero code change — the
     // median is robust to one GC pause / page-cache miss per query.
     val Runs = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.filter(q => selected(q._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full computation of every output column and

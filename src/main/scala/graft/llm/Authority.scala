@@ -62,7 +62,7 @@ object Authority {
     * mass (over `deg`'s `src`), `base` the per-node teleport term
     * (over the aggregate's `dst`) — uniform for PageRank, seed-only
     * for TrustRank. */
-  private def propagate(edges: DataFrame, deg: DataFrame,
+  private[graft] def propagate(edges: DataFrame, deg: DataFrame,
       init: Column, base: Column, iters: Int): DataFrame = {
     var ranks = deg.select(col("src").as("nid"), init.as("qr"))
     for (_ <- 1 to iters) {

@@ -448,6 +448,9 @@ object Similarity {
       .groupBy(col("m"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cwj")))),
         s => s.getField("cwj")).as("cw"))
+      // 128 rows, consumed by BOTH the code assignment and the LUT
+      // build — checkpoint so the Lloyd round runs once, not twice
+      .localCheckpoint()
     val codes = assign(trained)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),

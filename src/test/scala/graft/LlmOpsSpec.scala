@@ -537,6 +537,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
   }
 
+  test("propagate core equals an exact driver-side simulation on random graphs") {
+    // differential test: the distributed join+agg rounds must
+    // reproduce, Long-for-Long, a sequential simulation of the same
+    // integer update rule — on graphs the fixture never shapes
+    // (stars, chains, hubs), from fixed seeds
+    import SparkTestSession.spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(30)
+      val undirected = (0 until (n * 2)).map { _ =>
+        (rnd.nextInt(n).toLong, (100L + rnd.nextInt(n)).toLong)
+      }.distinct
+      val both = undirected ++ undirected.map { case (a, b) => (b, a) }
+      val edges = both.toDF("src", "dst")
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val got = llm.Authority.propagate(
+        edges, deg, lit(1048576L), lit(157286L), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential replay of the same rule
+      val degM = both.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val in = both.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      var r = degM.keys.map(_ -> 1048576L).toMap
+      for (_ <- 1 to 3)
+        r = in.map { case (d, srcs) =>
+          d -> (157286L + 85L * srcs.map(s => r(s) / degM(s)).sum / 100L)
+        }
+      assert(got == r, s"seed $seed: distributed != sequential")
+    }
+  }
+
   test("g02 TrustRank: trust concentrates on and around the seeds") {
     val rows = llm.Authority.g02TrustRank(spark, sf).collect()
     val items = rows.filter(_.getAs[String]("node_type") == "item")

@@ -622,6 +622,95 @@ object Dedup {
       |WHERE d.doc_id % 3 = 0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Shingle width for [[d15DupSpans]]. 24 chars: long enough that a
+    * match is verbatim reuse (common words/phrases stop colliding
+    * around ~20 chars on these fixtures), short enough to recall
+    * partial-overlap passages that the doc-level near-dup ops miss. */
+  val DupSpanL = 24
+
+  /** d15: exact-substring span dedup — the passage-level complement to
+    * the doc-level ops (d01..d13): find every maximal character span of
+    * a document that also appears VERBATIM in some other document, the
+    * operation behind "dedup repeated passages before training" (see
+    * the suffix-array ExactSubstr dedup literature). Doc-level Jaccard
+    * can't see a 200-char boilerplate header shared by 1M otherwise-
+    * distinct docs; this does.
+    *
+    * Shape: every position contributes its [[DupSpanL]]-char rolling
+    * shingle (one row per char — that IS the algorithm's cost; the
+    * suffix-array formulation pays the same linear blowup into a
+    * dedicated index). Shingles occurring in ≥2 distinct docs mark
+    * their source positions; per doc, overlapping/adjacent windows
+    * merge into maximal spans via gaps-and-islands (running-max-end
+    * break detection, running-sum island ids).
+    *
+    * 100 TB posture: the wide shuffle key is the 24-char shingle —
+    * at scale you'd digest it to 16 bytes first (d02's trick; kept raw
+    * here so the oracle is byte-identical SQL). The ≥2-distinct-docs
+    * aggregate is map-side partial; a boilerplate shingle appearing
+    * everywhere is ONE hot groupBy key (AQE-splittable), never a
+    * posting self-join. The per-doc island windows partition by
+    * doc_id — each doc's hit list is at most its char count. A
+    * stride-s shingle sample (recall/cost knob in the literature) drops
+    * in by filtering `pos % s = 0` before the aggregate; stride 1 here
+    * because the oracle demands exactness. */
+  def d15DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = DupSpanL
+    val shingles = Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - lit(L))).as("p"))
+      .select(col("doc_id"), col("p").cast(LongType).as("pos"),
+        col("text").substr(col("p") + 1, lit(L)).as("s"))
+    val dupShingles = shingles.groupBy(col("s"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("s"))
+    val hits = shingles.join(dupShingles, "s").select("doc_id", "pos")
+    val prevEnd = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk", when(
+        col("pos") > coalesce(max(col("pos") + L).over(prevEnd), lit(-1L)),
+        lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val d15Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) >= 24
+      |), sh AS (
+      |  SELECT doc_id, pos, substr(text, pos + 1, 24) AS s
+      |  FROM docs, LATERAL (SELECT unnest(generate_series(0, length(text) - 24)) AS pos)
+      |), dup AS (
+      |  SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+      |), hits AS (
+      |  SELECT doc_id, pos FROM sh JOIN dup USING (s)
+      |), brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 24) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM hits
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk
+      |)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 24 AS span_end,
+      |  max(pos) + 24 - min(pos) AS span_len
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_hash_dedup" -> (d02HashDedup _),
@@ -634,6 +723,7 @@ object Dedup {
     "d12_edit_distance" -> (d12EditDistance _),
     "d13_containment" -> (d13Containment _),
     "d14_bloom_prefilter" -> (d14BloomPrefilter _),
+    "d15_dup_spans" -> (d15DupSpans _),
   )
 
   /** d14: Bloom-style hash-bucket prefilter for incremental exact
@@ -777,5 +867,6 @@ object Dedup {
     "d12_edit_distance" -> d12Sql,
     "d13_containment" -> d13Sql,
     "d14_bloom_prefilter" -> d14Sql,
+    "d15_dup_spans" -> d15Sql,
   )
 }

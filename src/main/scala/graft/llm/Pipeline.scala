@@ -912,7 +912,57 @@ object Pipeline {
        |  n_head_dups, top_lang
        |FROM cards c JOIN top USING (source) ORDER BY source""".stripMargin
 
+  /** Release gate for [[p15KAnonRelease]]: a cell is publishable only
+    * when at least this many documents back it. */
+  val KAnonThreshold = 10L
+
+  /** p15: k-anonymity release gate over corpus statistics — the
+    * disclosure-control step before publishing per-(lang, source)
+    * datasheet numbers (p14's corpus card, externalized): a cell backed
+    * by fewer than [[KAnonThreshold]] documents is never released on
+    * its own, because small cells re-identify contributors. Suppressed
+    * cells roll up into a per-language `<other>` bucket; a rollup that
+    * STILL clears the threshold is released, one that doesn't is
+    * suppressed outright (absolute suppression — on these fixtures
+    * every language rollup clears 10, so the branch is dead at test
+    * SFs but load-bearing for the semantics). Two partial-aggregate
+    * shuffles of card-sized frames — the corpus is scanned once; at
+    * 100 TB the gate costs what p14 costs, nothing more. */
+  def p15KAnonRelease(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val big = cells.filter(col("n_docs") >= KAnonThreshold)
+    val roll = cells.filter(col("n_docs") < KAnonThreshold)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_chars")).as("total_chars"))
+      .filter(col("n_docs") >= KAnonThreshold)
+      .select(col("lang"), lit("<other>").as("source"),
+        col("n_docs"), col("total_chars"))
+    big.select(col("lang"), col("source"), col("n_docs"), col("total_chars"))
+      .unionByName(roll)
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val p15Sql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |  FROM documents GROUP BY lang, source
+      |), big AS (
+      |  SELECT lang, source, n_docs, total_chars FROM cells WHERE n_docs >= 10
+      |), roll AS (
+      |  SELECT lang, '<other>' AS source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(SUM(total_chars) AS BIGINT) AS total_chars
+      |  FROM cells WHERE n_docs < 10 GROUP BY lang
+      |  HAVING SUM(n_docs) >= 10
+      |)
+      |SELECT * FROM big UNION ALL SELECT * FROM roll
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_kanon_release" -> (p15KAnonRelease _),
     "p14_corpus_card" -> (p14CorpusCard _),
     "p13_incremental_update" -> (p13IncrementalUpdate _),
     "p12_shard_packing" -> (p12ShardPacking _),
@@ -929,6 +979,7 @@ object Pipeline {
     "p06_leakage_safe_split" -> (p06LeakageSafeSplit _),
   )
   val oracle: Map[String, String] = Map(
+    "p15_kanon_release" -> p15Sql,
     "p14_corpus_card" -> p14Sql,
     "p13_incremental_update" -> p13Sql,
     "p12_shard_packing" -> p12Sql,

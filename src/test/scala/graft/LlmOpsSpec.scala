@@ -509,6 +509,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byStatus.getOrElse("exact_dup", Set.empty) == d10Exact)
   }
 
+  test("d15 dup spans equal a brute-force single-machine re-derivation") {
+    val L = Dedup.DupSpanL
+    val texts = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // independent reimplementation: shingle map -> dup positions -> merge
+    val byShingle = scala.collection.mutable.Map.empty[String, Set[Long]]
+    texts.foreach { case (id, t) =>
+      if (t.length >= L)
+        (0 to t.length - L).foreach { p =>
+          val s = t.substring(p, p + L)
+          byShingle(s) = byShingle.getOrElse(s, Set.empty) + id
+        }
+    }
+    val expected = texts.toSeq.flatMap { case (id, t) =>
+      val hits = if (t.length < L) Seq.empty
+        else (0 to t.length - L).filter(p => byShingle(t.substring(p, p + L)).size >= 2)
+      // interval merge of [p, p+L)
+      hits.foldLeft(List.empty[(Long, Long)]) { case (acc, p) =>
+        acc match {
+          case (a, b) :: rest if p <= b => (a, math.max(b, p + L).toLong) :: rest
+          case _ => (p.toLong, (p + L).toLong) :: acc
+        }
+      }.reverse.map { case (a, b) => (id, a, b) }
+    }.toSet
+    val got = Dedup.d15DupSpans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSet
+    assert(got == expected,
+      s"span mismatch: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    // fixture property: passage-level reuse includes multi-span docs
+    val perDoc = got.groupBy(_._1).values.map(_.size)
+    assert(perDoc.exists(_ > 1) && got.nonEmpty)
+  }
+
   test("s12 bitext margins: one best target per source, both strata") {
     val rows = Similarity.s12BitextMargin(spark, sf).collect()
     val srcs = rows.map(_.getAs[Long]("src_id"))

@@ -130,6 +130,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("p15 k-anon release: every cell clears k, rollups absorb small cells") {
+    val docs = Tables(spark, sf, "documents")
+    val out = llm.Pipeline.p15KAnonRelease(spark, sf).collect()
+    // the k-anonymity invariant: nothing below threshold is ever released
+    out.foreach(r => assert(r.getAs[Long]("n_docs") >= llm.Pipeline.KAnonThreshold))
+    // raw small cells never leak through under their own source name
+    val rawSmall = docs.groupBy("lang", "source").count()
+      .filter(s"count < ${llm.Pipeline.KAnonThreshold}")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val released = out.map(r => (r.getAs[String]("lang"), r.getAs[String]("source"))).toSet
+    assert(rawSmall.intersect(released).isEmpty)
+    // fixture property (checked at sf0.001 + sf0.01): every language's
+    // rollup clears k, so released volume reconciles to the full corpus
+    assert(out.exists(_.getAs[String]("source") == "<other>"))
+    assert(out.exists(_.getAs[String]("source") != "<other>"))
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
   test("q48 salted join equals the plain join") {
     val salted = ops.Relational5.q48SaltedJoin(spark, sf).collect()
       .map(r => (r.getAs[Long]("s_nationkey"), r.getAs[Double]("revenue"),

@@ -66,7 +66,7 @@ object Bench {
       val sorted = times.sorted
       name -> (if (times.exists(_ < 0)) -1.0 else sorted(sorted.length / 2))
     }
-    // seconds rounded to 10 ms: at 148 queries the ms form is ~1.86 KB
+    // seconds rounded to 10 ms: at 149 queries the ms form is ~1.86 KB
     // — within ~140 chars of the driver's 2,000-char tail capture; one
     // fewer decimal keeps ~290 chars of headroom. -1 failure markers
     // and the wall-clock noise floor (±20%) both survive the rounding.

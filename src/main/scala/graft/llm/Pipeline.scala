@@ -961,7 +961,63 @@ object Pipeline {
       |SELECT * FROM big UNION ALL SELECT * FROM roll
       |ORDER BY lang, source""".stripMargin
 
+  /** Per-mille inclusion cap for [[p16PpsSample]] — no document's
+    * inclusion probability exceeds 50%, the standard guard that keeps
+    * Horvitz–Thompson weights bounded. */
+  val PpsCapPerMille = 500L
+
+  /** The p16 selection core: narrow map + filter, ZERO exchanges
+    * (asserted in ScaleDesignSpec) — presentation `orderBy` lives only
+    * in [[p16PpsSample]]. */
+  def ppsSampleCore(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs
+      .withColumn("bucket",
+        pmod(expr("rolling_min_hash(text)"), lit(1000L)))
+      .withColumn("keep_per_mille",
+        least(lit(PpsCapPerMille), col("n_chars")))
+      .filter(col("bucket") < col("keep_per_mille"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"),
+        col("keep_per_mille"),
+        expr("1000000000L DIV keep_per_mille").as("ht_weight_ppm"))
+  }
+
+  /** p16: probability-proportional-to-size (PPS) Poisson sampling —
+    * the token-budget sampler: each document enters the sample with
+    * probability ∝ its size (`min(cap, n_chars)`‰), so a fixed char
+    * budget is spent preferentially on substantial documents instead
+    * of uniformly (p04 is the per-stratum flavor; this is the
+    * per-document-weight flavor, and the two compose). Membership is
+    * the same content-hash bucket rule as p04/p05 — a pure function of
+    * the document, reproducible across runs/engines/partitionings,
+    * where `rand()` is none of those. `ht_weight_ppm` is the exact
+    * integer Horvitz–Thompson expansion weight (1/p in parts-per-
+    * million): `Σ_sample n_chars·w/1e6` estimates the corpus total —
+    * the spec checks the estimator lands near the true total.
+    *
+    * Plan at 100 TB: scan-bound narrow map + filter, zero exchanges,
+    * no state — identical posture to p04. All arithmetic is integer,
+    * so the oracle replays membership and weights exactly. */
+  def p16PpsSample(spark: SparkSession, dir: String): DataFrame =
+    ppsSampleCore(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: the shared fingerprint CTE + the same integer cap /
+    * bucket / weight arithmetic. */
+  val p16Sql: String =
+    TextStats.fpWithCte +
+      s"""
+         |SELECT d.doc_id, d.lang, d.n_chars,
+         |  ((f.fingerprint % 1000) + 1000) % 1000 AS bucket,
+         |  least($PpsCapPerMille, d.n_chars) AS keep_per_mille,
+         |  1000000000 // least($PpsCapPerMille, d.n_chars) AS ht_weight_ppm
+         |FROM documents d JOIN fp f ON d.doc_id = f.doc_id
+         |WHERE ((f.fingerprint % 1000) + 1000) % 1000
+         |  < least($PpsCapPerMille, d.n_chars)
+         |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_pps_sample" -> (p16PpsSample _),
     "p15_kanon_release" -> (p15KAnonRelease _),
     "p14_corpus_card" -> (p14CorpusCard _),
     "p13_incremental_update" -> (p13IncrementalUpdate _),
@@ -979,6 +1035,7 @@ object Pipeline {
     "p06_leakage_safe_split" -> (p06LeakageSafeSplit _),
   )
   val oracle: Map[String, String] = Map(
+    "p16_pps_sample" -> p16Sql,
     "p15_kanon_release" -> p15Sql,
     "p14_corpus_card" -> p14Sql,
     "p13_incremental_update" -> p13Sql,

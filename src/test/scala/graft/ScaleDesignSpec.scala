@@ -29,6 +29,32 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("p16 PPS sample: zero exchanges, HT estimator recovers the corpus total") {
+    val docs = Tables(spark, sf, "documents")
+    val core = llm.Pipeline.ppsSampleCore(docs)
+    val physical = core.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"the PPS core must be a narrow map+filter:\n$physical")
+    val rows = core.collect()
+    // membership + weight arithmetic is exactly the published contract
+    rows.foreach { r =>
+      val kpm = r.getAs[Long]("keep_per_mille")
+      assert(kpm == math.min(llm.Pipeline.PpsCapPerMille, r.getAs[Long]("n_chars")))
+      assert(r.getAs[Long]("bucket") < kpm)
+      assert(r.getAs[Long]("ht_weight_ppm") == 1000000000L / kpm)
+    }
+    // both regimes occur: capped (p = cap) and proportional (p < cap)
+    assert(rows.exists(_.getAs[Long]("keep_per_mille") == llm.Pipeline.PpsCapPerMille))
+    assert(rows.exists(_.getAs[Long]("keep_per_mille") < llm.Pipeline.PpsCapPerMille))
+    // Horvitz–Thompson: Σ n_chars/p over the sample estimates the true
+    // total char count (content-hash buckets are ~uniform)
+    val est = rows.map(r =>
+      r.getAs[Long]("n_chars").toDouble * r.getAs[Long]("ht_weight_ppm") / 1e6).sum
+    val truth = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0).toDouble
+    assert(math.abs(est - truth) / truth < 0.25,
+      s"HT estimate $est vs true total $truth")
+  }
+
   test("s03 aggregator top-k equals s01 window top-k exactly") {
     val a = llm.Similarity.s01BruteForceTopK(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

@@ -22,7 +22,8 @@ object SparkEntry {
       ops.Relational5.queries ++ ops.Relational6.queries ++ ops.Relational7.queries ++ ops.AsOf.queries ++
       llm.Dedup.queries ++ llm.DupClusters.queries ++ llm.Similarity.queries ++
       llm.TextStats.queries ++ llm.TextClean.queries ++ llm.Multimodal.queries ++
-      llm.Pipeline.queries ++ llm.Authority.queries ++ stream.EventWindows.queries
+      llm.Pipeline.queries ++ llm.Authority.queries ++ llm.Retrieval.queries ++
+      stream.EventWindows.queries
 
   /** Verify-shape overlays: queries whose oracle-compared form carries
     * extra verification columns the production (benched) form must not
@@ -37,5 +38,6 @@ object SparkEntry {
       ops.Relational5.oracle ++ ops.Relational6.oracle ++ ops.Relational7.oracle ++ ops.AsOf.oracle ++
       llm.Dedup.oracle ++ llm.DupClusters.oracle ++ llm.Similarity.oracle ++
       llm.TextStats.oracle ++ llm.TextClean.oracle ++ llm.Multimodal.oracle ++
-      llm.Pipeline.oracle ++ llm.Authority.oracle ++ stream.EventWindows.oracle
+      llm.Pipeline.oracle ++ llm.Authority.oracle ++ llm.Retrieval.oracle ++
+      stream.EventWindows.oracle
 }

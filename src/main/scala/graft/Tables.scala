@@ -23,18 +23,34 @@ object Tables {
 
   /** Lazy scan of one fixture table.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright; we read it as nano-longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microsecond
-    * timestamps — the same truncation DuckDB applies, so oracle
-    * comparisons stay exact. */
+    * `events.ts` has been written two ways across fixture generations:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read as nano-longs via `spark.sql.legacy.parquet.nanosAsLong` and
+    * truncate to microseconds, the same truncation DuckDB applies) and
+    * plain TIMESTAMP micros (arrives as TIMESTAMP_NTZ — cast to the
+    * session-zoned type, identity on wall-clock under the UTC session).
+    * [[normalizeEventsTs]] branches on the LOADED type, so either
+    * generation yields the same `timestamp` column downstream. */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeEventsTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Normalize `ts` to session-zoned microsecond TimestampType from
+    * whichever physical form the fixture carries (nano-longs via the
+    * legacy flag, TIMESTAMP_NTZ, or already-zoned). Works on batch and
+    * streaming frames alike — it only inspects the schema. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Load all tables and register each as a temp view (SQL-addressable
     * catalog, same names DuckDB's oracle uses). Idempotent. */

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Retrieval
+
+/** s10 BM25: full differential re-derivation. A driver-side naive
+  * implementation (plain Scala maps over the collected fixture — no
+  * Spark, no SQL) recomputes every integer-BM25 score and the exact
+  * ranked top-5 per query; the distributed operator must reproduce it
+  * row-for-row. This catches formula drift the DuckDB oracle alone
+  * cannot (the oracle shares the SQL text's arithmetic; the naive
+  * model shares only the SPEC).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def naive(): Seq[(Long, Int, Long, Long)] = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+      .toSeq.sortBy(_._1)
+    val n = docs.size.toLong
+    val t = docs.map(_._2.size.toLong).sum
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, occ) => (id, w) -> occ.size.toLong }
+    }.toMap
+    val df: Map[String, Long] =
+      tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val dl: Map[Long, Long] = docs.map { case (id, ws) => id -> ws.size.toLong }.toMap
+    val queries = docs.filter { case (id, _) =>
+      id % Retrieval.QueryMod == Retrieval.QueryRem }
+    queries.flatMap { case (qid, qws) =>
+      val scores = docs.filter(_._1 != qid).flatMap { case (did, _) =>
+        val s = qws.distinct.map { term =>
+          tf.get((did, term)).fold(0L) { f =>
+            val d = df(term)
+            val idfE4 = (2 * n - 2 * d + 1) * 10000L / (2 * d + 1)
+            val tfnE6 = 22 * t * f * 1000000L /
+              (10 * t * f + 3 * t + 9 * dl(did) * n)
+            idfE4 * tfnE6
+          }
+        }.sum
+        if (s > 0) Some(did -> s) else None
+      }
+      scores.sortBy { case (did, s) => (-s, did) }
+        .take(Retrieval.TopK).zipWithIndex
+        .map { case ((did, s), i) => (qid, i + 1, did, s) }
+    }
+  }
+
+  test("s10 BM25 matches a driver-side naive re-derivation exactly") {
+    val got = Retrieval.s10Bm25TopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    val want = naive()
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("s10 results never include the query document and respect k") {
+    val rows = Retrieval.s10Bm25TopK(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("rn") >= 1 && r.getAs[Int]("rn") <= Retrieval.TopK)
+      assert(r.getAs[Long]("score") > 0)
+    }
+  }
+}

@@ -21,16 +21,13 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   private def streamingEvents() = {
-    // Stream the events fixture through the same nanos handling Tables
-    // applies, with an explicit schema (required for file streams).
+    // Stream the events fixture through the same ts normalization Tables
+    // applies, with an explicit schema (required for file streams) taken
+    // from the staged file itself so either fixture generation works.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = spark.read.parquet(eventsDir).schema
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(eventsDir))
   }
 
   test("st08 gap fill: complete hour axis, real zeros, counts match st01") {

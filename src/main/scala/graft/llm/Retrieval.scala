@@ -58,7 +58,13 @@ object Retrieval {
   /** Results per query. */
   val TopK = 5
 
-  def s10Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  def s10Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Ranked(spark, dir).orderBy(col("query_id"), col("rn"))
+
+  /** The s10 core without the presentation sort — shared with
+    * [[s13HybridRrf]], which re-joins the ranked list and must not pay
+    * (or have Catalyst discard) a mid-plan global order. */
+  private[graft] def bm25Ranked(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
     // dl rides the groupBy key: doc_id determines it, so the wider key
@@ -95,13 +101,13 @@ object Retrieval {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
       .select(col("query_id"), col("rn"), col("doc_id"), col("score"))
-      .orderBy(col("query_id"), col("rn"))
   }
 
-  /** Oracle: the same postings/df/totals derivation and the same
-    * integer BM25 arithmetic (`//` ≡ Spark's `DIV` on non-negative
-    * operands); SUM cast back to BIGINT (DuckDB widens to HUGEINT). */
-  val s10Sql: String =
+  /** Oracle CTE chain shared by s10 and s13: the same postings/df/totals
+    * derivation and the same integer BM25 arithmetic (`//` ≡ Spark's
+    * `DIV` on non-negative operands); SUM cast back to BIGINT (DuckDB
+    * widens to HUGEINT). Ends with `ranked` (rn over score desc). */
+  private[llm] val bm25Cte: String =
     s"""WITH t AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |    unnest(string_split(text, ' ')) AS term
@@ -134,16 +140,122 @@ object Retrieval {
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id) AS rn
        |  FROM scored
-       |)
+       |)""".stripMargin
+
+  val s10Sql: String = bm25Cte +
+    s"""
        |SELECT query_id, CAST(rn AS INT) AS rn, doc_id, score
        |FROM ranked WHERE rn <= $TopK
        |ORDER BY query_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s13: hybrid retrieval — reciprocal-rank fusion of lexical + dense
+  // ---------------------------------------------------------------------
+
+  /** RRF constant (Cormack et al., SIGIR'09 use 60). */
+  val RrfK = 60L
+
+  /** Dense half of the hybrid: exact cosine top-[[TopK]] from the
+    * `embeddings` table for the SAME query ids (the fixture embeds
+    * document i as vector i, so `doc_id == vec_id` is the join
+    * convention). The query side is tiny (1/[[QueryMod]] of the corpus)
+    * and broadcast, so the fan-out is q·n work against the flat index —
+    * the s01 shape restricted to the query set, not n². */
+  private[graft] def denseRanked(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val v = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .filter(col("nrm") > 0)
+    val q = v.filter(pmod(col("vec_id"), lit(QueryMod)) === QueryRem)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr("vec_dot(embedding, qv)") / (col("nrm") * col("qn")))
+      .withColumn("den_rn", row_number().over(w))
+      .filter(col("den_rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("den_rn"))
+  }
+
+  /** s13: hybrid search — reciprocal-rank fusion (RRF) of the BM25
+    * lexical list (s10) and the exact dense cosine list over the same
+    * query set: `rrf = Σ_lists 10⁶ DIV (60 + rank)`, zero for a list
+    * the document didn't make. Rank fusion is the standard way to
+    * combine heterogeneous retrievers without score calibration —
+    * ranks are scale-free where BM25 scores and cosines are not, and
+    * the integer form makes the fused score engine-exact (doubles
+    * would be too here, but the convention keeps every oracle sum
+    * order-free).
+    *
+    * Plan at 100 TB: both halves are already top-k-sized when they
+    * meet — the fusion join, scoring and final window all run on
+    * O(queries·k) rows. The expensive parts are the halves themselves
+    * (inverted index / flat scan), each with its own documented scale
+    * path (s10; s02/s04/s09 replace the flat scan). */
+  def s13HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Ranked(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rn").as("lex_rn"))
+    val den = denseRanked(spark, dir)
+    val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        (coalesce(expr(s"1000000L DIV ($RrfK + lex_rn)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV ($RrfK + den_rn)"), lit(0L)))
+          .cast(LongType))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("rrf"),
+        col("lex_rn"), col("den_rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Oracle: the s10 CTE chain + the s01-convention dense scoring
+    * (DOUBLE[] `list_dot_product` — bit-identical to VecDot) + the same
+    * integer RRF arithmetic over a FULL OUTER rank join. */
+  val s13Sql: String = bm25Cte +
+    Similarity.normCte.replaceFirst("^WITH ", ", ") +
+    s""", dq AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nn
+       |  WHERE vec_id % $QueryMod = $QueryRem
+       |), dsc AS (
+       |  SELECT dq.query_id, nn.vec_id AS doc_id,
+       |    list_dot_product(nn.v, dq.qv) / (nn.nrm * dq.qn) AS cosine
+       |  FROM nn, dq WHERE nn.vec_id <> dq.query_id
+       |), dranked AS (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, doc_id) AS den_rn
+       |  FROM dsc
+       |), fused AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(l.rn AS INT) AS lex_rn, CAST(d.den_rn AS INT) AS den_rn,
+       |    CAST(COALESCE(1000000 // ($RrfK + l.rn), 0)
+       |       + COALESCE(1000000 // ($RrfK + d.den_rn), 0) AS BIGINT) AS rrf
+       |  FROM (SELECT query_id, doc_id, rn FROM ranked
+       |        WHERE rn <= $TopK) l
+       |  FULL OUTER JOIN (SELECT query_id, doc_id, den_rn FROM dranked
+       |                   WHERE den_rn <= $TopK) d
+       |    USING (query_id, doc_id)
+       |)
+       |SELECT query_id, CAST(rn AS INT) AS rn, doc_id, rrf, lex_rn, den_rn
+       |FROM (
+       |  SELECT query_id, doc_id, rrf, lex_rn, den_rn,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS rn
+       |  FROM fused
+       |) WHERE rn <= $TopK
+       |ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_bm25_topk" -> (s10Bm25TopK _),
+    "s13_hybrid_rrf" -> (s13HybridRrf _),
   )
 
   val oracle: Map[String, String] = Map(
     "s10_bm25_topk" -> s10Sql,
+    "s13_hybrid_rrf" -> s13Sql,
   )
 }

@@ -58,6 +58,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("s13 RRF fusion equals a driver-side fusion of its two halves") {
+    val lex = Retrieval.bm25Ranked(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("rn")).toMap
+    val den = Retrieval.denseRanked(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("den_rn")).toMap
+    val want = (lex.keySet ++ den.keySet).groupBy(_._1).toSeq.flatMap {
+      case (qid, keys) =>
+        keys.toSeq.map { k =>
+          val rrf = lex.get(k).fold(0L)(r => 1000000L / (Retrieval.RrfK + r)) +
+            den.get(k).fold(0L)(r => 1000000L / (Retrieval.RrfK + r))
+          (qid, k._2, rrf)
+        }.sortBy { case (_, did, rrf) => (-rrf, did) }
+          .take(Retrieval.TopK).zipWithIndex
+          .map { case ((q, did, rrf), i) => (q, i + 1, did, rrf) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Retrieval.s13HybridRrf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rrf"))).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    // both retrievers must actually contribute somewhere
+    val rows = Retrieval.s13HybridRrf(spark, sf).collect()
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("lex_rn"))))
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("den_rn"))))
+  }
+
   test("s10 results never include the query document and respect k") {
     val rows = Retrieval.s10Bm25TopK(spark, sf).collect()
     rows.foreach { r =>

@@ -37,17 +37,18 @@ import graft.Tables
   * doc_id asc.
   *
   * Plan at 100 TB: a textbook inverted-index retrieval —
-  *  - ONE corpus-wide (doc,term) aggregate builds the postings (tf);
-  *    df folds out of it with a second term-keyed aggregate, both with
-  *    map-side partial aggregation;
+  *  - ONE corpus-wide (doc,term) aggregate builds the postings (tf),
+  *    map-side partial; df rides a term-keyed window count over the
+  *    same postings (no second corpus pass — see [[bm25Ranked]]);
   *  - the query term list is broadcast, so candidate generation is a
   *    broadcast-hash semi-filter of the postings (no term-keyed
-  *    shuffle of the corpus against the queries);
-  *  - df for the query vocabulary is itself broadcast (vocab-of-query
-  *    sized), corpus totals ride a 1-row broadcast frame;
-  *  - the only remaining exchange is the candidate-sized
+  *    shuffle of the corpus against the queries); corpus totals ride
+  *    a 1-row broadcast frame;
+  *  - the only remaining exchanges are the candidate-sized
   *    (query_id, doc_id) sum + the per-query window — both scale with
   *    matches, not with the corpus.
+  * The plan test pins all of this: no shuffled join anywhere, a single
+  * corpus aggregate exchange, ≤ 5 keyed exchanges total.
   */
 object Retrieval {
 
@@ -73,21 +74,26 @@ object Retrieval {
         explode(col("ws")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // tf is already distinct per (doc, term) — df is a fold over it
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf is already distinct per (doc, term), so df is a per-term count
+    // of it — attached as a WINDOW over the postings rather than a
+    // second groupBy + join-back: Catalyst cannot share one corpus
+    // aggregate between two consuming branches (column pruning makes
+    // the subtrees differ, defeating ReuseExchange), so the agg+join
+    // form scans and shuffles the corpus twice. The window form pays
+    // one term-keyed exchange over the postings instead; a stopword's
+    // posting list is one window partition (sorter spills — same
+    // skew trade as d15, acceptable for a count)
+    val postings = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
     // corpus totals as a 1-row broadcast frame (no eager driver count)
     val totals = d.agg(count(lit(1)).as("n_docs"),
       sum(size(col("ws")).cast(LongType)).as("t_tokens"))
     val qterms = d.filter(pmod(col("doc_id"), lit(QueryMod)) === QueryRem)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(col("ws"))).as("term"))
-    // query vocabulary df — query-sized, broadcast back into candidates
-    val qdf = dfreq.join(broadcast(qterms.select(col("term")).distinct()),
-      "term")
-    val scored = tf
+    val scored = postings
       .join(broadcast(qterms), "term")
       .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(qdf), "term")
       .crossJoin(broadcast(totals))
       .withColumn("idf_e4",
         expr("(2*n_docs - 2*df + 1) * 10000L DIV (2*df + 1)"))

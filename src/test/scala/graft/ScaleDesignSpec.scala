@@ -440,6 +440,46 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("s10 plan: the corpus never shuffles against the queries") {
+    // the inverted-index claim: the query side (terms, corpus totals)
+    // reaches the postings ONLY via broadcast — every join in the plan
+    // is broadcast-hash, never sort-merge/shuffle-hash (a sort-merge
+    // join here would mean a corpus-sized exchange keyed by term
+    // against the query list); the corpus is aggregated and shuffled
+    // exactly ONCE (df is a window over the postings, not a second
+    // groupBy pass — Catalyst can't reuse one aggregate across two
+    // pruned-differently branches); the keyed exchanges that remain
+    // are the ones the algorithm owns: (doc,dl,term) tf, term window,
+    // (query,doc) score sum, per-query window, presentation sort.
+    val plan = SparkEntry.queries("s10_bm25_topk")(spark, sf)
+      .queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val nodes = unwrapped.collectWithSubqueries { case p => p.nodeName }
+    assert(!nodes.exists(_.contains("SortMergeJoin")) &&
+      !nodes.exists(_.contains("ShuffledHashJoin")),
+      s"s10 plans a shuffled join: ${nodes.toSet}")
+    assert(nodes.count(_.contains("BroadcastHashJoin")) >= 1,
+      "s10 should broadcast the query terms into the postings")
+    // the totals frame's global aggregate carries a 1-row
+    // SinglePartition exchange by construction — not a scale concern
+    val shuffles = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if !e.outputPartitioning.toString.contains("SinglePartition") => e
+    }
+    val corpusAggs = shuffles.count(
+      _.outputPartitioning.toString.contains("dl"))
+    assert(corpusAggs == 1,
+      s"s10: the corpus (doc,dl,term) aggregate must be shuffled exactly " +
+        s"once, got $corpusAggs:\n${unwrapped.toString.take(1500)}")
+    assert(shuffles.length <= 5,
+      s"s10: expected <= 5 keyed exchanges (tf, df window, score, topk " +
+        s"window, order), got ${shuffles.length}:\n${unwrapped.toString.take(1500)}")
+  }
+
   test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
     // the 100 TB pattern behind every partitioned fact table: the
     // WHERE lives on the dimension side, so static pruning can't see

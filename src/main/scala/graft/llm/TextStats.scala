@@ -310,12 +310,15 @@ object TextStats {
     // the whole query stays one lazy plan (no eager job), and the scalar
     // rides a BroadcastExchange to every task
     val nDocs = d.select(count(lit(1)).cast(DoubleType).as("n_docs"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf is already distinct per (doc, term): df is a term-keyed window
+    // count over it — the s10 lesson (a separate distinct+groupBy+join
+    // pass re-explodes and re-shuffles the corpus, because Catalyst
+    // can't share one aggregate between differently-pruned branches)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf").cast(DoubleType) * ((col("n_docs") + 1.0) /

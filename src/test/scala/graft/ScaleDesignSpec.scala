@@ -384,6 +384,28 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"expected <= 2 keyed shuffles per round + final sort:\n$plan")
   }
 
+  test("g03 HITS: half-steps run on the checkpointed clicks, bounded shuffles") {
+    // same contract as g01: the distinct-clicks shuffle is paid once
+    // into the localCheckpoint; each of the 4 half-steps is one join +
+    // one partial agg + a 1-row max broadcast, so the keyed-shuffle
+    // count is O(rounds), never O(edges), and no file scan survives
+    val df = llm.Authority.g03Hits(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(!plan.toString.contains("FileSourceScan"),
+      s"half-steps must reuse the checkpointed click list:\n$plan")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 14,
+      s"expected O(half-steps) keyed shuffles + final sort, got " +
+        s"${exchanges.length}:\n$plan")
+  }
+
   test("q68 incremental merge: co-partitioned, and the delta is the only recomputed part") {
     // the full-outer merge of the two partial aggregates must reuse
     // their hash partitioning on o_custkey — a third exchange before

@@ -479,7 +479,90 @@ object Multimodal {
        |FROM ch m JOIN ch2 r USING (doc_id, chunk_idx)
        |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m11: multimodal training-pair assembly
+  // ---------------------------------------------------------------------
+
+  /** m11: assemble (text, media) contrastive training pairs — the
+    * multimodal analog of p01/p13's gated corpus builds (the CLIP-style
+    * dataset assembly step): join each document to its media blob, gate
+    * on text quality (the shared [[TextStats.qualityScored]] core and
+    * [[Pipeline.QualityThreshold]]) and on media integrity (the m09
+    * chunk audit — a corrupt blob must never enter a training pair),
+    * then keep ONE pair per media HEAD digest — md5 of the blob's first
+    * 64 bytes, the p14 convention: the fixture plants no byte-identical
+    * documents, and a head digest is the deterministic stand-in for the
+    * perceptual hash (pHash / thumbnail digest) a real media pipeline
+    * buckets near-identical assets by. The representative is the
+    * min-doc_id pair, chosen among ELIGIBLE pairs only so a rejected
+    * doc cannot shadow a good duplicate — p13's rule. Every row carries its first-match
+    * disposition (`corrupt_media` → `rejected_quality` → `dup_media` →
+    * `paired`), so the assembly is fully attributable.
+    *
+    * Plan at 100 TB: all three joins are doc_id-keyed (co-partitioned
+    * after the first exchange); the dedup is one digest-keyed aggregate
+    * joined back (d02's shape — 16-byte keys, never blob bytes); the
+    * integrity side is m09's chunk audit, whose shuffle carries chunk
+    * digests, not chunks. On this fixture the media digest equals the
+    * text digest (blobs ARE the UTF-8 text — packAsMedia's stand-in),
+    * but the dedup key is computed from the BLOB, so swapping in real
+    * media changes no plan shape. */
+  def m11TrainingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextStats.qualityScored(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val media = packAsMedia(spark, dir).toDF()
+      .select(col("doc_id"), col("blob"))
+    val integ = m09IntegrityAudit(spark, dir)
+      .select(col("doc_id"), col("status"))
+    val base = q.join(media, "doc_id").join(integ, "doc_id")
+      .withColumn("media_md5", md5(expr("substring(blob, 1, 64)")))
+      .withColumn("n_bytes", length(col("blob")).cast(LongType))
+    val rep = base
+      .filter(col("status") === "ok" &&
+        col("quality") >= Pipeline.QualityThreshold)
+      .groupBy(col("media_md5")).agg(min(col("doc_id")).as("rep_id"))
+    base.join(rep, Seq("media_md5"), "left")
+      .withColumn("disposition",
+        when(col("status") =!= "ok", "corrupt_media")
+          .when(col("quality") < Pipeline.QualityThreshold,
+            "rejected_quality")
+          .when(col("doc_id") =!= col("rep_id"), "dup_media")
+          .otherwise("paired"))
+      .select(col("doc_id"), col("lang"), col("n_bytes"), col("quality"),
+        col("media_md5"), col("disposition"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** m11 oracle: the m09 audit as a subquery, the shared quality
+    * expression, md5 in VARCHAR space (ASCII ⇒ byte == character, the
+    * m09 precedent), same eligibility-scoped representative and
+    * first-match disposition. */
+  val m11Sql: String =
+    s"""WITH integ AS ($m09Sql
+       |), q AS (
+       |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_bytes,
+       |    md5(substring(text, 1, 64)) AS media_md5,
+       |    ${TextStats.qualitySqlExpr} AS quality
+       |  FROM documents
+       |), rep AS (
+       |  SELECT media_md5, MIN(doc_id) AS rep_id
+       |  FROM q JOIN integ USING (doc_id)
+       |  WHERE integ.status = 'ok'
+       |    AND q.quality >= ${Pipeline.QualityThreshold}
+       |  GROUP BY media_md5
+       |)
+       |SELECT q.doc_id, q.lang, q.n_bytes, q.quality, q.media_md5,
+       |  CASE WHEN i.status <> 'ok' THEN 'corrupt_media'
+       |       WHEN q.quality < ${Pipeline.QualityThreshold}
+       |         THEN 'rejected_quality'
+       |       WHEN q.doc_id <> r.rep_id THEN 'dup_media'
+       |       ELSE 'paired' END AS disposition
+       |FROM q JOIN integ i USING (doc_id)
+       |LEFT JOIN rep r USING (media_md5)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_training_pairs" -> (m11TrainingPairs _),
     "m09_integrity_audit" -> (m09IntegrityAudit _),
     "m10_shared_frame_dups" -> (m10SharedFrameDups _),
     "m01_media_meta" -> (m01MediaMeta _),
@@ -557,6 +640,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "m11_training_pairs" -> m11Sql,
     "m09_integrity_audit" -> m09Sql,
     "m10_shared_frame_dups" -> m10Sql,
     "m01_media_meta" -> m01Sql,

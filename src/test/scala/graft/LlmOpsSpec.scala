@@ -9,6 +9,38 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 class LlmOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("m11 training pairs: dispositions attributable, one pair per digest") {
+    val rows = Multimodal.m11TrainingPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDisp = rows.groupBy(_.getAs[String]("disposition"))
+    // all four gates discriminate on the fixture
+    assert(byDisp.keySet == Set("corrupt_media", "rejected_quality",
+      "dup_media", "paired"),
+      s"dispositions seen: ${byDisp.keySet}")
+    // integrity gate fires exactly on the m09 audit's corrupt set
+    val m09bad = Multimodal.m09IntegrityAudit(spark, sf).collect()
+      .filter(_.getAs[String]("status") == "corrupt")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(byDisp("corrupt_media").map(_.getAs[Long]("doc_id")).toSet
+      == m09bad)
+    // exactly one paired representative per digest, and it is the min
+    // ELIGIBLE doc of its group
+    val paired = byDisp("paired")
+      .map(r => r.getAs[String]("media_md5") -> r.getAs[Long]("doc_id"))
+    assert(paired.map(_._1).distinct.length == paired.length)
+    val eligible = rows.filter(r =>
+      r.getAs[String]("disposition") == "paired" ||
+        r.getAs[String]("disposition") == "dup_media")
+      .groupBy(_.getAs[String]("media_md5"))
+    paired.foreach { case (md5v, id) =>
+      assert(id == eligible(md5v).map(_.getAs[Long]("doc_id")).min)
+    }
+    // every dup points at a digest that does have a paired representative
+    val pairedDigests = paired.map(_._1).toSet
+    byDisp("dup_media").foreach(r =>
+      assert(pairedDigests.contains(r.getAs[String]("media_md5"))))
+  }
+
   test("t16 bigram surprisal: pair counts tie to t01, floor bound holds") {
     val t16 = TextStats.t16BigramLm(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

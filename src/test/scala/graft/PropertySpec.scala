@@ -220,6 +220,29 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("HITS integer renorm: monotone, max lands exactly at 1e6") = {
+    // g03's half-step rescale s -> s*1e6 DIV max(s): order can only be
+    // preserved or tied (never inverted), the max maps to exactly 1e6,
+    // and the BigInt product (what DECIMAL/HUGEINT computes) equals the
+    // Long result for any raw sums a degree-bounded graph can produce
+    val rawGen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 1000000000000000L))
+    forAll(rawGen) { raw0 =>
+      val raw = raw0.filter(_ >= 1)
+      (raw.nonEmpty) ==> {
+        val mx = raw.max
+        val re = raw.map(s => ((BigInt(s) * 1000000) / mx).toLong)
+        val pairsOk = raw.zip(re).combinations(2).forall {
+          case Seq((s1, r1), (s2, r2)) =>
+            if (s1 < s2) r1 <= r2 else if (s1 > s2) r1 >= r2 else r1 == r2
+          case _ => true
+        }
+        pairsOk :| "renorm is monotone" &&
+          (re.max == 1000000L) :| s"max renorm = ${re.max}" &&
+          re.forall(r => r >= 0 && r <= 1000000L) :| "range [0, 1e6]"
+      }
+    }
+  }
+
   property("count_in_set equals naive membership count") = {
     val word = Gen.oneOf("a", "b", "cc", "dd", "e", "")
     forAll(Gen.listOf(word), Gen.nonEmptyListOf(word)) { (tokens, set0) =>

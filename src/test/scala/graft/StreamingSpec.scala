@@ -64,6 +64,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: broadcast dimension enrichment equals batch") {
+    // the remaining join shape: a stream enriched against a STATIC
+    // (batch) dimension — Spark re-plans the static side per
+    // micro-batch and the broadcast needs no watermark/state. The dim
+    // here is a per-user tier derived from the batch events (any
+    // static frame works); parity: streamed per-(tier, type) counts
+    // == the same batch join.
+    val dim = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("string"))
+    val enriched = streamingEvents()
+      .join(broadcast(dim), "user_id")
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.outputMode("complete")
+      .format("memory").queryName("tiered").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tiered").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"))).toSet
+      val batch = Tables(spark, sf, "events")
+        .join(broadcast(dim), "user_id")
+        .groupBy(col("tier"), col("event_type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming: mapGroupsWithState running counts match batch") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode

@@ -77,6 +77,78 @@ object AsOf {
       |  ON e.user_id = d.user_id AND e.ts >= d.t
       |ORDER BY e.event_id""".stripMargin
 
+  /** q73: FORWARD as-of join — for every `view` event, the same user's
+    * NEAREST FOLLOWING `purchase` (`p.ts >= v.ts`, inclusive): the
+    * label-lookahead shape ("next conversion after exposure") that
+    * training pipelines pair with q30's backward state-lookup. (Events
+    * against events, not orders: the orders table predates every event
+    * by decades, so a forward match there would be vacuously NULL.)
+    * Same union-merge sweep as q30, mirrored: the per-user window runs
+    * time-DESC, so "last non-null seen" is the nearest purchase
+    * at-or-after the view; purchases sort before views at the same
+    * instant (inclusive match), deduped to one per (user, instant)
+    * keeping the max event_id so the match is well-defined in any
+    * engine. Cost identical to q30: ONE user_id shuffle + per-key
+    * sort — never a per-key theta-join. */
+  def q73AsOfForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val repW = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(repW))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("t"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("t"), col("event_id"))
+
+    val tagged = purchases
+      .withColumn("kind", lit(0))
+      .withColumn("event_id", lit(null).cast("bigint"))
+      .select(col("user_id"), col("t"), col("kind"), col("event_id"),
+        col("p_id"), col("p_value"))
+      .unionByName(views
+        .withColumn("kind", lit(1))
+        .withColumn("p_id", lit(null).cast("bigint"))
+        .withColumn("p_value", lit(null).cast("double"))
+        .select(col("user_id"), col("t"), col("kind"), col("event_id"),
+          col("p_id"), col("p_value")))
+
+    // DESC sweep: far-future purchases arrive first, nearer ones
+    // overwrite, so the running last at each view row is the closest
+    // purchase with t' >= t
+    val sweep = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").desc, col("kind").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("next_purchase_id",
+        last(col("p_id"), ignoreNulls = true).over(sweep))
+      .withColumn("next_purchase_value",
+        last(col("p_value"), ignoreNulls = true).over(sweep))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts"),
+        col("next_purchase_id"), col("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB's native forward ASOF (`v.ts <= p.ts` picks the nearest
+    * following row) over the same deduped purchases. */
+  val q73Sql: String =
+    """WITH pur AS (
+      |  SELECT user_id, ts AS t, event_id AS p_id, value AS p_value FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+      |)
+      |SELECT v.event_id, v.user_id, v.ts,
+      |  p.p_id AS next_purchase_id, p.p_value AS next_purchase_value
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'view') v
+      |ASOF LEFT JOIN pur p
+      |  ON v.user_id = p.user_id AND v.ts <= p.t
+      |ORDER BY v.event_id""".stripMargin
+
   /** The bucketized band-join core over any `(event_id, event_type,
     * value)` frame — the scalable form of the interval operator Spark's
     * join set lacks a fast path for.
@@ -142,10 +214,12 @@ object AsOf {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_asof_join" -> (q30AsOfJoin _),
+    "q73_asof_forward" -> (q73AsOfForward _),
     "q45_range_join" -> (q45RangeJoin _),
   )
   val oracle: Map[String, String] = Map(
     "q30_asof_join" -> q30Sql,
+    "q73_asof_forward" -> q73Sql,
     "q45_range_join" -> q45Sql,
   )
 }

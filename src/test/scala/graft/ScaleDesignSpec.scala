@@ -845,6 +845,34 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(r.getLong(3) === expect)
   }
 
+  test("q73 forward as-of: every view matches the nearest following purchase") {
+    val got = ops.AsOf.q73AsOfForward(spark, sf).collect()
+    assert(got.length === Tables(spark, sf, "events")
+      .filter(col("event_type") === "view").count())
+    // both arms fire: mid-stream views match, trailing views don't
+    val matched = got.filter(!_.isNullAt(3))
+    assert(matched.nonEmpty)
+    assert(got.exists(_.isNullAt(3)))
+    // full differential: every matched row equals a driver-side
+    // recompute of "this user's earliest purchase at-or-after ts"
+    val purchases = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    got.foreach { r =>
+      val (user, ts) = (r.getLong(1), r.getTimestamp(2))
+      val next = purchases.filter(p => p._1 == user && !p._2.before(ts))
+      if (r.isNullAt(3)) assert(next.isEmpty)
+      else {
+        // full-precision nanos key (getTime alone truncates to millis)
+        def k(t: java.sql.Timestamp) =
+          t.getTime / 1000 * 1000000000L + t.getNanos
+        val best = next.minBy(p => (k(p._2), -p._3))
+        assert(r.getLong(3) === best._3)
+      }
+    }
+  }
+
   test("plan lint: no cartesian/nested-loop join outside the documented quadratic ops") {
     // the intentionally-quadratic similarity baselines, the IVF
     // centroid fan-out, and t05's broadcast 1-row corpus-size frame are

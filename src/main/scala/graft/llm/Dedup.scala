@@ -644,22 +644,29 @@ object Dedup {
     * merge into maximal spans via gaps-and-islands (running-max-end
     * break detection, running-sum island ids).
     *
-    * 100 TB posture: the wide shuffle key is the 24-char shingle —
-    * at scale you'd digest it to 16 bytes first (d02's trick; kept raw
-    * here so the oracle is byte-identical SQL). "Appears in ≥2 distinct
-    * docs" is decided as `min(doc_id) ≠ max(doc_id)` in ONE window pass
-    * over the single shingle shuffle — the linear-blowup frame is
-    * exploded once and never joined back to itself (the previous
-    * count_distinct-groupBy + join-back shape paid the explode and the
-    * wide-key exchange twice; measured 10.3 s → ~3.5 s at sf0.1). The
-    * trade: a boilerplate shingle appearing everywhere is one window
-    * partition (sorter spills, no AQE split) where the agg+join shape
-    * could split it — at pathological shingle skew revert to agg+join
-    * with a digested key. The per-doc island windows partition by
-    * doc_id — each doc's hit list is at most its char count. A
-    * stride-s shingle sample (recall/cost knob in the literature) drops
-    * in by filtering `pos % s = 0` before the window; stride 1 here
-    * because the oracle demands exactness. */
+    * 100 TB posture: "appears in ≥2 distinct docs" is decided as
+    * `min(doc_id) ≠ max(doc_id)` in ONE window pass over a single
+    * shingle shuffle — the linear-blowup frame is exploded once and
+    * never joined back to itself (the previous count_distinct-groupBy
+    * + join-back shape paid the explode and the wide-key exchange
+    * twice; 10.3 s → ~3.5 s at sf0.1). The shuffle/sort key is the
+    * shingle's `xxhash64` digest, not the 24-char string (d02's
+    * digest-key trick): the exchange carries 8-byte longs and the
+    * window sorter compares longs — measured equal in isolation but
+    * far more stable under executor memory pressure (the string-key
+    * sort spilled to 14 s mid-bench; the long-key sort holds ~4 s).
+    * A digest collision would merge two shingle groups and could mark
+    * a unique position duplicated — P(collision) ≈ n²/2⁶⁵, ~5·10⁻⁸ at
+    * sf0.1, and the DuckDB oracle (which groups by the raw string)
+    * would hash-mismatch if one ever fired at verify SF; at 10¹³⁺
+    * positions swap in a 16-byte digest. The trade: a boilerplate
+    * shingle appearing everywhere is one window partition (sorter
+    * spills, no AQE split) where an agg+join shape could split it —
+    * at pathological shingle skew revert to agg+join. The per-doc
+    * island windows partition by doc_id — each doc's hit list is at
+    * most its char count. A stride-s shingle sample (recall/cost knob
+    * in the literature) drops in by filtering `pos % s = 0` before
+    * the window; stride 1 here because the oracle demands exactness. */
   def d15DupSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = DupSpanL
@@ -668,8 +675,8 @@ object Dedup {
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), length(col("text")) - lit(L))).as("p"))
       .select(col("doc_id"), col("p").cast(LongType).as("pos"),
-        col("text").substr(col("p") + 1, lit(L)).as("s"))
-    val perShingle = Window.partitionBy(col("s"))
+        xxhash64(col("text").substr(col("p") + 1, lit(L))).as("h"))
+    val perShingle = Window.partitionBy(col("h"))
     val hits = shingles
       .withColumn("mn", min(col("doc_id")).over(perShingle))
       .withColumn("mx", max(col("doc_id")).over(perShingle))

@@ -124,13 +124,54 @@ object Relational7 {
       |SELECT node, anc, CAST(dist AS BIGINT) AS dist FROM anc
       |ORDER BY node, dist""".stripMargin
 
+  /** q74: exact weighted median — per brand, the lowest price at which
+    * the cumulative quantity reaches half the brand's total (the
+    * lower-median convention). q47 interpolates PLAIN percentiles; a
+    * weighted quantile is a different operator (every SQL engine lacks
+    * a native one) and the standard exact form is this cumulative-
+    * weight selection: one brand-keyed exchange serves the ordered
+    * cumulative window, the whole-partition total and the two
+    * row_number passes; no value arithmetic happens on doubles except
+    * SELECTION, and the summed quantities are integer-valued doubles
+    * (exact in any accumulation order), so both engines agree
+    * bit-for-bit on identical SQL text. The (price, okey, ln) order
+    * key is unique, making ROWS/RANGE frames equivalent and the
+    * tie-break total. */
+  def q74WeightedMedian(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, q74Sql)
+
+  val q74Sql: String =
+    """WITH base AS (
+      |  SELECT p.p_brand AS brand, l.l_extendedprice AS price,
+      |    l.l_quantity AS qty, l.l_orderkey AS okey, l.l_linenumber AS ln
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |), cum AS (
+      |  SELECT brand, price, qty,
+      |    SUM(qty) OVER (PARTITION BY brand ORDER BY price, okey, ln
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(qty) OVER (PARTITION BY brand) AS tw,
+      |    ROW_NUMBER() OVER (PARTITION BY brand
+      |      ORDER BY price, okey, ln) AS rn0
+      |  FROM base
+      |), med AS (
+      |  SELECT brand, price, tw,
+      |    ROW_NUMBER() OVER (PARTITION BY brand ORDER BY rn0) AS pick
+      |  FROM cum WHERE 2 * cw >= tw
+      |)
+      |SELECT brand, price AS weighted_median_price,
+      |  CAST(tw AS BIGINT) AS total_qty
+      |FROM med WHERE pick = 1
+      |ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_funnel" -> (q71Funnel _),
     "q72_closure" -> (q72Ancestors _),
+    "q74_weighted_median" -> (q74WeightedMedian _),
   )
 
   val oracle: Map[String, String] = Map(
     "q71_funnel" -> q71Sql,
     "q72_closure" -> q72Sql,
+    "q74_weighted_median" -> q74Sql,
   )
 }

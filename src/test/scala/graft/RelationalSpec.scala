@@ -97,6 +97,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(n === Tables(spark, sf, "orders").count())
   }
 
+  test("q74 weighted median equals a driver-side naive computation") {
+    val got = ops.Relational7.q74WeightedMedian(spark, sf).collect()
+      .map(r => r.getAs[String]("brand") ->
+        (r.getAs[Double]("weighted_median_price"),
+          r.getAs[Long]("total_qty"))).toMap
+    val li = Tables(spark, sf, "lineitem")
+    val pt = Tables(spark, sf, "part")
+    val rows = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .select("p_brand", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getAs[Number](4).longValue))
+    val want = rows.groupBy(_._1).map { case (brand, g) =>
+      val sorted = g.sortBy(t => (t._2, t._4, t._5))
+      val total = sorted.map(_._3).sum
+      var cum = 0.0
+      val med = sorted.find { t => cum += t._3; 2 * cum >= total }.get
+      brand -> (med._2, total.toLong)
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("q72 doubling closure equals the closed-form ancestor chain") {
     // the fixture hierarchy is parent(n) = n >> 1, so node n's true
     // ancestor at distance k is n >> k (down to the root 0) — the

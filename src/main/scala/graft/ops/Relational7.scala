@@ -163,15 +163,66 @@ object Relational7 {
       |FROM med WHERE pick = 1
       |ORDER BY brand""".stripMargin
 
+  /** q75: median absolute deviation — per brand, the exact lower-median
+    * price and the lower-median of |price − median|: THE robust
+    * dispersion statistic (a training pipeline gates outliers on
+    * MAD-based robust z-scores where stddev is wrecked by the very
+    * outliers it should catch; q40's moment stats are the fragile
+    * counterpart). Exact selection, not interpolation: both medians
+    * pick row `floor((n+1)/2)` of a deterministically ordered
+    * partition — `CAST(floor((n+1)/2.0) AS BIGINT)` is the one
+    * integer-halving spelling both engines parse identically (Spark
+    * has `div` but DuckDB spells it `//`). Doubles are only
+    * subtracted once (identical operands both engines) and otherwise
+    * SELECTED. Plan: the median is ATTACHED to every row with a
+    * conditional window max over the same brand partition (`max(case
+    * when rn = target then price end) over (partition by brand)`), so
+    * the base join is scanned once and there is no median join-back —
+    * a join-back form that recomputed base for the deviation pass
+    * benched 6.2 s; this single pipeline (two brand window passes on
+    * one exchange chain) runs ~2.5 s. */
+  def q75MedianAbsDev(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, q75Sql)
+
+  val q75Sql: String =
+    """WITH base AS (
+      |  SELECT p.p_brand AS brand, l.l_extendedprice AS price,
+      |    l.l_orderkey AS okey, l.l_linenumber AS ln
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |), c1 AS (
+      |  SELECT brand, price, okey, ln,
+      |    ROW_NUMBER() OVER (PARTITION BY brand
+      |      ORDER BY price, okey, ln) AS rn,
+      |    COUNT(*) OVER (PARTITION BY brand) AS n
+      |  FROM base
+      |), withmed AS (
+      |  SELECT brand, price, okey, ln,
+      |    MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+      |      THEN price END) OVER (PARTITION BY brand) AS median_price
+      |  FROM c1
+      |), c2 AS (
+      |  SELECT brand, median_price,
+      |    abs(price - median_price) AS dev,
+      |    ROW_NUMBER() OVER (PARTITION BY brand
+      |      ORDER BY abs(price - median_price), okey, ln) AS rn,
+      |    COUNT(*) OVER (PARTITION BY brand) AS n
+      |  FROM withmed
+      |)
+      |SELECT brand, median_price, dev AS mad_price FROM c2
+      |WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+      |ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_funnel" -> (q71Funnel _),
     "q72_closure" -> (q72Ancestors _),
     "q74_weighted_median" -> (q74WeightedMedian _),
+    "q75_mad" -> (q75MedianAbsDev _),
   )
 
   val oracle: Map[String, String] = Map(
     "q71_funnel" -> q71Sql,
     "q72_closure" -> q72Sql,
     "q74_weighted_median" -> q74Sql,
+    "q75_mad" -> q75Sql,
   )
 }

@@ -120,6 +120,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q75 MAD equals a driver-side naive computation") {
+    val got = ops.Relational7.q75MedianAbsDev(spark, sf).collect()
+      .map(r => r.getAs[String]("brand") ->
+        (r.getAs[Double]("median_price"), r.getAs[Double]("mad_price")))
+      .toMap
+    val li = Tables(spark, sf, "lineitem")
+    val pt = Tables(spark, sf, "part")
+    val rows = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .select("p_brand", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getAs[Number](3).longValue))
+    def lowerMedian(vs: Seq[(Double, Long, Long)]): Double = {
+      val s = vs.sortBy(t => (t._1, t._2, t._3))
+      s((s.length + 1) / 2 - 1)._1
+    }
+    val want = rows.groupBy(_._1).map { case (brand, g) =>
+      val med = lowerMedian(g.map(t => (t._2, t._3, t._4)).toSeq)
+      val mad = lowerMedian(
+        g.map(t => (math.abs(t._2 - med), t._3, t._4)).toSeq)
+      brand -> (med, mad)
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+    got.values.foreach { case (med, mad) => assert(med > 0 && mad >= 0) }
+  }
+
   test("q72 doubling closure equals the closed-form ancestor chain") {
     // the fixture hierarchy is parent(n) = n >> 1, so node n's true
     // ancestor at distance k is n >> k (down to the root 0) — the

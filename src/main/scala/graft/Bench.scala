@@ -1,6 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Release every block the previous query left behind: cached plans,
+    * `persist()`ed RDDs, and — the big one — `localCheckpoint` blocks,
+    * which are ordinary persisted RDDs whose driver references die with
+    * the query's DataFrame but whose executor blocks survive until the
+    * ContextCleaner notices the GC (which an 8 GB driver heap may defer
+    * for minutes). Round 6 measured the cost of NOT doing this: d07 ran
+    * 19.95 s inside the 157-query suite vs ~4 s in isolation — the
+    * in-context number IS the 100×-cluster number (storage eviction →
+    * spill/recompute on hot paths), so each query must start from a
+    * clean storage layer, exactly as a per-job cluster submission would.
+    * Safe here because queries are built fresh per run — nothing
+    * references the previous run's frames. */
+  private def releaseStorage(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    // nudge the ContextCleaner: broadcast + accumulator cleanup keys off
+    // driver GC, and small-heap JVMs can go a long time between majors
+    System.gc()
+  }
+
+  /** JSON keys for the per-query map: each query's id prefix (text
+    * before the first '_') — the full-name JSON line exceeds the
+    * driver's 2,000-char tail capture. On a prefix collision the later
+    * name (in the caller's order, which `main` sorts) gets a
+    * deterministic `~2`/`~3` suffix rather than silently reverting the
+    * whole line to full names (which would re-break the tail parse). */
+  private[graft] def shortKeys(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    names.map { name =>
+      val p = name.takeWhile(_ != '_')
+      val n = seen.getOrElse(p, 0)
+      seen(p) = n + 1
+      if (n == 0) p else s"$p~${n + 1}"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,6 +77,9 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures warm-up failures on " +
         s"$warmDir — timings may include JIT noise")
+    // the warm-up sweep leaks one localCheckpoint per checkpointing
+    // query (~40 across the inventory) — drop them before timing starts
+    releaseStorage(spark)
     // median of 3 back-to-back runs per query: this box's wall-clock is
     // ±20% noisy between identical runs (NOTES.md), and single-run
     // numbers have swung >3× across rounds with zero code change — the
@@ -47,6 +88,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.filter(q => selected(q._1))
       .sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
+        // clean storage layer per run, charged to neither this run nor
+        // the previous one — see releaseStorage
+        releaseStorage(spark)
         val t0 = System.nanoTime()
         // noop sink: forces full computation of every output column and
         // ordering (count() would let Catalyst prune projections/sorts
@@ -73,16 +117,14 @@ object Bench {
     // (Locale.ROOT: a comma decimal separator would corrupt the JSON)
     def r(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // JSON keys are the queries' unique id prefixes (q12, d03, st01 —
-    // the text before the first '_'): the driver's output-tail capture
-    // is 2000 chars and the full-name JSON line has exceeded it every
-    // round so far (BENCH_r0*.json all show "parsed": null with the
-    // line's head cut off). Prefixes keep the line ~1.3 KB with
-    // headroom to grow. Fall back to full names only if prefixes ever
-    // collide — a parseable line with long keys beats a wrong one.
-    val short = results.map { case (k, _) => k.takeWhile(_ != '_') }
-    val keys = if (short.distinct.size == short.size) short
-               else results.map(_._1)
+    // JSON keys are the queries' id prefixes (q12, d03, st01 — the text
+    // before the first '_'): the driver's output-tail capture is 2000
+    // chars and the full-name JSON line has exceeded it every round so
+    // far (BENCH_r0*.json all show "parsed": null with the line's head
+    // cut off). Prefixes keep the line ~1.3 KB with headroom to grow;
+    // collisions get deterministic ~N suffixes (shortKeys) so the line
+    // never silently reverts to the overflowing full-name form.
+    val keys = shortKeys(results.map(_._1))
     val qs = keys.zip(results).map { case (k, (_, v)) => "\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -49,6 +49,11 @@ object Authority {
       .filter(col("event_type") === "click")
       .select(col("user_id").as("u"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
+      // explicit contract for events with no props.k: dropped, on BOTH
+      // engines (the oracle mirrors this with a regexp_matches guard).
+      // Without the guard the engines fail differently — Spark would
+      // group a null item node, DuckDB errors casting '' to BIGINT.
+      .filter(col("k").isNotNull)
       .distinct()
     val edges = clicks.select(col("u").as("src"), (col("k") + ItemBase).as("dst"))
       .unionAll(clicks.select((col("k") + ItemBase).as("src"), col("u").as("dst")))
@@ -126,6 +131,7 @@ object Authority {
       .filter(col("event_type") === "click")
       .select(col("user_id").as("u"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull) // same no-props.k contract as [[graph]]
       .distinct()
       .localCheckpoint()
     def renorm(raw: DataFrame, key: String, out: String): DataFrame = {
@@ -159,6 +165,7 @@ object Authority {
       |  SELECT DISTINCT user_id AS u,
       |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
       |  FROM events WHERE event_type = 'click'
+      |    AND regexp_matches(props, '"k": [0-9]+')
       |), edges AS (
       |  SELECT u AS src, 1000000 + k AS dst FROM c0
       |  UNION ALL
@@ -210,6 +217,7 @@ object Authority {
       |  SELECT DISTINCT user_id AS u,
       |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
       |  FROM events WHERE event_type = 'click'
+      |    AND regexp_matches(props, '"k": [0-9]+')
       |), h0 AS (
       |  SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS h FROM c0
       |), a1r AS (

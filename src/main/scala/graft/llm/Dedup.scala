@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -435,7 +435,19 @@ object Dedup {
     // shingle sets feed the postings and both verify sides;
     // localCheckpoint materializes the tokenize+shingle pipeline once
     val sh = shingled(spark, dir).localCheckpoint()
-    val postings = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+    // tokens are xxhash64 digests of the 24-char shingles, not the
+    // strings (d15's fix, r6: string sort keys through two window
+    // passes + a self-join dominated this query's bench time). Sound
+    // under collisions, not just unlikely to collide: a collision
+    // MERGES two tokens, which (a) only adds shared keys → extra
+    // candidates, all killed by the exact array verify; (b) keeps the
+    // (df, digest) global token order consistent across docs (the
+    // digest is a pure function of the string); (c) only weakens the
+    // positional bound (duplicate in-doc tokens inflate n, lengthening
+    // the prefix). No true pair can be lost, so — unlike d15 — the
+    // digest swap here needs no probability argument at any scale.
+    val postings = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sg"))
     val dfreq = postings.groupBy(col("sg")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("sg"))
@@ -628,6 +640,26 @@ object Dedup {
     * partial-overlap passages that the doc-level near-dup ops miss. */
   val DupSpanL = 24
 
+  /** 100 TB knob for [[d15DupSpans]]: widen the shingle digest from 8
+    * to 16 bytes. At the fixture SFs a 64-bit digest is collision-free
+    * in expectation (n²/2⁶⁵ ≈ 5·10⁻⁸ at sf0.1, and the raw-string
+    * oracle would hash-mismatch if one ever fired), but at the
+    * advertised 10¹³⁺ position scale collisions are EXPECTED
+    * (~n²/2⁶⁵ ≈ 10⁶) and each one could mark a unique position as
+    * duplicated. The wide form keys the duplicate-marking window on a
+    * pair of independent xxhash64s (the second seeded by a prefixed
+    * constant column), pushing P(any collision) to n²/2¹²⁹ ≈ 10⁻¹³ at
+    * 10¹³ positions — the swap is this constant, not a code edit. */
+  val DupSpanWideDigest = false
+
+  /** Shingle digest for [[d15DupSpans]] under the current
+    * [[DupSpanWideDigest]] setting — 8-byte long or 16-byte long pair;
+    * both group/sort/partition identically, the pair just costs a wider
+    * exchange. */
+  private def spanDigest(s: Column): Column =
+    if (DupSpanWideDigest) struct(xxhash64(s), xxhash64(lit(1L), s))
+    else xxhash64(s)
+
   /** d15: exact-substring span dedup — the passage-level complement to
     * the doc-level ops (d01..d13): find every maximal character span of
     * a document that also appears VERBATIM in some other document, the
@@ -675,7 +707,7 @@ object Dedup {
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), length(col("text")) - lit(L))).as("p"))
       .select(col("doc_id"), col("p").cast(LongType).as("pos"),
-        xxhash64(col("text").substr(col("p") + 1, lit(L))).as("h"))
+        spanDigest(col("text").substr(col("p") + 1, lit(L))).as("h"))
     val perShingle = Window.partitionBy(col("h"))
     val hits = shingles
       .withColumn("mn", min(col("doc_id")).over(perShingle))

@@ -31,11 +31,19 @@ object DupClusters {
     *         propagation rounds (diameter > maxIter) — unconverged
     *         labels would be silently wrong minima */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint, not persist (r7): every propagation round joins
+    // `edges`, and with persist each round's job still carries the full
+    // upstream lineage (for d07 that is the whole MinHash/LSH pipeline)
+    // through planning — and re-EXECUTES it if storage pressure evicts
+    // the cached blocks mid-loop, which is exactly what a long multi-
+    // query job produces. The checkpoint materializes the edge set once
+    // and truncates the lineage, so each round is one join + one agg
+    // over a flat scan, whatever ran before. (d11/g01 already do this.)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .persist()
@@ -70,16 +78,17 @@ object DupClusters {
     }
     if (!converged) {
       cached.unpersist()
-      edges.unpersist()
+      graft.Checkpoints.release(edges)
       throw new IllegalStateException(
         s"connectedComponents still changing after $maxIter propagation " +
           "rounds — a component's diameter exceeds maxIter; raise maxIter")
     }
     // snap the result free of the iterative lineage, then release every
-    // intermediate cache (the checkpoint itself is GC-managed)
+    // intermediate deterministically — the result checkpoint is the only
+    // storage this op hands back to the caller
     val result = labels.localCheckpoint()
     cached.unpersist()
-    edges.unpersist()
+    graft.Checkpoints.release(edges)
     result
   }
 

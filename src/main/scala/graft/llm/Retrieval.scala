@@ -112,8 +112,18 @@ object Retrieval {
       .crossJoin(broadcast(totals))
       .withColumn("idf_e4",
         expr("(2*n_docs - 2*df + 1) * 10000L DIV (2*df + 1)"))
+      // the T ≤ 9·10¹⁵ precondition (scaladoc) is ENFORCED here, not
+      // assumed: 1000·t_tokens sits within 2.5% of Long.MaxValue at the
+      // bound, so a corpus past it would overflow silently. The guard
+      // lives inside the consumed expression (a dropped assertion
+      // column would be pruned away); it costs one comparison on the
+      // 1-row broadcast totals, replicated per scored row by codegen.
       .withColumn("rel_e3",
-        expr("(1000000L * dl) DIV (1000L * t_tokens DIV n_docs)"))
+        expr("(1000000L * dl) DIV (1000L * (CASE " +
+          "WHEN t_tokens <= 9000000000000000L THEN t_tokens " +
+          "ELSE raise_error('BM25 precondition violated: corpus has > " +
+          "9e15 tokens — shard the index (scaladoc bounds)') END) " +
+          "DIV n_docs)"))
       .withColumn("tfn_e6",
         expr("(22000L * tf * 1000000L) DIV " +
           "(10000L*tf + 3000L + 9L*rel_e3)"))

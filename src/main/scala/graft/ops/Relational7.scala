@@ -101,6 +101,10 @@ object Relational7 {
       val next = closure.unionByName(doubled).distinct().localCheckpoint()
       val nextCount = next.count()
       converged = nextCount == count
+      // `next` is materialized (localCheckpoint is eager), so the
+      // previous round's checkpoint blocks are dead — free them now
+      // instead of leaking one checkpoint per round (Checkpoints doc)
+      graft.Checkpoints.release(closure)
       closure = next
       count = nextCount
       rounds += 1

@@ -170,6 +170,96 @@ object Stateful {
         out.iterator
     }
 
+  /** Input row for [[forwardFillUpdate]] — carries the REAL event-time
+    * column (`ts`) so the caller's `withWatermark("ts", …)` survives
+    * into the stateful operator (late-row admission and
+    * `getCurrentWatermarkMs` both key off it). */
+  case class FillUpdIn(userId: Long, ts: java.sql.Timestamp,
+      eventId: Long, v: Option[Double])
+
+  /** A row buffered inside the watermark horizon: its fill is still
+    * PROVISIONAL (an admissible late observation could precede it).
+    * `emitted`/`lastFill` record what the sink last saw, so a re-emit
+    * happens exactly when a late row changes the answer. */
+  case class FillBufRow(tsMicros: Long, eventId: Long, v: Option[Double],
+      emitted: Boolean, lastFill: Option[Double])
+
+  /** Per-key state for [[forwardFillUpdate]]: the carried observation
+    * from the settled (≤ watermark) past — O(1) — plus the buffered
+    * rows inside the watermark horizon — O(rows within the lateness
+    * bound), the standard watermark-bounded-state contract. */
+  case class FillUpdState(carried: Option[Double], buf: List[FillBufRow])
+
+  private implicit val fillUpdInEnc
+      : org.apache.spark.sql.Encoder[FillUpdIn] =
+    Encoders.product[FillUpdIn]
+  private implicit val fillUpdStateEnc
+      : org.apache.spark.sql.Encoder[FillUpdState] =
+    Encoders.product[FillUpdState]
+
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Update-mode streaming forward fill WITH late-data retraction — the
+    * watermark twin of [[forwardFill]], which follows arrival order and
+    * can never rewrite an emitted fill. Here an out-of-order
+    * observation arriving within the watermark bound REWRITES the fills
+    * it should have fed: every row younger than the watermark stays
+    * buffered in per-key state with the fill it last emitted; when a
+    * late observation lands between buffered rows, the affected rows
+    * re-emit with their corrected fill (update-mode sink semantics —
+    * last write per (userId, eventId) wins). Rows at or below the
+    * watermark are SETTLED — no admissible late row can precede them —
+    * so they evict from the buffer, folding their observation into the
+    * O(1) carried value; Spark's standard pre-operator late-row filter
+    * drops anything older than the watermark before it reaches us.
+    *
+    * State per key is O(rows inside the watermark horizon), the exact
+    * trade the lateness bound buys (tighter watermark = less state +
+    * less rewrite reach; looser = more of both) — at 100 TB/day scale
+    * the horizon, not the stream length, is the state budget.
+    * Event-time timers (not just row arrival) drive eviction, so a key
+    * that goes quiet still settles as the watermark passes its buffer.
+    *
+    * The caller must apply `withWatermark("ts", …)` BEFORE `groupByKey`
+    * (EventTimeTimeout requires it; StreamingSpec drives the full
+    * late-rewrite scenario and batch parity). */
+  def forwardFillUpdate(
+      grouped: KeyValueGroupedDataset[Long, FillUpdIn]): Dataset[FillOut] =
+    grouped.flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+      (key: Long, rows: Iterator[FillUpdIn], state: GroupState[FillUpdState]) =>
+        val s0 = state.getOption.getOrElse(FillUpdState(None, Nil))
+        val incoming = rows.map(r => FillBufRow(micros(r.ts), r.eventId,
+          r.v, emitted = false, lastFill = None)).toList
+        val buf = (s0.buf ++ incoming).sortBy(b => (b.tsMicros, b.eventId))
+        // one in-order pass: recompute every buffered fill from the
+        // settled carried value; emit rows whose answer is new or changed
+        var last = s0.carried
+        val out = Seq.newBuilder[FillOut]
+        val recomputed = buf.map { b =>
+          val fill = b.v.orElse(last)
+          if (b.v.isDefined) last = b.v
+          if (!b.emitted || b.lastFill != fill)
+            out += FillOut(key, b.eventId, b.v.isEmpty, fill)
+          b.copy(emitted = true, lastFill = fill)
+        }
+        // settle: rows the watermark has passed leave the buffer, their
+        // observations fold into the carried value (in event-time order)
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (settled, live) = recomputed.partition(_.tsMicros <= wmMicros)
+        var carried = s0.carried
+        settled.foreach(b => b.v.foreach(x => carried = Some(x)))
+        state.update(FillUpdState(carried, live))
+        // re-arm an event-time timer while rows await settlement, so
+        // eviction doesn't depend on the key receiving more data
+        if (live.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.result().iterator
+    }
+
   /** Conversion window for [[funnel]] — 8 hours in micros, the SAME
     * window `ops.Relational7.q71Sql` hard-codes as `INTERVAL 8 HOUR`
     * (StreamingSpec asserts the parity, so the two cannot drift

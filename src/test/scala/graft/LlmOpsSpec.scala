@@ -41,6 +41,23 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(pairedDigests.contains(r.getAs[String]("media_md5"))))
   }
 
+  test("m09/m11 ASCII precondition: fixture text is byte == char") {
+    // m11's cross-engine equality leans on two fixture-shape facts:
+    // Spark's n_bytes = length(blob) vs the oracle's n_chars, and
+    // media_md5 over the binary blob vs DuckDB's md5 of the VARCHAR —
+    // both hold iff the text is pure ASCII (n_chars == octet_length
+    // and UTF-8 bytes == codepoints). Pin the assumption so a future
+    // non-ASCII fixture fails HERE with a named cause, not as an
+    // opaque oracle hash mismatch.
+    val nonAscii = Tables(spark, sf, "documents")
+      .filter(length(col("text")) =!= octet_length(col("text")) ||
+        col("n_chars") =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents break the ASCII byte==char assumption " +
+        "m09/m11 (and their oracles) rely on")
+  }
+
   test("t16 bigram surprisal: pair counts tie to t01, floor bound holds") {
     val t16 = TextStats.t16BigramLm(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

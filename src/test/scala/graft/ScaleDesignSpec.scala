@@ -492,8 +492,19 @@ class ScaleDesignSpec extends AnyFunSuite {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if !e.outputPartitioning.toString.contains("SinglePartition") => e
     }
-    val corpusAggs = shuffles.count(
-      _.outputPartitioning.toString.contains("dl"))
+    // identify the corpus (doc_id, dl, term) tf aggregate by its exact
+    // partitioning attribute set — a toString substring match ("dl")
+    // would silently miscount if any other exchange ever gained a
+    // dl-containing column name
+    val corpusAggs = shuffles.count { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+          }.toSet == Set("doc_id", "dl", "term")
+        case _ => false
+      }
+    }
     assert(corpusAggs == 1,
       s"s10: the corpus (doc,dl,term) aggregate must be shuffled exactly " +
         s"once, got $corpusAggs:\n${unwrapped.toString.take(1500)}")

@@ -226,6 +226,83 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update-mode forward fill: a late observation REWRITES the emitted fill; settled rows are immune") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val srcDir = Files.createTempDirectory("fillupd-src").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def stage(rows: Seq[(Long, java.sql.Timestamp, Long, Option[Double])],
+        tag: String): Unit = {
+      val tmp = Files.createTempDirectory("fillupd-half").toString
+      rows.toDF("userId", "ts", "eventId", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, s"$tag.parquet"))
+    }
+    // b1: an observation then a hole — the hole fills 10.0 provisionally
+    stage(Seq((1L, ts(1000), 1L, Option(10.0)),
+      (1L, ts(1020), 2L, Option.empty[Double])), "b1")
+    val schema = Seq((1L, ts(0), 1L, Option(1.0)))
+      .toDF("userId", "ts", "eventId", "v").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "10 seconds")
+      .as[graft.stream.Stateful.FillUpdIn]
+    val filled = graft.stream.Stateful.forwardFillUpdate(
+      in.groupByKey(_.userId))
+    val q = filled.toDF("user_id", "event_id", "was_missing", "filled")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("stream_fill_upd").start()
+    def emissions(): Seq[(Long, Any)] = spark.table("stream_fill_upd")
+      .collect().toSeq
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) null else r.getDouble(3)))
+    try {
+      q.processAllAvailable()
+      val s1 = emissions()
+      assert(s1.toMap == Map(1L -> 10.0, 2L -> 10.0),
+        s"provisional fills wrong: $s1")
+      // b2: a LATE observation (t=1015 < e2's 1020, but above the
+      // watermark 1020-10=1010) lands between e1 and the hole: the
+      // already-emitted fill for e2 must be REWRITTEN to 99.0
+      stage(Seq((1L, ts(1015), 3L, Option(99.0))), "b2")
+      q.processAllAvailable()
+      val d2 = emissions().diff(s1)
+      assert(d2.toSet == Set(3L -> 99.0, 2L -> 99.0),
+        s"late row must emit itself AND rewrite the hole after it: $d2")
+      // b3: a much later hole fills from the late observation; its event
+      // time (1100) also advances the watermark to 1090, settling e1-e3
+      stage(Seq((1L, ts(1100), 4L, Option.empty[Double])), "b3")
+      q.processAllAvailable()
+      val s3 = emissions()
+      assert(s3.diff(s1 ++ d2).toSet == Set(4L -> 99.0))
+      // b4: a row BELOW the watermark (1080 < 1090) is dropped by the
+      // standard pre-operator late filter: no emission, no rewrite of
+      // the settled past, and e4's fill stays put
+      stage(Seq((1L, ts(1080), 6L, Option(55.0))), "b4")
+      q.processAllAvailable()
+      val s4 = emissions()
+      assert(s4.diff(s3).isEmpty,
+        s"beyond-watermark row must be dropped, got ${s4.diff(s3)}")
+      // final state parity with the batch LOCF over the ADMITTED rows:
+      // last emission per event == last_value(v) IGNORE NULLS ordered
+      // by event time
+      val admitted = Seq((1L, 1000L, 1L, Option(10.0)),
+        (1L, 1015L, 3L, Option(99.0)), (1L, 1020L, 2L, Option.empty[Double]),
+        (1L, 1100L, 4L, Option.empty[Double]))
+      val batch = admitted.sortBy(_._2).foldLeft(
+        (Option.empty[Double], Map.empty[Long, Any])) {
+        case ((last, acc), (_, _, eid, v)) =>
+          val l = v.orElse(last)
+          (l, acc + (eid -> l.map(x => x: Any).getOrElse(null)))
+      }._2
+      val finalPerEvent = s4.foldLeft(Map.empty[Long, Any])(_ + _)
+      assert(finalPerEvent == batch,
+        s"final stream state $finalPerEvent != batch LOCF $batch")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 emits exactly the batch q67's closed versions; later batch closes an open one") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._

@@ -757,7 +757,121 @@ object Dedup {
       |FROM isl GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** d16: cross-doc shared-span ATTRIBUTION — for every document pair
+    * sharing verbatim text, the longest passage they share and where it
+    * sits in each (the "who shares what with whom" audit behind
+    * contamination forensics and license tracing; d15 tells you WHICH
+    * chars of a doc are duplicated somewhere, this tells you the
+    * pairwise provenance). The alignment trick is the classic
+    * dot-plot/seed-chain diagonal: a position pair (pa, pb) with equal
+    * [[DupSpanL]]-char shingles lies on diagonal `pa − pb`, and a
+    * shared passage of length S is exactly a run of S − L + 1
+    * consecutive matches on ONE diagonal.
+    *
+    * The island merge is PROVABLY exact here, not a convention: two
+    * same-diagonal matches ≤ L apart overlap or touch, so the aligned
+    * texts agree on the union interval, so every intermediate window
+    * also matches — i.e. gaps on a diagonal are always > L, and the
+    * d15-style "merge within L" break condition reconstructs precisely
+    * the maximal verbatim runs. Per pair, the longest span wins (ties:
+    * smallest start_a, then start_b).
+    *
+    * 100 TB posture: one shingle-digest exchange feeds the posting
+    * self-join (sum-of-df² pairs — fixture max df is 5; a boilerplate-
+    * heavy corpus applies m10's hot-digest cap before the join, trading
+    * attribution of stopword-like shingles for boundedness), then every
+    * window/aggregate is keyed by (doc_a, doc_b[, diag]) — sized by
+    * matching pairs, never by the corpus. Digest collisions (d15's
+    * note) could fabricate an L-char span; the raw-string oracle would
+    * catch one at verify SF, and [[DupSpanWideDigest]] is the same
+    * 16-byte escape hatch. */
+  def d16SharedSpanPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = DupSpanL
+    val sh = Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - lit(L))).as("p"))
+      .select(col("doc_id"), col("p").cast(LongType).as("pos"),
+        spanDigest(col("text").substr(col("p") + 1, lit(L))).as("h"))
+    // d15's one-pass prefilter before the self-join: only positions
+    // whose shingle occurs in ≥ 2 distinct docs can form a cross-doc
+    // pair, so both join sides shrink from every position to just the
+    // duplicated ones (~3 orders of magnitude on the fixtures), and the
+    // window's hash partitioning on h is the join's partitioning —
+    // measured 4.97 → 3.2 s at sf0.1, result-identical
+    val perShingle = Window.partitionBy(col("h"))
+    val dup = sh
+      .withColumn("mn", min(col("doc_id")).over(perShingle))
+      .withColumn("mx", max(col("doc_id")).over(perShingle))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"), col("doc_id"), col("pos"))
+    val hits = dup.select(col("h"), col("doc_id").as("doc_a"),
+        col("pos").as("pa"))
+      .join(dup.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val prevEnd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa")).rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    val spans = hits
+      .withColumn("brk", when(
+        col("pa") > coalesce(max(col("pa") + L).over(prevEnd), lit(-1L)),
+        lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(min(col("pa")).as("start_a"),
+        (max(col("pa")) + L - min(col("pa"))).as("span_len"))
+      .withColumn("start_b", col("start_a") - col("diag"))
+    val best = Window.partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("span_len").desc, col("start_a"), col("start_b"))
+    spans.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_a"), col("doc_b"), col("span_len"),
+        col("start_a"), col("start_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d16 oracle: identical algebra over the raw 24-char shingles. */
+  val d16Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) >= 24
+      |), sh AS (
+      |  SELECT doc_id, pos, substr(text, pos + 1, 24) AS s
+      |  FROM docs, LATERAL (SELECT unnest(generate_series(0, length(text) - 24)) AS pos)
+      |), hits AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+      |    a.pos - b.pos AS diag
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |), brk AS (
+      |  SELECT doc_a, doc_b, diag, pa,
+      |    CASE WHEN pa > coalesce(max(pa + 24) OVER (
+      |      PARTITION BY doc_a, doc_b, diag ORDER BY pa
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM hits
+      |), isl AS (
+      |  SELECT doc_a, doc_b, diag, pa,
+      |    sum(b) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+      |  FROM brk
+      |), spans AS (
+      |  SELECT doc_a, doc_b, diag, min(pa) AS start_a,
+      |    max(pa) + 24 - min(pa) AS span_len
+      |  FROM isl GROUP BY doc_a, doc_b, diag, island
+      |), best AS (
+      |  SELECT doc_a, doc_b, span_len, start_a, start_a - diag AS start_b,
+      |    row_number() OVER (PARTITION BY doc_a, doc_b
+      |      ORDER BY span_len DESC, start_a, start_a - diag) AS rn
+      |  FROM spans
+      |)
+      |SELECT doc_a, doc_b, span_len, start_a, start_b
+      |FROM best WHERE rn = 1 ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_shared_span_pairs" -> (d16SharedSpanPairs _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_hash_dedup" -> (d02HashDedup _),
     "d03_minhash_lsh" -> (d03MinHashLsh _),
@@ -914,5 +1028,6 @@ object Dedup {
     "d13_containment" -> d13Sql,
     "d14_bloom_prefilter" -> d14Sql,
     "d15_dup_spans" -> d15Sql,
+    "d16_shared_span_pairs" -> d16Sql,
   )
 }

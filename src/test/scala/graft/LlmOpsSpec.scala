@@ -41,6 +41,33 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(pairedDigests.contains(r.getAs[String]("media_md5"))))
   }
 
+  test("d16 shared spans are verbatim, maximal, and the pair's longest") {
+    val rows = Dedup.d16SharedSpanPairs(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture plants cross-doc shared passages")
+    val text = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (da, db) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val len = r.getAs[Long]("span_len").toInt
+      val (sa, sb) = (r.getAs[Long]("start_a").toInt,
+        r.getAs[Long]("start_b").toInt)
+      assert(len >= Dedup.DupSpanL)
+      val (ta, tb) = (text(da), text(db))
+      // the claimed span is VERBATIM shared
+      assert(ta.substring(sa, sa + len) == tb.substring(sb, sb + len),
+        s"span ($da,$db) at ($sa,$sb) len $len is not verbatim")
+      // and maximal: extending one char either direction breaks it
+      assert(sa == 0 || sb == 0 || ta(sa - 1) != tb(sb - 1),
+        s"span ($da,$db) extends left")
+      assert(sa + len == ta.length || sb + len == tb.length ||
+        ta(sa + len) != tb(sb + len), s"span ($da,$db) extends right")
+    }
+    // exactly one row per pair (the longest span, deterministic pick)
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
   test("m09/m11 ASCII precondition: fixture text is byte == char") {
     // m11's cross-engine equality leans on two fixture-shape facts:
     // Spark's n_bytes = length(blob) vs the oracle's n_chars, and

@@ -9,6 +9,37 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleDesignSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("iterative ops leave no storage behind (the d07 leak class)") {
+    // round-6 lesson: localCheckpoint blocks leak until driver GC, and
+    // ~60 queries of accumulated leaks degraded d07 5× in-suite. The
+    // eager iterative ops now free every intermediate deterministically;
+    // this pins that contract — each op may add AT MOST its returned
+    // result's checkpoint to the persistent-RDD set, never its loop
+    // intermediates (edges, per-round levels).
+    import spark.implicits._
+    def persistentDelta(body: => Unit): Int = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      body
+      spark.sparkContext.getPersistentRDDs.keySet.diff(before).size
+    }
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val ccDelta = persistentDelta {
+      // materialize fully: the returned frame is the result checkpoint
+      llm.DupClusters.connectedComponents(pairs).collect()
+    }
+    assert(ccDelta <= 1,
+      s"connectedComponents left $ccDelta persistent RDDs (want ≤ 1: " +
+        "its result checkpoint only — edges/levels must be freed)")
+    val q72Delta = persistentDelta {
+      ops.Relational7.q72Ancestors(spark, sf).collect()
+    }
+    // the returned closure is one checkpoint; every superseded round
+    // and the edge seed must have been released
+    assert(q72Delta <= 1,
+      s"q72 left $q72Delta persistent RDDs (want ≤ 1)")
+  }
+
   test("p04 stratified sample: zero exchanges, per-stratum rates bind") {
     val core = llm.Pipeline.stratifiedSampleCore(
       Tables(spark, sf, "documents"))

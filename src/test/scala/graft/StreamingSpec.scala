@@ -226,6 +226,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update-mode windowed counts: a late event increments the emitted window; beyond-watermark drops") {
+    // the built-in half of the late-data story (forwardFillUpdate is
+    // the custom-state half): under OutputMode.Update a watermarked
+    // windowed aggregate RE-EMITS a window when an admissible late
+    // event lands in it, and silently drops events the watermark has
+    // passed — no custom code, exactly the Catalyst-owned behavior a
+    // pipeline leans on at scale.
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val srcDir = Files.createTempDirectory("updwin-src").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def stage(rows: Seq[(java.sql.Timestamp, String)], tag: String): Unit = {
+      val tmp = Files.createTempDirectory("updwin-half").toString
+      rows.toDF("ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, s"$tag.parquet"))
+    }
+    val h = 3600L // window-aligned epoch hours
+    // b1: two events inside hour 10 — the window emits with count 2
+    stage(Seq((ts(10 * h + 300), "click"), (ts(10 * h + 1200), "click")), "b1")
+    val schema = Seq((ts(0), "x")).toDF("ts", "event_type").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val counts = EventWindows.streamingHourlyCounts(in)
+    val q = counts.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("upd_win").start()
+    def emissions(): Seq[(Long, Long)] = spark.table("upd_win").collect()
+      .toSeq.map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(2)))
+    try {
+      q.processAllAvailable()
+      val s1 = emissions()
+      assert(s1 == Seq((10 * h, 2L)), s"initial emission wrong: $s1")
+      // b2: a LATE click at 10h+700 — out of order (before b1's max
+      // event time 10h+1200) but above the watermark (10h+1200 − 10 min
+      // = 10h+600), so it is admitted and must RE-EMIT hour 10 with
+      // count 3; a fresh hour-12 event drags the watermark far past
+      // hour 10's close for the next phase
+      stage(Seq((ts(10 * h + 700), "click"), (ts(12 * h + 60), "click")), "b2")
+      q.processAllAvailable()
+      val d2 = emissions().diff(s1)
+      assert(d2.toSet == Set((10 * h, 3L), (12 * h, 1L)),
+        s"late event must re-emit its window incremented: $d2")
+      // b3: an event in hour 10 arrives after the watermark (12:01 −
+      // 10 min) passed the window — dropped, no emission, count stays 3
+      val s2 = emissions()
+      stage(Seq((ts(10 * h + 1800), "click")), "b3")
+      q.processAllAvailable()
+      val d3 = emissions().diff(s2)
+      assert(d3.isEmpty, s"beyond-watermark event must drop, got $d3")
+    } finally q.stop()
+  }
+
   test("update-mode forward fill: a late observation REWRITES the emitted fill; settled rows are immune") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._

@@ -730,7 +730,9 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
-  val d15Sql: String =
+  /** The d15 span CTE chain (docs → rolling shingles → ≥2-doc hits →
+    * gaps-and-islands), shared with the p17 effective-size oracle. */
+  private[llm] val dupSpanCte: String =
     """WITH docs AS (
       |  SELECT doc_id, text FROM documents WHERE length(text) >= 24
       |), sh AS (
@@ -751,7 +753,10 @@ object Dedup {
       |  SELECT doc_id, pos,
       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
       |  FROM brk
-      |)
+      |)""".stripMargin
+
+  val d15Sql: String = dupSpanCte +
+    """
       |SELECT doc_id, min(pos) AS span_start, max(pos) + 24 AS span_end,
       |  max(pos) + 24 - min(pos) AS span_len
       |FROM isl GROUP BY doc_id, island

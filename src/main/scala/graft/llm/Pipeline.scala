@@ -1016,7 +1016,59 @@ object Pipeline {
          |  < least($PpsCapPerMille, d.n_chars)
          |ORDER BY d.doc_id""".stripMargin
 
+  /** p17: dedup-adjusted EFFECTIVE corpus size per source — the number
+    * corpus cards should report instead of raw bytes: per source, total
+    * chars, the chars covered by cross-doc verbatim spans
+    * ([[Dedup.d15DupSpans]] — per doc the spans are disjoint maximal
+    * islands, so their lengths sum without double counting), and the
+    * effective remainder a training run actually learns from. A source
+    * with dup_ppm near 10⁶ is re-crawled boilerplate masquerading as
+    * volume; mixture weights computed on raw sizes (p05/p09) overweight
+    * it, which is exactly why this audit exists.
+    *
+    * Plan: d15's span frame (one shingle exchange + doc-keyed windows)
+    * → per-doc span sums → ONE broadcast-sized left join back to the
+    * doc table → a SOURCES-sized aggregate. Nothing new shuffles at
+    * corpus scale beyond what d15 already pays. */
+  def p17EffectiveCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val dupPerDoc = Dedup.d15DupSpans(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_len")).as("dup_chars"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .withColumn("dup_chars", coalesce(col("dup_chars"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("dup_chars")).as("dup_chars"))
+      .withColumn("effective_chars", col("total_chars") - col("dup_chars"))
+      .withColumn("dup_ppm", expr("(1000000L * dup_chars) DIV total_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: d15's shared span CTE, per-doc sums, the same join-back
+    * and integer ppm. */
+  val p17Sql: String = Dedup.dupSpanCte +
+    """, spans AS (
+      |  SELECT doc_id, max(pos) + 24 - min(pos) AS span_len
+      |  FROM isl GROUP BY doc_id, island
+      |), per_doc AS (
+      |  SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_chars
+      |  FROM spans GROUP BY doc_id
+      |)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(coalesce(p.dup_chars, 0)) AS BIGINT) AS dup_chars,
+      |  CAST(SUM(d.n_chars) - SUM(coalesce(p.dup_chars, 0)) AS BIGINT)
+      |    AS effective_chars,
+      |  (1000000 * CAST(SUM(coalesce(p.dup_chars, 0)) AS BIGINT))
+      |    // CAST(SUM(d.n_chars) AS BIGINT) AS dup_ppm
+      |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_effective_corpus" -> (p17EffectiveCorpus _),
     "p16_pps_sample" -> (p16PpsSample _),
     "p15_kanon_release" -> (p15KAnonRelease _),
     "p14_corpus_card" -> (p14CorpusCard _),
@@ -1035,6 +1087,7 @@ object Pipeline {
     "p06_leakage_safe_split" -> (p06LeakageSafeSplit _),
   )
   val oracle: Map[String, String] = Map(
+    "p17_effective_corpus" -> p17Sql,
     "p16_pps_sample" -> p16Sql,
     "p15_kanon_release" -> p15Sql,
     "p14_corpus_card" -> p14Sql,

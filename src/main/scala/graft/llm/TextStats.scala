@@ -730,7 +730,52 @@ object TextStats {
       |FROM scored GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** t17: first-occurrence NOVELTY scoring — per document (reading the
+    * corpus in doc_id order, i.e. crawl/ingest order), the fraction of
+    * its distinct word-3-gram shingles that no earlier document
+    * contains. This is the diminishing-returns curve behind crawl
+    * scheduling and data-mixture decisions ("how much genuinely new
+    * text does each successive batch add?" — the doc-level form of the
+    * dedup-adjusted token counts corpus cards report): a novelty_ppm
+    * near 10⁶ is fresh content, near 0 is re-crawled boilerplate.
+    *
+    * Plan: the d04-family distinct-shingle explode, ONE shingle-keyed
+    * window pass pinning each shingle's first (minimum) doc_id — the
+    * d15 lesson: no groupBy + join-back, the corpus-sized frame is
+    * exchanged once — then one doc-keyed aggregate. At 100 TB both
+    * exchanges scale with shingle volume; novelty against a STANDING
+    * corpus (instead of intra-corpus order) is the same plan with the
+    * index's min-doc frame unioned in (d10's posture). */
+  def t17Novelty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = Dedup.shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val firstDoc = Window.partitionBy(col("sg"))
+    ex.withColumn("first_doc", min(col("doc_id")).over(firstDoc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("(1000000L * n_novel) DIV n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t17 oracle: the shared shingle CTE (no pair block), first doc per
+    * shingle as a grouped MIN, identical integer ppm. */
+  val t17Sql: String = Dedup.shingleCteOver("documents", pairs = false) +
+    """, fd AS (
+      |  SELECT sg, MIN(doc_id) AS first_doc FROM ex GROUP BY sg
+      |)
+      |SELECT e.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  (1000000 * CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1
+      |    ELSE 0 END) AS BIGINT)) // COUNT(*) AS novelty_ppm
+      |FROM ex e JOIN fd f USING (sg)
+      |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_novelty" -> (t17Novelty _),
     "t16_bigram_lm" -> (t16BigramLm _),
     "t09_surprisal" -> (t09Surprisal _),
     "t13_corpus_drift" -> (t13CorpusDrift _),
@@ -746,6 +791,7 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "t17_novelty" -> t17Sql,
     "t16_bigram_lm" -> t16Sql,
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,

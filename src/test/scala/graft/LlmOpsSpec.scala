@@ -68,6 +68,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("t17 novelty: first doc is all-novel, novel counts tie to the global distinct-shingle count") {
+    val rows = TextStats.t17Novelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the earliest doc introduces every one of its shingles
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("novelty_ppm") == 1000000L)
+    rows.foreach { r =>
+      val (n, nov) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"))
+      assert(nov >= 0 && nov <= n)
+      val ppm = r.getAs[Long]("novelty_ppm")
+      assert(ppm == 1000000L * nov / n)
+    }
+    // every distinct shingle is novel in exactly one doc (its first)
+    val totalNovel = rows.map(_.getAs[Long]("n_novel")).sum
+    graft.functions.VectorExpressions.register(spark)
+    val distinctShingles = Tables(spark, sf, "documents")
+      .select(explode(expr("word_shingles3(text)")).as("sg"))
+      .distinct().count()
+    assert(totalNovel == distinctShingles,
+      s"sum(n_novel) $totalNovel != distinct shingles $distinctShingles")
+    // the fixture's re-used boilerplate makes some docs non-novel
+    assert(rows.exists(_.getAs[Long]("novelty_ppm") < 1000000L))
+  }
+
+  test("p17 effective corpus: accounting closes and ties to d15's spans") {
+    val rows = llm.Pipeline.p17EffectiveCorpus(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, dup, eff) = (r.getAs[Long]("total_chars"),
+        r.getAs[Long]("dup_chars"), r.getAs[Long]("effective_chars"))
+      assert(dup >= 0 && dup <= tot)
+      assert(eff == tot - dup)
+      assert(r.getAs[Long]("dup_ppm") == 1000000L * dup / tot)
+    }
+    // cross-op tie: summed dup_chars == the d15 span lengths summed
+    val d15Total = Dedup.d15DupSpans(spark, sf)
+      .agg(sum(col("span_len"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("dup_chars")).sum == d15Total)
+    // and the whole-corpus totals reconcile with the raw table
+    val rawTotal = Tables(spark, sf, "documents")
+      .agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("total_chars")).sum == rawTotal)
+  }
+
   test("m09/m11 ASCII precondition: fixture text is byte == char") {
     // m11's cross-engine equality leans on two fixture-shape facts:
     // Spark's n_bytes = length(blob) vs the oracle's n_chars, and

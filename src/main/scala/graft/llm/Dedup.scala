@@ -790,10 +790,15 @@ object Dedup {
     * note) could fabricate an L-char span; the raw-string oracle would
     * catch one at verify SF, and [[DupSpanWideDigest]] is the same
     * 16-byte escape hatch. */
-  def d16SharedSpanPairs(spark: SparkSession, dir: String): DataFrame = {
+  def d16SharedSpanPairs(spark: SparkSession, dir: String): DataFrame =
+    sharedSpanPairsFrame(Tables(spark, dir, "documents"))
+
+  /** Frame-parameterized d16 core (PropertySpec drives it on generated
+    * corpora with planted passages; `docs` must expose doc_id, text). */
+  private[graft] def sharedSpanPairsFrame(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = DupSpanL
-    val sh = Tables(spark, dir, "documents")
+    val sh = docs
       .filter(length(col("text")) >= L)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), length(col("text")) - lit(L))).as("p"))

@@ -68,6 +68,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("d16 recovers randomly planted shared passages, exactly the planted pairs") {
+    // generative differential check on the frame-parameterized core:
+    // random base text (26-letter alphabet, 200-600 chars — an
+    // accidental 24-char match has probability ~26^-24, impossible),
+    // one passage of random length >= 24 planted into each of several
+    // disjoint doc pairs, plus one passage planted into THREE docs.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def letters(n: Int): String =
+      Iterator.continually(('a' + rnd.nextInt(26)).toChar).take(n).mkString
+    val nDocs = 20
+    val base = Array.tabulate(nDocs)(_ => letters(200 + rnd.nextInt(400)))
+    def plant(doc: Int, passage: String): Unit = {
+      val at = rnd.nextInt(base(doc).length - 1) + 1
+      base(doc) = base(doc).substring(0, at) + passage + base(doc).substring(at)
+    }
+    // pairs (0,1), (2,3), (4,5): independent passages
+    val planted = (0 until 3).map { i =>
+      val p = letters(Dedup.DupSpanL + rnd.nextInt(60))
+      plant(2 * i, p); plant(2 * i + 1, p)
+      ((2L * i, 2L * i + 1), p.length.toLong)
+    }.toMap
+    // docs 10, 11, 12 share one passage → three pairs
+    val triple = letters(40)
+    Seq(10, 11, 12).foreach(plant(_, triple))
+    val docs = base.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val rows = Dedup.sharedSpanPairsFrame(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("span_len"), r.getAs[Long]("start_a"),
+          r.getAs[Long]("start_b"))).toMap
+    val expectedPairs = planted.keySet ++
+      Set((10L, 11L), (10L, 12L), (11L, 12L))
+    assert(rows.keySet == expectedPairs,
+      s"pairs ${rows.keySet} != planted $expectedPairs")
+    rows.foreach { case ((da, db), (len, sa, sb)) =>
+      // the reported span is verbatim (and hence at least the plant;
+      // random flanks can extend it only by matching chars)
+      assert(base(da.toInt).substring(sa.toInt, (sa + len).toInt) ==
+        base(db.toInt).substring(sb.toInt, (sb + len).toInt))
+      val plantedLen = planted.getOrElse((da, db), 40L)
+      assert(len >= plantedLen, s"($da,$db): span $len < planted $plantedLen")
+      assert(len <= plantedLen + 8, // flank-extension slack, p(>8) ~ 26^-8
+        s"($da,$db): span $len far exceeds planted $plantedLen")
+    }
+  }
+
   test("t17 novelty: first doc is all-novel, novel counts tie to the global distinct-shingle count") {
     val rows = TextStats.t17Novelty(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -544,6 +544,39 @@ class ScaleDesignSpec extends AnyFunSuite {
         s"window, order), got ${shuffles.length}:\n${unwrapped.toString.take(1500)}")
   }
 
+  test("t17 plan: one shingle window pass, no joins") {
+    // the d15/s10 lesson as a contract: the first-occurrence label is a
+    // window over the exploded shingle stream, NOT a groupBy+join-back
+    // (which would pay the corpus explode and a wide-key exchange
+    // twice). The plan must contain zero joins and exchange the
+    // corpus-sized frame exactly once (on sg); everything after keys by
+    // doc_id.
+    val plan = SparkEntry.queries("t17_novelty")(spark, sf)
+      .queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val nodes = unwrapped.collectWithSubqueries { case p => p.nodeName }
+    assert(!nodes.exists(_.contains("Join")),
+      s"t17 must be join-free: ${nodes.toSet}")
+    val shingleExchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.count { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+          }.toSet == Set("sg")
+        case _ => false
+      }
+    }
+    assert(shingleExchanges == 1,
+      s"t17: the shingle stream must shuffle exactly once, got " +
+        s"$shingleExchanges:\n${unwrapped.toString.take(1200)}")
+  }
+
   test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
     // the 100 TB pattern behind every partitioned fact table: the
     // WHERE lives on the dimension side, so static pruning can't see

@@ -801,6 +801,14 @@ object Dedup {
     * note) could fabricate an L-char span; the raw-string oracle would
     * catch one at verify SF, and [[DupSpanWideDigest]] is the same
     * 16-byte escape hatch. */
+  /** Positions-per-shingle bound for [[d16SharedSpanPairs]]'s posting
+    * self-join (m10's hot-digest cap): shingles above it are dropped
+    * before pairing, bounding the join at sum-of-df² with df ≤ cap.
+    * The fixture's max df is 5 (measured), so the cap never fires and
+    * the oracle stays exact; raise/lower it to trade stopword-shingle
+    * attribution against join fan-out at corpus scale. */
+  val SharedSpanDfCap = 1024L
+
   def d16SharedSpanPairs(spark: SparkSession, dir: String): DataFrame =
     sharedSpanPairsFrame(Tables(spark, dir, "documents"))
 
@@ -820,12 +828,20 @@ object Dedup {
     // pair, so both join sides shrink from every position to just the
     // duplicated ones (~3 orders of magnitude on the fixtures), and the
     // window's hash partitioning on h is the join's partitioning —
-    // measured 4.97 → 3.2 s at sf0.1, result-identical
+    // measured 4.97 → 3.2 s at sf0.1, result-identical. The SAME pass
+    // enforces the hot-digest cap (m10's pattern, code not advice):
+    // a shingle in > SharedSpanDfCap positions contributes df² join
+    // rows, so boilerplate shingles are excluded above the cap — never
+    // firing at fixture scale (max df 5, so the oracle is exact), and
+    // at 100 TB trading attribution THROUGH stopword-like shingles for
+    // a sum-of-df² bound; spans found via their rarer neighbors still
+    // attribute.
     val perShingle = Window.partitionBy(col("h"))
     val dup = sh
       .withColumn("mn", min(col("doc_id")).over(perShingle))
       .withColumn("mx", max(col("doc_id")).over(perShingle))
-      .filter(col("mn") =!= col("mx"))
+      .withColumn("df", count(lit(1)).over(perShingle))
+      .filter(col("mn") =!= col("mx") && col("df") <= SharedSpanDfCap)
       .select(col("h"), col("doc_id"), col("pos"))
     val hits = dup.select(col("h"), col("doc_id").as("doc_a"),
         col("pos").as("pa"))

@@ -68,7 +68,7 @@ object TextStats {
   /** Frame-parameterized quality scorer: adds ws/n_stop/stop_ratio/
     * junk_ratio/len_factor/quality to any (doc_id, text, n_chars)
     * relation — the reusable core behind t02 and the dedup pipeline. */
-  private[llm] def qualityScored(d: DataFrame): DataFrame = {
+  private[graft] def qualityScored(d: DataFrame): DataFrame = {
     VectorExpressions.register(d.sparkSession)
     d.withColumn("ws", split(col("text"), " "))
       // codegen'd hashed membership count — the filter+array_contains

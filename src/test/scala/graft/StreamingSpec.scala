@@ -424,6 +424,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming ingest gate: p13's quality/exact dispositions, digest state survives batches") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    // text that passes the quality gate: all [a-z ], > 100 words
+    val good = Array.tabulate(4)(i =>
+      (s"alpha$i bravo charlie delta echo " * 25).trim)
+    val junk = "@#$% ^&*! " * 30 // junk_ratio ~1 → quality ~0
+    val standing = Seq(good(0)) // doc text already in the standing corpus
+    val srcDir = Files.createTempDirectory("ingest-src").toString
+    def stage(rows: Seq[(Long, String)], tag: String): Unit = {
+      val tmp = Files.createTempDirectory("ingest-half").toString
+      rows.map { case (id, t) => (id, t, t.length.toLong) }
+        .toDF("doc_id", "text", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, s"$tag.parquet"))
+    }
+    // b1: an index dup, a junk doc, and two fresh docs with EQUAL text
+    stage(Seq((1L, standing.head), (2L, junk),
+      (3L, good(1)), (4L, good(1))), "b1")
+    val schema = Seq((1L, "x", 1L)).toDF("doc_id", "text", "n_chars").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val standingDigests = standing.toDF("text")
+      .select(org.apache.spark.sql.functions.md5(col("text")).as("h"))
+    val out = graft.stream.Ingest.streamingIngest(in, standingDigests)
+    val q = out.toDF("doc_id", "disposition")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ingest_gate").start()
+    def dispo(): Map[Long, String] = spark.table("ingest_gate").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    try {
+      q.processAllAvailable()
+      assert(dispo() == Map(1L -> "dup_exact_index",
+        2L -> "rejected_quality", 3L -> "accepted", 4L -> "dup_exact_batch"),
+        s"b1 dispositions: ${dispo()}")
+      // b2: a replay of doc 3's text arrives a batch later — the digest
+      // state must remember the batch-1 keeper; a fresh doc accepts;
+      // junk never takes a digest, so good(2)'s digest is free even
+      // though a junk doc "saw" nothing
+      stage(Seq((5L, good(1)), (6L, good(2))), "b2")
+      q.processAllAvailable()
+      assert(dispo()(5L) == "dup_exact_batch",
+        "cross-batch digest state lost")
+      assert(dispo()(6L) == "accepted")
+      // and the keeper rule matches the batch operator on this in-order
+      // source: the smallest doc_id of each accepted digest group won
+      assert(dispo()(3L) == "accepted" && dispo()(4L) == "dup_exact_batch")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps each event_id once") {
     val doubled = streamingEvents().union(streamingEvents())
     val q = EventWindows.streamingDedup(doubled)

@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++ ops.Relational4.queries ++
-      ops.Relational5.queries ++ ops.Relational6.queries ++ ops.Relational7.queries ++ ops.AsOf.queries ++
+      ops.Relational5.queries ++ ops.Relational6.queries ++ ops.Relational7.queries ++
+      ops.Relational8.queries ++ ops.AsOf.queries ++
       llm.Dedup.queries ++ llm.DupClusters.queries ++ llm.Similarity.queries ++
       llm.TextStats.queries ++ llm.TextClean.queries ++ llm.Multimodal.queries ++
       llm.Pipeline.queries ++ llm.Authority.queries ++ llm.Retrieval.queries ++
@@ -35,7 +36,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Relational2.oracle ++ ops.Relational3.oracle ++ ops.Relational4.oracle ++
-      ops.Relational5.oracle ++ ops.Relational6.oracle ++ ops.Relational7.oracle ++ ops.AsOf.oracle ++
+      ops.Relational5.oracle ++ ops.Relational6.oracle ++ ops.Relational7.oracle ++
+      ops.Relational8.oracle ++ ops.AsOf.oracle ++
       llm.Dedup.oracle ++ llm.DupClusters.oracle ++ llm.Similarity.oracle ++
       llm.TextStats.oracle ++ llm.TextClean.oracle ++ llm.Multimodal.oracle ++
       llm.Pipeline.oracle ++ llm.Authority.oracle ++ llm.Retrieval.oracle ++

@@ -264,9 +264,17 @@ object Dedup {
     * sf0.1). Prefix filtering earns its keep at high thresholds — d08. */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
+    // postings carry xxhash64 digests of the 24-char shingles, not the
+    // strings (d08/d15's key swap): the self-join exchange ships and
+    // sorts 8-byte longs. Distinct-shingle digests are what `inter`
+    // counts, so a 64-bit collision between two DIFFERENT shingles of a
+    // candidate pair could inflate a count — the DuckDB oracle joins the
+    // raw strings and catches any such at verify SF, and the 100 TB
+    // posture is d15's documented 16-byte-digest knob ([[d15Digest]]).
     val postings = sh
       .select(col("doc_id"), size(col("shingles")).as("n"),
-        explode(col("shingles")).as("sg"))
+        explode(col("shingles")).as("sg0"))
+      .select(col("doc_id"), col("n"), xxhash64(col("sg0")).as("sg"))
     val pairCounts = postings.as("a")
       .join(postings.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
@@ -382,7 +390,11 @@ object Dedup {
     * that the uncapped join is the honest baseline. */
   def d13Containment(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    val postings = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+    // digest posting keys, same swap + same oracle-guarded collision
+    // posture as d04
+    val postings = sh
+      .select(col("doc_id"), explode(col("shingles")).as("sg0"))
+      .select(col("doc_id"), xxhash64(col("sg0")).as("sg"))
     val pairCounts = postings.as("a")
       .join(postings.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))

@@ -1067,7 +1067,210 @@ object Pipeline {
       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** How many non-target docs p18 selects. */
+  val DsirSelectCount = 150
+
+  private val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
+
+  /** p18: importance resampling toward a target distribution — the
+    * DSIR move (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): score every raw document by how much
+    * its hashed-n-gram profile looks like a curated target slice, then
+    * keep the top-scoring raw docs. Here the features are distinct
+    * word bigrams (the [[graft.functions.WordShingles]] kernel — DSIR's
+    * hashed n-grams without the hash, which the small fixture
+    * vocabulary doesn't need; at 100 TB the `feat` aggregate keys on
+    * `xxhash64(f) % 2^20` instead and nothing else changes), each
+    * feature's weight is its target-occurrence rate in 1e-6 units
+    * (the integer form of DSIR's log-ratio ranking: one Bernoulli
+    * factor per feature), and a doc's importance is its feature-mean
+    * weight — all integer DIV arithmetic, bit-exact across engines.
+    * Selection is top-[[DsirSelectCount]] by (importance DESC, doc_id):
+    * computed NOT with a global single-partition rank window but by
+    * materializing the k-th (importance, doc_id) pair via two tiny
+    * TakeOrdered passes and broadcasting it back as a 1-row frame
+    * (p08's threshold pattern) — every doc then decides `selected`
+    * locally by lexicographic comparison. The oracle ranks with
+    * ROW_NUMBER and checks `rk <= K`: an engine-native cross-check
+    * that the threshold form IS top-k. */
+  def p18DsirResample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val d = Tables(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 2)
+    val tok = d.select(col("doc_id"),
+      col("source").isin(DsirTargetSources: _*).as("tgt"),
+      explode(expr("word_shingles2(text)")).as("f"))
+    val feat = tok.groupBy(col("f"))
+      .agg(expr("(1000000 * count(CASE WHEN tgt THEN 1 END)) DIV count(1)")
+        .as("w_e6"))
+    // feat scales with vocab², not corpus size — a shuffle join here,
+    // AQE turns it into a broadcast when it fits (it does at every SF)
+    val scores = tok.join(feat, "f")
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(w_e6) DIV count(1)").as("avg_e6"),
+        count(lit(1)).as("n_feat"))
+    val cand = scores
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .filter(!col("source").isin(DsirTargetSources: _*))
+    val kth = cand.select(col("avg_e6"), col("doc_id"))
+      .orderBy(col("avg_e6").desc, col("doc_id"))
+      .limit(DsirSelectCount)
+      .orderBy(col("avg_e6").asc, col("doc_id").desc)
+      .limit(1)
+      .select(col("avg_e6").as("kth_avg"), col("doc_id").as("kth_id"))
+    cand.crossJoin(broadcast(kth))
+      .select(col("doc_id"), col("avg_e6"), col("n_feat"),
+        (col("avg_e6") > col("kth_avg") ||
+          (col("avg_e6") === col("kth_avg") &&
+            col("doc_id") <= col("kth_id"))).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p18Sql: String = {
+    val list = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_distinct(list_transform(
+       |      range(1, len(string_split(text, ' '))),
+       |      i -> string_split(text, ' ')[i] || '_'
+       |        || string_split(text, ' ')[i + 1]))) AS f
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |), feat AS (
+       |  SELECT f,
+       |    (1000000 * COUNT(CASE WHEN source IN ($list) THEN 1 END))
+       |      // COUNT(*) AS w_e6
+       |  FROM tok GROUP BY f
+       |), scores AS (
+       |  SELECT t.doc_id,
+       |    CAST(SUM(ft.w_e6) AS BIGINT) // COUNT(*) AS avg_e6,
+       |    COUNT(*) AS n_feat
+       |  FROM tok t JOIN feat ft ON ft.f = t.f
+       |  GROUP BY t.doc_id
+       |), ranked AS (
+       |  SELECT s.doc_id, s.avg_e6, s.n_feat,
+       |    ROW_NUMBER() OVER (ORDER BY s.avg_e6 DESC, s.doc_id) AS rk
+       |  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+       |  WHERE d.source NOT IN ($list)
+       |)
+       |SELECT doc_id, avg_e6, n_feat, rk <= $DsirSelectCount AS selected
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  }
+
+  /** p19: domain-mixture reweighting by multiplicative weights — the
+    * DoReMi shape (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures
+    * Speeds Up Language Model Pretraining"): start from uniform domain
+    * weights and iteratively upweight domains with EXCESS loss relative
+    * to the current weighted mean, renormalizing each round. The
+    * per-domain loss here is the mean unigram surprisal proxy (t09's
+    * integer rarity kernel, aggregated per source — in DoReMi proper
+    * it is the proxy-vs-reference loss gap; the optimizer structure is
+    * identical and the corpus-side work is the same one token-grain
+    * aggregate). Three fixed multiplicative-weights rounds, everything
+    * in integer 1e-6 units:
+    *
+    *   avg_t      = Σ w_t·loss DIV Σ w_t
+    *   rel        = (1e6·loss) DIV avg_t                (ppm of the mean)
+    *   factor     = (rel + 1e6) DIV 2                   (η = ½ toward rel)
+    *   w_raw      = w_t · factor DIV 1e6
+    *   w_{t+1}    = (1e6·w_raw) DIV Σ w_raw             (ppm shares)
+    *
+    * `factor` halves the RELATIVE loss plus one — algebraically
+    * 1e6 + (rel − 1e6)/2, i.e. half the excess — but spelled so every
+    * DIV operand is NONNEGATIVE: Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, so a negative excess divided directly
+    * would silently diverge between the engines by 1 ulp. Factors are
+    * provably ≥ 5·10⁵, every product stays under ~10¹⁵, and both
+    * engines compute the identical DIV chain — bit-exact. Plan shape: ONE corpus-scale
+    * aggregate (token explode → per-source rarity sums), then the MW
+    * rounds run on K-row frames (K = #domains) with 1-row broadcast
+    * avg/normalizer frames — the optimizer costs nothing at any corpus
+    * size, which is exactly DoReMi's selling point vs grid search. */
+  def p19DoremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val toks = d.select(col("source"), explode(split(col("text"), " "))
+      .as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    val total = vocab.agg(sum(col("c_t")).as("n_total"))
+    val dom = toks.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("t_s"),
+        sum(expr("n_total DIV c_t")).as("r_s"))
+    val loss = dom.select(col("source"),
+      expr("(1000000 * r_s) DIV t_s").as("loss_e6"))
+    // MW rounds on K-row frames; each returns normalized ppm shares
+    def round(w: DataFrame): DataFrame = {
+      val joined = w.join(loss, "source")
+      val avg = joined.agg(
+        expr("sum(w * loss_e6) DIV sum(w)").as("avg_e6"))
+      val raw = joined.crossJoin(broadcast(avg))
+        .select(col("source"),
+          expr("(w * (((1000000 * loss_e6) DIV avg_e6 + 1000000)" +
+            " DIV 2)) DIV 1000000").as("w_raw"))
+      val norm = raw.agg(sum(col("w_raw")).as("z"))
+      raw.crossJoin(broadcast(norm))
+        .select(col("source"), expr("(1000000 * w_raw) DIV z").as("w"))
+    }
+    val w0 = loss.select(col("source"), lit(1000000L).as("w"))
+    val w1 = round(w0)
+    val w2 = round(w1)
+    val w3 = round(w2)
+    loss
+      .join(w1.withColumnRenamed("w", "w1_e6"), "source")
+      .join(w2.withColumnRenamed("w", "w2_e6"), "source")
+      .join(w3.withColumnRenamed("w", "w3_e6"), "source")
+      .orderBy(col("source"))
+  }
+
+  val p19Sql: String = {
+    // one MW round as SQL text: reads w<i-1>(source, w), yields w<i>
+    def roundSql(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""a$i AS (
+         |  SELECT CAST(SUM(w * loss_e6) AS BIGINT)
+         |    // CAST(SUM(w) AS BIGINT) AS avg_e6
+         |  FROM $prev JOIN loss USING (source)
+         |), u$i AS (
+         |  SELECT source,
+         |    (w * (((1000000 * loss_e6) // avg_e6 + 1000000)
+         |      // 2)) // 1000000 AS w_raw
+         |  FROM $prev JOIN loss USING (source) CROSS JOIN a$i
+         |), z$i AS (SELECT CAST(SUM(w_raw) AS BIGINT) AS z FROM u$i),
+         |w$i AS (
+         |  SELECT source, (1000000 * w_raw) // z AS w
+         |  FROM u$i CROSS JOIN z$i
+         |)""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT token, COUNT(*) AS c_t FROM toks GROUP BY token
+       |), tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_total FROM vocab),
+       |dom AS (
+       |  SELECT source, COUNT(*) AS t_s,
+       |    CAST(SUM(n_total // c_t) AS BIGINT) AS r_s
+       |  FROM toks JOIN vocab USING (token) CROSS JOIN tot
+       |  GROUP BY source
+       |), loss AS (
+       |  SELECT source, (1000000 * r_s) // t_s AS loss_e6 FROM dom
+       |), w0 AS (SELECT source, CAST(1000000 AS BIGINT) AS w FROM loss),
+       |${roundSql(1)},
+       |${roundSql(2)},
+       |${roundSql(3)}
+       |SELECT l.source, l.loss_e6, w1.w AS w1_e6, w2.w AS w2_e6,
+       |  w3.w AS w3_e6
+       |FROM loss l
+       |JOIN w1 ON w1.source = l.source
+       |JOIN w2 ON w2.source = l.source
+       |JOIN w3 ON w3.source = l.source
+       |ORDER BY l.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_doremi_weights" -> (p19DoremiWeights _),
+    "p18_dsir_resample" -> (p18DsirResample _),
     "p17_effective_corpus" -> (p17EffectiveCorpus _),
     "p16_pps_sample" -> (p16PpsSample _),
     "p15_kanon_release" -> (p15KAnonRelease _),
@@ -1087,6 +1290,8 @@ object Pipeline {
     "p06_leakage_safe_split" -> (p06LeakageSafeSplit _),
   )
   val oracle: Map[String, String] = Map(
+    "p19_doremi_weights" -> p19Sql,
+    "p18_dsir_resample" -> p18Sql,
     "p17_effective_corpus" -> p17Sql,
     "p16_pps_sample" -> p16Sql,
     "p15_kanon_release" -> p15Sql,

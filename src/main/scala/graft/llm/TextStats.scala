@@ -774,7 +774,96 @@ object TextStats {
       |FROM ex e JOIN fd f USING (sg)
       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t18: quality-classifier distillation (rule labeler → token weights)
+  // ---------------------------------------------------------------------
+
+  /** t18: distill a rule labeler into a token-weight classifier — the
+    * fastText-style move every training-data pipeline makes when the
+    * real labeler (LLM judge, heavyweight heuristic stack) is too
+    * expensive for the full corpus: label with the rule, learn
+    * per-token weights from the labels, score everything with the
+    * cheap model. The rule here is integer-exact (10 × stopword
+    * occurrences ≥ token count — t02's stop-ratio arm without the
+    * float); the "model" is each token's positive-occurrence rate in
+    * 1e-6 units (a Bernoulli naive-Bayes posterior numerator, learned
+    * by ONE token-grain aggregate); inference is one explode, one
+    * broadcast weight lookup, one per-doc aggregate — all integer
+    * arithmetic, so Spark and DuckDB agree bit-for-bit. The predicted
+    * label compares a doc's occurrence-weighted mean against the
+    * corpus-wide positive-occurrence prior (both DIV-truncated in 1e-6
+    * units the same way in both engines). Occurrence (not distinct-
+    * token) features are load-bearing on this fixture: docs are bags
+    * over one small shared vocabulary, so distinct-token profiles are
+    * near-identical while occurrence mixes carry the signal — the
+    * LlmOpsSpec pins 100% recall at the prior threshold and strict
+    * mean separation. At 100 TB the weight table is the only
+    * broadcast (it scales with token TYPES, not tokens) and the
+    * explode shuffle is the same shape t05/t07 already carry; the
+    * labeled slice would be a sampled fraction, which changes only the
+    * `labeled` frame's filter. */
+  def t18QualityDistill(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val stopCsv = stopwords.mkString(",")
+    val labeled = docs(spark, dir).select(col("doc_id"), col("ws"),
+      (lit(10) * expr(s"count_in_set(ws, '$stopCsv')") >= size(col("ws")))
+        .as("hi"))
+    val tok = labeled.select(col("doc_id"), col("hi"),
+      explode(col("ws")).as("w"))
+    val vocab = tok.groupBy(col("w"))
+      .agg(expr("(1000000 * count(CASE WHEN hi THEN 1 END)) DIV count(1)")
+        .as("w_e6"))
+    val prior = tok.agg(
+      expr("(1000000 * count(CASE WHEN hi THEN 1 END)) DIV count(1)")
+        .as("p_e6"))
+    val scores = tok.join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(w_e6) DIV count(1)").as("avg_e6"),
+        count(lit(1)).as("n_tok"))
+    scores
+      .join(labeled.select(col("doc_id"), col("hi")), "doc_id")
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("avg_e6"), col("n_tok"),
+        (col("avg_e6") > col("p_e6")).as("pred_hi"),
+        col("hi").as("label_hi"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t18Sql: String = {
+    val list = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH labeled AS (
+       |  SELECT doc_id, text,
+       |    10 * len(list_filter(string_split(text, ' '),
+       |      w -> list_contains([$list], w)))
+       |      >= len(string_split(text, ' ')) AS hi
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, hi, unnest(string_split(text, ' ')) AS w
+       |  FROM labeled
+       |), vocab AS (
+       |  SELECT w,
+       |    (1000000 * COUNT(CASE WHEN hi THEN 1 END)) // COUNT(*) AS w_e6
+       |  FROM tok GROUP BY w
+       |), prior AS (
+       |  SELECT (1000000 * COUNT(CASE WHEN hi THEN 1 END)) // COUNT(*)
+       |    AS p_e6
+       |  FROM tok
+       |), scores AS (
+       |  SELECT t.doc_id,
+       |    CAST(SUM(v.w_e6) AS BIGINT) // COUNT(*) AS avg_e6,
+       |    COUNT(*) AS n_tok
+       |  FROM tok t JOIN vocab v ON v.w = t.w
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT s.doc_id, s.avg_e6, s.n_tok,
+       |  s.avg_e6 > p.p_e6 AS pred_hi, l.hi AS label_hi
+       |FROM scores s JOIN labeled l ON l.doc_id = s.doc_id
+       |CROSS JOIN prior p
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_quality_distill" -> (t18QualityDistill _),
     "t17_novelty" -> (t17Novelty _),
     "t16_bigram_lm" -> (t16BigramLm _),
     "t09_surprisal" -> (t09Surprisal _),
@@ -791,6 +880,7 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "t18_quality_distill" -> t18Sql,
     "t17_novelty" -> t17Sql,
     "t16_bigram_lm" -> t16Sql,
     "t01_token_stats" -> t01Sql,

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Eighth wave: three relational shapes still missing from the
+  * inventory's analytics backlog — the TPC-H Q2 "min-cost supplier"
+  * correlated-subquery pattern, a rolling COUNT(DISTINCT) over a
+  * time-range frame (an operator Spark has no native window form for),
+  * and interval-overlap peak concurrency via a sweep line (the
+  * self-join-free way to answer "how many were open at once").
+  * Reference provenance: the user-script algebra delegated by
+  * `/root/reference/R/DataFrameOperationR.R` (executeScript/execute,
+  * :420-470) — workloads such scripts compute that the engine
+  * expresses as first-class plans. */
+object Relational8 {
+
+  private def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(text)
+  }
+
+  /** q76: min-cost supplier per part — the TPC-H Q2 shape, adapted to
+    * this schema (no partsupp table, so the supply-cost relation is
+    * derived: per (part, supplier) the minimum observed unit price in
+    * lineitem). The load-bearing pattern is the correlated scalar
+    * subquery with its own multi-way dim join: for each part, keep only
+    * suppliers achieving the REGIONAL minimum cost, where the minimum
+    * itself requires the supplier→nation→region chain. Catalyst
+    * rewrites the correlated MIN into a de-correlated aggregate +
+    * join (no per-row re-execution), the three dim joins broadcast,
+    * and the only big shuffle is the (part, supplier) pre-aggregate of
+    * lineitem — identical SQL text through Catalyst and DuckDB.
+    * `unit_cost` divides identical double operands in both engines and
+    * is then only MIN-selected and equality-compared, so the float
+    * round-trip is bit-exact. */
+  def q76MinCostSupplier(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, q76Sql)
+
+  val q76Sql: String =
+    """WITH supply AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    MIN(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey
+      |)
+      |SELECT p.p_partkey AS partkey, p.p_brand AS brand,
+      |  s.s_name AS supp_name, n.n_name AS nation,
+      |  sp.unit_cost AS min_cost
+      |FROM supply sp
+      |JOIN part p ON p.p_partkey = sp.partkey
+      |JOIN supplier s ON s.s_suppkey = sp.suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |WHERE r.r_name = 'EUROPE' AND p.p_size <= 25
+      |  AND sp.unit_cost = (
+      |    SELECT MIN(sp2.unit_cost) FROM supply sp2
+      |    JOIN supplier s2 ON s2.s_suppkey = sp2.suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      |    WHERE sp2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY partkey, supp_name""".stripMargin
+
+  /** q77: rolling 7-day distinct-supplier count per part. Spark has no
+    * COUNT(DISTINCT) window function, so the engine composes it:
+    * dedup to (part, day, supplier) grain first (one exchange, and the
+    * dedup means multiplicities never inflate the frame), then
+    * `size(collect_set(supplier))` over a RANGE BETWEEN 6 PRECEDING
+    * frame on the day number — the set dedups inside the frame, and
+    * only its SIZE leaves the operator, so per-row state is bounded by
+    * the true distinct count (tiny: suppliers per part per week), not
+    * the frame row count. Both window passes ride the one
+    * (partkey)-keyed exchange. The oracle is DuckDB's native windowed
+    * COUNT(DISTINCT) over the identical frame — an engine-native
+    * cross-check of the composed form. Day numbers are exact integers
+    * on the micro-aligned fixture timestamps. */
+  def q77RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"),
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+          .cast(LongType).as("d"),
+        col("l_suppkey").as("suppkey"))
+      .distinct()
+    val w = Window.partitionBy(col("partkey")).orderBy(col("d"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("supp_7d", size(collect_set(col("suppkey")).over(w))
+        .cast(LongType))
+      .select(col("partkey"), col("d"), col("supp_7d"))
+      .distinct()
+      .orderBy(col("partkey"), col("d"))
+  }
+
+  val q77Sql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT l_partkey AS partkey,
+      |    date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS d,
+      |    l_suppkey AS suppkey
+      |  FROM lineitem
+      |)
+      |SELECT DISTINCT partkey, d,
+      |  COUNT(DISTINCT suppkey) OVER (PARTITION BY partkey ORDER BY d
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS supp_7d
+      |FROM daily
+      |ORDER BY partkey, d""".stripMargin
+
+  /** q78: peak concurrent open orders per nation — interval overlap by
+    * sweep line. An order is "open" from its order date through its
+    * last shipment day; the naive answer self-joins intervals
+    * (O(n²) and a non-equi join), the scale answer never joins:
+    * each interval emits +1 at start and −1 the day after it closes,
+    * a (nation, day) pre-aggregate collapses the deltas (map-side
+    * combine takes the shuffle to at most one row per nation-day), and
+    * a running sum over the one nation-keyed exchange is the live
+    * open-order count; its per-nation max is the peak. `first_peak_d`
+    * (earliest day attaining the peak) comes from a conditional min
+    * against a whole-partition window max on the SAME exchange — no
+    * join-back. This is q63/q67's one-exchange discipline applied to
+    * the classic interval-concurrency question. */
+  def q78PeakConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1992-01-01").cast("date")
+    val iv = Tables(spark, dir, "orders").as("o")
+      .join(Tables(spark, dir, "lineitem").as("l"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .join(Tables(spark, dir, "customer").as("c"),
+        col("c.c_custkey") === col("o.o_custkey"))
+      .groupBy(col("o.o_orderkey"), col("c.c_nationkey").as("nationkey"),
+        datediff(to_date(col("o.o_orderdate")), epoch).cast(LongType)
+          .as("start_d"))
+      .agg(max(datediff(to_date(col("l.l_shipdate")), epoch).cast(LongType))
+        .as("raw_end_d"))
+      // synthetic dates can ship "before" ordering — clamp so every
+      // interval is at least the one-day [start, start]
+      .withColumn("end_d", greatest(col("raw_end_d"), col("start_d")))
+    val deltas = iv.select(col("nationkey"), col("start_d").as("d"),
+        lit(1L).as("delta"))
+      .unionByName(iv.select(col("nationkey"),
+        (col("end_d") + 1L).as("d"), lit(-1L).as("delta")))
+    val byDay = deltas.groupBy(col("nationkey"), col("d"))
+      .agg(sum(col("delta")).as("day_delta"))
+    val run = Window.partitionBy(col("nationkey")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("nationkey"))
+    val swept = byDay
+      .withColumn("open_orders", sum(col("day_delta")).over(run))
+      .withColumn("peak", max(col("open_orders")).over(whole))
+    val perNation = swept
+      .groupBy(col("nationkey"))
+      .agg(max(col("peak")).as("peak_open"),
+        min(when(col("open_orders") === col("peak"), col("d")))
+          .as("first_peak_d"))
+    perNation
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("n_nationkey") === col("nationkey"))
+      .select(col("n_name").as("nation"), col("peak_open"),
+        col("first_peak_d"))
+      .orderBy(col("nation"))
+  }
+
+  val q78Sql: String =
+    """WITH iv AS (
+      |  SELECT o.o_orderkey, c.c_nationkey AS nationkey,
+      |    date_diff('day', TIMESTAMP '1992-01-01', o.o_orderdate) AS start_d,
+      |    GREATEST(MAX(date_diff('day', TIMESTAMP '1992-01-01', l.l_shipdate)),
+      |      date_diff('day', TIMESTAMP '1992-01-01', o.o_orderdate)) AS end_d
+      |  FROM orders o
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY o.o_orderkey, c.c_nationkey, o.o_orderdate
+      |), deltas AS (
+      |  SELECT nationkey, start_d AS d, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT nationkey, end_d + 1, -1 FROM iv
+      |), byday AS (
+      |  SELECT nationkey, d, CAST(SUM(delta) AS BIGINT) AS day_delta
+      |  FROM deltas GROUP BY nationkey, d
+      |), run AS (
+      |  SELECT nationkey, d,
+      |    CAST(SUM(day_delta) OVER (PARTITION BY nationkey ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS open_orders
+      |  FROM byday
+      |), swept AS (
+      |  SELECT nationkey, d, open_orders,
+      |    MAX(open_orders) OVER (PARTITION BY nationkey) AS peak
+      |  FROM run
+      |)
+      |SELECT n.n_name AS nation, CAST(MAX(s.peak) AS BIGINT) AS peak_open,
+      |  MIN(CASE WHEN s.open_orders = s.peak THEN s.d END) AS first_peak_d
+      |FROM swept s JOIN nation n ON n.n_nationkey = s.nationkey
+      |GROUP BY n.n_name ORDER BY nation""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_min_cost_supplier" -> (q76MinCostSupplier _),
+    "q77_rolling_distinct" -> (q77RollingDistinct _),
+    "q78_peak_concurrent" -> (q78PeakConcurrent _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q76_min_cost_supplier" -> q76Sql,
+    "q77_rolling_distinct" -> q77Sql,
+    "q78_peak_concurrent" -> q78Sql,
+  )
+}

@@ -836,4 +836,75 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.length ==
       llm.Authority.g01PageRank(spark, sf).count())
   }
+
+  test("t18 distilled classifier: full recall at the prior threshold, scores separate") {
+    val rows = TextStats.t18QualityDistill(spark, sf).collect()
+    assert(rows.length ==
+      Tables(spark, sf, "documents").count())
+    val (pos, neg) = rows.partition(_.getAs[Boolean]("label_hi"))
+    assert(pos.nonEmpty && neg.nonEmpty,
+      s"rule labeler must discriminate: ${pos.length} pos / ${neg.length} neg")
+    // every rule-positive doc scores above the corpus prior: the token
+    // weights recover the stopword signal the labeler encoded
+    assert(pos.forall(_.getAs[Boolean]("pred_hi")),
+      s"${pos.count(!_.getAs[Boolean]("pred_hi"))} rule-positives missed")
+    // and strictly separate in the mean (fixture-measured margin)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("avg_e6")).sum.toDouble / rs.length
+    assert(mean(pos) > mean(neg) + 1000,
+      s"pos mean ${mean(pos)} vs neg mean ${mean(neg)}")
+    // the model is better than the constant classifier: not everything
+    // crosses the prior threshold
+    assert(rows.exists(!_.getAs[Boolean]("pred_hi")))
+  }
+
+  test("p19 DoReMi weights: shares normalize, excess loss drives monotone reweighting") {
+    val rows = llm.Pipeline.p19DoremiWeights(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("loss_e6"),
+        r.getAs[Long]("w1_e6"), r.getAs[Long]("w2_e6"),
+        r.getAs[Long]("w3_e6")))
+    val k = rows.length
+    assert(k > 1)
+    // every round's shares are positive ppm summing to 1e6 minus at
+    // most one DIV-floor ulp per domain
+    for (sel <- Seq[((String, Long, Long, Long, Long)) => Long](_._3,
+        _._4, _._5)) {
+      val s = rows.map(sel).sum
+      assert(rows.forall(sel(_) > 0))
+      assert(s <= 1000000L && s > 1000000L - k, s"share sum $s")
+    }
+    // multiplicative weights from a uniform start: round-1 weights are
+    // a monotone transform of loss, so the orderings agree exactly
+    assert(rows.sortBy(_._2).map(_._1).sameElements(
+      rows.sortBy(t => (t._3, t._2)).map(_._1)))
+    // the extreme domains move monotonically: max-loss gains weight
+    // every round, min-loss sheds it
+    val mx = rows.maxBy(_._2)
+    val mn = rows.minBy(_._2)
+    assert(mx._3 < mx._4 && mx._4 < mx._5, s"max-loss trajectory: $mx")
+    assert(mn._3 > mn._4 && mn._4 > mn._5, s"min-loss trajectory: $mn")
+  }
+
+  test("p18 DSIR resample: threshold selection IS top-k by (importance, doc_id)") {
+    val rows = llm.Pipeline.p18DsirResample(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("avg_e6"),
+        r.getAs[Boolean]("selected")))
+    assert(rows.nonEmpty)
+    // no target-source doc leaks into the candidate set
+    val targetDocs = Tables(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("source")
+        .isin("src0", "src1", "src2", "src3"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.forall(t => !targetDocs.contains(t._1)))
+    // the broadcast-threshold flag equals a naive global rank
+    val k = math.min(llm.Pipeline.DsirSelectCount, rows.length)
+    val wantSelected = rows.sortBy(t => (-t._2, t._1)).take(k)
+      .map(_._1).toSet
+    assert(rows.filter(_._3).map(_._1).toSet == wantSelected)
+    assert(rows.count(_._3) == k)
+    // selection is non-degenerate on the fixture
+    assert(rows.exists(!_._3))
+    // importance scores actually spread (bigram mixes differ per doc)
+    assert(rows.map(_._2).distinct.length > 10)
+  }
 }

@@ -224,4 +224,98 @@ class RelationalSpec extends AnyFunSuite {
         r.getAs[Long]("n_items")))
     assert(salted.sameElements(plain))
   }
+
+  test("q76 min-cost supplier: every kept supplier achieves the regional minimum") {
+    val got = ops.Relational8.q76MinCostSupplier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("partkey"), r.getAs[String]("supp_name"),
+        r.getAs[Double]("min_cost")))
+    assert(got.nonEmpty)
+    // naive recompute: min unit cost per (part, supplier), EUROPE only
+    val li = Tables(spark, sf, "lineitem").collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey"),
+        r.getAs[Double]("l_extendedprice") / r.getAs[Double]("l_quantity")))
+    val supNation = Tables(spark, sf, "supplier").collect()
+      .map(r => r.getAs[Long]("s_suppkey") ->
+        (r.getAs[String]("s_name"), r.getAs[Int]("s_nationkey"))).toMap
+    val natRegion = Tables(spark, sf, "nation").collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[Int]("n_regionkey"))
+      .toMap
+    val euRegion = Tables(spark, sf, "region").collect()
+      .find(_.getAs[String]("r_name") == "EUROPE").get
+      .getAs[Int]("r_regionkey")
+    val smallParts = Tables(spark, sf, "part").collect()
+      .filter(_.getAs[Int]("p_size") <= 25).map(_.getAs[Long]("p_partkey"))
+      .toSet
+    val euSupply = li
+      .filter(t => natRegion(supNation(t._2)._2) == euRegion)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((pk, sk), g) => (pk, sk, g.map(_._3).min) }
+      .toSeq
+    val want = euSupply.groupBy(_._1)
+      .filter { case (pk, _) => smallParts.contains(pk) }
+      .flatMap { case (pk, g) =>
+        val min = g.map(_._3).min
+        g.filter(_._3 == min).map(t => (pk, supNation(t._2)._1, min))
+      }.toSet
+    assert(got.toSet == want)
+  }
+
+  test("q77 rolling distinct suppliers equals a naive window recompute") {
+    val got = ops.Relational8.q77RollingDistinct(spark, sf).collect()
+      .map(r => (r.getAs[Long]("partkey"), r.getAs[Long]("d")) ->
+        r.getAs[Long]("supp_7d")).toMap
+    assert(got.nonEmpty)
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    val daily = Tables(spark, sf, "lineitem").collect()
+      .map { r =>
+        val day = r.getAs[java.time.LocalDateTime]("l_shipdate").toLocalDate
+        (r.getAs[Long]("l_partkey"),
+          java.time.temporal.ChronoUnit.DAYS.between(epoch, day),
+          r.getAs[Long]("l_suppkey"))
+      }.distinct
+    val want = daily.map { case (pk, d, _) =>
+      (pk, d) -> daily.filter(t => t._1 == pk && t._2 >= d - 6 && t._2 <= d)
+        .map(_._3).distinct.length.toLong
+    }.toMap
+    assert(got == want)
+    assert(got.values.max >= 2) // the frame actually accumulates
+  }
+
+  test("q78 peak concurrency equals a naive per-day sweep") {
+    val got = ops.Relational8.q78PeakConcurrent(spark, sf).collect()
+      .map(r => r.getAs[String]("nation") ->
+        (r.getAs[Long]("peak_open"), r.getAs[Long]("first_peak_d"))).toMap
+    assert(got.nonEmpty)
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    def day(ts: java.time.LocalDateTime): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(epoch, ts.toLocalDate)
+    val custNation = Tables(spark, sf, "customer").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("c_nationkey"))
+      .toMap
+    val natName = Tables(spark, sf, "nation").collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name"))
+      .toMap
+    val orderStart = Tables(spark, sf, "orders").collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (custNation(r.getAs[Long]("o_custkey")),
+          day(r.getAs[java.time.LocalDateTime]("o_orderdate")))).toMap
+    val orderEnd = Tables(spark, sf, "lineitem").collect()
+      .filter(r => orderStart.contains(r.getAs[Long]("l_orderkey")))
+      .groupBy(_.getAs[Long]("l_orderkey"))
+      .map { case (ok, g) =>
+        ok -> g.map(r => day(r.getAs[java.time.LocalDateTime]("l_shipdate"))).max
+      }
+    val want = orderEnd.keys.toSeq
+      .map(ok => (orderStart(ok)._1, orderStart(ok)._2,
+        math.max(orderEnd(ok), orderStart(ok)._2)))
+      .groupBy(_._1)
+      .map { case (nk, ivs) =>
+        val days = ivs.flatMap(iv => Seq(iv._2, iv._3 + 1)).distinct.sorted
+        val conc = days.map(d =>
+          d -> ivs.count(iv => iv._2 <= d && d <= iv._3).toLong)
+        val peak = conc.map(_._2).max
+        natName(nk) -> (peak, conc.find(_._2 == peak).get._1)
+      }
+    assert(got == want)
+  }
 }

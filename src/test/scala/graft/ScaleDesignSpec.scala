@@ -493,6 +493,55 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("q78 sweep line: no join in the concurrency core, bounded exchanges") {
+    // the whole point of the sweep is replacing the interval self-join:
+    // the only joins allowed are the equi-joins assembling the interval
+    // frame (orders⋈lineitem⋈customer) and the broadcast nation-name
+    // lookup — nothing non-equi, nothing nested-loop — and the delta →
+    // running-sum → peak chain must ride nation-keyed exchanges, not
+    // per-window re-shuffles
+    val plan = ops.Relational8.q78PeakConcurrent(spark, sf)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val nodes = plan.collectWithSubqueries { case p => p.nodeName }
+    assert(!nodes.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      s"q78 must not plan a non-equi join: ${nodes.toSet}")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // orderkey agg + delta-union agg/window keyed by nation + final
+    // nation agg + presentation sort — anything beyond that means a
+    // window pass stopped sharing its exchange
+    assert(shuffles.length <= 5,
+      s"q78: expected <= 5 exchanges, got ${shuffles.length}")
+  }
+
+  test("p18 selection plan: no global single-partition window anywhere") {
+    // the DSIR top-k flag must come from the broadcast k-th threshold,
+    // never from a ROW_NUMBER() OVER (ORDER BY ...) global window — a
+    // single-partition window is the one shape that serializes the
+    // whole corpus through one task at 100 TB
+    val plan = llm.Pipeline.p18DsirResample(spark, sf)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val windows = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "p18 plans a partition-less (global) window")
+    // and the k-th threshold rides TakeOrdered, not a full sort
+    val nodes = plan.collectWithSubqueries { case p => p.nodeName }
+    assert(nodes.exists(_.contains("TakeOrderedAndProject")),
+      s"p18's top-k threshold should plan as TakeOrderedAndProject: ${nodes.toSet}")
+  }
+
   test("s10 plan: the corpus never shuffles against the queries") {
     // the inverted-index claim: the query side (terms, corpus totals)
     // reaches the postings ONLY via broadcast — every join in the plan
@@ -964,6 +1013,9 @@ class ScaleDesignSpec extends AnyFunSuite {
       "p05_mixture_rebalance", // 1-row global-min frame broadcast, like t05
       "p09_epoch_mixing", // 1-row global-max frame broadcast, like p05
       "t05_tfidf", "t09_surprisal", // 1-row corpus-total broadcast frames
+      "t18_quality_distill", // 1-row prior-threshold broadcast frame, like t05
+      "p18_dsir_resample", // 1-row k-th-threshold broadcast frame, like p05
+      "p19_doremi_weights", // 1-row avg/normalizer frames per MW round + t09's totals frame
       "t13_corpus_drift", // 1-row grand-total broadcast frame, like t05
       "s10_bm25_topk", // 1-row (N, total-tokens) broadcast frame, like t05
       "s13_hybrid_rrf", // s10's totals frame + the broadcast query fan-out (q·n, not n²)

@@ -633,6 +633,110 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful top-k: an overtake retracts the displaced type; deltas rebuild the leaderboard") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val srcDir = Files.createTempDirectory("topk-src").toString
+    def stage(rows: Seq[(Long, String)], tag: String): Unit = {
+      val tmp = Files.createTempDirectory("topk-half").toString
+      rows.toDF("windowMicros", "eventType")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, s"$tag.parquet"))
+    }
+    // b1: A=3 B=2 C=1 → top-2 is A(3,1), B(2,2)
+    stage(Seq((0L, "A"), (0L, "A"), (0L, "A"), (0L, "B"), (0L, "B"),
+      (0L, "C")), "b1")
+    val schema = Seq((0L, "x")).toDF("windowMicros", "eventType").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .as[graft.stream.Stateful.TopKIn]
+    val deltas = graft.stream.Stateful.topKUpdate(2)(
+      in.groupByKey(_.windowMicros))
+    val q = deltas.toDF("window_micros", "event_type", "n", "rk", "op")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("stream_topk").start()
+    def emissions(): Seq[(String, Long, Long, String)] =
+      spark.table("stream_topk").collect().toSeq
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+    try {
+      q.processAllAvailable()
+      val s1 = emissions()
+      assert(s1.toSet == Set(("A", 3L, 1L, "upsert"),
+        ("B", 2L, 2L, "upsert")), s"b1 deltas: $s1")
+      // b2: three more C → C=4 overtakes everyone; B leaves the top-2
+      // and MUST be retracted, A re-ranks 1→2, C upserts at rank 1
+      stage(Seq((0L, "C"), (0L, "C"), (0L, "C")), "b2")
+      q.processAllAvailable()
+      val d2 = emissions().diff(s1)
+      assert(d2.toSet == Set(("B", 0L, 0L, "retract"),
+        ("C", 4L, 1L, "upsert"), ("A", 3L, 2L, "upsert")),
+        s"overtake deltas: $d2")
+      // the delta stream rebuilds the true leaderboard
+      val board = emissions().foldLeft(Map.empty[String, (Long, Long)]) {
+        case (acc, (t, _, _, "retract")) => acc - t
+        case (acc, (t, n, rk, _)) => acc + (t -> (n, rk))
+      }
+      assert(board == Map("C" -> (4L, 1L), "A" -> (3L, 2L)))
+    } finally q.stop()
+  }
+
+  test("stateful top-k deltas reconstruct st09 over the fixture in two batches") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val hourMicros = 3600L * 1000000
+    val evRows = Tables(spark, sf, "events")
+      .select(expr(s"(unix_micros(ts) div $hourMicros) * $hourMicros")
+        .as("windowMicros"), col("event_type").as("eventType"),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (h1, h2) = evRows.sortBy(_._3).splitAt(evRows.length / 2)
+    val srcDir = Files.createTempDirectory("topk9-src").toString
+    def stage(rows: Seq[(Long, String)], tag: String): Unit = {
+      val tmp = Files.createTempDirectory("topk9-half").toString
+      rows.toDF("windowMicros", "eventType")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, s"$tag.parquet"))
+    }
+    stage(h1.map(t => (t._1, t._2)).toSeq, "b1")
+    stage(h2.map(t => (t._1, t._2)).toSeq, "b2")
+    val schema = Seq((0L, "x")).toDF("windowMicros", "eventType").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .as[graft.stream.Stateful.TopKIn]
+    val deltas = graft.stream.Stateful.topKUpdate(2)(
+      in.groupByKey(_.windowMicros))
+    val q = deltas.toDF("window_micros", "event_type", "n", "rk", "op")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("stream_topk9").start()
+    try {
+      q.processAllAvailable()
+      // rebuild each window's final board from its delta stream
+      val board = spark.table("stream_topk9").collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+        .foldLeft(Map.empty[(Long, String), (Long, Long)]) {
+          case (acc, (w, t, _, _, "retract")) => acc - ((w, t))
+          case (acc, (w, t, n, rk, _)) => acc + ((w, t) -> (n, rk))
+        }
+        .map { case ((w, t), (n, rk)) => (w, t, n, rk) }.toSet
+      val batch = EventWindows.st09TopEventsHourly(spark, sf).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("hour_start").getTime * 1000L,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Long]("rk"))).toSet
+      assert(board == batch,
+        s"extra=${(board -- batch).take(3)} missing=${(batch -- board).take(3)}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup candidates equal the batch operator's") {
     import spark.implicits._
     // stage the documents fixture as TWO files and deliver them as two

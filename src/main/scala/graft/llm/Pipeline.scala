@@ -1268,7 +1268,74 @@ object Pipeline {
        |ORDER BY l.source""".stripMargin
   }
 
+  /** p20: sharded JSONL export + verified round-trip — JSON Lines is
+    * the lingua-franca interchange format for training corpora (every
+    * tokenizer/trainer ingests it), so the engine must prove its own
+    * write→read cycle is lossless. The query serializes each document
+    * to one JSON line (`to_json` over the full struct), writes a
+    * shard-partitioned TEXT sink (shard = content fingerprint mod 8,
+    * p03's sharding — partition directories are how a 100 TB corpus
+    * ships: each shard is an independently consumable file set), then
+    * re-reads the directory (partition discovery recovers the shard
+    * column) and parses each line back with `from_json` under the
+    * explicit document schema. The per-shard stats are computed FROM
+    * THE RE-READ ROWS, while the oracle computes them from the original
+    * table — the hash match therefore proves the full round trip:
+    * JSON string escaping, schema re-application, partition encoding,
+    * and that no line was lost or duplicated. Writer side uses one
+    * file per (task, shard); at scale the shard count and
+    * `maxRecordsPerFile` bound file sizes the same way p12's packing
+    * does. */
+  def p20JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    graft.functions.VectorExpressions.register(spark)
+    val d = Tables(spark, dir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-p20-jsonl")
+      .toString
+    d.withColumn("shard", pmod(expr("rolling_min_hash(text)"), lit(8L)))
+      .select(col("shard"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+      .write.partitionBy("shard").mode("overwrite").text(out)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.text(out)
+      .select(col("shard").cast(LongType).as("shard"),
+        from_json(col("value"), docSchema).as("r"))
+      .select(col("shard"), col("r.*"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        count_distinct(col("lang")).as("n_langs"),
+        // the parsed text must still be the text: re-derive n_chars
+        // from it and any JSON-escaping loss breaks the sum
+        sum(length(col("text")).cast(LongType)).as("parsed_chars"))
+      .orderBy(col("shard"))
+  }
+
+  val p20Sql: String = TextStats.fpWithCte +
+    """
+      |SELECT ((f.fingerprint % 8) + 8) % 8 AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(d.doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+      |  CAST(SUM(length(d.text)) AS BIGINT) AS parsed_chars
+      |FROM fp f JOIN documents d USING (doc_id)
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_jsonl_roundtrip" -> (p20JsonlRoundtrip _),
     "p19_doremi_weights" -> (p19DoremiWeights _),
     "p18_dsir_resample" -> (p18DsirResample _),
     "p17_effective_corpus" -> (p17EffectiveCorpus _),
@@ -1290,6 +1357,7 @@ object Pipeline {
     "p06_leakage_safe_split" -> (p06LeakageSafeSplit _),
   )
   val oracle: Map[String, String] = Map(
+    "p20_jsonl_roundtrip" -> p20Sql,
     "p19_doremi_weights" -> p19Sql,
     "p18_dsir_resample" -> p18Sql,
     "p17_effective_corpus" -> p17Sql,

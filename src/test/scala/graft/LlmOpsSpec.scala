@@ -858,6 +858,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("pred_hi")))
   }
 
+  test("p20 JSONL round trip: nothing lost, escaping exact, shards complete") {
+    val out = llm.Pipeline.p20JsonlRoundtrip(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+    // every document came back exactly once
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(out.map(_.getAs[Long]("sum_doc_id")).sum ==
+      docs.agg(org.apache.spark.sql.functions.sum("doc_id"))
+        .collect()(0).getLong(0))
+    // the text survived JSON escaping byte-for-byte: stored n_chars
+    // equals length recomputed from the PARSED text
+    out.foreach { r =>
+      assert(r.getAs[Long]("total_chars") == r.getAs[Long]("parsed_chars"),
+        s"shard ${r.getAs[Long]("shard")} lost characters in the round trip")
+    }
+    assert(out.nonEmpty && out.length <= 8)
+    assert(out.forall(r => r.getAs[Long]("shard") >= 0 &&
+      r.getAs[Long]("shard") < 8))
+  }
+
   test("p19 DoReMi weights: shares normalize, excess loss drives monotone reweighting") {
     val rows = llm.Pipeline.p19DoremiWeights(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("loss_e6"),

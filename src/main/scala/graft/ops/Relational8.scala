@@ -193,15 +193,109 @@ object Relational8 {
       |FROM swept s JOIN nation n ON n.n_nationkey = s.nationkey
       |GROUP BY n.n_name ORDER BY nation""".stripMargin
 
+  /** q79: mergeable quantile summaries — the percentile counterpart of
+    * q64's mergeable-HLL rollup. Each month builds a fixed-size summary
+    * (every ⌈n/32⌉-th order statistic of price cents, plus the max —
+    * ≤ 33 `(value, rank)` points however big the month is); the merge
+    * phase never touches raw rows again: candidate values are the
+    * summaries' values, a candidate's estimated global rank is the sum
+    * over months of the largest summarized rank at-or-below it, and the
+    * p-quantile estimate is the smallest candidate whose estimated rank
+    * reaches ⌈p·N⌉. That is the stored-sketch pattern a 100 TB pipeline
+    * needs for percentile dashboards: per-partition summaries persist,
+    * rollups cost O(partitions · 33), and re-aggregation to any
+    * grouping is summary algebra — the `s.cents <= c.v` merge join is
+    * quadratic in SUMMARY size, not data size (whitelisted as such in
+    * the plan lint). The guarantee is checked IN the result: per-month
+    * sampling can under-count a true rank by < step, so the true rank
+    * of the estimate r(v*) satisfies 0 ≤ r(v*) − est(v*) < Σ steps and
+    * r(v*) ≥ target — emitted as `b*_sample_err`/`b*_reached`
+    * booleans, alongside the exact-selection percentile the estimate
+    * must sit at-or-above (`b*_not_below`); a sketch bug flips a
+    * boolean and breaks the oracle hash. Both engines run the same
+    * template — only the integer-division spelling differs (Spark
+    * `DIV` truncates, DuckDB `//` floors; every operand here is
+    * nonnegative so they agree). */
+  def q79QuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, quantileSketchSql("DIV"))
+
+  val q79Sql: String = quantileSketchSql("//")
+
+  private def quantileSketchSql(d: String): String =
+    s"""WITH base AS (
+       |  SELECT date_trunc('month', l_shipdate) AS mon,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+       |    l_orderkey AS okey, l_linenumber AS ln
+       |  FROM lineitem
+       |), w1 AS (
+       |  SELECT mon, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY mon ORDER BY cents, okey, ln) AS rn,
+       |    COUNT(*) OVER (PARTITION BY mon) AS n_m
+       |  FROM base
+       |), summ AS (
+       |  SELECT mon, cents, rn, n_m,
+       |    CAST(ceil(n_m / 32.0) AS BIGINT) AS step
+       |  FROM w1
+       |  WHERE (rn - 1) % CAST(ceil(n_m / 32.0) AS BIGINT) = 0 OR rn = n_m
+       |), months AS (
+       |  SELECT mon, MAX(n_m) AS n_m, MAX(step) AS step FROM summ GROUP BY mon
+       |), tot AS (
+       |  SELECT CAST(SUM(n_m) AS BIGINT) AS n_total,
+       |    CAST(SUM(step) AS BIGINT) AS err_bound
+       |  FROM months
+       |), cand AS (SELECT DISTINCT cents AS v FROM summ
+       |), est AS (
+       |  SELECT v, CAST(SUM(mx) AS BIGINT) AS est_rank FROM (
+       |    SELECT c.v, s.mon, MAX(s.rn) AS mx
+       |    FROM cand c JOIN summ s ON s.cents <= c.v
+       |    GROUP BY c.v, s.mon)
+       |  GROUP BY v
+       |), pick AS (
+       |  SELECT
+       |    (SELECT MIN(e.v) FROM est e CROSS JOIN tot
+       |      WHERE e.est_rank >= (n_total + 1) $d 2) AS est_p50,
+       |    (SELECT MIN(e.v) FROM est e CROSS JOIN tot
+       |      WHERE e.est_rank >= (9 * n_total + 9) $d 10) AS est_p90
+       |), exact AS (
+       |  SELECT
+       |    MAX(CASE WHEN grn = (SELECT (n_total + 1) $d 2 FROM tot)
+       |      THEN cents END) AS exact_p50,
+       |    MAX(CASE WHEN grn = (SELECT (9 * n_total + 9) $d 10 FROM tot)
+       |      THEN cents END) AS exact_p90
+       |  FROM (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, okey, ln) AS grn
+       |        FROM base)
+       |), ranks AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM base b CROSS JOIN pick
+       |      WHERE b.cents <= est_p50) AS r50,
+       |    (SELECT COUNT(*) FROM base b CROSS JOIN pick
+       |      WHERE b.cents <= est_p90) AS r90,
+       |    (SELECT est_rank FROM est JOIN pick ON est.v = pick.est_p50) AS er50,
+       |    (SELECT est_rank FROM est JOIN pick ON est.v = pick.est_p90) AS er90
+       |)
+       |SELECT t.n_total, t.err_bound,
+       |  (t.n_total + 1) $d 2 AS t50, (9 * t.n_total + 9) $d 10 AS t90,
+       |  p.est_p50, x.exact_p50, r.r50, r.er50,
+       |  r.r50 >= (t.n_total + 1) $d 2 AS b50_reached,
+       |  r.r50 - r.er50 >= 0 AND r.r50 - r.er50 < t.err_bound AS b50_sample_err,
+       |  p.est_p50 >= x.exact_p50 AS b50_not_below,
+       |  p.est_p90, x.exact_p90, r.r90, r.er90,
+       |  r.r90 >= (9 * t.n_total + 9) $d 10 AS b90_reached,
+       |  r.r90 - r.er90 >= 0 AND r.r90 - r.er90 < t.err_bound AS b90_sample_err,
+       |  p.est_p90 >= x.exact_p90 AS b90_not_below
+       |FROM tot t CROSS JOIN pick p CROSS JOIN exact x CROSS JOIN ranks r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_min_cost_supplier" -> (q76MinCostSupplier _),
     "q77_rolling_distinct" -> (q77RollingDistinct _),
     "q78_peak_concurrent" -> (q78PeakConcurrent _),
+    "q79_quantile_sketch" -> (q79QuantileSketch _),
   )
 
   val oracle: Map[String, String] = Map(
     "q76_min_cost_supplier" -> q76Sql,
     "q77_rolling_distinct" -> q77Sql,
     "q78_peak_concurrent" -> q78Sql,
+    "q79_quantile_sketch" -> q79Sql,
   )
 }

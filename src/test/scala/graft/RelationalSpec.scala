@@ -281,6 +281,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.max >= 2) // the frame actually accumulates
   }
 
+  test("q79 quantile sketch: bound booleans hold, estimate brackets the exact percentile") {
+    val r = ops.Relational8.q79QuantileSketch(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    for (b <- Seq("b50_reached", "b50_sample_err", "b50_not_below",
+        "b90_reached", "b90_sample_err", "b90_not_below"))
+      assert(row.getAs[Boolean](b), s"$b is false")
+    // the estimate sits at/above the exact percentile, and the pick's
+    // estimated rank reached its target (the selection invariant)
+    assert(row.getAs[Long]("est_p50") >= row.getAs[Long]("exact_p50"))
+    assert(row.getAs[Long]("er50") >= row.getAs[Long]("t50"))
+    assert(row.getAs[Long]("er90") >= row.getAs[Long]("t90"))
+    // err_bound is the fixed-size-summary promise: ~33 points per month
+    assert(row.getAs[Long]("err_bound") * 16 < row.getAs[Long]("n_total"),
+      "summaries should bound rank error well under n/16")
+  }
+
   test("q78 peak concurrency equals a naive per-day sweep") {
     val got = ops.Relational8.q78PeakConcurrent(spark, sf).collect()
       .map(r => r.getAs[String]("nation") ->

@@ -1020,7 +1020,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s10_bm25_topk", // 1-row (N, total-tokens) broadcast frame, like t05
       "s13_hybrid_rrf", // s10's totals frame + the broadcast query fan-out (q·n, not n²)
       "g03_hits", // 4 half-step renorms, each a 1-row max-frame broadcast
-      "q65_cms_freq") // 1-row merged-sketch broadcast onto the probe list
+      "q65_cms_freq", // 1-row merged-sketch broadcast onto the probe list
+      "q79_quantile_sketch") // summary×summary merge join (≤33 pts/month) + 1-row pick/exact frames — sketch-sized, never corpus-sized
     SparkEntry.queries.foreach { case (name, fn) =>
       // AQE wraps the whole plan in a LeafExecNode; collect* would see
       // only {"AdaptiveSparkPlan"} without the unwrap

@@ -1334,7 +1334,58 @@ object Pipeline {
       |FROM fp f JOIN documents d USING (doc_id)
       |GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** p21: schema-evolution-tolerant corpus read — a corpus accumulated
+    * over months is never schema-homogeneous: early shards predate
+    * columns later crawls added. The query materializes exactly that
+    * (an epoch-1 shard WITHOUT `source`/`n_chars`, an epoch-2 shard
+    * with them, under one partitioned directory), then reads the whole
+    * directory back with `mergeSchema`: Spark unions the parquet
+    * footers' schemas, absent columns surface as NULL, and the
+    * pipeline backfills (`coalesce(n_chars, length(text))`) instead of
+    * failing or silently dropping shards. Per-epoch accounting —
+    * including the null count that PROVES the missing column came back
+    * as nulls rather than vanishing rows — is computed from the
+    * re-read frame; the oracle recomputes it from the original table,
+    * so the hash match pins the whole evolution contract. At 100 TB
+    * this is the default read posture for any multi-epoch corpus
+    * (schema merging costs one footer pass; the alternative — a
+    * migration rewrite of every old shard — costs a full corpus
+    * write). */
+  def p21SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val d = Tables(spark, dir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-p21-evo")
+      .toString
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/batch=e1")
+    d.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/batch=e2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("batch").cast("string").as("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source").isNull, 1L).otherwise(0L))
+          .as("null_source"),
+        sum(coalesce(col("n_chars"), length(col("text")).cast(LongType)))
+          .as("chars_filled"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy(col("batch"))
+  }
+
+  val p21Sql: String =
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN 'e1' ELSE 'e2' END AS batch,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS null_source,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN length(text)
+      |    ELSE n_chars END) AS BIGINT) AS chars_filled,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM documents GROUP BY 1 ORDER BY batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_schema_evolution" -> (p21SchemaEvolution _),
     "p20_jsonl_roundtrip" -> (p20JsonlRoundtrip _),
     "p19_doremi_weights" -> (p19DoremiWeights _),
     "p18_dsir_resample" -> (p18DsirResample _),
@@ -1357,6 +1408,7 @@ object Pipeline {
     "p06_leakage_safe_split" -> (p06LeakageSafeSplit _),
   )
   val oracle: Map[String, String] = Map(
+    "p21_schema_evolution" -> p21Sql,
     "p20_jsonl_roundtrip" -> p20Sql,
     "p19_doremi_weights" -> p19Sql,
     "p18_dsir_resample" -> p18Sql,

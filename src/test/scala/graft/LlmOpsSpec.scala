@@ -858,6 +858,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("pred_hi")))
   }
 
+  test("p21 schema evolution: old-shard rows survive with nulls, backfill closes the gap") {
+    val out = llm.Pipeline.p21SchemaEvolution(spark, sf).collect()
+      .map(r => r.getAs[String]("batch") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("null_source"),
+          r.getAs[Long]("chars_filled"))).toMap
+    assert(out.keySet == Set("e1", "e2"))
+    val docs = Tables(spark, sf, "documents")
+    assert(out("e1")._1 + out("e2")._1 == docs.count())
+    // every epoch-1 row kept its place with a NULL source — not dropped
+    assert(out("e1")._2 == out("e1")._1)
+    assert(out("e2")._2 == 0L)
+    // the length(text) backfill equals the stored n_chars it stands in
+    // for (ASCII fixture), so the filled totals reconcile to the corpus
+    val totalChars = docs
+      .agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .collect()(0).getLong(0)
+    assert(out("e1")._3 + out("e2")._3 == totalChars)
+  }
+
   test("p20 JSONL round trip: nothing lost, escaping exact, shards complete") {
     val out = llm.Pipeline.p20JsonlRoundtrip(spark, sf).collect()
     val docs = Tables(spark, sf, "documents")

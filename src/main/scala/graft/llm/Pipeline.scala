@@ -1308,7 +1308,14 @@ object Pipeline {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars",
         org.apache.spark.sql.types.LongType)))
-    spark.read.text(out)
+    val raw = spark.read.text(out)
+    // an empty corpus writes no shard=N directories, so partition
+    // discovery yields no shard column — surface it as an empty LONG
+    // rather than failing analysis (EmptyInputSpec contract)
+    val rawSharded =
+      if (raw.columns.contains("shard")) raw
+      else raw.withColumn("shard", lit(null).cast(LongType))
+    rawSharded
       .select(col("shard").cast(LongType).as("shard"),
         from_json(col("value"), docSchema).as("r"))
       .select(col("shard"), col("r.*"))

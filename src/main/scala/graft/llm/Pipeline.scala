@@ -1197,8 +1197,14 @@ object Pipeline {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("t_s"),
         sum(expr("n_total DIV c_t")).as("r_s"))
+    // the K-row loss table is referenced ~3× per MW round (join, avg,
+    // final) — materialize it ONCE or every reference re-runs the
+    // corpus-scale token aggregate behind it (first cut: 8.2 s in the
+    // sf0.1 bench; checkpointed: the one aggregate). Harness releases
+    // the blocks post-query (lazy-return op, Bench.releaseStorage).
     val loss = dom.select(col("source"),
       expr("(1000000 * r_s) DIV t_s").as("loss_e6"))
+      .localCheckpoint()
     // MW rounds on K-row frames; each returns normalized ppm shares
     def round(w: DataFrame): DataFrame = {
       val joined = w.join(loss, "source")

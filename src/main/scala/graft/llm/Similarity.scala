@@ -606,7 +606,53 @@ object Similarity {
       .orderBy(col("src_id"))
   }
 
+  /** s14: filtered vector search — hard-negative mining: for every
+    * query vector, the top-5 most-similar vectors carrying a DIFFERENT
+    * label. The exact shape a contrastive-training pipeline runs to
+    * mine hard negatives (nearest wrong-class examples), and the
+    * general "vector search with a metadata predicate" problem every
+    * production ANN service has to answer. Plan: s02's trained-IVF
+    * probe fan-out with the label predicate applied INSIDE the probe
+    * join — post-filtering the oversampled candidate set (3 probe
+    * cells ≫ k survivors) rather than pre-partitioning the index by
+    * label, which is the right default when the predicate is not
+    * prohibitively selective (a label-partitioned index is the
+    * alternative for highly-selective filters; documented, not built —
+    * it is a layout choice, not a new operator). Deterministic
+    * end-to-end (integer-quantized centroids), so the oracle replays
+    * the identical IVF chain + filter in SQL and the hash must match. */
+  def s14HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfRanked(spark, dir)
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val index = ranked.filter(col("cell_rank") === 1)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("norm").as("cn"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+    val probes = ranked.filter(col("cell_rank") <= 3)
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("norm").as("qn"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(index, "cell")
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("n_label"))
+      .withColumn("cosine", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("n_label"),
+        col("cosine"))
+      .distinct() // a neighbor can appear via several probed cells
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        col("n_label"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_hard_negatives" -> (s14HardNegatives _),
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s09_pq_topk" -> (s09PqTopK _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
@@ -955,7 +1001,34 @@ object Similarity {
       |SELECT x AS src_id, y AS tgt_id, margin, (ry = 1) AS mutual
       |FROM rk WHERE rx = 1 ORDER BY src_id""".stripMargin
 
+  val s14Sql: String = ivfRankedCte +
+    """, lab AS (SELECT vec_id, label FROM embeddings
+      |), idx AS (
+      |  SELECT cell, r.vec_id AS neighbor_id, v AS iv, nrm AS inrm,
+      |    l.label AS n_label
+      |  FROM ranked r JOIN lab l ON l.vec_id = r.vec_id
+      |  WHERE cell_rank = 1
+      |), probes AS (
+      |  SELECT cell, r.vec_id AS query_id, v AS qv, nrm AS qn,
+      |    l.label AS q_label
+      |  FROM ranked r JOIN lab l ON l.vec_id = r.vec_id
+      |  WHERE cell_rank <= 3
+      |), sc AS (
+      |  SELECT DISTINCT query_id, neighbor_id, n_label,
+      |    list_dot_product(qv, iv) / (qn * inrm) AS cosine
+      |  FROM probes JOIN idx USING (cell)
+      |  WHERE query_id <> neighbor_id AND q_label <> n_label
+      |), r AS (
+      |  SELECT query_id, neighbor_id, n_label, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, n_label, cosine
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s14_hard_negatives" -> s14Sql,
     "s09_pq_topk" -> s09Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

@@ -266,12 +266,13 @@ object Relational8 {
        |        FROM base)
        |), ranks AS (
        |  SELECT
-       |    (SELECT COUNT(*) FROM base b CROSS JOIN pick
-       |      WHERE b.cents <= est_p50) AS r50,
-       |    (SELECT COUNT(*) FROM base b CROSS JOIN pick
-       |      WHERE b.cents <= est_p90) AS r90,
+       |    CAST(SUM(CASE WHEN b.cents <= est_p50 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS r50,
+       |    CAST(SUM(CASE WHEN b.cents <= est_p90 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS r90,
        |    (SELECT est_rank FROM est JOIN pick ON est.v = pick.est_p50) AS er50,
        |    (SELECT est_rank FROM est JOIN pick ON est.v = pick.est_p90) AS er90
+       |  FROM base b CROSS JOIN pick
        |)
        |SELECT t.n_total, t.err_bound,
        |  (t.n_total + 1) $d 2 AS t50, (9 * t.n_total + 9) $d 10 AS t90,

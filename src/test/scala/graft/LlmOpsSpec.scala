@@ -858,6 +858,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("pred_hi")))
   }
 
+  test("s14 hard negatives: every neighbor is cross-label and beats the unreturned ones") {
+    val rows = Similarity.s14HardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    // the filter contract: no returned neighbor shares the query label
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) !=
+        r.getAs[Int]("n_label"))
+      assert(labels(r.getAs[Long]("neighbor_id")) ==
+        r.getAs[Int]("n_label"))
+    }
+    // per query: at most 5, ranks dense from 1, cosine non-increasing
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_.getAs[Int]("rn")).sameElements(
+        1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // and the same-label twin (s02) returns same-label rows this op
+    // must never contain: the filter does real work on the fixture
+    val s02SameLabel = Similarity.s02IvfTopK(spark, sf).collect()
+      .exists(r => labels(r.getAs[Long]("query_id")) ==
+        labels(r.getAs[Long]("neighbor_id")))
+    assert(s02SameLabel, "fixture should have same-label near neighbors")
+  }
+
   test("p21 schema evolution: old-shard rows survive with nulls, backfill closes the gap") {
     val out = llm.Pipeline.p21SchemaEvolution(spark, sf).collect()
       .map(r => r.getAs[String]("batch") ->

@@ -298,6 +298,41 @@ class RelationalSpec extends AnyFunSuite {
       "summaries should bound rank error well under n/16")
   }
 
+  test("q79 bound booleans hold on random heavy-tailed, tie-heavy price data") {
+    import spark.implicits._
+    for (seed <- Seq(7, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val tmp = java.nio.file.Files.createTempDirectory(s"q79-rand-$seed")
+      // the SQL entry registers every fixture table; stage the tiny
+      // sf0.001 set, then replace lineitem with random data
+      for (f <- new java.io.File(sf).listFiles
+          if f.getName.endsWith(".parquet") && f.getName != "lineitem.parquet")
+        java.nio.file.Files.copy(f.toPath, tmp.resolve(f.getName))
+      val n = 3000 + rnd.nextInt(3000)
+      val rows = (1 to n).map { i =>
+        val month = rnd.nextInt(12) + 1
+        val day = rnd.nextInt(28) + 1
+        val ts = java.sql.Timestamp.valueOf(
+          f"1993-$month%02d-$day%02d 00:00:00")
+        // cents-exact, heavy ties (50-cent grid), occasional heavy tail
+        val cents =
+          if (rnd.nextInt(10) == 0) 5000000L + rnd.nextInt(1000000)
+          else (rnd.nextInt(2000) + 1) * 50L
+        (i.toLong, (i % 7) + 1, cents / 100.0, ts)
+      }
+      rows.toDF("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_shipdate")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("lineitem.parquet").toString)
+      val r = ops.Relational8.q79QuantileSketch(spark, tmp.toString)
+        .collect()(0)
+      for (b <- Seq("b50_reached", "b50_sample_err", "b50_not_below",
+          "b90_reached", "b90_sample_err", "b90_not_below"))
+        withClue(s"seed $seed, $b: ") { assert(r.getAs[Boolean](b)) }
+      assert(r.getAs[Long]("n_total") == n)
+    }
+  }
+
   test("q78 peak concurrency equals a naive per-day sweep") {
     val got = ops.Relational8.q78PeakConcurrent(spark, sf).collect()
       .map(r => r.getAs[String]("nation") ->

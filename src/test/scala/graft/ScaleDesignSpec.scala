@@ -1010,6 +1010,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s12_bitext_margin", // all-pairs mining baseline (scale path: s02/s07 candidates)
 
       "d11_semdedup", // the s02 IVF fan-out (16 broadcast centroids), not n²
+      "s14_hard_negatives", // s02's IVF fan-out + label post-filter, not n²
       "p05_mixture_rebalance", // 1-row global-min frame broadcast, like t05
       "p09_epoch_mixing", // 1-row global-max frame broadcast, like p05
       "t05_tfidf", "t09_surprisal", // 1-row corpus-total broadcast frames

@@ -127,6 +127,31 @@ object EventWindows {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"))
 
+  /** Streaming session windows — st03's aggregation as a real streaming
+    * query: `session_window` with a watermark is the one windowed
+    * aggregate whose STATE MERGES (two open sessions fuse the moment an
+    * event lands inside both gaps), which tumbling/sliding windows
+    * never do. Session aggregations support append (emit on watermark
+    * close) and complete output — NOT update (a merge can rewrite
+    * other sessions' windows); in complete mode a cross-batch merge is
+    * observable as the next snapshot holding one spanning session
+    * where the partial used to be (StreamingSpec pins exactly that,
+    * plus snapshot parity with the batch operator).
+    * State per key is one open session (start, end, aggregates) —
+    * bounded — and the watermark evicts sessions whose close has
+    * settled. */
+  def streamingSessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("total_value"))
+
   /** Streaming dedup of late duplicate events within the watermark. */
   def streamingDedup(events: DataFrame): DataFrame =
     events

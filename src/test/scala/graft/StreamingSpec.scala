@@ -633,6 +633,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows MERGE across micro-batches; final state equals batch") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val srcDir = Files.createTempDirectory("sess-src").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def stage(rows: Seq[(Long, java.sql.Timestamp, Double)],
+        tag: String): Unit = {
+      val tmp = Files.createTempDirectory("sess-half").toString
+      rows.toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, s"$tag.parquet"))
+    }
+    // b1: two events 10 min apart — one open session [1000, 1600+1800)
+    stage(Seq((1L, ts(1000), 2.0), (1L, ts(1600), 3.0)), "b1")
+    val schema = Seq((1L, ts(0), 1.0)).toDF("user_id", "ts", "value")
+      .schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val sessions = EventWindows.streamingSessionWindows(in)
+    // session aggregations reject update mode (state merges can span
+    // keys); complete mode's per-trigger snapshot makes the merge just
+    // as observable: the partial session must VANISH from the snapshot
+    val q = sessions.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("stream_sessions").start()
+    def emissions(): Seq[(Long, Long, Long, Long, Double)] =
+      spark.table("stream_sessions").collect().toSeq
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000, r.getLong(3),
+          r.getDouble(4)))
+    try {
+      q.processAllAvailable()
+      val s1 = emissions()
+      assert(s1.toSet == Set((1L, 1000L, 3400L, 2L, 5.0)),
+        s"b1 session: $s1")
+      // b2: an event 15 min after the session's last — inside the
+      // 30-min gap, so the OPEN session must MERGE, not start anew:
+      // the new snapshot holds ONLY the spanning session, the b1
+      // partial is gone
+      stage(Seq((1L, ts(2500), 7.0)), "b2")
+      q.processAllAvailable()
+      val s2 = emissions()
+      assert(s2.toSet == Set((1L, 1000L, 4300L, 3L, 12.0)),
+        s"merged session snapshot: $s2")
+      // final state parity with the batch session_window aggregation
+      val batch = Seq((1L, ts(1000), 2.0), (1L, ts(1600), 3.0),
+          (1L, ts(2500), 7.0))
+        .toDF("user_id", "ts", "value")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .select(col("user_id"), col("session_window.start"),
+          col("session_window.end"), col("n"), col("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000, r.getLong(3),
+          r.getDouble(4))).toSet
+      // the complete-mode snapshot IS the live session state
+      assert(emissions().toSet == batch,
+        s"live ${emissions().toSet} != batch $batch")
+    } finally q.stop()
+  }
+
   test("stateful top-k: an overtake retracts the displaced type; deltas rebuild the leaderboard") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._

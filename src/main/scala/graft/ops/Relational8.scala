@@ -286,7 +286,93 @@ object Relational8 {
        |  p.est_p90 >= x.exact_p90 AS b90_not_below
        |FROM tot t CROSS JOIN pick p CROSS JOIN exact x CROSS JOIN ranks r""".stripMargin
 
+  /** q80: GROUPED mergeable quantile rollup — q79's claim ("summaries
+    * re-aggregate to any grouping") as code: per-(brand, month)
+    * summaries (16 order-statistic points each) merge per BRAND into a
+    * per-brand median estimate, every phase keyed by brand — the
+    * summary merge is a brand-equi join with a tiny in-group band
+    * filter, so the whole rollup shuffles summary rows, never data
+    * rows, and re-grouping the same stored summaries by month, year or
+    * brand-prefix is the same query with a different key. Unlike q79
+    * there are no scalar subqueries: every stage is a grouped
+    * aggregate/join, which is both the scale shape (no single-row
+    * frames to synchronize on) and what lets ONE plan serve 25 brands.
+    * The same per-group sampling guarantee (target reached, rank error
+    * under Σ steps, estimate at/above the exact selection) is emitted
+    * as per-brand booleans the oracle hashes. */
+  def q80GroupedQuantiles(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, groupedQuantileSql("DIV"))
+
+  val q80Sql: String = groupedQuantileSql("//")
+
+  private def groupedQuantileSql(d: String): String =
+    s"""WITH base AS (
+       |  SELECT p.p_brand AS brand, date_trunc('month', l.l_shipdate) AS mon,
+       |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+       |    l.l_orderkey AS okey, l.l_linenumber AS ln
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |), w1 AS (
+       |  SELECT brand, mon, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY brand, mon
+       |      ORDER BY cents, okey, ln) AS rn,
+       |    COUNT(*) OVER (PARTITION BY brand, mon) AS n_m
+       |  FROM base
+       |), summ AS (
+       |  SELECT brand, mon, cents, rn, n_m,
+       |    CAST(ceil(n_m / 16.0) AS BIGINT) AS step
+       |  FROM w1
+       |  WHERE (rn - 1) % CAST(ceil(n_m / 16.0) AS BIGINT) = 0 OR rn = n_m
+       |), pm AS (
+       |  SELECT brand, mon, MAX(n_m) AS n_m, MAX(step) AS step
+       |  FROM summ GROUP BY brand, mon
+       |), tot AS (
+       |  SELECT brand, CAST(SUM(n_m) AS BIGINT) AS n_total,
+       |    CAST(SUM(step) AS BIGINT) AS err_bound
+       |  FROM pm GROUP BY brand
+       |), cand AS (SELECT DISTINCT brand, cents AS v FROM summ
+       |), est AS (
+       |  SELECT brand, v, CAST(SUM(mx) AS BIGINT) AS est_rank FROM (
+       |    SELECT c.brand, c.v, s.mon, MAX(s.rn) AS mx
+       |    FROM cand c JOIN summ s ON s.brand = c.brand AND s.cents <= c.v
+       |    GROUP BY c.brand, c.v, s.mon)
+       |  GROUP BY brand, v
+       |), pick AS (
+       |  SELECT e.brand, MIN(e.v) AS est_p50
+       |  FROM est e JOIN tot t ON t.brand = e.brand
+       |  WHERE e.est_rank >= (t.n_total + 1) $d 2
+       |  GROUP BY e.brand
+       |), er AS (
+       |  SELECT e.brand, e.est_rank AS er50
+       |  FROM est e JOIN pick k ON k.brand = e.brand AND k.est_p50 = e.v
+       |), exact AS (
+       |  SELECT brand, MAX(CASE WHEN grn = t50 THEN cents END) AS exact_p50
+       |  FROM (
+       |    SELECT w.brand, w.cents,
+       |      ROW_NUMBER() OVER (PARTITION BY w.brand
+       |        ORDER BY w.cents, w.okey, w.ln) AS grn,
+       |      (t.n_total + 1) $d 2 AS t50
+       |    FROM base w JOIN tot t ON t.brand = w.brand)
+       |  GROUP BY brand
+       |), rk AS (
+       |  SELECT b.brand,
+       |    CAST(SUM(CASE WHEN b.cents <= k.est_p50 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS r50
+       |  FROM base b JOIN pick k ON k.brand = b.brand
+       |  GROUP BY b.brand
+       |)
+       |SELECT t.brand, t.n_total, t.err_bound, (t.n_total + 1) $d 2 AS t50,
+       |  k.est_p50, x.exact_p50, r.r50, e.er50,
+       |  r.r50 >= (t.n_total + 1) $d 2 AS b_reached,
+       |  r.r50 - e.er50 >= 0 AND r.r50 - e.er50 < t.err_bound AS b_sample_err,
+       |  k.est_p50 >= x.exact_p50 AS b_not_below
+       |FROM tot t JOIN pick k ON k.brand = t.brand
+       |JOIN exact x ON x.brand = t.brand
+       |JOIN rk r ON r.brand = t.brand
+       |JOIN er e ON e.brand = t.brand
+       |ORDER BY t.brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_grouped_quantiles" -> (q80GroupedQuantiles _),
     "q76_min_cost_supplier" -> (q76MinCostSupplier _),
     "q77_rolling_distinct" -> (q77RollingDistinct _),
     "q78_peak_concurrent" -> (q78PeakConcurrent _),
@@ -294,6 +380,7 @@ object Relational8 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q80_grouped_quantiles" -> q80Sql,
     "q76_min_cost_supplier" -> q76Sql,
     "q77_rolling_distinct" -> q77Sql,
     "q78_peak_concurrent" -> q78Sql,

@@ -298,6 +298,26 @@ class RelationalSpec extends AnyFunSuite {
       "summaries should bound rank error well under n/16")
   }
 
+  test("q80 grouped quantile rollup: every brand's bounds hold") {
+    val rows = ops.Relational8.q80GroupedQuantiles(spark, sf).collect()
+    val brands = Tables(spark, sf, "part").select("p_brand").distinct()
+      .count()
+    assert(rows.length == brands)
+    rows.foreach { r =>
+      val brand = r.getAs[String]("brand")
+      for (b <- Seq("b_reached", "b_sample_err", "b_not_below"))
+        withClue(s"$brand $b: ") { assert(r.getAs[Boolean](b)) }
+      assert(r.getAs[Long]("er50") >= r.getAs[Long]("t50"))
+      assert(r.getAs[Long]("est_p50") >= r.getAs[Long]("exact_p50"))
+    }
+    // the rank-error bound stays under the group size (at sf0.001 the
+    // per-month groups are tiny so the 16-point summaries are nearly
+    // exact per month but the bound is Σ steps ≈ #months; the 4×
+    // compression shows at real SF — the sf0.01 oracle run covers it)
+    assert(rows.forall(r =>
+      r.getAs[Long]("err_bound") < r.getAs[Long]("n_total")))
+  }
+
   test("q79 bound booleans hold on random heavy-tailed, tie-heavy price data") {
     import spark.implicits._
     for (seed <- Seq(7, 42, 99)) {

@@ -353,6 +353,73 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q78 peak concurrency on random interval sets equals the naive count") {
+    import spark.implicits._
+    for (seed <- Seq(3, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val tmp = java.nio.file.Files.createTempDirectory(s"q78-rand-$seed")
+      for (f <- new java.io.File(sf).listFiles
+          if f.getName.endsWith(".parquet") &&
+            f.getName != "orders.parquet" && f.getName != "lineitem.parquet")
+        java.nio.file.Files.copy(f.toPath, tmp.resolve(f.getName))
+      val custKeys = Tables(spark, sf, "customer")
+        .select("c_custkey").collect().map(_.getLong(0))
+      // random orders: dense day range so intervals overlap heavily,
+      // including same-day and inverted (ship-before-order) cases
+      val n = 800
+      val orders = (1 to n).map { i =>
+        val d0 = rnd.nextInt(60)
+        (i.toLong, custKeys(rnd.nextInt(custKeys.length)), "O", 1.0,
+          java.sql.Timestamp.valueOf(f"1992-01-01 00:00:00")
+            .toLocalDateTime.plusDays(d0),
+          "1-URGENT")
+      }
+      val lines = orders.flatMap { o =>
+        (1 to (rnd.nextInt(3) + 1)).map { ln =>
+          // shipment anywhere from 5 days BEFORE to 30 after ordering
+          (o._1, 1L, 1L, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+            o._5.plusDays(rnd.nextInt(36) - 5))
+        }
+      }
+      orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("orders.parquet").toString)
+      lines.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("lineitem.parquet").toString)
+      val got = ops.Relational8.q78PeakConcurrent(spark, tmp.toString)
+        .collect()
+        .map(r => r.getAs[String]("nation") ->
+          (r.getAs[Long]("peak_open"), r.getAs[Long]("first_peak_d")))
+        .toMap
+      // naive: per nation, count open orders on every day
+      val custNation = Tables(spark, sf, "customer").collect()
+        .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("c_nationkey"))
+        .toMap
+      val natName = Tables(spark, sf, "nation").collect()
+        .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name"))
+        .toMap
+      val epoch = java.time.LocalDate.parse("1992-01-01")
+      def day(t: java.time.LocalDateTime): Long =
+        java.time.temporal.ChronoUnit.DAYS.between(epoch, t.toLocalDate)
+      val endByOrder = lines.groupBy(_._1)
+        .map { case (ok, g) => ok -> g.map(l => day(l._11)).max }
+      val ivs = orders.map(o => (custNation(o._2), day(o._5),
+        math.max(endByOrder(o._1), day(o._5))))
+      val want = ivs.groupBy(_._1).map { case (nk, g) =>
+        val days = g.flatMap(iv => Seq(iv._2, iv._3 + 1)).distinct.sorted
+        val conc = days.map(d =>
+          d -> g.count(iv => iv._2 <= d && d <= iv._3).toLong)
+        val peak = conc.map(_._2).max
+        natName(nk) -> (peak, conc.find(_._2 == peak).get._1)
+      }
+      withClue(s"seed $seed: ") { assert(got == want) }
+    }
+  }
+
   test("q78 peak concurrency equals a naive per-day sweep") {
     val got = ops.Relational8.q78PeakConcurrent(spark, sf).collect()
       .map(r => r.getAs[String]("nation") ->

@@ -72,8 +72,11 @@ object Relational8 {
     * frame on the day number — the set dedups inside the frame, and
     * only its SIZE leaves the operator, so per-row state is bounded by
     * the true distinct count (tiny: suppliers per part per week), not
-    * the frame row count. Both window passes ride the one
-    * (partkey)-keyed exchange. The oracle is DuckDB's native windowed
+    * the frame row count (CPU-wise a non-invertible aggregate
+    * re-accumulates per frame — the same cost the oracle's native
+    * windowed DISTINCT pays). Two keyed exchanges total: the dedup's
+    * composite-key aggregate, then the window's partkey partitioning.
+    * The oracle is DuckDB's native windowed
     * COUNT(DISTINCT) over the identical frame — an engine-native
     * cross-check of the composed form. Day numbers are exact integers
     * on the micro-aligned fixture timestamps. */
@@ -300,8 +303,96 @@ object Relational8 {
     * The same per-group sampling guarantee (target reached, rank error
     * under Σ steps, estimate at/above the exact selection) is emitted
     * as per-brand booleans the oracle hashes. */
-  def q80GroupedQuantiles(spark: SparkSession, dir: String): DataFrame =
-    sql(spark, dir, groupedQuantileSql("DIV"))
+  def q80GroupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    // Spark inlines WITH-CTEs, so the template's repeated references
+    // to `summ`/`est`/`pick` would each re-run the corpus join+window
+    // behind them (first cut: 16 s at sf0.1). The DataFrame form
+    // materializes the SUMMARY-SIZED frames once (localCheckpoint —
+    // thousands of rows however large the corpus; harness releases the
+    // blocks post-query) and scans the corpus exactly three times:
+    // summary build, exact companion, rank check. Result-identical to
+    // the oracle template by construction.
+    val li = Tables(spark, dir, "lineitem").as("l")
+    val base = li.join(Tables(spark, dir, "part").as("p"),
+        col("p.p_partkey") === col("l.l_partkey"))
+      .select(col("p.p_brand").as("brand"),
+        date_trunc("month", col("l.l_shipdate")).as("mon"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l.l_orderkey").as("okey"), col("l.l_linenumber").as("ln"))
+    val wSort = Window.partitionBy(col("brand"), col("mon"))
+      .orderBy(col("cents"), col("okey"), col("ln"))
+    val wAll = Window.partitionBy(col("brand"), col("mon"))
+    val w1 = base
+      .withColumn("rn", row_number().over(wSort).cast(LongType))
+      .withColumn("n_m", count(lit(1)).over(wAll))
+      .withColumn("step", expr("CAST(ceil(n_m / 16.0) AS BIGINT)"))
+    val summ = w1
+      .filter((col("rn") - 1) % col("step") === 0 || col("rn") === col("n_m"))
+      .select(col("brand"), col("mon"), col("cents"), col("rn"),
+        col("n_m"), col("step"))
+      .localCheckpoint()
+    val tot = summ.groupBy(col("brand"), col("mon"))
+      .agg(max(col("n_m")).as("n_m"), max(col("step")).as("step"))
+      .groupBy(col("brand"))
+      .agg(sum(col("n_m")).as("n_total"), sum(col("step")).as("err_bound"))
+      .withColumn("t50", expr("(n_total + 1) DIV 2"))
+    // est_rank(v) = Σ_months max(rn at cents ≤ v) — computed NOT with
+    // the candidate×summary band join (quadratic in summary size; at
+    // sf0.1's 2100 (brand,month) groups that was 50M joined rows and
+    // 10+ s) but by telescoping: within a month the max-rn-below-v is
+    // the sum of successive rn increments of the points at-or-below v,
+    // so ONE brand-ordered prefix sum over all points yields every
+    // candidate's rank, with the last row among cents-ties carrying
+    // the complete sum. O(S log S) in summary size. The ORACLE keeps
+    // the direct band-join formulation — an independent derivation the
+    // hash compare checks this telescoping against.
+    val wDelta = Window.partitionBy(col("brand"), col("mon"))
+      .orderBy(col("rn"))
+    val wCum = Window.partitionBy(col("brand"))
+      .orderBy(col("cents"), col("mon"), col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = summ
+      .withColumn("delta",
+        col("rn") - coalesce(lag(col("rn"), 1).over(wDelta), lit(0L)))
+      .withColumn("cum", sum(col("delta")).over(wCum))
+      .groupBy(col("brand"), col("cents"))
+      .agg(max(col("cum")).as("est_rank"))
+      .withColumnRenamed("cents", "v")
+      .localCheckpoint()
+    val pick = est.as("e")
+      .join(tot.as("t"), col("t.brand") === col("e.brand"))
+      .filter(col("e.est_rank") >= col("t.t50"))
+      .groupBy(col("e.brand").as("brand"))
+      .agg(min(col("e.v")).as("est_p50"))
+      .localCheckpoint()
+    val er = est.as("e")
+      .join(pick.as("k"), col("k.brand") === col("e.brand") &&
+        col("k.est_p50") === col("e.v"))
+      .select(col("e.brand").as("brand"), col("e.est_rank").as("er50"))
+    val wBrand = Window.partitionBy(col("brand"))
+      .orderBy(col("cents"), col("okey"), col("ln"))
+    // exact companion + rank check share ONE base pass: broadcast the
+    // 25-row targets/picks onto the rows, one brand window, one agg
+    val verified = base
+      .join(broadcast(tot.select(col("brand"), col("t50"))), "brand")
+      .join(broadcast(pick), "brand")
+      .withColumn("grn", row_number().over(wBrand).cast(LongType))
+      .groupBy(col("brand"))
+      .agg(max(when(col("grn") === col("t50"), col("cents")))
+        .as("exact_p50"),
+        sum(when(col("cents") <= col("est_p50"), 1L).otherwise(0L))
+          .as("r50"))
+    tot
+      .join(pick, "brand").join(verified, "brand")
+      .join(er, "brand")
+      .select(col("brand"), col("n_total"), col("err_bound"), col("t50"),
+        col("est_p50"), col("exact_p50"), col("r50"), col("er50"),
+        (col("r50") >= col("t50")).as("b_reached"),
+        (col("r50") - col("er50") >= 0 &&
+          col("r50") - col("er50") < col("err_bound")).as("b_sample_err"),
+        (col("est_p50") >= col("exact_p50")).as("b_not_below"))
+      .orderBy(col("brand"))
+  }
 
   val q80Sql: String = groupedQuantileSql("//")
 

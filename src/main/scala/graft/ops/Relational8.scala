@@ -215,12 +215,88 @@ object Relational8 {
     * r(v*) ≥ target — emitted as `b*_sample_err`/`b*_reached`
     * booleans, alongside the exact-selection percentile the estimate
     * must sit at-or-above (`b*_not_below`); a sketch bug flips a
-    * boolean and breaks the oracle hash. Both engines run the same
-    * template — only the integer-division spelling differs (Spark
-    * `DIV` truncates, DuckDB `//` floors; every operand here is
-    * nonnegative so they agree). */
-  def q79QuantileSketch(spark: SparkSession, dir: String): DataFrame =
-    sql(spark, dir, quantileSketchSql("DIV"))
+    * boolean and breaks the oracle hash. The exact companion's global
+    * ROW_NUMBER is the one single-partition window in the query — it
+    * exists ONLY to make the guarantee hashable at verify SF; the
+    * production path at 100 TB is the summary algebra alone (drop the
+    * `exact`/`ranks` CTEs), whose widest frame is the per-month
+    * summary. Both engines run the same template — only the
+    * integer-division spelling differs (Spark `DIV` truncates, DuckDB
+    * `//` floors; every operand here is nonnegative so they agree).
+    * The GROUPED form with the telescoped (non-quadratic) merge is
+    * [[q80GroupedQuantiles]]. */
+  def q79QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    // DataFrame form, for the same reason as [[q80GroupedQuantiles]]:
+    // Spark inlines CTEs, so the template's repeated `base`/`summ`/
+    // `est` references re-ran the corpus scan+window per reference
+    // (9.5 s in full-suite context); here the summary-sized frames
+    // checkpoint once and the corpus is scanned exactly twice (summary
+    // build; one combined exact+rank verification pass). The ORACLE
+    // runs the original multi-reference template — an independent
+    // derivation the hash compare checks this plan against.
+    val base = Tables(spark, dir, "lineitem")
+      .select(date_trunc("month", col("l_shipdate")).as("mon"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_orderkey").as("okey"), col("l_linenumber").as("ln"))
+    val wSort = Window.partitionBy(col("mon"))
+      .orderBy(col("cents"), col("okey"), col("ln"))
+    val wAll = Window.partitionBy(col("mon"))
+    val summ = base
+      .withColumn("rn", row_number().over(wSort).cast(LongType))
+      .withColumn("n_m", count(lit(1)).over(wAll))
+      .withColumn("step", expr("CAST(ceil(n_m / 32.0) AS BIGINT)"))
+      .filter((col("rn") - 1) % col("step") === 0 || col("rn") === col("n_m"))
+      .select(col("mon"), col("cents"), col("rn"), col("n_m"), col("step"))
+      .localCheckpoint()
+    val tot = summ.groupBy(col("mon"))
+      .agg(max(col("n_m")).as("n_m"), max(col("step")).as("step"))
+      .agg(sum(col("n_m")).as("n_total"), sum(col("step")).as("err_bound"))
+      .withColumn("t50", expr("(n_total + 1) DIV 2"))
+      .withColumn("t90", expr("(9 * n_total + 9) DIV 10"))
+    // telescoped est ranks (q80's trick); the global summary is a few
+    // thousand rows, so its single-partition prefix window is
+    // summary-sized by construction
+    val wDelta = Window.partitionBy(col("mon")).orderBy(col("rn"))
+    val wCum = Window.orderBy(col("cents"), col("mon"), col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = summ
+      .withColumn("delta",
+        col("rn") - coalesce(lag(col("rn"), 1).over(wDelta), lit(0L)))
+      .withColumn("cum", sum(col("delta")).over(wCum))
+      .groupBy(col("cents")).agg(max(col("cum")).as("est_rank"))
+      .withColumnRenamed("cents", "v")
+      .localCheckpoint()
+    val pick = est.crossJoin(broadcast(tot))
+      .agg(min(when(col("est_rank") >= col("t50"), col("v")))
+        .as("est_p50"),
+        min(when(col("est_rank") >= col("t90"), col("v"))).as("est_p90"))
+    val er = est.crossJoin(broadcast(pick))
+      .agg(max(when(col("v") === col("est_p50"), col("est_rank")))
+        .as("er50"),
+        max(when(col("v") === col("est_p90"), col("est_rank"))).as("er90"))
+    val wGlobal = Window.orderBy(col("cents"), col("okey"), col("ln"))
+    val verified = base.crossJoin(broadcast(tot)).crossJoin(broadcast(pick))
+      .withColumn("grn", row_number().over(wGlobal).cast(LongType))
+      .agg(max(when(col("grn") === col("t50"), col("cents")))
+        .as("exact_p50"),
+        max(when(col("grn") === col("t90"), col("cents"))).as("exact_p90"),
+        sum(when(col("cents") <= col("est_p50"), 1L).otherwise(0L))
+          .as("r50"),
+        sum(when(col("cents") <= col("est_p90"), 1L).otherwise(0L))
+          .as("r90"))
+    tot.crossJoin(pick).crossJoin(verified).crossJoin(er)
+      .select(col("n_total"), col("err_bound"), col("t50"), col("t90"),
+        col("est_p50"), col("exact_p50"), col("r50"), col("er50"),
+        (col("r50") >= col("t50")).as("b50_reached"),
+        (col("r50") - col("er50") >= 0 &&
+          col("r50") - col("er50") < col("err_bound")).as("b50_sample_err"),
+        (col("est_p50") >= col("exact_p50")).as("b50_not_below"),
+        col("est_p90"), col("exact_p90"), col("r90"), col("er90"),
+        (col("r90") >= col("t90")).as("b90_reached"),
+        (col("r90") - col("er90") >= 0 &&
+          col("r90") - col("er90") < col("err_bound")).as("b90_sample_err"),
+        (col("est_p90") >= col("exact_p90")).as("b90_not_below"))
+  }
 
   val q79Sql: String = quantileSketchSql("//")
 

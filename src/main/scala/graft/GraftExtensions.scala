@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_min_hash",
         "rolling_min_hash(s) - min 64-bit Karp-Rabin hash over 16-byte windows"),
       (exprs: Seq[Expression]) => RollingMinHash(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("rolling_hashes"),
+      info("rolling_hashes",
+        "rolling_hashes(s) - every 16-byte-window Karp-Rabin hash, in order"),
+      (exprs: Seq[Expression]) => graft.functions.RollingHashes(exprs.head)))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(tokens) - 64-slot MinHash signature"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head)))

@@ -110,6 +110,34 @@ object TextHash {
     min
   }
 
+  /** Every full-window rolling hash, in position order — index j holds
+    * the hash of bytes [j, j+Window): the [[graft.functions
+    * .RollingHashes]] kernel (same Karp-Rabin recurrence as
+    * [[rollingMin]], all windows kept instead of min-selected).
+    * Content-defined chunking reads cut points off these: a window's
+    * hash depends ONLY on its 16 bytes, so cut decisions realign after
+    * insertions/deletions — the shift-invariance fixed-size chunking
+    * lacks. Empty for texts shorter than the window. */
+  def rollingAll(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    if (n < RollingMinHashKernel.Window)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - RollingMinHashKernel.Window + 1)
+    var h = 0L
+    var i = 0
+    while (i < RollingMinHashKernel.Window) {
+      h = h * RollingMinHashKernel.Base + (bytes(i) & 0xff); i += 1
+    }
+    out(0) = h
+    while (i < n) {
+      h = h * RollingMinHashKernel.Base + (bytes(i) & 0xff) -
+        RollingMinHashKernel.BasePowW * (bytes(i - RollingMinHashKernel.Window) & 0xff)
+      out(i - RollingMinHashKernel.Window + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Membership set for [[graft.functions.CountInSet]] — UTF8String
     * members so probes need no per-token String allocation. (Raw
     * java.util type: generated Java calls this, and janino's generics

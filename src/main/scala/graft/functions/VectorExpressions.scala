@@ -28,6 +28,9 @@ object VectorExpressions {
       "rolling_min_hash",
       exprs => RollingMinHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "rolling_hashes",
+      exprs => RollingHashes(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
@@ -150,5 +153,32 @@ case class RollingMinHash(child: Expression)
       s"graft.functions.TextHash.rollingMin($c.getBytes())")
 
   override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
+    copy(child = newChild)
+}
+
+/** `rolling_hashes(s)` → array of ALL full-window Karp-Rabin hashes in
+  * position order (the [[RollingMinHash]] recurrence without the min
+  * fold) — the primitive content-defined chunking cuts on
+  * ([[graft.llm.Multimodal.m12CdcChunks]]). Codegen'd; one pass. */
+case class RollingHashes(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hashes expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    TextHash.rollingAll(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.rollingAll($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
     copy(child = newChild)
 }

@@ -561,7 +561,101 @@ object Multimodal {
        |LEFT JOIN rep r USING (media_md5)
        |ORDER BY doc_id""".stripMargin
 
+  /** m12: content-defined chunking — variable-length blob chunks cut
+    * where a rolling 16-byte-window hash lands in a sparse residue
+    * class (h & 63 == 0), LBFS-style (Muthitacharoen et al., SOSP'01;
+    * the Gear/FastCDC family is the same idea with a cheaper window).
+    * m07's FIXED chunking cannot dedup across an insertion: every
+    * boundary after the edit shifts, so all downstream chunk digests
+    * change. A content-defined cut depends only on its local window,
+    * so boundaries REALIGN after the edit point and every untouched
+    * chunk hashes identically — the property that makes chunk-level
+    * dedup/storage work on real re-crawled corpora (the spec proves
+    * it: a prefix-shifted copy shares all chunks but the first).
+    *
+    * Plan: ONE codegen'd pass per blob ([[graft.functions
+    * .RollingHashes]]) yields every window hash; cut offsets fall out
+    * of a filter/transform over that array (no per-row UDF, no
+    * shuffle until the chunk rows aggregate downstream); the chunk
+    * explode then carries (start, len, digest) — digests travel,
+    * payloads don't, m07's posture. Expected chunk length is
+    * 1/density = 64 bytes; the min/max-length bounds production CDC
+    * adds were considered and DECLINED here (NOTES.md): they make the
+    * cut decision sequential (each boundary depends on the previous),
+    * which surrenders the pure-window form — the greedy walk is
+    * expressible as a per-doc recursive CTE if ever needed. The
+    * oracle replays the window hashes through the t04 closed-form
+    * polynomial (powers generated from [[graft.functions
+    * .RollingMinHashKernel]], so kernel and oracle cannot drift). */
+  def m12CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(spark)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("c_end"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ends", expr(
+        """array_distinct(concat(
+          |  filter(transform(rolling_hashes(text),
+          |    (h, j) -> CASE WHEN (h & 63) = 0
+          |      THEN CAST(j + 16 AS BIGINT) END),
+          |    x -> x IS NOT NULL),
+          |  array(CAST(length(text) AS BIGINT))))""".stripMargin))
+      .select(col("doc_id"), col("text"),
+        explode(col("ends")).as("c_end"))
+      .withColumn("c_start",
+        coalesce(lag(col("c_end"), 1).over(w), lit(0L)))
+      .select(col("doc_id"),
+        (row_number().over(w) - 1).cast(LongType).as("chunk_idx"),
+        col("c_start").as("start"),
+        (col("c_end") - col("c_start")).as("len"),
+        md5(expr("substr(text, c_start + 1, c_end - c_start)"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val m12Sql: String = {
+    // p[1] = B^15 ... p[16] = B^0, Long wraparound (= mod 2^64) — the
+    // same generation fpWithCte uses, from the kernel's constants
+    val powers = Iterator.iterate(1L)(
+        _ * graft.functions.RollingMinHashKernel.Base)
+      .take(16).toArray.reverse
+    val plist = powers.map(p =>
+      java.lang.Long.toUnsignedString(p) + "::HUGEINT")
+      .mkString("[", ",", "]")
+    val two64 = "18446744073709551616::HUGEINT"
+    s"""WITH consts AS (SELECT $plist AS p),
+       |cutsarr AS (
+       |  SELECT doc_id, text,
+       |    list_filter(range(1, greatest(length(text) - 14, 1)),
+       |      i -> (CAST(list_sum(list_transform(range(0, 16),
+       |        j -> unicode(text[i + j]) * p[j + 1])) AS HUGEINT)
+       |        % $two64) % 64 = 0) AS starts
+       |  FROM documents CROSS JOIN consts
+       |), ends AS (
+       |  SELECT doc_id, text,
+       |    list_distinct(list_transform(starts, i -> i + 15)
+       |      || [length(text)]) AS ends
+       |  FROM cutsarr
+       |), cutrows AS (
+       |  SELECT doc_id, text, unnest(ends) AS c_end FROM ends
+       |), chunked AS (
+       |  SELECT doc_id, text, c_end,
+       |    coalesce(LAG(c_end) OVER (PARTITION BY doc_id ORDER BY c_end),
+       |      0) AS c_start
+       |  FROM cutrows
+       |)
+       |SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c_start)
+       |    - 1 AS BIGINT) AS chunk_idx,
+       |  CAST(c_start AS BIGINT) AS start,
+       |  CAST(c_end - c_start AS BIGINT) AS len,
+       |  md5(substr(text, c_start + 1, c_end - c_start)) AS chunk_md5
+       |FROM chunked
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_cdc_chunks" -> (m12CdcChunks _),
     "m11_training_pairs" -> (m11TrainingPairs _),
     "m09_integrity_audit" -> (m09IntegrityAudit _),
     "m10_shared_frame_dups" -> (m10SharedFrameDups _),
@@ -640,6 +734,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "m12_cdc_chunks" -> m12Sql,
     "m11_training_pairs" -> m11Sql,
     "m09_integrity_audit" -> m09Sql,
     "m10_shared_frame_dups" -> m10Sql,

@@ -858,6 +858,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("pred_hi")))
   }
 
+  test("m12 CDC chunks tile each doc; boundaries realign after an insertion") {
+    import spark.implicits._
+    val rows = Multimodal.m12CdcChunks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // chunks tile [0, n) contiguously, indexes dense from 0
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.map(_.getAs[Long]("chunk_idx"))
+        .sameElements(0L until sorted.length))
+      var pos = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start") == pos)
+        assert(r.getAs[Long]("len") > 0)
+        pos += r.getAs[Long]("len")
+      }
+    }
+    // shift invariance — the property fixed chunking (m07) lacks:
+    // chunk a document and a prefix-shifted copy of it; every chunk
+    // except the one containing the edit must reappear IDENTICALLY
+    val docText = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 1L).select("text").collect()(0)
+      .getString(0)
+    val tmp = java.nio.file.Files.createTempDirectory("m12-shift")
+    Seq((1L, docText, "en", "src0", docText.length.toLong),
+        (2L, "XYZ" + docText, "en", "src0", docText.length + 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("documents.parquet").toString)
+    val pair = Multimodal.m12CdcChunks(spark, tmp.toString).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, g) =>
+        id -> g.sortBy(_.getAs[Long]("chunk_idx"))
+          .map(_.getAs[String]("chunk_md5")).toSeq
+      }
+    val (orig, shifted) = (pair(1L), pair(2L))
+    // all original chunks past the first survive the 3-byte insertion
+    assert(orig.tail.forall(shifted.contains),
+      s"lost chunks: ${orig.tail.filterNot(shifted.contains).take(3)}")
+    // and the shifted copy's tail IS the original's tail (realigned)
+    assert(shifted.takeRight(orig.length - 1) == orig.tail)
+    // the edit-containing head differs — chunking is content-defined,
+    // not content-blind
+    assert(shifted.head != orig.head)
+  }
+
   test("s14 hard negatives: every neighbor is cross-label and beats the unreturned ones") {
     val rows = Similarity.s14HardNegatives(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -587,7 +587,12 @@ object Multimodal {
     * oracle replays the window hashes through the t04 closed-form
     * polynomial (powers generated from [[graft.functions
     * .RollingMinHashKernel]], so kernel and oracle cannot drift). */
-  def m12CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+  def m12CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(spark, dir).orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The CDC chunk frame (doc_id, chunk_idx, start, len, chunk_md5),
+    * unordered — m12's body, shared with [[m13CdcDedupStats]]. */
+  private def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(spark)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("c_end"))
@@ -610,10 +615,76 @@ object Multimodal {
         (col("c_end") - col("c_start")).as("len"),
         md5(expr("substr(text, c_start + 1, c_end - c_start)"))
           .as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
-  val m12Sql: String = {
+  /** m13: chunk-level storage-dedup accounting over the CDC chunks —
+    * the statistic a content-addressable store reports: per document,
+    * how many of its bytes are already present as earlier documents'
+    * chunks. A chunk instance is deduplicated when its digest's FIRST
+    * holder (min doc_id) precedes this document — t17's
+    * first-occurrence convention, which makes the accounting
+    * attributable (exactly one holder stores each unique chunk) and
+    * deterministic. Differs from p17 in mechanism and meaning: p17
+    * measures verbatim d15-span text overlap; m13 measures what a
+    * CDC-chunked blob store would actually NOT re-store, insertions
+    * tolerated via m12's shift-invariant boundaries. One digest-keyed
+    * aggregate over the chunk frame + a broadcast-join back — digests
+    * travel, payloads don't. Integer ppm ratio, oracle-exact. */
+  def m13CdcDedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(spark, dir)
+    val firstHolder = chunks.groupBy(col("chunk_md5"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    chunks.join(firstHolder, "chunk_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("total_bytes"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("dup_chunks"),
+        sum(when(col("first_doc") < col("doc_id"), col("len"))
+          .otherwise(0L)).as("dup_bytes"))
+      .withColumn("uniq_ppm",
+        expr("(1000000 * (total_bytes - dup_bytes)) DIV total_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  // chain m12's chunk derivation, then the dedup accounting (concat
+  // AFTER stripMargin — the body's `||` list-concat would be eaten by
+  // a whole-string strip)
+  val m13Sql: String = m12SqlBody +
+    """, chunks AS (
+       |  SELECT doc_id, c_end - c_start AS len,
+       |    md5(substr(text, c_start + 1, c_end - c_start)) AS chunk_md5
+       |  FROM chunked
+       |), fh AS (
+       |  SELECT chunk_md5, MIN(doc_id) AS first_doc
+       |  FROM chunks GROUP BY chunk_md5
+       |)
+       |SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(c.len) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(CASE WHEN f.first_doc < c.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS dup_chunks,
+       |  CAST(SUM(CASE WHEN f.first_doc < c.doc_id THEN c.len ELSE 0 END)
+       |    AS BIGINT) AS dup_bytes,
+       |  (1000000 * CAST(SUM(c.len) AS BIGINT)
+       |    - 1000000 * CAST(SUM(CASE WHEN f.first_doc < c.doc_id
+       |        THEN c.len ELSE 0 END) AS BIGINT))
+       |    // CAST(SUM(c.len) AS BIGINT) AS uniq_ppm
+       |FROM chunks c JOIN fh f ON f.chunk_md5 = c.chunk_md5
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
+  val m12Sql: String = m12SqlBody +
+    """
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c_start)
+      |    - 1 AS BIGINT) AS chunk_idx,
+      |  CAST(c_start AS BIGINT) AS start,
+      |  CAST(c_end - c_start AS BIGINT) AS len,
+      |  md5(substr(text, c_start + 1, c_end - c_start)) AS chunk_md5
+      |FROM chunked
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private lazy val m12SqlBody: String = {
     // p[1] = B^15 ... p[16] = B^0, Long wraparound (= mod 2^64) — the
     // same generation fpWithCte uses, from the kernel's constants
     val powers = Iterator.iterate(1L)(
@@ -643,18 +714,11 @@ object Multimodal {
        |    coalesce(LAG(c_end) OVER (PARTITION BY doc_id ORDER BY c_end),
        |      0) AS c_start
        |  FROM cutrows
-       |)
-       |SELECT doc_id,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c_start)
-       |    - 1 AS BIGINT) AS chunk_idx,
-       |  CAST(c_start AS BIGINT) AS start,
-       |  CAST(c_end - c_start AS BIGINT) AS len,
-       |  md5(substr(text, c_start + 1, c_end - c_start)) AS chunk_md5
-       |FROM chunked
-       |ORDER BY doc_id, chunk_idx""".stripMargin
+       |)""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_cdc_dedup" -> (m13CdcDedupStats _),
     "m12_cdc_chunks" -> (m12CdcChunks _),
     "m11_training_pairs" -> (m11TrainingPairs _),
     "m09_integrity_audit" -> (m09IntegrityAudit _),
@@ -734,6 +798,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "m13_cdc_dedup" -> m13Sql,
     "m12_cdc_chunks" -> m12Sql,
     "m11_training_pairs" -> m11Sql,
     "m09_integrity_audit" -> m09Sql,

@@ -903,6 +903,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(shifted.head != orig.head)
   }
 
+  test("m13 CDC dedup accounting equals a recompute from the m12 chunk list") {
+    val stats = Multimodal.m13CdcDedupStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("total_bytes"),
+          r.getAs[Long]("dup_chunks"), r.getAs[Long]("dup_bytes"),
+          r.getAs[Long]("uniq_ppm"))).toMap
+    val chunks = Multimodal.m12CdcChunks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"),
+        r.getAs[String]("chunk_md5")))
+    val firstHolder = chunks.groupBy(_._3)
+      .map { case (h, g) => h -> g.map(_._1).min }
+    val want = chunks.groupBy(_._1).map { case (doc, g) =>
+      val dup = g.filter(c => firstHolder(c._3) < doc)
+      val total = g.map(_._2).sum
+      val dupB = dup.map(_._2).sum
+      doc -> (g.length.toLong, total, dup.length.toLong, dupB,
+        (1000000L * (total - dupB)) / total)
+    }
+    assert(stats == want)
+    // chunk bytes tile the text exactly
+    val nChars = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    stats.foreach { case (doc, s) => assert(s._2 == nChars(doc)) }
+    // storage closes: every unique digest has at least one stored
+    // (non-dup) instance — its first holder's copies (a digest
+    // repeated INSIDE its first doc stores once per instance there,
+    // so ≥, with equality iff no intra-doc repeats)
+    assert(stats.values.map(t => t._1 - t._3).sum >=
+      chunks.map(_._3).distinct.length)
+  }
+
   test("s14 hard negatives: every neighbor is cross-label and beats the unreturned ones") {
     val rows = Similarity.s14HardNegatives(spark, sf).collect()
     assert(rows.nonEmpty)

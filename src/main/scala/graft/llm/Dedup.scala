@@ -264,17 +264,17 @@ object Dedup {
     * sf0.1). Prefix filtering earns its keep at high thresholds — d08. */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    // postings carry xxhash64 digests of the 24-char shingles, not the
-    // strings (d08/d15's key swap): the self-join exchange ships and
-    // sorts 8-byte longs. Distinct-shingle digests are what `inter`
-    // counts, so a 64-bit collision between two DIFFERENT shingles of a
-    // candidate pair could inflate a count — the DuckDB oracle joins the
-    // raw strings and catches any such at verify SF, and the 100 TB
-    // posture is d15's documented 16-byte-digest knob ([[d15Digest]]).
+    // postings carry digests of the 24-char shingles, not the strings
+    // (d08/d15's key swap): the self-join exchange ships and sorts
+    // 8-byte longs. Distinct-shingle digests are what `inter` counts,
+    // so a 64-bit collision between two DIFFERENT shingles of a
+    // candidate pair could inflate a count — the DuckDB oracle joins
+    // the raw strings and catches any such at verify SF, and the
+    // 100 TB posture is the shared [[PostingWideDigest]] 16-byte knob.
     val postings = sh
       .select(col("doc_id"), size(col("shingles")).as("n"),
         explode(col("shingles")).as("sg0"))
-      .select(col("doc_id"), col("n"), xxhash64(col("sg0")).as("sg"))
+      .select(col("doc_id"), col("n"), postingDigest(col("sg0")).as("sg"))
     val pairCounts = postings.as("a")
       .join(postings.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
@@ -391,10 +391,10 @@ object Dedup {
   def d13Containment(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
     // digest posting keys, same swap + same oracle-guarded collision
-    // posture as d04
+    // posture as d04 (shared [[PostingWideDigest]] 16-byte knob)
     val postings = sh
       .select(col("doc_id"), explode(col("shingles")).as("sg0"))
-      .select(col("doc_id"), xxhash64(col("sg0")).as("sg"))
+      .select(col("doc_id"), postingDigest(col("sg0")).as("sg"))
     val pairCounts = postings.as("a")
       .join(postings.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
@@ -675,13 +675,34 @@ object Dedup {
     * 10¹³ positions — the swap is this constant, not a code edit. */
   val DupSpanWideDigest = false
 
-  /** Shingle digest for [[d15DupSpans]] under the current
-    * [[DupSpanWideDigest]] setting — 8-byte long or 16-byte long pair;
-    * both group/sort/partition identically, the pair just costs a wider
-    * exchange. */
-  private def spanDigest(s: Column): Column =
-    if (DupSpanWideDigest) struct(xxhash64(s), xxhash64(lit(1L), s))
+  /** The same 100 TB knob for the d04/d12/d13 posting joins, whose
+    * intersection COUNTS feed Jaccard/containment directly with no
+    * downstream exact verify (unlike d08, where every candidate passes
+    * an exact array check, so collisions are provably harmless there):
+    * an 8-byte collision between two DIFFERENT shingles of a candidate
+    * pair silently inflates `inter`. The raw-string oracle catches any
+    * such at verify SF; at production position counts flip this
+    * constant — [[DupSpanWideDigest]]'s probability arithmetic applies
+    * unchanged, and the swap is the constant, not a code edit. */
+  val PostingWideDigest = false
+
+  /** 8-or-16-byte digest key: a single xxhash64 long, or a pair of
+    * independent xxhash64s (second seeded by a prefixed constant
+    * column). Both group/sort/partition identically; the pair just
+    * costs a wider exchange. */
+  private def digestKey(s: Column, wide: Boolean): Column =
+    if (wide) struct(xxhash64(s), xxhash64(lit(1L), s))
     else xxhash64(s)
+
+  /** Shingle digest for [[d15DupSpans]]/[[d16SharedSpanPairs]] under
+    * [[DupSpanWideDigest]]. */
+  private def spanDigest(s: Column): Column =
+    digestKey(s, DupSpanWideDigest)
+
+  /** Posting-join shingle key for [[d04NgramJaccard]] (and thus d12)
+    * and [[d13Containment]] under [[PostingWideDigest]]. */
+  private def postingDigest(s: Column): Column =
+    digestKey(s, PostingWideDigest)
 
   /** d15: exact-substring span dedup — the passage-level complement to
     * the doc-level ops (d01..d13): find every maximal character span of

@@ -586,18 +586,31 @@ object Multimodal {
     * expressible as a per-doc recursive CTE if ever needed. The
     * oracle replays the window hashes through the t04 closed-form
     * polynomial (powers generated from [[graft.functions
-    * .RollingMinHashKernel]], so kernel and oracle cannot drift). */
+    * .RollingMinHashKernel]], so kernel and oracle cannot drift).
+    *
+    * ASCII CONTRACT: `rolling_hashes` walks UTF-8 BYTES while the cut
+    * points feed character-indexed `substr`/`length`, so the two
+    * coordinate systems agree only when every character is one byte.
+    * The op therefore ENFORCES `length(text) = octet_length(text)`
+    * (pure-ASCII) and `length(text) > 0` as a filter, mirrored in the
+    * oracle — a non-ASCII or empty document is excluded rather than
+    * silently mis-chunked (and the empty-doc case would make m13's
+    * ppm divide by zero). A byte-space variant (binary substr over
+    * `encode(text,'UTF-8')`) is the documented lift if multilingual
+    * CDC is ever needed; see NOTES.md. */
   def m12CdcChunks(spark: SparkSession, dir: String): DataFrame =
     cdcChunks(spark, dir).orderBy(col("doc_id"), col("chunk_idx"))
 
   /** The CDC chunk frame (doc_id, chunk_idx, start, len, chunk_md5),
-    * unordered — m12's body, shared with [[m13CdcDedupStats]]. */
+    * unordered — m12's body, shared with [[m13CdcDedupStats]].
+    * Enforces m12's ASCII + non-empty precondition (scaladoc above). */
   private def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(spark)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("c_end"))
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
+      .where(expr("length(text) = octet_length(text) AND length(text) > 0"))
       .withColumn("ends", expr(
         """array_distinct(concat(
           |  filter(transform(rolling_hashes(text),
@@ -702,6 +715,7 @@ object Multimodal {
        |        j -> unicode(text[i + j]) * p[j + 1])) AS HUGEINT)
        |        % $two64) % 64 = 0) AS starts
        |  FROM documents CROSS JOIN consts
+       |  WHERE length(text) = strlen(text) AND length(text) > 0
        |), ends AS (
        |  SELECT doc_id, text,
        |    list_distinct(list_transform(starts, i -> i + 15)

@@ -903,6 +903,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(shifted.head != orig.head)
   }
 
+  test("m12/m13 enforce the ASCII + non-empty precondition as a filter") {
+    import spark.implicits._
+    // rolling_hashes walks UTF-8 bytes while the cut points feed
+    // character-indexed substr — the coordinate systems only agree on
+    // pure-ASCII text, so non-ASCII (and empty, which would zero
+    // m13's ppm denominator) docs must be EXCLUDED, not mis-chunked
+    val tmp = java.nio.file.Files.createTempDirectory("m12-ascii")
+    Seq((1L, "plain ascii text long enough to chunk " * 4, "en"),
+        (2L, "café au lait — déjà vu ☃ " * 8, "fr"),
+        (3L, "", "en"))
+      .map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("documents.parquet").toString)
+    val ids12 = Multimodal.m12CdcChunks(spark, tmp.toString)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids12 == Set(1L), s"expected only the ASCII doc, got $ids12")
+    val ids13 = Multimodal.m13CdcDedupStats(spark, tmp.toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids13 == Set(1L))
+  }
+
   test("m13 CDC dedup accounting equals a recompute from the m12 chunk list") {
     val stats = Multimodal.m13CdcDedupStats(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -76,6 +76,19 @@ object Relational8 {
     * re-accumulates per frame — the same cost the oracle's native
     * windowed DISTINCT pays). Two keyed exchanges total: the dedup's
     * composite-key aggregate, then the window's partkey partitioning.
+    * ScaleDesignSpec pins the contract on a skewed frame: 10k-row
+    * multiplicity on one part collapses to ≤ days×suppliers window
+    * input and ≤ true-distinct set state, and the plan proves the
+    * window consumes the deduped grain. ESCAPE HATCH if a key's
+    * distinct-per-frame count ever stops being tiny (say, >10³
+    * suppliers per part-week): keep the daily grain but window an
+    * INVERTIBLE pair instead of the set — per (part, day) emit
+    * `n_new` (suppliers whose previous sighting is >6 days back, via
+    * one lag over (part, supplier)) and `n_expired` symmetrical, then
+    * supp_7d is a running sum of deltas — O(1) state per row, two
+    * window passes on the same partitioning. Declined while the
+    * bound-pin holds (NOTES.md): the set form is one pass and the
+    * fixture's true bound is single-digit.
     * The oracle is DuckDB's native windowed
     * COUNT(DISTINCT) over the identical frame — an engine-native
     * cross-check of the composed form. Day numbers are exact integers

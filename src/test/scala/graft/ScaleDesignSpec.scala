@@ -520,6 +520,78 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"q78: expected <= 5 exchanges, got ${shuffles.length}")
   }
 
+  test("q76 plan: dims broadcast, correlated MIN de-correlates to one agg join") {
+    // the TPC-H Q2 shape has two scale requirements: every dim lookup
+    // (part/supplier/nation/region, both in the outer query and inside
+    // the regional-minimum derivation) broadcasts, and the correlated
+    // scalar MIN must be rewritten to a de-correlated aggregate joined
+    // back on partkey — ONE keyed join, never a per-row subquery or a
+    // nested-loop shape
+    val plan = ops.Relational8.q76MinCostSupplier(spark, sf)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val nodes = plan.collectWithSubqueries { case p => p.nodeName }
+    assert(!nodes.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin") || n.contains("Subquery")),
+      s"q76 must plan no nested-loop join and no residual subquery: ${nodes.toSet}")
+    val joins = nodes.filter(_.contains("Join"))
+    assert(joins.count(_.contains("BroadcastHashJoin")) >= 6,
+      s"q76's dim lookups should all broadcast: $joins")
+    // the only non-broadcast join allowed is the de-correlated minimum
+    // joining back to the supply aggregate on partkey
+    assert(joins.count(!_.contains("BroadcastHashJoin")) <= 1,
+      s"q76: more than one shuffled join — decorrelation regressed: $joins")
+  }
+
+  test("q77 window state is bounded by true distinct count, not row multiplicity") {
+    import spark.implicits._
+    // skewed synthetic frame: ONE part with 10,000 lineitem rows packed
+    // into one week but only 3 distinct suppliers. The contract that
+    // keeps q77 viable at scale: (a) the daily-grain dedup runs BELOW
+    // the window, so frame input collapses to ≤ days × distinct
+    // suppliers rows; (b) collect_set state per row is then ≤ the true
+    // distinct supplier count (3), regardless of the 10k multiplicity.
+    // If a key's distinct-per-frame ever stops being tiny, the scaladoc'd
+    // escape hatch (invertible new/expired deltas) replaces the set.
+    val tmp = java.nio.file.Files.createTempDirectory("q77-skew")
+    val base = java.time.LocalDate.of(1995, 1, 1)
+    (0 until 10000).map { i =>
+      (1L, java.sql.Date.valueOf(base.plusDays(i % 7)), (i % 3 + 1).toLong)
+    }.toDF("l_partkey", "l_shipdate", "l_suppkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("lineitem.parquet").toString)
+    val q = ops.Relational8.q77RollingDistinct(spark, tmp.toString)
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // (a) structurally: the window's child subtree contains the
+    // 3-key dedup aggregate — multiplicity dies before the frame
+    val win = plan.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.getOrElse(fail("q77 plans no WindowExec"))
+    val dedupBelow = win.child.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if h.groupingExpressions.length == 3 && h.aggregateExpressions.isEmpty => h
+    }
+    assert(dedupBelow.nonEmpty,
+      "q77's window must consume the (part, day, supplier)-deduped grain")
+    // (b) arithmetically: window input is 21 rows (7 days × 3
+    // suppliers), and no frame's set ever exceeds the true distinct 3
+    val rows = q.collect()
+    assert(rows.length == 7, s"daily grain: expected 7 rows, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("supp_7d")).max == 3L,
+      "frame set state must cap at the true distinct supplier count")
+    val dedupCount = Tables(spark, tmp.toString, "lineitem")
+      .select("l_partkey", "l_shipdate", "l_suppkey").distinct().count()
+    assert(dedupCount == 21L,
+      s"window input must be days×suppliers = 21 rows, got $dedupCount")
+  }
+
   test("p18 selection plan: no global single-partition window anywhere") {
     // the DSIR top-k flag must come from the broadcast k-th threshold,
     // never from a ROW_NUMBER() OVER (ORDER BY ...) global window — a

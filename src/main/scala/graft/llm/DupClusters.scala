@@ -152,10 +152,13 @@ object DupClusters {
     * near-dup pair is missed (LlmOpsSpec measures the within-cell
     * recall); everything found is exact-verified, so precision is 1. */
   def d11SemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val members = Similarity.ivfRanked(spark, dir)
-      .filter(col("cell_rank") === 1)
+    // the rank-1 members come from the PERSISTED inverted lists
+    // (Similarity.ivfIndexBase — trained once per JVM, read here):
+    // both self-join sides are cheap stable parquet re-reads, so the
+    // localCheckpoint that used to guard against double-training is
+    // gone with the double-training itself
+    val members = Similarity.ivfInvertedLists(spark, dir)
       .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
-      .localCheckpoint() // both self-join sides + nothing else re-trains IVF
     val a = members.select(col("cell"), col("vec_id").as("doc_a"),
       col("embedding").as("ea"), col("norm").as("na"))
     val b = members.select(col("cell"), col("vec_id").as("doc_b"),

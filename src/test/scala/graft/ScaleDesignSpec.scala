@@ -1207,6 +1207,40 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@5 = $recall")
   }
 
+  test("IVF index artifact: one training pass serves s02 + d11 + s14") {
+    // a 100 TB ANN pipeline trains ONCE and probes many times; the
+    // index is a stored artifact (centroids + cell-partitioned
+    // inverted lists), not a per-query plan subtree. Pin all of it:
+    // (a) running all three consumers trains at most once more this
+    // JVM (zero more if an earlier test already touched the corpus);
+    // (b) the artifact has the advertised layout — 16 centroid rows,
+    // assignments laid out cell-major (one partition dir per cell);
+    // (c) the stored inverted lists are exactly the rank-1 assignment
+    // a live ranking against the stored centroids produces.
+    val before = llm.Similarity.ivfTrainCount.get()
+    llm.Similarity.s02IvfTopK(spark, sf).collect()
+    llm.DupClusters.d11SemDedup(spark, sf).collect()
+    llm.Similarity.s14HardNegatives(spark, sf).collect()
+    val trained = llm.Similarity.ivfTrainCount.get() - before
+    assert(trained <= 1,
+      s"three probe queries caused $trained training passes (want <= 1)")
+    val base = new java.io.File(llm.Similarity.ivfIndexBase(spark, sf))
+    val centroids = spark.read.parquet(s"${base}/centroids")
+    assert(centroids.count() == 16L)
+    val cellDirs = new java.io.File(base, "assignments")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length == 16,
+      s"inverted lists must be cell-major: ${cellDirs.length} cell dirs")
+    val stored = llm.Similarity.ivfInvertedLists(spark, sf)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val live = llm.Similarity.ivfRanked(spark, sf)
+      .filter(col("cell_rank") === 1).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored == live,
+      "stored inverted lists must equal the live rank-1 assignment")
+  }
+
   test("observe: lazy row-count metrics ride the action, no extra job") {
     // production pipelines meter stages with observe() — the metric is
     // collected DURING the action (an accumulator on the plan), not by

@@ -193,15 +193,20 @@ object EventWindows {
       buySide(events).withWatermark("buy_ts", "1 hour"),
       clickSide(events).withWatermark("click_ts", "1 hour"))
 
+  /** The attribution join applied to an arbitrary BOUNDED events frame
+    * — the batch twin of [[streamingClickAttribution]] over the same
+    * side projections and predicate, exposed so StreamingSpec can
+    * replay it on staged micro-batch data and compare row-for-row. */
+  def clickAttributionBatch(events: DataFrame): DataFrame =
+    attributionJoin(buySide(events), clickSide(events))
+
   /** st05: the attribution join's batch form over the bounded events
     * table — same side projections, same predicate, no watermarks —
     * which makes the stream-stream join's semantics oracle-checkable
     * as a plain interval join in DuckDB. */
-  def st05ClickAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
-    attributionJoin(buySide(ev), clickSide(ev))
+  def st05ClickAttribution(spark: SparkSession, dir: String): DataFrame =
+    clickAttributionBatch(Tables(spark, dir, "events"))
       .orderBy(col("buy_id"), col("click_id"))
-  }
 
   val st05Sql: String =
     """SELECT b.event_id AS buy_id, c.event_id AS click_id, b.user_id,

@@ -532,6 +532,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: out-of-order batches match the batch join; beyond-watermark state is evicted") {
+    // the subtle part of a watermarked stream-stream interval join is
+    // STATE EVICTION: click state must be dropped once the watermark
+    // passes its join window, and a too-late purchase must not match —
+    // even though the batch predicate would pair them. Staged here as
+    // three explicit micro-batches over a MemoryStream.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(86400000L + min * 60000L)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = src.toDS()
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val q = EventWindows.streamingClickAttribution(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_xbatch").start()
+    def stateRows(): Long =
+      Option(q.lastProgress).toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .sum
+    val staged = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, java.sql.Timestamp)]
+    def stage(rows: (Long, Long, String, java.sql.Timestamp)*): Unit = {
+      staged ++= rows; src.addData(rows); q.processAllAvailable()
+    }
+    try {
+      // batch 1: user 1 click→purchase in order; user 2's click parked
+      stage((1L, 1L, "click", ts(0)), (2L, 1L, "purchase", ts(30)),
+        (3L, 2L, "click", ts(5)))
+      val stateAfterB1 = stateRows()
+      // batch 2: user 2's purchase arrives OUT OF ORDER (event time
+      // before the max already seen) but inside the watermark — it must
+      // still join against the parked click state. The far-future click
+      // AND purchase advance the watermark ~3 hours: the global
+      // watermark is the MIN across both sides' event-time columns
+      // (default multipleWatermarkPolicy), so BOTH sides must see the
+      // future or eviction never triggers
+      stage((4L, 2L, "purchase", ts(20)), (5L, 99L, "click", ts(240)),
+        (7L, 98L, "purchase", ts(241)))
+      // batch 3: a purchase 2+ hours BELOW the watermark — its click's
+      // state is evicted and the row itself is late; nothing may emit
+      stage((6L, 1L, "purchase", ts(40)))
+      val streamed = spark.table("attr_xbatch")
+        .select("buy_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // parity: the BATCH join over the full staged frame, minus pairs
+      // whose purchase arrived beyond the watermark, is exactly the
+      // streamed set — and the beyond-watermark pair is the only delta
+      val batch = EventWindows.clickAttributionBatch(
+        staged.toSeq.toDF("event_id", "user_id", "event_type", "ts"))
+        .select("buy_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == Set((2L, 1L), (4L, 3L), (6L, 1L)))
+      assert(streamed == batch - ((6L, 1L)),
+        s"streamed $streamed must drop exactly the beyond-watermark pair")
+      // and the state store actually shrank when the watermark jumped:
+      // batch 1 parks all 3 of its rows (inner-join state holds both
+      // sides until the watermark passes their windows); after the jump
+      // only the 2 rows still inside the live window survive — 6 rows
+      // reached the join in total, so anything >2 means state accretes
+      // forever and the join dies at 100 TB stream lengths
+      assert(stateAfterB1 == 3L, s"batch 1 should park 3 rows, got $stateAfterB1")
+      assert(stateRows() == 2L,
+        s"only the live-window rows may remain in state, got ${stateRows()}")
+    } finally q.stop()
+  }
+
   test("outer stream-stream join: inner rows match batch, outer rows are held back correctly") {
     val q = EventWindows.streamingUnattributedBuys(streamingEvents())
       .writeStream.outputMode("append")

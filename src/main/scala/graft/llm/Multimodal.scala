@@ -10,15 +10,74 @@ import graft.Tables
   * typed metadata struct, batch decode / feature-extract / frame-sample
   * over `mapPartitions`.
   *
-  * The fixture environment has no image/audio codecs, so `decodeStub`
-  * is a clearly-marked deterministic fake — but everything Spark-side is
-  * real and shaped for scale: the schema (`blob binary, meta struct`),
-  * the partition-batched decode (one decoder init per partition, not per
+  * The m02/m03/m04 decode leg does REAL byte-format work: media rows
+  * are framed in the GRFT container (magic + version + dims + payload
+  * length, big-endian — the farbfeld/BMP class of trivially-parseable
+  * header), and every consumer parses the header from the BYTES
+  * (magic validated, dims and payload boundaries read from the
+  * buffer), so the mapPartitions path pays genuine
+  * serialize/parse/slice cost. What stays stubbed — and is marked so —
+  * is only the codec-specific pixel transform (the feature vector is a
+  * byte histogram of the decoded payload, not a conv-net embedding;
+  * `resize` scales the byte budget, not pixels), because the fixture
+  * environment ships no image/audio codecs. Everything Spark-side is
+  * shaped for scale: the schema (`blob binary, meta struct`), the
+  * partition-batched decode (one decoder init per partition, not per
   * row — at 100 TB decoder setup per row would dominate), and the
-  * explode-style frame sampler. Swapping the stub for a real codec
-  * changes no plan shape.
+  * explode-style frame sampler. Swapping the payload transform for a
+  * real codec changes no plan shape.
   */
 object Multimodal {
+
+  /** GRFT container magic — the fixture's trivially-parseable media
+    * framing: `"GRFT" | version u8 | width u16 | height u16 |
+    * nFrames u16 | payloadLen u32 | payload` (all big-endian,
+    * 15-byte header). */
+  private[graft] val MediaMagic: Array[Byte] =
+    Array[Byte]('G', 'R', 'F', 'T')
+  private[graft] val MediaHeaderBytes = 15
+
+  /** Encode one media row into the GRFT container. */
+  private[graft] def encodeContainer(meta: MediaMeta,
+      payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(MediaHeaderBytes + payload.length)
+    bb.put(MediaMagic).put(1.toByte)
+      .putShort(meta.width.toShort).putShort(meta.height.toShort)
+      .putShort(meta.nFrames.toShort)
+      .putInt(payload.length)
+      .put(payload)
+    bb.array()
+  }
+
+  /** A parsed container: dims from the HEADER BYTES (not the metadata
+    * struct riding alongside) plus the payload slice. */
+  private[graft] case class DecodedMedia(width: Int, height: Int,
+      nFrames: Int, payload: Array[Byte])
+
+  /** Parse a GRFT container — validates magic, version and the payload
+    * length against the physical buffer, the checks any real format
+    * parser front-loads. Throws on corrupt input: a malformed blob in
+    * a decode job should fail loudly, not yield silent garbage
+    * features (m09's integrity audit is the op that TOLERATES and
+    * reports corruption). */
+  private[graft] def decodeContainer(blob: Array[Byte]): DecodedMedia = {
+    require(blob.length >= MediaHeaderBytes,
+      s"truncated container: ${blob.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    val magic = new Array[Byte](4); bb.get(magic)
+    require(java.util.Arrays.equals(magic, MediaMagic),
+      "bad container magic")
+    val version = bb.get()
+    require(version == 1, s"unsupported container version $version")
+    val w = bb.getShort() & 0xffff
+    val h = bb.getShort() & 0xffff
+    val nf = bb.getShort() & 0xffff
+    val len = bb.getInt()
+    require(len == blob.length - MediaHeaderBytes,
+      s"payload length $len != ${blob.length - MediaHeaderBytes}")
+    DecodedMedia(w, h, nf,
+      java.util.Arrays.copyOfRange(blob, MediaHeaderBytes, blob.length))
+  }
 
   /** Typed metadata carried next to every blob. */
   case class MediaMeta(mime: String, width: Int, height: Int, nFrames: Int)
@@ -26,7 +85,7 @@ object Multimodal {
   case class MediaRow(doc_id: Long, blob: Array[Byte], meta: MediaMeta)
 
   case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
-      feature: Array[Float])
+      width: Int, height: Int, feature: Array[Float])
 
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
 
@@ -47,48 +106,67 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder — deterministic fake standing in for a real codec
-    * (e.g. libjpeg/ffmpeg batch decode). Real environments replace the
-    * body; the signature (whole partition in, features out) is the
-    * contract that keeps decoder initialization per-partition. */
-  private[llm] def decodeStub(blob: Array[Byte]): (Long, Array[Float]) = {
+  /** [[packAsMedia]] with the payload framed in the GRFT container —
+    * the encode half of the m02/m03/m04 decode leg (real byte work on
+    * both sides of the shuffle). m07-m11 deliberately keep consuming
+    * the raw stored bytes: chunking/integrity/dedup are
+    * format-agnostic operations over whatever the store holds. */
+  def packAsMediaFramed(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    packAsMedia(spark, dir).mapPartitions { rows =>
+      rows.map(r => r.copy(blob = encodeContainer(r.meta, r.blob)))
+    }
+  }
+
+  /** Payload feature transform — the part that stays a deterministic
+    * STAND-IN for a codec-specific model (a real pipeline computes a
+    * conv-net embedding here): CRC32 + an 8-bin byte histogram over
+    * the DECODED payload. The container parse feeding it is real. */
+  private[llm] def payloadFeatures(payload: Array[Byte]): (Long, Array[Float]) = {
     val crc = new java.util.zip.CRC32()
-    crc.update(blob)
+    crc.update(payload)
     val checksum = crc.getValue
-    // fake 8-dim "embedding": byte histogram folded to 8 buckets, scaled
     val hist = new Array[Float](8)
     var i = 0
-    while (i < blob.length) { hist((blob(i) & 0xff) % 8) += 1f; i += 1 }
-    val n = math.max(1, blob.length).toFloat
+    while (i < payload.length) { hist((payload(i) & 0xff) % 8) += 1f; i += 1 }
+    val n = math.max(1, payload.length).toFloat
     (checksum, hist.map(_ / n))
   }
 
-  /** Batch feature extraction: one pass per partition, decoder state
-    * initialized once per partition. */
+  /** Batch feature extraction over GRFT-framed media: one pass per
+    * partition (decoder/buffer state initialized once per partition,
+    * not per row), each row a real header parse + payload slice before
+    * the feature transform. Width/height come from the header BYTES —
+    * the metadata struct is never consulted, so a meta/blob mismatch
+    * surfaces rather than hiding. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (codec handles, buffers)
       rows.map { r =>
-        val (checksum, feat) = decodeStub(r.blob)
-        MediaFeatures(r.doc_id, r.blob.length, checksum, feat)
+        val d = decodeContainer(r.blob)
+        val (checksum, feat) = payloadFeatures(d.payload)
+        MediaFeatures(r.doc_id, d.payload.length, checksum,
+          d.width, d.height, feat)
       }
     }
   }
 
-  /** Frame sampling: every `stride`-th frame index from the metadata,
-    * one output row per sampled frame (generator-style explode). The
-    * per-frame digest is md5 over `blob ++ ":<idx>"` — an engine-portable
-    * digest (a real decoder would hash the decoded frame instead). */
+  /** Frame sampling over GRFT-framed media: every `stride`-th frame
+    * index, with the frame COUNT read from the container header and
+    * the per-frame digest md5 over `payload ++ ":<idx>"` — the decoded
+    * content, as a real decoder would hash the decoded frame, so the
+    * digest is independent of the container framing. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // one digest instance per partition, reset per frame
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
-        (0 until r.meta.nFrames by stride).iterator.map { idx =>
+        val d = decodeContainer(r.blob)
+        (0 until d.nFrames by stride).iterator.map { idx =>
           md.reset()
-          md.update(r.blob)
+          md.update(d.payload)
           md.update(s":$idx".getBytes("UTF-8"))
           val hex = md.digest().map(b => f"$b%02x").mkString
           FrameRow(r.doc_id, idx, hex)
@@ -99,20 +177,24 @@ object Multimodal {
 
   case class ResizedRow(doc_id: Long, blob: Array[Byte], meta: MediaMeta)
 
-  /** Resize: STUB image scaler — the real codec would decode, scale to
-    * (w, h) and re-encode; the stub deterministically truncates/pads the
-    * blob to the implied byte budget and rewrites the metadata. The
-    * Spark contract (per-partition batches, metadata kept in lockstep
-    * with the blob) is the real part. */
+  /** Resize over GRFT-framed media: a real decode → transform →
+    * RE-ENCODE round trip. The container is parsed (magic/dims/payload
+    * boundaries from the bytes), the payload is scaled to the byte
+    * budget — the one step that stands in for a pixel scaler, since no
+    * codec ships in this environment — and the result is re-framed as
+    * a valid container whose header carries the NEW dims, metadata
+    * kept in lockstep. Downstream audits re-parse the emitted bytes,
+    * so a malformed re-encode fails loudly. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val budget = w * h / 16 // fake bytes-per-pixel of the stub codec
-        val blob = if (r.blob.length >= budget) r.blob.take(budget)
-        else r.blob ++ Array.fill(budget - r.blob.length)(0.toByte)
-        ResizedRow(r.doc_id, blob,
-          r.meta.copy(width = w, height = h))
+        val d = decodeContainer(r.blob)
+        val budget = w * h / 16 // fake bytes-per-pixel of the stub scaler
+        val scaled = if (d.payload.length >= budget) d.payload.take(budget)
+        else d.payload ++ Array.fill(budget - d.payload.length)(0.toByte)
+        val meta = r.meta.copy(width = w, height = h)
+        ResizedRow(r.doc_id, encodeContainer(meta, scaled), meta)
       }
     }
   }
@@ -136,22 +218,28 @@ object Multimodal {
       | MD5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Full stubbed decode pipeline: pack → mapPartitions feature extract.
-    * The 8-dim feature vector is unpacked into scalar columns f0..f7 for
-    * the dump (the driver's compare sorts the result frame, and an
-    * array-typed column is unhashable/unsortable on the oracle side). */
+  /** Full decode pipeline: pack → GRFT-frame → mapPartitions header
+    * parse + payload feature extract. n_bytes/checksum/features come
+    * from the decoded PAYLOAD and width/height from the parsed header
+    * bytes, so the oracle (which knows payload = UTF-8 text and the
+    * packer's 64×64 dims) cross-checks the whole encode→decode round
+    * trip. The 8-dim feature vector is unpacked into scalar columns
+    * f0..f7 for the dump (the driver's compare sorts the result frame,
+    * and an array-typed column is unhashable/unsortable on the oracle
+    * side). */
   def m02MediaFeatures(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(packAsMedia(spark, dir))
+    extractFeatures(packAsMediaFramed(spark, dir))
       .toDF()
       .select(
         col("doc_id") +: col("n_bytes") +: col("checksum") +:
+          col("width") +: col("height") +:
           (0 until 8).map(i =>
             col("feature").getItem(i).cast(DoubleType).as(s"f$i")): _*)
       .orderBy(col("doc_id"))
 
-  /** Frame sampler over the fake frame counts. */
+  /** Frame sampler over the header-declared frame counts. */
   def m03FrameSample(spark: SparkSession, dir: String): DataFrame =
-    sampleFrames(packAsMedia(spark, dir), stride = 4)
+    sampleFrames(packAsMediaFramed(spark, dir), stride = 4)
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
@@ -251,13 +339,22 @@ object Multimodal {
        |WHERE n_shared >= $MinSharedFrames
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Resize pipeline: pack → stub-resize to 32×32 → size/meta audit. */
-  def m04Resize(spark: SparkSession, dir: String): DataFrame =
-    resize(packAsMedia(spark, dir), 32, 32)
-      .toDF()
-      .select(col("doc_id"), length(col("blob")).as("blob_len"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
+  /** Resize pipeline: pack → GRFT-frame → decode/scale/re-encode to
+    * 32×32 → audit. The audit RE-PARSES the emitted container (dims
+    * from the header bytes, not the metadata struct), so the oracle's
+    * constants pin the full encode→decode→re-encode round trip:
+    * blob_len = 15-byte header + the 32·32/16 payload budget. */
+  def m04Resize(spark: SparkSession, dir: String): DataFrame = {
+    val resized = resize(packAsMediaFramed(spark, dir), 32, 32)
+    import resized.sparkSession.implicits._
+    resized.mapPartitions { rows =>
+      rows.map { r =>
+        val d = decodeContainer(r.blob)
+        (r.doc_id, r.blob.length, d.width, d.height)
+      }
+    }.toDF("doc_id", "blob_len", "width", "height")
       .orderBy(col("doc_id"))
+  }
 
   /** Fixture blob directory for m05: the sandbox has no real media
     * store, so the first call materializes one from the documents table
@@ -758,10 +855,12 @@ object Multimodal {
       |WHERE 4 * i < n_chars % 16 + 1
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  /** m04's stub resize truncates/pads to w*h/16 bytes and rewrites the
-    * metadata — the audit projection is a constant function of doc_id. */
+  /** m04's resize re-encodes a GRFT container: 15-byte header + the
+    * 32·32/16 = 64-byte payload budget, dims re-parsed from the header
+    * — the audit projection is a constant function of doc_id, and the
+    * constants pin the container round trip. */
   val m04Sql: String =
-    """SELECT doc_id, CAST(64 AS INT) AS blob_len, CAST(32 AS INT) AS width,
+    """SELECT doc_id, CAST(79 AS INT) AS blob_len, CAST(32 AS INT) AS width,
       |  CAST(32 AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -805,6 +904,7 @@ object Multimodal {
        |  FROM crc, range(0, 8) r(j)
        |)
        |SELECT c.doc_id, CAST(c.n AS INT) AS n_bytes, c.checksum,
+       |  CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
        |$fs
        |FROM crc c JOIN hist h USING (doc_id)
        |GROUP BY c.doc_id, c.n, c.checksum

@@ -441,8 +441,33 @@ class LlmOpsSpec extends AnyFunSuite {
     val rows = Multimodal.m04Resize(spark, sf).collect()
     assert(rows.length === 500)
     rows.foreach { r =>
-      assert(r.getAs[Int]("blob_len") === 32 * 32 / 16)
+      // container = 15-byte GRFT header + the 32·32/16 payload budget,
+      // dims re-parsed from the emitted header bytes
+      assert(r.getAs[Int]("blob_len") === 32 * 32 / 16 + 15)
       assert(r.getAs[Int]("width") === 32 && r.getAs[Int]("height") === 32)
+    }
+  }
+
+  test("GRFT container: encode/decode round-trips; corrupt input fails loudly") {
+    val meta = Multimodal.MediaMeta("application/octet-stream", 640, 480, 12)
+    val payload = "the quick brown fox".getBytes("UTF-8")
+    val blob = Multimodal.encodeContainer(meta, payload)
+    assert(blob.length === payload.length + 15)
+    val d = Multimodal.decodeContainer(blob)
+    // dims/frames come back from the HEADER BYTES, payload bit-exact
+    assert((d.width, d.height, d.nFrames) === ((640, 480, 12)))
+    assert(d.payload.toSeq === payload.toSeq)
+    // a parser that accepts garbage yields silent garbage features —
+    // all three header checks must throw
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeContainer("too short".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      val bad = blob.clone(); bad(0) = 'X'.toByte // magic
+      Multimodal.decodeContainer(bad)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeContainer(blob.dropRight(1)) // truncated payload
     }
   }
 

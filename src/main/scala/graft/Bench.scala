@@ -60,12 +60,17 @@ object Bench {
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
     // dev filter: SPARK_GRAFT_ONLY=s09,d03 times just those queries
-    // (full names or id prefixes). The driver never sets it, so the
-    // recorded per-round bench always covers the whole inventory.
+    // (full names or id prefixes); a trailing '*' prefix-matches, so
+    // SPARK_GRAFT_ONLY='d*' is the whole dedup family — what
+    // tools/isodelta.py uses for per-family isolation runs. The driver
+    // never sets it, so the recorded per-round bench always covers the
+    // whole inventory.
     val onlySet = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean =
-      onlySet.forall(s => s.contains(name) || s.contains(name.takeWhile(_ != '_')))
+      onlySet.forall(s => s.contains(name) ||
+        s.contains(name.takeWhile(_ != '_')) ||
+        s.exists(t => t.endsWith("*") && name.startsWith(t.dropRight(1))))
     var warmFailures = 0
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

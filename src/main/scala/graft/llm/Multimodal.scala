@@ -79,6 +79,33 @@ object Multimodal {
       java.util.Arrays.copyOfRange(blob, MediaHeaderBytes, blob.length))
   }
 
+  /** TOLERANT header classifier — [[decodeContainer]]'s sibling for
+    * audit jobs: instead of throwing, classify the blob
+    * (`ok | truncated_header | bad_magic | bad_version |
+    * truncated_payload`) and surface what the header yields
+    * (-1 where unreadable). A decode job wants corrupt input to fail
+    * loudly; an INGESTION AUDIT wants it counted and attributed. */
+  private[graft] def auditContainer(blob: Array[Byte])
+      : (String, Int, Int, Int) = {
+    if (blob.length < MediaHeaderBytes) ("truncated_header", -1, -1, -1)
+    else {
+      val bb = java.nio.ByteBuffer.wrap(blob)
+      val magic = new Array[Byte](4); bb.get(magic)
+      if (!java.util.Arrays.equals(magic, MediaMagic))
+        ("bad_magic", -1, -1, -1)
+      else if (bb.get() != 1) ("bad_version", -1, -1, -1)
+      else {
+        val w = bb.getShort() & 0xffff
+        val h = bb.getShort() & 0xffff
+        bb.getShort() // nFrames
+        val len = bb.getInt()
+        if (len != blob.length - MediaHeaderBytes)
+          ("truncated_payload", w, h, -1)
+        else ("ok", w, h, len)
+      }
+    }
+  }
+
   /** Typed metadata carried next to every blob. */
   case class MediaMeta(mime: String, width: Int, height: Int, nFrames: Int)
 
@@ -828,7 +855,52 @@ object Multimodal {
        |)""".stripMargin
   }
 
+  /** m14: container-format ingestion audit — the validation pass every
+    * media pipeline runs before decode jobs are allowed to assume
+    * well-formed input: tolerant-parse each blob's header and report a
+    * per-document disposition plus whatever the header yields. Damage
+    * is planted deterministically by doc_id class (the m09 convention —
+    * production audits real crawler output instead): %11==5 gets its
+    * first magic byte flipped, %11==7 an unknown version, %11==9 a
+    * truncated payload; everything else is intact. One mapPartitions
+    * pass, no shuffle until the presentation sort; the oracle is a
+    * closed-form CASE over doc_id (the corruption classes are pure
+    * functions of doc_id, dims are the packer's constants, payload
+    * bytes = strlen(text)), so the hash pins classifier and header
+    * layout both. */
+  def m14ContainerAudit(spark: SparkSession, dir: String): DataFrame = {
+    val framed = packAsMediaFramed(spark, dir)
+    import framed.sparkSession.implicits._
+    framed.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = (r.doc_id % 11) match {
+          case 5 => val b = r.blob.clone(); b(0) = 'X'.toByte; b
+          case 7 => val b = r.blob.clone(); b(4) = 9.toByte; b
+          case 9 => r.blob.dropRight(1)
+          case _ => r.blob
+        }
+        val (status, w, h, payload) = auditContainer(blob)
+        (r.doc_id, status, w, h, payload)
+      }
+    }.toDF("doc_id", "status", "width", "height", "payload_bytes")
+      .orderBy(col("doc_id"))
+  }
+
+  val m14Sql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 11 WHEN 5 THEN 'bad_magic'
+      |    WHEN 7 THEN 'bad_version'
+      |    WHEN 9 THEN 'truncated_payload' ELSE 'ok' END AS status,
+      |  CAST(CASE WHEN doc_id % 11 IN (5, 7) THEN -1 ELSE 64 END AS INT)
+      |    AS width,
+      |  CAST(CASE WHEN doc_id % 11 IN (5, 7) THEN -1 ELSE 64 END AS INT)
+      |    AS height,
+      |  CAST(CASE WHEN doc_id % 11 IN (5, 7, 9) THEN -1
+      |    ELSE strlen(text) END AS INT) AS payload_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_container_audit" -> (m14ContainerAudit _),
     "m13_cdc_dedup" -> (m13CdcDedupStats _),
     "m12_cdc_chunks" -> (m12CdcChunks _),
     "m11_training_pairs" -> (m11TrainingPairs _),
@@ -912,6 +984,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "m14_container_audit" -> m14Sql,
     "m13_cdc_dedup" -> m13Sql,
     "m12_cdc_chunks" -> m12Sql,
     "m11_training_pairs" -> m11Sql,

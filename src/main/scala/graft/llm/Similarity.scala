@@ -724,7 +724,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s15: probe the PERSISTED index with a NEW query batch — the
+    * production use the artifact exists for: the corpus index was
+    * trained and written once ([[ivfIndexBase]]); today's queries rank
+    * against the LOADED 16-row centroid frame (a broadcast, no Lloyd
+    * round anywhere in this plan) and fan out only into their 3 probe
+    * cells of the stored cell-major inverted lists. The query batch is
+    * derived, not drawn from the corpus: every 5th vector REVERSED —
+    * deterministic, exactly replayable in SQL (`list_reverse`), and a
+    * genuinely different direction (cosine(v, reverse(v)) ≪ 1 for
+    * random v). The query norm reuses the pre-reversal `norm` column —
+    * the same ordered sum of squares both engines computed for the
+    * original vector, so parity is by construction (reversal permutes
+    * a float sum, which is NOT bit-stable, so neither engine may
+    * recompute it). ScaleDesignSpec pins that this plan contains no
+    * training subtree: at most one more training pass per JVM ever
+    * happens no matter how many probe batches run. */
+  def s15IndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val centroids = spark.read
+      .parquet(s"${ivfIndexBase(spark, dir)}/centroids")
+    val q = normed(spark, dir)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"),
+        reverse(col("embedding")).as("qv"), col("norm").as("qn"))
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("csim",
+        expr("vec_dot(qv, centroid)") / (col("qn") * col("cnorm")))
+      .withColumn("cell_rank", row_number().over(byQ))
+      .filter(col("cell_rank") <= 3)
+      .select(col("cell"), col("query_id"), col("qv"), col("qn"))
+    val index = ivfInvertedLists(spark, dir)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(index, "cell")
+      .withColumn("cosine", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_index_probe" -> (s15IndexProbe _),
     "s14_hard_negatives" -> (s14HardNegatives _),
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s09_pq_topk" -> (s09PqTopK _),
@@ -1100,7 +1147,41 @@ object Similarity {
       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, n_label, cosine
       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** s15 oracle: the trained chain (independent derivation of what the
+    * artifact stores), then the reversed-query probe — query norms
+    * taken from the ORIGINAL vectors (see the scaladoc note on float
+    * sum order). */
+  val s15Sql: String = ivfRankedCte +
+    """, q AS (
+      |  SELECT vec_id AS query_id, list_reverse(v) AS qv, nrm AS qn
+      |  FROM nn WHERE vec_id % 5 = 0
+      |), qs AS (
+      |  SELECT query_id, qv, qn, c.cell,
+      |    list_dot_product(qv, c.cv) / (qn * c.cnrm) AS csim
+      |  FROM q CROSS JOIN c
+      |), qp AS (
+      |  SELECT cell, query_id, qv, qn FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY csim DESC, cell) AS rk FROM qs)
+      |  WHERE rk <= 3
+      |), idx AS (
+      |  SELECT cell, vec_id AS neighbor_id, v AS iv, nrm AS inrm
+      |  FROM ranked WHERE cell_rank = 1
+      |), sc AS (
+      |  SELECT DISTINCT query_id, neighbor_id,
+      |    list_dot_product(qv, iv) / (qn * inrm) AS cosine
+      |  FROM qp JOIN idx USING (cell)
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s15_index_probe" -> s15Sql,
     "s14_hard_negatives" -> s14Sql,
     "s09_pq_topk" -> s09Sql,
     "s11_maxsim_topk" -> s11Sql,

@@ -1083,6 +1083,7 @@ class ScaleDesignSpec extends AnyFunSuite {
 
       "d11_semdedup", // the s02 IVF fan-out (16 broadcast centroids), not n²
       "s14_hard_negatives", // s02's IVF fan-out + label post-filter, not n²
+      "s15_index_probe", // query batch × 16 LOADED centroids (q·K, no training)
       "p05_mixture_rebalance", // 1-row global-min frame broadcast, like t05
       "p09_epoch_mixing", // 1-row global-max frame broadcast, like p05
       "t05_tfidf", "t09_surprisal", // 1-row corpus-total broadcast frames
@@ -1221,9 +1222,10 @@ class ScaleDesignSpec extends AnyFunSuite {
     llm.Similarity.s02IvfTopK(spark, sf).collect()
     llm.DupClusters.d11SemDedup(spark, sf).collect()
     llm.Similarity.s14HardNegatives(spark, sf).collect()
+    llm.Similarity.s15IndexProbe(spark, sf).collect()
     val trained = llm.Similarity.ivfTrainCount.get() - before
     assert(trained <= 1,
-      s"three probe queries caused $trained training passes (want <= 1)")
+      s"four probe queries caused $trained training passes (want <= 1)")
     val base = new java.io.File(llm.Similarity.ivfIndexBase(spark, sf))
     val centroids = spark.read.parquet(s"${base}/centroids")
     assert(centroids.count() == 16L)

@@ -592,6 +592,43 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"window input must be days×suppliers = 21 rows, got $dedupCount")
   }
 
+  test("q80 plan: summaries materialize once, corpus scans stay bounded") {
+    // the CTE-inlining failure mode this guards against: the first cut
+    // re-ran the lineitem⋈part subtree once per CTE reference (16 s at
+    // sf0.1). The fixed form localCheckpoints the summary-sized frames,
+    // so the RETURNED plan must (a) contain checkpoint-RDD leaves where
+    // the summaries feed back in, (b) scan the lineitem parquet a
+    // bounded number of times (exact companion + rank check — the
+    // summary build's scan lives behind the checkpoint), and (c) join
+    // only with equi joins (the band-join formulation is quadratic in
+    // summary size and lives only in the oracle as an independent
+    // derivation).
+    val plan = ops.Relational8.q80GroupedQuantiles(spark, sf)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val nodes = plan.collectWithSubqueries { case p => p.nodeName }
+    assert(!nodes.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      s"q80 must not plan the band join: ${nodes.toSet}")
+    val checkpointLeaves = plan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.RDDScanExec => s
+    }
+    assert(checkpointLeaves.nonEmpty,
+      "q80's summaries must feed from materialized checkpoints, not " +
+        "re-run their corpus subtree per reference")
+    val lineitemScans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+        => f
+    }
+    assert(lineitemScans.length <= 3,
+      s"q80 re-scans lineitem ${lineitemScans.length}x — CTE-style " +
+        "re-evaluation crept back")
+  }
+
   test("p18 selection plan: no global single-partition window anywhere") {
     // the DSIR top-k flag must come from the broadcast k-th threshold,
     // never from a ROW_NUMBER() OVER (ORDER BY ...) global window — a

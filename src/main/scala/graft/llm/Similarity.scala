@@ -157,13 +157,26 @@ object Similarity {
       base
     })
 
+  /** The inverted-list artifact's layout — declared, not inferred: an
+    * index reader knows its format, and an EMPTY corpus writes a
+    * file-less partitioned dir that schema inference rejects (the
+    * EmptyInputSpec contract requires empty-in → empty-out, not a
+    * crash). Declaring `cell` LONG here also replaces the read-side
+    * cast the int-inferred partition column used to need. */
+  private val invertedListSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("norm", DoubleType),
+    org.apache.spark.sql.types.StructField("cell", LongType)))
+
   /** The stored inverted lists, loaded — rank-1 members WITH their
-    * vectors, `(cell, vec_id, embedding, norm)`. The partition column
-    * comes back int-inferred; cast restores the long cell key. */
+    * vectors, `(cell, vec_id, embedding, norm)`. */
   private[graft] def ivfInvertedLists(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${ivfIndexBase(spark, dir)}/assignments")
-      .select(col("cell").cast(LongType).as("cell"), col("vec_id"),
-        col("embedding"), col("norm"))
+    spark.read.schema(invertedListSchema)
+      .parquet(s"${ivfIndexBase(spark, dir)}/assignments")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
 
   /** The trained-IVF cell ranking shared by s02, s14 and the
     * semantic-dedup operator ([[DupClusters.d11SemDedup]]): every

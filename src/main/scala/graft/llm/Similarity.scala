@@ -102,15 +102,41 @@ object Similarity {
       .withColumn("cnorm", sqrt(expr("vec_dot(centroid, centroid)")))
   }
 
-  /** Train-once guard: corpus dir → persisted index base path for this
-    * JVM. First toucher trains and OVERWRITES the artifact (so a stale
-    * on-disk index from an earlier process can never leak in); every
-    * later consumer in the process — and every later RUN of the same
-    * consumer — reads parquet. Incremented by training only, so the
-    * spec can pin "one training pass serves s02 + d11 + s14". */
+  /** Train-at-most-once guard: corpus dir → persisted index base path
+    * for this JVM. The first toucher FINGERPRINTS the corpus (one
+    * cheap scan) and compares against the marker stored with the
+    * artifact: on a match the on-disk index is reused with NO training
+    * — this is how the artifact survives across processes (bench,
+    * verify and driver runs all share one training) while a
+    * regenerated fixture under the same path can never serve a stale
+    * index (the content fingerprint moves with the data, unlike an
+    * mtime). On a mismatch it trains and overwrites, marker last.
+    * `ivfTrainCount` increments on actual training only, so the spec
+    * can pin "at most one training pass ever serves s02 + d11 + s14 +
+    * s15". */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] val ivfTrainCount = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Test hook: forget the per-JVM path cache (NOT the on-disk
+    * artifact), so a spec can exercise the cross-process reuse path. */
+  private[graft] def ivfForgetCachedPaths(): Unit = ivfIndexCache.clear()
+
+  /** Content fingerprint of the embeddings table: row count + an
+    * order-independent XOR of per-row hashes (xor, not sum: ANSI mode
+    * makes a Long sum of hashes overflow; rows are distinct by vec_id
+    * so xor cancellation cannot hide a change). One scan, no shuffle
+    * beyond the 1-row aggregate — ~100× cheaper than retraining, and
+    * only ever compared against a marker the same engine wrote. */
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val r = Tables(spark, dir, "embeddings")
+      .select(xxhash64(to_json(struct(col("vec_id"), col("embedding"))))
+        .as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
+      .collect()(0)
+    val s = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"${r.getLong(0)}_${java.lang.Long.toUnsignedString(s)}"
+  }
 
   /** The persisted IVF index artifact (the judge-visible "train once,
     * probe many" contract a 100 TB ANN pipeline runs — the reference's
@@ -135,25 +161,36 @@ object Similarity {
     * every probe query. */
   private[graft] def ivfIndexBase(spark: SparkSession, dir: String): String =
     ivfIndexCache.computeIfAbsent(dir, _ => {
-      ivfTrainCount.incrementAndGet()
       val base = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-ivf-index",
         dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
-      val centroids = ivfTrainCentroids(spark, dir)
-      centroids.coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/centroids")
-      val loaded = spark.read.parquet(s"$base/centroids")
-      val byVec = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cell").asc)
-      val lists = normed(spark, dir)
-        .join(broadcast(loaded), lit(true))
-        .withColumn("csim",
-          expr("vec_dot(embedding, centroid)") / (col("norm") * col("cnorm")))
-        .withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") === 1)
-        .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
-      graft.io.Store.writePartitionedParquet(
-        lists, s"$base/assignments", Seq("cell"), Seq("vec_id"))
+      val fp = corpusFingerprint(spark, dir)
+      val marker = new java.io.File(base, "_FINGERPRINT")
+      val current =
+        if (marker.isFile)
+          new String(java.nio.file.Files.readAllBytes(marker.toPath),
+            "UTF-8").trim
+        else ""
+      if (current != fp) {
+        ivfTrainCount.incrementAndGet()
+        marker.delete() // a half-written index must never look current
+        val centroids = ivfTrainCentroids(spark, dir)
+        centroids.coalesce(1).write.mode("overwrite")
+          .parquet(s"$base/centroids")
+        val loaded = spark.read.parquet(s"$base/centroids")
+        val byVec = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cell").asc)
+        val lists = normed(spark, dir)
+          .join(broadcast(loaded), lit(true))
+          .withColumn("csim",
+            expr("vec_dot(embedding, centroid)") / (col("norm") * col("cnorm")))
+          .withColumn("rk", row_number().over(byVec))
+          .filter(col("rk") === 1)
+          .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
+        graft.io.Store.writePartitionedParquet(
+          lists, s"$base/assignments", Seq("cell"), Seq("vec_id"))
+        java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      }
       base
     })
 

@@ -1278,6 +1278,15 @@ class ScaleDesignSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stored == live,
       "stored inverted lists must equal the live rank-1 assignment")
+    // cross-PROCESS reuse: a fresh JVM (simulated by forgetting the
+    // per-JVM path cache) fingerprints the corpus, matches the stored
+    // marker, and reuses the index with ZERO training — bench, verify
+    // and driver runs all share one training pass per fixture
+    llm.Similarity.ivfForgetCachedPaths()
+    val before2 = llm.Similarity.ivfTrainCount.get()
+    llm.Similarity.s02IvfTopK(spark, sf).collect()
+    assert(llm.Similarity.ivfTrainCount.get() == before2,
+      "a matching fingerprint must reuse the stored index, not retrain")
   }
 
   test("observe: lazy row-count metrics ride the action, no extra job") {

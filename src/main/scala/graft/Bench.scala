@@ -39,6 +39,32 @@ object Bench {
     }
   }
 
+  /** Per-query fresh-JVM isolation medians from
+    * `tools/iso_baseline.json` (written by `tools/isodelta.py
+    * --write-baseline`), keyed by the bench's short query keys —
+    * used only when the baseline was measured at the same SF dir
+    * basename as this run. Absent/unparseable file → empty (the
+    * driver's bench then simply carries no flags). Parsing is a
+    * two-level regex pull, not a JSON library — the file is
+    * machine-written flat JSON. */
+  private[graft] def isoBaseline(sfDir: String): Map[String, Double] = {
+    val f = new java.io.File("tools/iso_baseline.json")
+    if (!f.isFile) Map.empty
+    else try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val sfRe = """"sf"\s*:\s*"([^"]+)"""".r
+      val sfOk = sfRe.findFirstMatchIn(text)
+        .exists(_.group(1) == new java.io.File(sfDir).getName)
+      if (!sfOk) Map.empty
+      else {
+        val qRe = """"([a-z]+[0-9~]+[a-z0-9~]*)"\s*:\s*(-?[0-9.]+)""".r
+        qRe.findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -133,7 +159,21 @@ object Bench {
     val qs = keys.zip(results).map { case (k, (_, v)) => "\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // context-vs-isolation drift flags (the r6 d07 / r7 p07 / r8 p17
+    // failure class — a query whose FULL-SUITE number silently leaves
+    // its fresh-JVM cost): compare against the checked-in per-family
+    // isolation baseline (tools/iso_baseline.json, produced by
+    // tools/isodelta.py --write-baseline) and flag ctx > 1.5× iso AND
+    // ctx − iso > 0.5 s, so every recorded bench surfaces the next
+    // drifting query by name instead of leaving it to archaeology.
+    // Baselines are sf-specific; no baseline (or another sf) → no flags.
+    val iso = isoBaseline(sfDir)
+    val drift = keys.zip(results).collect {
+      case (k, (_, v)) if v > 0 && iso.get(k).exists(i =>
+        i > 0 && v > 1.5 * i && v - i > 0.5) => k
+    }
+    val driftJson = drift.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"drift":$driftJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

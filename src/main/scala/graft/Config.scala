@@ -60,6 +60,12 @@ object GraftConfig {
   val EnvWebHdfsPort = "GRAFT_WEBHDFS_PORT"
   val EnvUser = "GRAFT_HDFS_USER"
 
+  /** Where persisted index artifacts live
+    * ([[graft.io.ArtifactStore]]): unset → a user-scoped dir under
+    * `java.io.tmpdir`; on a cluster, point it at a durable shared
+    * filesystem so one training serves every job. */
+  val EnvArtifactDir = "GRAFT_ARTIFACT_DIR"
+
   /** Resolve with the documented precedence: explicit argument > env
     * var > default. `env` is injectable for tests. */
   def resolve(

@@ -1,0 +1,210 @@
+package graft.io
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+/** Shared-artifact publication: the "train once, probe many" contract
+  * behind the persisted IVF and BM25 indexes. A 100 TB pipeline builds
+  * an index in one job and serves it to every later job — which means
+  * several JVMs (the driver's verify and bench runs, a concurrent
+  * notebook) can first-touch the same artifact at once, and a reader
+  * must never observe a half-published file set. The reference's whole
+  * execution model is exactly this persisted-node-output reuse
+  * (`/root/reference/R/DataFrameOperationR.R:124-197` — a node's output
+  * dir is recomputed only when absent, else read back), minus the
+  * concurrency story this object adds.
+  *
+  * Mechanism (per artifact base dir):
+  *
+  *  - '''exclusive lock''' — a `FileLock` on `base/.lock` serializes
+  *    check-and-build across processes; a per-path monitor serializes it
+  *    across threads of one JVM (file locks are held per-JVM, so a
+  *    second thread would otherwise hit
+  *    `OverlappingFileLockException`).
+  *  - '''staged build + atomic rename''' — `build` writes into
+  *    `base/.tmp-<uuid>/…`; each child is then renamed into place
+  *    (`ATOMIC_MOVE`, same filesystem by construction). A crashed build
+  *    leaves only a `.tmp-*` orphan, reaped on the next build.
+  *  - '''marker last, marker first''' — `_FINGERPRINT` is deleted
+  *    before any live file is touched and (re)written only after the
+  *    full file set is in place, so an interrupted publish can never
+  *    look current: the next toucher sees no marker and rebuilds.
+  *  - '''manifest validation''' — the marker records every data file's
+  *    relative path and size; reuse requires the on-disk file set to
+  *    match EXACTLY (a tmp-reaper pruning part-files under a
+  *    partitioned dir, or a clobbered write adding extras, is detected
+  *    and triggers a rebuild instead of a silently short/long read).
+  *
+  * The artifact root is `$GRAFT_ARTIFACT_DIR` when set, else
+  * `java.io.tmpdir/graft-artifacts-<user>` — user-scoped so a shared
+  * /tmp on a multi-user box neither collides nor serves another user's
+  * writable files ([[graft.GraftConfig.EnvArtifactDir]] documents the
+  * knob; on a cluster it points at a durable shared filesystem).
+  */
+object ArtifactStore {
+
+  /** Marker file name: first line the content fingerprint, each
+    * following line `<size>\t<relative-path>` — the manifest. */
+  private val MarkerName = "_FINGERPRINT"
+  private val LockName = ".lock"
+
+  private[graft] def artifactRoot(env: Map[String, String] = sys.env): String =
+    env.getOrElse(graft.GraftConfig.EnvArtifactDir, {
+      val user = env.getOrElse("USER",
+        sys.props.getOrElse("user.name", "anon"))
+      Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-artifacts-${user.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
+    })
+
+  /** `root/<kind>/<corpus-dir-slug>` — one artifact instance per
+    * (artifact kind, corpus location). */
+  def artifactPath(kind: String, corpusDir: String): String =
+    Paths.get(artifactRoot(), kind,
+      corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
+  /** Monitors keyed by canonical base path: threads of this JVM
+    * serialize here before taking the cross-process file lock. */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withLock[A](base: Path)(body: => A): A = {
+    Files.createDirectories(base)
+    val monitor = monitors.computeIfAbsent(
+      base.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      val raf = new RandomAccessFile(base.resolve(LockName).toFile, "rw")
+      try {
+        val lock = raf.getChannel.lock() // blocks on a concurrent process
+        try body finally lock.release()
+      } finally raf.close()
+    }
+  }
+
+  /** Every data file under `base`, as (relpath, size), sorted —
+    * excluding the marker, the lock and `.tmp-*` staging orphans. */
+  private def manifestOf(base: Path): Seq[(String, Long)] = {
+    val s = Files.walk(base)
+    try s.iterator.asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => (base.relativize(p).toString, Files.size(p)))
+      .filter { case (rel, _) =>
+        rel != MarkerName && rel != LockName && !rel.startsWith(".tmp-")
+      }
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  private def renderMarker(fp: String, manifest: Seq[(String, Long)]): String =
+    (fp +: manifest.map { case (rel, sz) => s"$sz\t$rel" }).mkString("\n")
+
+  /** The fingerprint the current, FULLY VALID artifact carries — None
+    * when the marker is absent or the on-disk file set deviates from
+    * the manifest in any way. Call under the lock. */
+  private def validFingerprint(base: Path): Option[String] = {
+    val marker = base.resolve(MarkerName)
+    if (!Files.isRegularFile(marker)) None
+    else {
+      val lines = new String(Files.readAllBytes(marker), UTF_8).split("\n")
+      val expected = lines.drop(1).toSeq.map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(i + 1), l.substring(0, i).toLong)
+      }.sorted
+      if (expected == manifestOf(base)) Some(lines.head.trim) else None
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]())
+        .iterator.asScala.foreach(Files.delete)
+      finally s.close()
+    }
+
+  /** Publish what `build` staged: rename each staged child into place,
+    * then write the marker over the resulting manifest. Caller already
+    * deleted the marker and holds the lock. */
+  private def publishStaged(base: Path, staging: Path, fp: String): Unit = {
+    val children = Files.list(staging)
+    try children.iterator.asScala.toSeq.foreach { child =>
+      val target = base.resolve(child.getFileName)
+      deleteRecursively(target)
+      Files.move(child, target, StandardCopyOption.ATOMIC_MOVE)
+    } finally children.close()
+    Files.delete(staging)
+    writeMarker(base, fp)
+  }
+
+  /** The marker itself publishes atomically (write-temp + rename): a
+    * reader either sees the complete old marker, no marker, or the
+    * complete new one — never a torn line. */
+  private def writeMarker(base: Path, fp: String): Unit = {
+    val tmp = base.resolve(s".tmp-marker-${java.util.UUID.randomUUID}")
+    Files.write(tmp, renderMarker(fp, manifestOf(base)).getBytes(UTF_8))
+    Files.move(tmp, base.resolve(MarkerName),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Is the artifact at `base` fully valid and carrying exactly
+    * `fingerprint`? The fast path an incremental consumer checks before
+    * deciding whether any build/append work is needed at all. */
+  def isCurrent(base: String, fingerprint: String): Boolean = {
+    val basePath = Paths.get(base)
+    withLock(basePath)(validFingerprint(basePath).contains(fingerprint))
+  }
+
+  /** Ensure the artifact at `base` is current for `fingerprint`,
+    * building it (into a staging dir `build` receives) only when the
+    * marker is absent, carries a different fingerprint, or the on-disk
+    * file set fails manifest validation. Returns true iff `build` ran —
+    * the caller's "training actually happened" signal. Safe against
+    * concurrent first-touchers in this JVM and in other processes: the
+    * loser of the lock race revalidates under the lock and reuses the
+    * winner's artifact. */
+  def ensure(base: String, fingerprint: String)(build: String => Unit): Boolean = {
+    val basePath = Paths.get(base)
+    withLock(basePath) {
+      if (validFingerprint(basePath).contains(fingerprint)) false
+      else {
+        // reap staging orphans from crashed builds, then invalidate
+        val orphans = Files.list(basePath)
+        try orphans.iterator.asScala.toSeq
+          .filter(_.getFileName.toString.startsWith(".tmp-"))
+          .foreach(deleteRecursively)
+        finally orphans.close()
+        Files.deleteIfExists(basePath.resolve(MarkerName))
+        val staging = basePath.resolve(s".tmp-${java.util.UUID.randomUUID}")
+        Files.createDirectories(staging)
+        build(staging.toString)
+        publishStaged(basePath, staging, fingerprint)
+        true
+      }
+    }
+  }
+
+  /** In-place incremental update: when the artifact currently carries
+    * `expectFingerprint`, run `append` (which writes into the LIVE base
+    * — e.g. Spark append-mode into existing partition dirs), then
+    * re-manifest and re-mark as `newFingerprint`. Returns false — and
+    * does nothing — when the current artifact is absent, invalid, or
+    * carries any other fingerprint: the caller then falls back to a
+    * full [[ensure]] build. The marker is deleted before `append`
+    * touches anything, so a crash mid-append leaves an unmarked (=
+    * rebuild-on-next-touch) artifact, never a marked partial one. */
+  def mutate(base: String, expectFingerprint: String, newFingerprint: String)(
+      append: String => Unit): Boolean = {
+    val basePath = Paths.get(base)
+    withLock(basePath) {
+      if (!validFingerprint(basePath).contains(expectFingerprint)) false
+      else {
+        Files.delete(basePath.resolve(MarkerName))
+        append(base)
+        writeMarker(basePath, newFingerprint)
+        true
+      }
+    }
+  }
+}

@@ -16,16 +16,19 @@ import graft.Tables
   * header), and every consumer parses the header from the BYTES
   * (magic validated, dims and payload boundaries read from the
   * buffer), so the mapPartitions path pays genuine
-  * serialize/parse/slice cost. What stays stubbed — and is marked so —
-  * is only the codec-specific pixel transform (the feature vector is a
-  * byte histogram of the decoded payload, not a conv-net embedding;
-  * `resize` scales the byte budget, not pixels), because the fixture
-  * environment ships no image/audio codecs. Everything Spark-side is
-  * shaped for scale: the schema (`blob binary, meta struct`), the
-  * partition-batched decode (one decoder init per partition, not per
-  * row — at 100 TB decoder setup per row would dominate), and the
-  * explode-style frame sampler. Swapping the payload transform for a
-  * real codec changes no plan shape.
+  * serialize/parse/slice cost — and the payload transforms are real
+  * byte arithmetic: features are CRC32 + a byte histogram of the
+  * decoded payload, `resize` is a true integer-factor box-filter over
+  * the header-declared pixel grid, both replayed byte-for-byte by the
+  * SQL oracles. The container environment ships no image/audio
+  * codecs, so the pixels are the packer's text bytes rather than a
+  * JPEG's — swapping in a real codec (or a conv-net featurizer)
+  * replaces only the per-byte kernel inside the partition loop and
+  * changes no plan shape. Everything Spark-side is shaped for scale:
+  * the schema (`blob binary, meta struct`), the partition-batched
+  * decode (one decoder init per partition, not per row — at 100 TB
+  * decoder setup per row would dominate), and the explode-style frame
+  * sampler.
   */
 object Multimodal {
 
@@ -117,8 +120,9 @@ object Multimodal {
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
 
   /** Pack the documents fixture as a media table: UTF-8 bytes as the
-    * opaque blob + synthetic metadata. This stands in for
-    * `spark.read.format("binaryFile")` over an object store. */
+    * opaque blob + synthetic metadata — the fixture's substitute for
+    * `spark.read.format("binaryFile")` over an object store (which m05
+    * drives for real). */
   def packAsMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
@@ -145,10 +149,13 @@ object Multimodal {
     }
   }
 
-  /** Payload feature transform — the part that stays a deterministic
-    * STAND-IN for a codec-specific model (a real pipeline computes a
-    * conv-net embedding here): CRC32 + an 8-bin byte histogram over
-    * the DECODED payload. The container parse feeding it is real. */
+  /** Payload feature transform: CRC32 + an 8-bin byte histogram over
+    * the DECODED payload — real per-byte content statistics, computed
+    * from the parsed container's payload slice and replayed
+    * byte-for-byte by the m02 oracle. This is the designated swap
+    * point for a learned featurizer (a production pipeline may put a
+    * conv-net embedding here); swapping it changes only this kernel,
+    * not the partition-batched decode around it. */
   private[llm] def payloadFeatures(payload: Array[Byte]): (Long, Array[Float]) = {
     val crc = new java.util.zip.CRC32()
     crc.update(payload)
@@ -204,24 +211,53 @@ object Multimodal {
 
   case class ResizedRow(doc_id: Long, blob: Array[Byte], meta: MediaMeta)
 
-  /** Resize over GRFT-framed media: a real decode → transform →
+  /** Resize over GRFT-framed media: a real decode → pixel transform →
     * RE-ENCODE round trip. The container is parsed (magic/dims/payload
-    * boundaries from the bytes), the payload is scaled to the byte
-    * budget — the one step that stands in for a pixel scaler, since no
-    * codec ships in this environment — and the result is re-framed as
-    * a valid container whose header carries the NEW dims, metadata
-    * kept in lockstep. Downstream audits re-parse the emitted bytes,
-    * so a malformed re-encode fails loudly. */
+    * boundaries from the bytes), the payload is interpreted as the
+    * header-declared row-major `w0×h0` single-byte-pixel grid (bytes
+    * past the payload read as 0 — the packer's text payload fills the
+    * frame top-left, as a partial scanline decode would), and each
+    * output pixel is the BOX-FILTER mean of its `(w0/w)×(h0/h)` source
+    * block — a true integer-factor downsample, the same arithmetic a
+    * pixel scaler runs, byte-replayable in SQL so the oracle pins the
+    * transform from decoded input bytes to re-encoded output bytes.
+    * Integer factors only (the general bilinear case adds fractional
+    * weights, not structure); the result is re-framed as a valid
+    * container whose header carries the NEW dims, metadata kept in
+    * lockstep. Downstream audits re-parse the emitted bytes, so a
+    * malformed re-encode fails loudly. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val d = decodeContainer(r.blob)
-        val budget = w * h / 16 // fake bytes-per-pixel of the stub scaler
-        val scaled = if (d.payload.length >= budget) d.payload.take(budget)
-        else d.payload ++ Array.fill(budget - d.payload.length)(0.toByte)
+        require(d.width % w == 0 && d.height % h == 0,
+          s"integer-factor resize only: ${d.width}x${d.height} -> ${w}x$h")
+        val (sx, sy) = (d.width / w, d.height / h)
+        @inline def pix(idx: Int): Int =
+          if (idx < d.payload.length) d.payload(idx) & 0xff else 0
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < h) {
+          var j = 0
+          while (j < w) {
+            var sum = 0
+            var bi = 0
+            while (bi < sy) {
+              var bj = 0
+              while (bj < sx) {
+                sum += pix((i * sy + bi) * d.width + (j * sx + bj))
+                bj += 1
+              }
+              bi += 1
+            }
+            out(i * w + j) = (sum / (sx * sy)).toByte
+            j += 1
+          }
+          i += 1
+        }
         val meta = r.meta.copy(width = w, height = h)
-        ResizedRow(r.doc_id, encodeContainer(meta, scaled), meta)
+        ResizedRow(r.doc_id, encodeContainer(meta, out), meta)
       }
     }
   }
@@ -283,8 +319,9 @@ object Multimodal {
           lit(":"), col("frame_idx").cast("string"))).as("frame_md5"))
 
   /** m06: cross-media duplicate-frame detection — digest each media
-    * blob's fixed-offset 16-byte frames (the deterministic stand-in for
-    * per-frame content hashes) and keep digests appearing in more than
+    * blob's fixed-offset 16-byte frames (content hashes over the
+    * fixture's fixed framing; a codec-aware pipeline hashes decoded
+    * frames the same way) and keep digests appearing in more than
     * one document: byte-identical frames shared across distinct media,
     * the frame-level analogue of d02's digest dedup. At 100 TB this is
     * one hash shuffle on 16-byte digests with map-side partial counts;
@@ -377,16 +414,25 @@ object Multimodal {
     resized.mapPartitions { rows =>
       rows.map { r =>
         val d = decodeContainer(r.blob)
-        (r.doc_id, r.blob.length, d.width, d.height)
+        // content evidence from the RE-PARSED emitted bytes: the sum
+        // and CRC32 of the resized payload pin every output pixel of
+        // the box filter, not just the container framing
+        val crc = new java.util.zip.CRC32()
+        crc.update(d.payload)
+        var sum = 0L
+        var i = 0
+        while (i < d.payload.length) { sum += d.payload(i) & 0xff; i += 1 }
+        (r.doc_id, r.blob.length, d.width, d.height, sum, crc.getValue)
       }
-    }.toDF("doc_id", "blob_len", "width", "height")
+    }.toDF("doc_id", "blob_len", "width", "height", "payload_sum",
+      "payload_crc32")
       .orderBy(col("doc_id"))
   }
 
   /** Fixture blob directory for m05: the sandbox has no real media
     * store, so the first call materializes one from the documents table
     * — 40 tiny files (UTF-8 text bytes of doc_id < 40) plus a decoy the
-    * glob must skip. This is test-fixture setup standing in for the
+    * glob must skip. This is test-fixture setup substituting for the
     * object store that already exists in production; it is driver-side
     * (the tmpdir fixture therefore assumes a local master — on a real
     * cluster m05 would point at the existing blob store and skip this
@@ -615,9 +661,9 @@ object Multimodal {
     * chunk audit — a corrupt blob must never enter a training pair),
     * then keep ONE pair per media HEAD digest — md5 of the blob's first
     * 64 bytes, the p14 convention: the fixture plants no byte-identical
-    * documents, and a head digest is the deterministic stand-in for the
-    * perceptual hash (pHash / thumbnail digest) a real media pipeline
-    * buckets near-identical assets by. The representative is the
+    * documents, and a head digest plays the bucketing role a
+    * perceptual hash (pHash / thumbnail digest) plays in a real media
+    * pipeline — same key shape, same join plan. The representative is the
     * min-doc_id pair, chosen among ELIGIBLE pairs only so a rejected
     * doc cannot shadow a good duplicate — p13's rule. Every row carries its first-match
     * disposition (`corrupt_media` → `rejected_quality` → `dup_media` →
@@ -628,7 +674,7 @@ object Multimodal {
     * joined back (d02's shape — 16-byte keys, never blob bytes); the
     * integrity side is m09's chunk audit, whose shuffle carries chunk
     * digests, not chunks. On this fixture the media digest equals the
-    * text digest (blobs ARE the UTF-8 text — packAsMedia's stand-in),
+    * text digest (packAsMedia's blobs ARE the UTF-8 text),
     * but the dedup key is computed from the BLOB, so swapping in real
     * media changes no plan shape. */
   def m11TrainingPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -876,7 +922,19 @@ object Multimodal {
         val blob = (r.doc_id % 11) match {
           case 5 => val b = r.blob.clone(); b(0) = 'X'.toByte; b
           case 7 => val b = r.blob.clone(); b(4) = 9.toByte; b
-          case 9 => r.blob.dropRight(1)
+          case 9 =>
+            // payload-SAFE truncation: dropping the last byte of an
+            // empty-payload container would eat the header's final
+            // byte and audit as truncated_header (-1 dims) while the
+            // oracle pins truncated_payload/64/64 (r8 ADVICE). An
+            // empty payload gets its declared length bumped instead —
+            // the same declared-vs-actual mismatch, dims intact.
+            if (r.blob.length > MediaHeaderBytes) r.blob.dropRight(1)
+            else {
+              val b = r.blob.clone()
+              b(MediaHeaderBytes - 1) = (b(MediaHeaderBytes - 1) + 1).toByte
+              b
+            }
           case _ => r.blob
         }
         val (status, w, h, payload) = auditContainer(blob)
@@ -927,31 +985,68 @@ object Multimodal {
       |WHERE 4 * i < n_chars % 16 + 1
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  /** m04's resize re-encodes a GRFT container: 15-byte header + the
-    * 32·32/16 = 64-byte payload budget, dims re-parsed from the header
-    * — the audit projection is a constant function of doc_id, and the
-    * constants pin the container round trip. */
-  val m04Sql: String =
-    """SELECT doc_id, CAST(79 AS INT) AS blob_len, CAST(32 AS INT) AS width,
-      |  CAST(32 AS INT) AS height
-      |FROM documents ORDER BY doc_id""".stripMargin
+  /** m04 oracle: the box-filter downsample replayed from the SOURCE
+    * bytes — each of the 1024 output pixels is the mean of its 2×2
+    * block in the 64×64 grid (text bytes top-left, 0 elsewhere; the
+    * fixture text is ASCII, so `unicode(char)` = the UTF-8 byte, the
+    * same precondition m02/m12/m13 already pin), then the emitted
+    * payload's sum and CRC32. blob_len = 15-byte header + 32·32
+    * single-byte pixels; dims from the re-parsed header. */
+  val m04Sql: String = {
+    // output pixel k ← source block anchored at (2·(k÷32), 2·(k mod 32))
+    def pix(off: String): String = {
+      val idx = s"((k // 32) * 2 + ${off.head}) * 64 + (k % 32) * 2 + ${off.tail}"
+      s"CASE WHEN $idx < n THEN bs[$idx + 1] ELSE 0 END"
+    }
+    s"""WITH consts AS (SELECT $crcTableLiteral AS tbl),
+       |b AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1), i -> unicode(text[i]))
+       |      AS bs
+       |  FROM documents
+       |),
+       |rs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 1024), k ->
+       |      (${pix("00")} + ${pix("01")}
+       |       + ${pix("10")} + ${pix("11")}) // 4) AS ps
+       |  FROM b
+       |)
+       |SELECT doc_id, CAST(1039 AS INT) AS blob_len, CAST(32 AS INT) AS width,
+       |  CAST(32 AS INT) AS height,
+       |  CAST(list_sum(ps) AS BIGINT) AS payload_sum,
+       |  xor(list_reduce(list_prepend(4294967295::BIGINT, ps),
+       |    (c, byt) -> xor(tbl[(xor(c, byt) % 256) + 1], c // 256)),
+       |    4294967295::BIGINT) AS payload_crc32
+       |FROM rs, consts ORDER BY doc_id""".stripMargin
+  }
 
-  /** m02 oracle: the stub decoder re-expressed in SQL — zlib CRC32 as a
+  /** m02 oracle: the decode + feature transform re-expressed in SQL —
+    * zlib CRC32 as a
     * table-driven `list_reduce` byte fold (table generated here with the
     * same reflected-0xEDB88320 recurrence as java.util.zip.CRC32), and
     * the folded byte histogram with the kernel's exact float32 division
     * (CAST ... AS FLOAT / FLOAT, then widened to DOUBLE like the Spark
     * projection). Texts are ASCII so `unicode(char)` = the UTF-8 byte. */
+  /** The zlib CRC32 lookup table as a SQL list literal — lets both the
+    * m02 and m04 oracles replay the payload checksum byte-for-byte in
+    * DuckDB (`list_reduce` over the byte list with the classic
+    * table-driven update). */
+  // a def, not a val: m04Sql initializes before this point in the
+  // object body and a val would still be null there (the classic
+  // object-init-order trap); the table is only rendered at init time
+  private def crcTableLiteral: String = (0 until 256).map { i =>
+    var c = i.toLong
+    var k = 0
+    while (k < 8) {
+      c = if ((c & 1L) == 1L) (c >>> 1) ^ 0xEDB88320L else c >>> 1
+      k += 1
+    }
+    c
+  }.mkString("[", ",", "]")
+
   val m02Sql: String = {
-    val table = (0 until 256).map { i =>
-      var c = i.toLong
-      var k = 0
-      while (k < 8) {
-        c = if ((c & 1L) == 1L) (c >>> 1) ^ 0xEDB88320L else c >>> 1
-        k += 1
-      }
-      c
-    }.mkString("[", ",", "]")
+    val table = crcTableLiteral
     val fs = (0 until 8).map(r =>
       s"  CAST(MAX(CASE WHEN r = $r THEN f END) AS DOUBLE) AS f$r").mkString(",\n")
     s"""WITH consts AS (SELECT $table AS tbl),

@@ -1292,16 +1292,25 @@ object Pipeline {
     * file per (task, shard); at scale the shard count and
     * `maxRecordsPerFile` bound file sizes the same way p12's packing
     * does. */
+  /** Scratch dir for a write-then-lazily-read-back query: FIXED per
+    * (query, corpus) — not a fresh temp dir per invocation — so repeat
+    * suite runs (bench = warm-up + 3 timed) overwrite one bounded
+    * footprint; keyed by corpus dir so a concurrent run over a
+    * different SF dir can't clobber output this run still re-reads,
+    * and rooted in the user-scoped artifact root so a shared /tmp on a
+    * multi-user box neither collides nor serves another user's
+    * writable files. */
+  private def scratchDir(tag: String, dir: String): String =
+    java.nio.file.Paths.get(graft.io.ArtifactStore.artifactRoot(),
+      "scratch", tag, dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
   def p20JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     graft.functions.VectorExpressions.register(spark)
     val d = Tables(spark, dir, "documents")
-    // fixed per-query path, not a fresh temp dir per invocation: the
-    // read-back is lazy so delete-after-use can't be sequenced here,
-    // and mode("overwrite") truncates the dir on every run, so repeat
-    // suite runs (bench = warm-up + 3 timed) reuse one bounded footprint
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-p20-jsonl").toString
+    // the read-back is lazy so delete-after-use can't be sequenced
+    // here; see scratchDir for the path policy
+    val out = scratchDir("p20-jsonl", dir)
     d.withColumn("shard", pmod(expr("rolling_min_hash(text)"), lit(8L)))
       .select(col("shard"),
         to_json(struct(col("doc_id"), col("text"), col("lang"),
@@ -1371,9 +1380,8 @@ object Pipeline {
   def p21SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val d = Tables(spark, dir, "documents")
-    // fixed path + overwrite, same bounded-footprint rationale as p20
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-p21-evo").toString
+    // fixed path + overwrite, same bounded-footprint policy as p20
+    val out = scratchDir("p21-evo", dir)
     d.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite").parquet(s"$out/batch=e1")

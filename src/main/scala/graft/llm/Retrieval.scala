@@ -51,19 +51,22 @@ import graft.Tables
   * short-query convention), self-match excluded, top-5 by score desc /
   * doc_id asc.
   *
-  * Plan at 100 TB: a textbook inverted-index retrieval —
-  *  - ONE corpus-wide (doc,term) aggregate builds the postings (tf),
-  *    map-side partial; df rides a term-keyed window count over the
-  *    same postings (no second corpus pass — see [[bm25Ranked]]);
-  *  - the query term list is broadcast, so candidate generation is a
-  *    broadcast-hash semi-filter of the postings (no term-keyed
-  *    shuffle of the corpus against the queries); corpus totals ride
-  *    a 1-row broadcast frame;
-  *  - the only remaining exchanges are the candidate-sized
+  * Plan at 100 TB: a textbook inverted-index retrieval with the index
+  * as a PERSISTED ARTIFACT ([[bm25IndexBase]]) —
+  *  - the BUILD (once per corpus): ONE corpus-wide (doc,term)
+  *    aggregate makes the postings (tf), map-side partial; df rides a
+  *    term-keyed window count over the same postings (no second
+  *    corpus pass), and the result is written term-hash-bucketed with
+  *    df pre-joined;
+  *  - the PROBE (every query): a postings scan ⋈ broadcast query
+  *    terms (no term-keyed shuffle of the corpus against the
+  *    queries); corpus totals ride the artifact's 1-row broadcast
+  *    frame; the only keyed exchanges are the candidate-sized
   *    (query_id, doc_id) sum + the per-query window — both scale with
   *    matches, not with the corpus.
-  * The plan test pins all of this: no shuffled join anywhere, a single
-  * corpus aggregate exchange, ≤ 5 keyed exchanges total.
+  * The plan test pins all of this: no shuffled join anywhere, ZERO
+  * corpus-shaped exchanges in the probe plan, ≤ 4 keyed exchanges
+  * total; the build-once contract is pinned via [[bm25BuildCount]].
   */
 object Retrieval {
 
@@ -77,33 +80,117 @@ object Retrieval {
   def s10Bm25TopK(spark: SparkSession, dir: String): DataFrame =
     bm25Ranked(spark, dir).orderBy(col("query_id"), col("rn"))
 
+  /** Term-hash bucket count for the stored postings layout: enough
+    * dirs that a probe's literal bucket set prunes most of the index,
+    * few enough that a 100 TB vocabulary doesn't explode the
+    * filesystem into per-term directories. */
+  val PostingBuckets = 64L
+
+  /** Build-at-most-once guard for the persisted BM25 index — the
+    * lexical twin of [[Similarity.ivfIndexBase]], same
+    * [[graft.io.ArtifactStore]] contract (content fingerprint,
+    * exclusive lock, staged atomic publish, manifest-validated
+    * marker). Layout under one base dir:
+    *
+    *  - `postings/` — `(doc_id, dl, term, tf, df) PARTITIONED BY
+    *    tbucket` (xxhash64(term) mod [[PostingBuckets]]): the inverted
+    *    index with document frequency PRE-JOINED, so the probe plan
+    *    carries no corpus aggregate and no term-keyed window — the
+    *    whole corpus-sized pipeline (tokenize → tf groupBy → df
+    *    window) runs once per corpus, not once per query;
+    *  - `totals/` — the 1-row `(n_docs, t_tokens)` frame.
+    *
+    * Everything stored is an exact integer, so parquet round-trips
+    * bit-identically and the unchanged DuckDB oracles (which replay
+    * the build chain in SQL) still hash-match every probe. */
+  private val bm25Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val bm25BuildCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def bm25ForgetCachedPaths(): Unit = bm25Cache.clear()
+
+  private def docsFingerprint(spark: SparkSession, dir: String): String = {
+    val r = Tables(spark, dir, "documents")
+      .select(xxhash64(col("doc_id"), col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
+      .collect()(0)
+    val s = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"${r.getLong(0)}_${java.lang.Long.toUnsignedString(s)}"
+  }
+
+  private[graft] def bm25IndexBase(spark: SparkSession, dir: String): String =
+    bm25Cache.computeIfAbsent(dir, _ => {
+      val base = graft.io.ArtifactStore.artifactPath("bm25-index", dir)
+      val fp = docsFingerprint(spark, dir)
+      val built = graft.io.ArtifactStore.ensure(base, fp) { staging =>
+        val d = Tables(spark, dir, "documents")
+          .withColumn("ws", split(col("text"), " "))
+        // dl rides the groupBy key: doc_id determines it, so the wider
+        // key costs nothing and saves a postings⋈lengths join
+        val tf = d.select(col("doc_id"),
+            size(col("ws")).cast(LongType).as("dl"),
+            explode(col("ws")).as("term"))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        // tf is already distinct per (doc, term), so df is a per-term
+        // count of it — attached as a WINDOW over the postings rather
+        // than a second groupBy + join-back: Catalyst cannot share one
+        // corpus aggregate between two consuming branches (column
+        // pruning makes the subtrees differ, defeating ReuseExchange),
+        // so the agg+join form scans and shuffles the corpus twice.
+        // The window form pays one term-keyed exchange over the
+        // postings instead; a stopword's posting list is one window
+        // partition (sorter spills — same skew trade as d15,
+        // acceptable for a count)
+        val postings = tf.withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("term"))))
+          .withColumn("tbucket",
+            pmod(xxhash64(col("term")), lit(PostingBuckets)))
+        graft.io.Store.writePartitionedParquet(
+          postings, s"$staging/postings", Seq("tbucket"),
+          Seq("term", "doc_id"))
+        d.agg(count(lit(1)).as("n_docs"),
+            sum(size(col("ws")).cast(LongType)).as("t_tokens"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+      }
+      if (built) bm25BuildCount.incrementAndGet()
+      base
+    })
+
+  /** Declared, not inferred — an empty corpus writes a file-less
+    * partitioned dir (the EmptyInputSpec contract), and an index
+    * reader knows its format. */
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", LongType),
+    org.apache.spark.sql.types.StructField("dl", LongType),
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf", LongType),
+    org.apache.spark.sql.types.StructField("df", LongType),
+    org.apache.spark.sql.types.StructField("tbucket", LongType)))
+
+  private[graft] def bm25Postings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(postingsSchema)
+      .parquet(s"${bm25IndexBase(spark, dir)}/postings")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("df"))
+
+  private[graft] def bm25Totals(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${bm25IndexBase(spark, dir)}/totals")
+
   /** The s10 core without the presentation sort — shared with
     * [[s13HybridRrf]], which re-joins the ranked list and must not pay
-    * (or have Catalyst discard) a mid-plan global order. */
+    * (or have Catalyst discard) a mid-plan global order. The postings
+    * and totals are READ from the persisted index ([[bm25IndexBase]] —
+    * built at most once per corpus); the probe plan is a postings scan
+    * ⋈ broadcast query terms + the candidate-sized score/topk
+    * exchanges, nothing corpus-shaped (pinned in ScaleDesignSpec). */
   private[graft] def bm25Ranked(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
+    val postings = bm25Postings(spark, dir)
+    // corpus totals from the artifact's 1-row frame
+    val totals = bm25Totals(spark, dir)
+    val qterms = Tables(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
-    // dl rides the groupBy key: doc_id determines it, so the wider key
-    // costs nothing and saves a postings⋈lengths join
-    val tf = d.select(col("doc_id"), size(col("ws")).cast(LongType).as("dl"),
-        explode(col("ws")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // tf is already distinct per (doc, term), so df is a per-term count
-    // of it — attached as a WINDOW over the postings rather than a
-    // second groupBy + join-back: Catalyst cannot share one corpus
-    // aggregate between two consuming branches (column pruning makes
-    // the subtrees differ, defeating ReuseExchange), so the agg+join
-    // form scans and shuffles the corpus twice. The window form pays
-    // one term-keyed exchange over the postings instead; a stopword's
-    // posting list is one window partition (sorter spills — same
-    // skew trade as d15, acceptable for a count)
-    val postings = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
-    // corpus totals as a 1-row broadcast frame (no eager driver count)
-    val totals = d.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("ws")).cast(LongType)).as("t_tokens"))
-    val qterms = d.filter(pmod(col("doc_id"), lit(QueryMod)) === QueryRem)
+      .filter(pmod(col("doc_id"), lit(QueryMod)) === QueryRem)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(col("ws"))).as("term"))
     val scored = postings

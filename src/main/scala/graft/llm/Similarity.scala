@@ -71,10 +71,12 @@ object Similarity {
     * i.e. ~8·10¹² unit-scale members per cell — not a 100 TB concern. */
   /** One Lloyd round over the seed pick — the TRAINING pass, run by
     * [[ivfIndexBase]] exactly once per JVM per corpus and persisted;
-    * probe queries never call this directly. Returns the trained
-    * `(cell, centroid, cnorm)` frame (16 rows). */
-  private def ivfTrainCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val v = normed(spark, dir)
+    * probe queries never call this directly. Takes the (already
+    * normed) training corpus as a frame so the incremental index
+    * ([[s16IncrementalIndexUpdate]]) can train on yesterday's subset
+    * only. Returns the trained `(cell, centroid, cnorm)` frame (16
+    * rows). */
+  private def ivfTrainCentroids(v: DataFrame): DataFrame = {
     val seeds = v.orderBy(col("vec_id")).limit(16)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"),
         col("norm").as("cnorm"))
@@ -110,10 +112,14 @@ object Similarity {
     * verify and driver runs all share one training) while a
     * regenerated fixture under the same path can never serve a stale
     * index (the content fingerprint moves with the data, unlike an
-    * mtime). On a mismatch it trains and overwrites, marker last.
-    * `ivfTrainCount` increments on actual training only, so the spec
-    * can pin "at most one training pass ever serves s02 + d11 + s14 +
-    * s15". */
+    * mtime). On a mismatch it trains and republishes through
+    * [[graft.io.ArtifactStore.ensure]] — exclusive cross-process lock,
+    * staged build, atomic rename, manifest-validated marker written
+    * last — so concurrent first-touching JVMs serialize (one trains,
+    * the others reuse) and a reader can never observe a partial or
+    * pruned file set as current. `ivfTrainCount` increments on actual
+    * training only, so the spec can pin "at most one training pass
+    * ever serves s02 + d11 + s14 + s15". */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] val ivfTrainCount = new java.util.concurrent.atomic.AtomicInteger
@@ -129,14 +135,30 @@ object Similarity {
     * beyond the 1-row aggregate — ~100× cheaper than retraining, and
     * only ever compared against a marker the same engine wrote. */
   private def corpusFingerprint(spark: SparkSession, dir: String): String = {
-    val r = Tables(spark, dir, "embeddings")
+    val (n, x) = fingerprintParts(spark, dir, lit(true))
+    fpString(n, x)
+  }
+
+  /** Fingerprint components `(count, xor-of-row-hashes)` of the rows
+    * matching `pred` — kept as parts because xor-of-hashes composes:
+    * `fp(A ∪ B) = (nA + nB, xA ^ xB)` for disjoint A and B, so an
+    * incremental consumer derives the post-append fingerprint from the
+    * stored base fingerprint plus a scan of ONLY the new batch — the
+    * property that lets a nightly crawl append to a 100 TB index
+    * without re-reading the corpus ([[s16IncrementalIndexUpdate]]). */
+  private def fingerprintParts(
+      spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): (Long, Long) = {
+    val r = Tables(spark, dir, "embeddings").filter(pred)
       .select(xxhash64(to_json(struct(col("vec_id"), col("embedding"))))
         .as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
       .collect()(0)
-    val s = if (r.isNullAt(1)) 0L else r.getLong(1)
-    s"${r.getLong(0)}_${java.lang.Long.toUnsignedString(s)}"
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
+
+  private def fpString(n: Long, x: Long): String =
+    s"${n}_${java.lang.Long.toUnsignedString(x)}"
 
   /** The persisted IVF index artifact (the judge-visible "train once,
     * probe many" contract a 100 TB ANN pipeline runs — the reference's
@@ -161,38 +183,38 @@ object Similarity {
     * every probe query. */
   private[graft] def ivfIndexBase(spark: SparkSession, dir: String): String =
     ivfIndexCache.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-ivf-index",
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      val base = graft.io.ArtifactStore.artifactPath("ivf-index", dir)
       val fp = corpusFingerprint(spark, dir)
-      val marker = new java.io.File(base, "_FINGERPRINT")
-      val current =
-        if (marker.isFile)
-          new String(java.nio.file.Files.readAllBytes(marker.toPath),
-            "UTF-8").trim
-        else ""
-      if (current != fp) {
-        ivfTrainCount.incrementAndGet()
-        marker.delete() // a half-written index must never look current
-        val centroids = ivfTrainCentroids(spark, dir)
+      val trained = graft.io.ArtifactStore.ensure(base, fp) { staging =>
+        val centroids = ivfTrainCentroids(normed(spark, dir))
         centroids.coalesce(1).write.mode("overwrite")
-          .parquet(s"$base/centroids")
-        val loaded = spark.read.parquet(s"$base/centroids")
-        val byVec = Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cell").asc)
-        val lists = normed(spark, dir)
-          .join(broadcast(loaded), lit(true))
-          .withColumn("csim",
-            expr("vec_dot(embedding, centroid)") / (col("norm") * col("cnorm")))
-          .withColumn("rk", row_number().over(byVec))
-          .filter(col("rk") === 1)
-          .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
+          .parquet(s"$staging/centroids")
+        val loaded = spark.read.parquet(s"$staging/centroids")
         graft.io.Store.writePartitionedParquet(
-          lists, s"$base/assignments", Seq("cell"), Seq("vec_id"))
-        java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+          assignToCentroids(normed(spark, dir), loaded),
+          s"$staging/assignments", Seq("cell"), Seq("vec_id"))
       }
+      if (trained) ivfTrainCount.incrementAndGet()
       base
     })
+
+  /** Rank-1 cell assignment of `vectors` against `centroids` — the
+    * shared kernel of index build ([[ivfIndexBase]]) and incremental
+    * append ([[s16IncrementalIndexUpdate]]): a new batch joins the
+    * index by assigning to the EXISTING centroids, never by moving
+    * them (Faiss `add` vs `train`). */
+  private def assignToCentroids(
+      vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    vectors
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim",
+        expr("vec_dot(embedding, centroid)") / (col("norm") * col("cnorm")))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
+  }
 
   /** The inverted-list artifact's layout — declared, not inferred: an
     * index reader knows its format, and an EMPTY corpus writes a
@@ -211,8 +233,11 @@ object Similarity {
   /** The stored inverted lists, loaded — rank-1 members WITH their
     * vectors, `(cell, vec_id, embedding, norm)`. */
   private[graft] def ivfInvertedLists(spark: SparkSession, dir: String): DataFrame =
+    invertedListsAt(spark, ivfIndexBase(spark, dir))
+
+  private def invertedListsAt(spark: SparkSession, base: String): DataFrame =
     spark.read.schema(invertedListSchema)
-      .parquet(s"${ivfIndexBase(spark, dir)}/assignments")
+      .parquet(s"$base/assignments")
       .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
 
   /** The trained-IVF cell ranking shared by s02, s14 and the
@@ -820,7 +845,159 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** The point-lookup read path an index SERVER runs per query: rank
+    * the 16 stored centroids against one query vector ON THE
+    * COORDINATOR (16 rows — the same place Faiss keeps its coarse
+    * quantizer) and return the nprobe=3 probe cells. The caller then
+    * scans the inverted lists with a LITERAL `cell IN (…)` predicate,
+    * which static partition pruning resolves at plan time to 3 of the
+    * 16 cell directories — the artifact's layout contract
+    * (ScaleDesignSpec pins the selected-partition count on exactly
+    * this path). The batch queries (s02/s15/s16) instead join probe
+    * cells computed inside the plan: their UNION legitimately touches
+    * every cell, so the pruning contract is only observable on the
+    * single-query path. */
+  private[graft] def probeCellsFor(
+      spark: SparkSession, dir: String, vecId: Long): Seq[Long] = {
+    val base = ivfIndexBase(spark, dir)
+    val q = normed(spark, dir).filter(col("vec_id") === vecId)
+      .select(col("embedding"), col("norm")).collect()(0)
+    val qv = q.getSeq[Float](0)
+    val qn = q.getDouble(1)
+    spark.read.parquet(s"$base/centroids").collect().toSeq
+      .map { r =>
+        val cv = r.getSeq[Double](r.fieldIndex("centroid"))
+        val dot = qv.iterator.zip(cv.iterator)
+          .foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2)
+        val csim = dot / (qn * r.getDouble(r.fieldIndex("cnorm")))
+        (r.getLong(r.fieldIndex("cell")), csim)
+      }
+      .sortBy { case (cell, csim) => (-csim, cell) }
+      .take(3).map(_._1)
+  }
+
+  /** The pruned single-query scan [[probeCellsFor]] feeds: inverted
+    * lists restricted to the probe cells by literal predicate — 3/16
+    * partition dirs read, no shuffle, no training subtree. */
+  private[graft] def singleQueryProbeScan(
+      spark: SparkSession, dir: String, vecId: Long): DataFrame = {
+    val cells = probeCellsFor(spark, dir, vecId)
+    ivfInvertedLists(spark, dir)
+      .filter(col("cell").isin(cells: _*))
+  }
+
+  // ---------------------------------------------------------------- s16
+
+  /** The incremental-demo split: "yesterday's corpus" (the index was
+    * trained and built on it) vs "tonight's crawl batch" (appended to
+    * the index WITHOUT retraining). One residue class ≈ 1/7 of the
+    * vectors — a realistic nightly-batch fraction. */
+  private val incBatchPred = col("vec_id") % 7 === 3
+
+  private val ivfIncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val ivfIncTrainCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val ivfIncAppendCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def ivfIncForgetCachedPaths(): Unit = ivfIncCache.clear()
+
+  /** The INCREMENTAL index artifact behind [[s16IncrementalIndexUpdate]]:
+    * trained once on the base corpus, then the batch is folded in by
+    * assigning its vectors to the EXISTING stored centroids (Faiss
+    * `add`, not `train`) with an append-mode write that touches only
+    * the batch's cell partitions. State machine per touch:
+    *
+    *   1. already at the union fingerprint → nothing to do (the bench's
+    *      2nd and 3rd runs, and every other JVM after the first, take
+    *      this path: zero training, zero appends);
+    *   2. at the base fingerprint → [[graft.io.ArtifactStore.mutate]]
+    *      appends the batch in place and re-marks as the union;
+    *   3. absent/stale/invalid → full build on the base corpus, then
+    *      the append (the bootstrap path).
+    *
+    * The union fingerprint is DERIVED — `(nA + nB, xA ^ xB)` — so at
+    * 100 TB the nightly job scans only the new batch: the base
+    * fingerprint comes from the artifact's own marker, never from
+    * re-reading the indexed corpus ([[fingerprintParts]]). */
+  private def ivfIncIndexBase(spark: SparkSession, dir: String): String =
+    ivfIncCache.computeIfAbsent(dir, _ => {
+      val base = graft.io.ArtifactStore.artifactPath("ivf-index-inc", dir)
+      val (nA, xA) = fingerprintParts(spark, dir, !incBatchPred)
+      val (nB, xB) = fingerprintParts(spark, dir, incBatchPred)
+      val fpBase = fpString(nA, xA)
+      val fpUnion = fpString(nA + nB, xA ^ xB)
+      if (!graft.io.ArtifactStore.isCurrent(base, fpUnion)) {
+        val trained = graft.io.ArtifactStore.ensure(base, fpBase) { staging =>
+          val corpus = normed(spark, dir).filter(!incBatchPred)
+          val centroids = ivfTrainCentroids(corpus)
+          centroids.coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/centroids")
+          val loaded = spark.read.parquet(s"$staging/centroids")
+          graft.io.Store.writePartitionedParquet(
+            assignToCentroids(corpus, loaded),
+            s"$staging/assignments", Seq("cell"), Seq("vec_id"))
+        }
+        if (trained) ivfIncTrainCount.incrementAndGet()
+        val applied = graft.io.ArtifactStore.mutate(base, fpBase, fpUnion) {
+          live =>
+            val centroids = spark.read.parquet(s"$live/centroids")
+            assignToCentroids(normed(spark, dir).filter(incBatchPred),
+              centroids)
+              .repartition(col("cell"))
+              .sortWithinPartitions(col("cell"), col("vec_id"))
+              .write.mode("append").partitionBy("cell")
+              .parquet(s"$live/assignments")
+        }
+        if (applied) ivfIncAppendCount.incrementAndGet()
+      }
+      base
+    })
+
+  /** s16: incremental index update — tonight's crawl batch (1/7 of the
+    * vectors) is appended to the persisted IVF index by assignment to
+    * the STORED centroids, touching only the appended cells' partition
+    * dirs; no Lloyd round runs anywhere (ScaleDesignSpec pins the
+    * train counter flat across repeated runs — the d10/p13 incremental
+    * posture applied to the index artifact). The probe then asks the
+    * updated index for each batch vector's top-5 neighbors (nprobe=3):
+    * the appended vectors are retrievable both as queries and as each
+    * other's neighbors, which is the observable contract of "the batch
+    * is IN the index now". Centroids trained on the base corpus only —
+    * exactly what a production index serves between periodic retrains
+    * (Faiss `add` vs `train`; cf. Jégou et al., PAMI'11). */
+  def s16IncrementalIndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val base = ivfIncIndexBase(spark, dir)
+    val centroids = spark.read.parquet(s"$base/centroids")
+    val q = normed(spark, dir).filter(incBatchPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"))
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("csim",
+        expr("vec_dot(qv, centroid)") / (col("qn") * col("cnorm")))
+      .withColumn("cell_rank", row_number().over(byQ))
+      .filter(col("cell_rank") <= 3)
+      .select(col("cell"), col("query_id"), col("qv"), col("qn"))
+    val index = invertedListsAt(spark, base)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(index, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_incremental_index" -> (s16IncrementalIndexUpdate _),
     "s15_index_probe" -> (s15IndexProbe _),
     "s14_hard_negatives" -> (s14HardNegatives _),
     "s01_cosine_topk" -> (s01BruteForceTopK _),
@@ -1230,7 +1407,67 @@ object Similarity {
       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** s16 oracle: independent derivation of the UPDATED index state —
+    * training (seed pick + one quantized-mean Lloyd round) restricted
+    * to the base corpus (`vec_id % 7 <> 3`), then EVERY vector (base ∪
+    * batch) assigned rank-1 against those centroids — which is exactly
+    * what the artifact stores after the append — and the batch vectors
+    * probe their 3 nearest cells for top-5 neighbors. */
+  val s16Sql: String = normCte +
+    """, seed AS (
+      |  SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM nn
+      |  WHERE vec_id % 7 <> 3 ORDER BY vec_id LIMIT 16
+      |), s0 AS (
+      |  SELECT nn.vec_id, nn.v, seed.cell,
+      |    list_dot_product(nn.v, seed.cv) / (nn.nrm * seed.cnrm) AS csim
+      |  FROM nn CROSS JOIN seed WHERE nn.vec_id % 7 <> 3
+      |), a0 AS (
+      |  SELECT cell, v FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cell) AS rk FROM s0)
+      |  WHERE rk = 1
+      |), comp AS (
+      |  SELECT cell, t.j,
+      |    CAST(FLOOR(v[CAST(t.j AS INT) + 1] * 1048576) AS BIGINT) AS q
+      |  FROM a0 CROSS JOIN range(0, 64) t(j)
+      |), cm AS (
+      |  SELECT cell, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS m
+      |  FROM comp GROUP BY cell, j
+      |), c AS (
+      |  SELECT cell, list(m ORDER BY j) AS cv,
+      |    sqrt(list_dot_product(list(m ORDER BY j),
+      |      list(m ORDER BY j))) AS cnrm
+      |  FROM cm GROUP BY cell
+      |), sims AS (
+      |  SELECT nn.vec_id, nn.v, nn.nrm, c.cell,
+      |    list_dot_product(nn.v, c.cv) / (nn.nrm * c.cnrm) AS csim
+      |  FROM nn CROSS JOIN c
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY csim DESC, cell) AS cell_rank
+      |  FROM sims
+      |), idx AS (
+      |  SELECT cell, vec_id AS neighbor_id, v AS iv, nrm AS inrm
+      |  FROM ranked WHERE cell_rank = 1
+      |), probes AS (
+      |  SELECT cell, vec_id AS query_id, v AS qv, nrm AS qn
+      |  FROM ranked WHERE cell_rank <= 3 AND vec_id % 7 = 3
+      |), sc AS (
+      |  SELECT DISTINCT query_id, neighbor_id,
+      |    list_dot_product(qv, iv) / (qn * inrm) AS cosine
+      |  FROM probes JOIN idx USING (cell)
+      |  WHERE query_id <> neighbor_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s16_incremental_index" -> s16Sql,
     "s15_index_probe" -> s15Sql,
     "s14_hard_negatives" -> s14Sql,
     "s09_pq_topk" -> s09Sql,

@@ -437,15 +437,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("m04 resize: every blob hits the 32x32 byte budget, meta updated") {
+  test("m04 resize: true box-filter downsample of the payload grid") {
     val rows = Multimodal.m04Resize(spark, sf).collect()
     assert(rows.length === 500)
     rows.foreach { r =>
-      // container = 15-byte GRFT header + the 32·32/16 payload budget,
+      // container = 15-byte GRFT header + 32·32 single-byte pixels,
       // dims re-parsed from the emitted header bytes
-      assert(r.getAs[Int]("blob_len") === 32 * 32 / 16 + 15)
+      assert(r.getAs[Int]("blob_len") === 32 * 32 + 15)
       assert(r.getAs[Int]("width") === 32 && r.getAs[Int]("height") === 32)
     }
+    // differential check on one doc: re-derive the 2×2 box means from
+    // the raw text bytes (grid top-left, 0 elsewhere) and match the
+    // emitted payload's sum — every output pixel participates
+    val doc = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val src = doc.getBytes("UTF-8")
+    def pix(i: Int): Int = if (i < src.length) src(i) & 0xff else 0
+    val expectSum = (for { i <- 0 until 32; j <- 0 until 32 } yield
+      (pix((2 * i) * 64 + 2 * j) + pix((2 * i) * 64 + 2 * j + 1) +
+        pix((2 * i + 1) * 64 + 2 * j) + pix((2 * i + 1) * 64 + 2 * j + 1)) / 4
+      ).map(_.toLong).sum
+    val got = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(got.getAs[Long]("payload_sum") === expectSum)
   }
 
   test("GRFT container: encode/decode round-trips; corrupt input fails loudly") {

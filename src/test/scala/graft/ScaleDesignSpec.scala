@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -651,17 +654,16 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"p18's top-k threshold should plan as TakeOrderedAndProject: ${nodes.toSet}")
   }
 
-  test("s10 plan: the corpus never shuffles against the queries") {
-    // the inverted-index claim: the query side (terms, corpus totals)
-    // reaches the postings ONLY via broadcast — every join in the plan
-    // is broadcast-hash, never sort-merge/shuffle-hash (a sort-merge
-    // join here would mean a corpus-sized exchange keyed by term
-    // against the query list); the corpus is aggregated and shuffled
-    // exactly ONCE (df is a window over the postings, not a second
-    // groupBy pass — Catalyst can't reuse one aggregate across two
-    // pruned-differently branches); the keyed exchanges that remain
-    // are the ones the algorithm owns: (doc,dl,term) tf, term window,
-    // (query,doc) score sum, per-query window, presentation sort.
+  test("s10 probe plan: reads the stored index, nothing corpus-shaped") {
+    // the persisted-index claim: the corpus-sized pipeline (tokenize →
+    // (doc,dl,term) tf aggregate → term-keyed df window) ran ONCE at
+    // build time and lives in the artifact; the probe plan must
+    // contain none of it — a postings scan ⋈ broadcast query terms,
+    // plus only the candidate-sized exchanges the algorithm owns
+    // ((query,doc) score sum, per-query window, presentation sort).
+    // Every join broadcast-hash, never sort-merge/shuffle-hash (a
+    // sort-merge join here would mean a corpus-sized exchange keyed by
+    // term against the query list).
     val plan = SparkEntry.queries("s10_bm25_topk")(spark, sf)
       .queryExecution.executedPlan
     val unwrapped = plan match {
@@ -675,16 +677,12 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"s10 plans a shuffled join: ${nodes.toSet}")
     assert(nodes.count(_.contains("BroadcastHashJoin")) >= 1,
       "s10 should broadcast the query terms into the postings")
-    // the totals frame's global aggregate carries a 1-row
-    // SinglePartition exchange by construction — not a scale concern
+    // the totals frame arrives via the artifact's 1-row parquet scan;
+    // keyed exchanges must be candidate-sized only
     val shuffles = unwrapped.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if !e.outputPartitioning.toString.contains("SinglePartition") => e
     }
-    // identify the corpus (doc_id, dl, term) tf aggregate by its exact
-    // partitioning attribute set — a toString substring match ("dl")
-    // would silently miscount if any other exchange ever gained a
-    // dl-containing column name
     val corpusAggs = shuffles.count { e =>
       e.outputPartitioning match {
         case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
@@ -694,12 +692,27 @@ class ScaleDesignSpec extends AnyFunSuite {
         case _ => false
       }
     }
-    assert(corpusAggs == 1,
-      s"s10: the corpus (doc,dl,term) aggregate must be shuffled exactly " +
-        s"once, got $corpusAggs:\n${unwrapped.toString.take(1500)}")
-    assert(shuffles.length <= 5,
-      s"s10: expected <= 5 keyed exchanges (tf, df window, score, topk " +
-        s"window, order), got ${shuffles.length}:\n${unwrapped.toString.take(1500)}")
+    assert(corpusAggs == 0,
+      s"s10 probe must NOT rebuild the postings (the artifact owns the " +
+        s"corpus aggregate), got $corpusAggs:\n${unwrapped.toString.take(1500)}")
+    assert(shuffles.length <= 4,
+      s"s10: expected <= 4 keyed exchanges (score, topk window, order), " +
+        s"got ${shuffles.length}:\n${unwrapped.toString.take(1500)}")
+    // the index itself is read off disk, postings + totals
+    val scans = unwrapped.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings"))),
+      "s10 must scan the persisted postings artifact")
+    // build-once: s10 + s13 after a path-cache reset reuse the stored
+    // index with zero further builds (cross-process reuse contract)
+    llm.Retrieval.bm25ForgetCachedPaths()
+    val before = llm.Retrieval.bm25BuildCount.get()
+    SparkEntry.queries("s10_bm25_topk")(spark, sf).collect()
+    SparkEntry.queries("s13_hybrid_rrf")(spark, sf).collect()
+    assert(llm.Retrieval.bm25BuildCount.get() == before,
+      "a matching fingerprint must reuse the stored BM25 index")
   }
 
   test("t17 plan: one shingle window pass, no joins") {
@@ -1121,6 +1134,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "d11_semdedup", // the s02 IVF fan-out (16 broadcast centroids), not n²
       "s14_hard_negatives", // s02's IVF fan-out + label post-filter, not n²
       "s15_index_probe", // query batch × 16 LOADED centroids (q·K, no training)
+      "s16_incremental_index", // batch × 16 stored centroids (q·K, no retrain)
       "p05_mixture_rebalance", // 1-row global-min frame broadcast, like t05
       "p09_epoch_mixing", // 1-row global-max frame broadcast, like p05
       "t05_tfidf", "t09_surprisal", // 1-row corpus-total broadcast frames
@@ -1287,6 +1301,72 @@ class ScaleDesignSpec extends AnyFunSuite {
     llm.Similarity.s02IvfTopK(spark, sf).collect()
     assert(llm.Similarity.ivfTrainCount.get() == before2,
       "a matching fingerprint must reuse the stored index, not retrain")
+    // tamper detection end-to-end: validity is manifest-backed, not
+    // marker-only — prune one inverted-list part-file (a tmp-reaper's
+    // signature move) and the next first-toucher must RETRAIN instead
+    // of silently serving a short index (r8 ADVICE)
+    val wholeCount = llm.Similarity.ivfInvertedLists(spark, sf).count()
+    val pruned = Files.walk(base.toPath)
+    val victim =
+      try pruned.iterator().asScala.find { p =>
+        val rel = base.toPath.relativize(p).toString
+        Files.isRegularFile(p) && rel.startsWith("assignments") &&
+          rel.contains("part-")
+      }.get
+      finally pruned.close()
+    Files.delete(victim)
+    llm.Similarity.ivfForgetCachedPaths()
+    val before3 = llm.Similarity.ivfTrainCount.get()
+    llm.Similarity.s02IvfTopK(spark, sf).collect()
+    assert(llm.Similarity.ivfTrainCount.get() == before3 + 1,
+      "a pruned inverted-list file must invalidate the artifact")
+    assert(llm.Similarity.ivfInvertedLists(spark, sf).count() == wholeCount,
+      "the retrained index must be whole again")
+  }
+
+  test("s16 incremental index: append without retrain, repeat touch no-op") {
+    // bootstrap this JVM's view (may build + append once if no prior
+    // test touched the incremental artifact)
+    llm.Similarity.s16IncrementalIndexUpdate(spark, sf).collect()
+    val t0 = llm.Similarity.ivfIncTrainCount.get()
+    val a0 = llm.Similarity.ivfIncAppendCount.get()
+    // a fresh first-toucher (path cache forgotten = another JVM / the
+    // next nightly job) finds the artifact already at the UNION
+    // fingerprint: ZERO training and ZERO appends — repeat runs of the
+    // pipeline never re-pay the base corpus
+    llm.Similarity.ivfIncForgetCachedPaths()
+    val rows = llm.Similarity.s16IncrementalIndexUpdate(spark, sf).collect()
+    assert(llm.Similarity.ivfIncTrainCount.get() == t0,
+      "repeat touch must not retrain the incremental index")
+    assert(llm.Similarity.ivfIncAppendCount.get() == a0,
+      "repeat touch must not re-append the batch")
+    // the appended batch is IN the index: batch vectors come back as
+    // neighbors (they are each other's nearest by construction of the
+    // probe set), and the probe answers are non-empty
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(2) % 7 == 3),
+      "appended vectors must be retrievable from the updated index")
+  }
+
+  test("IVF single-query probe: literal cell filter prunes to 3/16 partitions") {
+    // the index-server read path: probe cells resolved on the
+    // coordinator (16 centroid rows), then a literal `cell IN (…)`
+    // scan of the cell-partitioned inverted lists — static partition
+    // pruning must select exactly the 3 probe directories, NOT scan
+    // the full index (the layout contract the artifact exists for; at
+    // 100 TB this is the difference between reading 3/16 and 16/16 of
+    // the index per query)
+    val vecId = llm.Similarity.ivfInvertedLists(spark, sf)
+      .select(min(col("vec_id"))).collect()(0).getLong(0)
+    val scan = llm.Similarity.singleQueryProbeScan(spark, sf, vecId)
+    val fs = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("probe scan must be a parquet file scan"))
+    assert(fs.selectedPartitions.partitionCount == 3,
+      s"pruned probe must read 3/16 cell dirs, read " +
+        s"${fs.selectedPartitions.partitionCount}")
+    // and the data agrees with the pruning: only the 3 probe cells
+    assert(scan.select(col("cell")).distinct().count() == 3)
   }
 
   test("observe: lazy row-count metrics ride the action, no extra job") {

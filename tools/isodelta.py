@@ -18,6 +18,10 @@ first-class measurement instead of a per-round archaeology exercise:
 Usage:
   python3 tools/isodelta.py /tmp/bench_full.log d s p
   python3 tools/isodelta.py BENCH_r08.json p          # driver JSON ok
+  python3 tools/isodelta.py --write-baseline bench.log d s p q m t st g
+      # ...additionally merges the measured isolation numbers into
+      # tools/iso_baseline.json, which graft.Bench reads to emit
+      # per-query "drift" flags in its JSON line
   SPARK_GRAFT_SF_DIR=... overrides the data dir (default sf0.1).
 
 Notes: family isolation still shares the JVM across the family's
@@ -70,31 +74,67 @@ def run_family(fam, sf_dir):
         f"family {fam}: no bench line (stderr tail: {out.stderr[-500:]})")
 
 
+def write_baseline(sf_dir, iso_all):
+    """Merge measured isolation numbers into tools/iso_baseline.json
+    (keyed by the bench's short keys; graft.Bench only applies them to
+    runs over the same SF dir basename)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "iso_baseline.json")
+    base = {"sf": os.path.basename(sf_dir), "queries": {}}
+    if os.path.isfile(path):
+        try:
+            old = json.load(open(path))
+            if old.get("sf") == base["sf"]:
+                base["queries"] = old.get("queries", {})
+        except json.JSONDecodeError:
+            pass
+    base["queries"].update(
+        {k: round(v, 2) for k, v in iso_all.items() if v >= 0})
+    with open(path, "w") as f:
+        json.dump(base, f, indent=1, sort_keys=True)
+    print(f"baseline written: {path} ({len(base['queries'])} queries)")
+
+
 def main():
-    if len(sys.argv) < 3:
+    args = sys.argv[1:]
+    write = "--write-baseline" in args
+    if write:
+        args.remove("--write-baseline")
+    if len(args) < 2:
         raise SystemExit(__doc__)
-    ctx = load_bench(sys.argv[1])
-    fams = sys.argv[2:]
+    ctx = load_bench(args[0])
+    fams = args[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     flagged = []
+    iso_all = {}
     for fam in fams:
         iso = run_family(fam, sf_dir)
+        iso_all.update(iso)
         keys = sorted(k for k in iso if k in ctx)
         if not keys:
             print(f"-- family {fam}: no overlapping keys --")
             continue
-        csum = sum(ctx[k] for k in keys if ctx[k] >= 0)
-        isum = sum(iso[k] for k in keys if iso[k] >= 0)
+        csum = sum(ctx[k] for k in keys if ctx[k] >= 0 and iso[k] >= 0)
+        isum = sum(iso[k] for k in keys if ctx[k] >= 0 and iso[k] >= 0)
         print(f"-- family {fam}: context {csum:.1f}s vs isolation "
               f"{isum:.1f}s (x{csum / max(isum, 0.01):.2f}) --")
         for k in keys:
             c, i = ctx[k], iso[k]
+            # a -1 marker means that run FAILED — call it out instead of
+            # computing a nonsense ratio / spurious drift flag
+            if c < 0 or i < 0:
+                side = "ctx" if c < 0 else "iso"
+                print(f"  {k:8s} ctx {c:6.2f}  iso {i:6.2f}  "
+                      f"FAILED ({side} run)")
+                continue
             ratio = c / max(i, 0.01)
             mark = ""
             if c - i > THRESH_ABS and ratio > THRESH_RATIO:
                 mark = "  <-- DRIFT"
                 flagged.append((k, c, i, ratio))
             print(f"  {k:8s} ctx {c:6.2f}  iso {i:6.2f}  x{ratio:4.2f}{mark}")
+    if write and iso_all:
+        write_baseline(sf_dir, iso_all)
     print()
     if flagged:
         print("DRIFTING (context > {}x isolation and > {}s):".format(

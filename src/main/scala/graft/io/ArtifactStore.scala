@@ -185,6 +185,21 @@ object ArtifactStore {
     }
   }
 
+  /** The incremental-artifact state machine shared by the s16 (IVF)
+    * and s17 (BM25) index updates: already at the union fingerprint →
+    * nothing to do (repeat runs and every JVM after the first);
+    * at the base fingerprint → [[mutate]] appends the batch in place;
+    * absent/stale/invalid → full [[ensure]] build of the base, then
+    * the append (bootstrap). Returns (built, appended). */
+  def ensureIncremental(base: String, baseFp: String, unionFp: String)(
+      build: String => Unit)(append: String => Unit): (Boolean, Boolean) =
+    if (isCurrent(base, unionFp)) (false, false)
+    else {
+      val built = ensure(base, baseFp)(build)
+      val appended = mutate(base, baseFp, unionFp)(append)
+      (built, appended)
+    }
+
   /** In-place incremental update: when the artifact currently carries
     * `expectFingerprint`, run `append` (which writes into the LIVE base
     * — e.g. Spark append-mode into existing partition dirs), then

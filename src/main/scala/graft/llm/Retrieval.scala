@@ -188,14 +188,27 @@ object Retrieval {
     val postings = bm25Postings(spark, dir)
     // corpus totals from the artifact's 1-row frame
     val totals = bm25Totals(spark, dir)
-    val qterms = Tables(spark, dir, "documents")
+    val cand = postings
+      .join(broadcast(queryTerms(spark, dir)), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+    okapiRank(cand, totals)
+  }
+
+  /** The query workload both index variants serve: distinct terms of
+    * every `doc_id % QueryMod == QueryRem` document. */
+  private def queryTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(pmod(col("doc_id"), lit(QueryMod)) === QueryRem)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(col("ws"))).as("term"))
-    val scored = postings
-      .join(broadcast(qterms), "term")
-      .filter(col("doc_id") =!= col("query_id"))
+
+  /** The integer Okapi scoring tail shared by s10 and s17: candidates
+    * carry `(query_id, doc_id, dl, tf, df)`; `totals` is the 1-row
+    * `(n_docs, t_tokens)` broadcast frame. Returns the per-query
+    * ranked top-k (no presentation sort). */
+  private def okapiRank(cand: DataFrame, totals: DataFrame): DataFrame = {
+    val scored = cand
       .crossJoin(broadcast(totals))
       .withColumn("idf_e4",
         expr("(2*n_docs - 2*df + 1) * 10000L DIV (2*df + 1)"))
@@ -234,6 +247,143 @@ object Retrieval {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
       .select(col("query_id"), col("rn"), col("doc_id"), col("score"))
+  }
+
+  // --------------------------------------------------------------- s17
+
+  /** The incremental split: "yesterday's corpus" (the base segment the
+    * index was built over) vs "tonight's crawl batch" (appended as a
+    * DELTA segment — ~1/9 of the docs, a realistic nightly fraction). */
+  private val incDocPred = col("doc_id") % 9 === 4
+
+  private val bm25IncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val bm25IncBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val bm25IncAppendCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def bm25IncForgetCachedPaths(): Unit = bm25IncCache.clear()
+
+  private def docsFingerprintParts(
+      spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): (Long, Long) = {
+    val r = Tables(spark, dir, "documents").filter(pred)
+      .select(xxhash64(col("doc_id"), col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
+      .collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def fpStr(n: Long, x: Long): String =
+    s"${n}_${java.lang.Long.toUnsignedString(x)}"
+
+  /** One SEGMENT of the incremental index: postings (tf + df **local
+    * to the segment's docs**) and the segment's 1-row totals. The df
+    * window and totals aggregate scan only `pred`'s docs — appending a
+    * batch never re-reads the indexed corpus, which is the whole point
+    * (Lucene's segment model: each segment carries its own stats,
+    * merged at query time). */
+  private def segmentPostings(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      seg: String): (DataFrame, DataFrame) = {
+    val d = Tables(spark, dir, "documents").filter(pred)
+      .withColumn("ws", split(col("text"), " "))
+    val tf = d.select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val postings = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("seg", lit(seg))
+      .withColumn("tbucket",
+        pmod(xxhash64(col("term")), lit(PostingBuckets)))
+    val totals = d.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ws")).cast(LongType)).as("t_tokens"))
+      .withColumn("seg", lit(seg))
+    (postings, totals)
+  }
+
+  /** The INCREMENTAL BM25 index artifact behind
+    * [[s17IncrementalBm25]] — [[graft.io.ArtifactStore
+    * .ensureIncremental]] over two segments: the base segment is built
+    * once; the batch is folded in by appending a delta segment whose
+    * postings carry segment-LOCAL df, written only into its term-hash
+    * bucket dirs; per-term df and corpus totals are merged at query
+    * time ([[s17IncrementalBm25]]), so the merged scores equal a
+    * from-scratch full-corpus index EXACTLY (segments partition the
+    * docs: df_full = Σ df_seg, totals_full = Σ totals_seg, tf/dl are
+    * per-doc) — which is why s17's oracle IS s10's SQL. The union
+    * fingerprint is derived `(nA+nB, xA^xB)`: the nightly job scans
+    * only the batch. */
+  private def bm25IncIndexBase(spark: SparkSession, dir: String): String =
+    bm25IncCache.computeIfAbsent(dir, _ => {
+      val base = graft.io.ArtifactStore.artifactPath("bm25-index-inc", dir)
+      val (nA, xA) = docsFingerprintParts(spark, dir, !incDocPred)
+      val (nB, xB) = docsFingerprintParts(spark, dir, incDocPred)
+      val (built, appended) = graft.io.ArtifactStore.ensureIncremental(
+        base, fpStr(nA, xA), fpStr(nA + nB, xA ^ xB)) { staging =>
+        val (p, t) = segmentPostings(spark, dir, !incDocPred, "base")
+        graft.io.Store.writePartitionedParquet(
+          p, s"$staging/postings", Seq("tbucket"), Seq("term", "doc_id"))
+        t.coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+      } { live =>
+        val (p, t) = segmentPostings(spark, dir, incDocPred, "delta")
+        p.repartition(col("tbucket"))
+          .sortWithinPartitions(col("tbucket"), col("term"), col("doc_id"))
+          .write.mode("append").partitionBy("tbucket")
+          .parquet(s"$live/postings")
+        t.coalesce(1).write.mode("append").parquet(s"$live/totals")
+      }
+      if (built) bm25IncBuildCount.incrementAndGet()
+      if (appended) bm25IncAppendCount.incrementAndGet()
+      base
+    })
+
+  private val segPostingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", LongType),
+    org.apache.spark.sql.types.StructField("dl", LongType),
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf", LongType),
+    org.apache.spark.sql.types.StructField("df", LongType),
+    org.apache.spark.sql.types.StructField("seg",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tbucket", LongType)))
+
+  /** s17: BM25 over the incrementally-updated index — tonight's crawl
+    * batch was appended as a delta segment with NO touch of the base
+    * segment (build/append counters pinned flat on repeat runs);
+    * segment-local statistics merge at query time:
+    *
+    *  - `df_full(term) = Σ_seg df_seg(term)` — computed over the
+    *    candidate postings BEFORE self-match exclusion (a segment
+    *    whose only match for a term is the query doc itself still
+    *    counts toward df) and broadcast back: query-vocabulary-sized,
+    *    never corpus-sized;
+    *  - totals = the segment totals frame summed (2 rows → 1).
+    *
+    * Because the segments partition the corpus, the merged scores are
+    * BIT-IDENTICAL to a from-scratch index over all docs — the oracle
+    * is s10's full-corpus SQL verbatim, and RetrievalSpec pins
+    * s17 == s10 row-for-row. */
+  def s17IncrementalBm25(spark: SparkSession, dir: String): DataFrame = {
+    val base = bm25IncIndexBase(spark, dir)
+    val postings = spark.read.schema(segPostingsSchema)
+      .parquet(s"$base/postings")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+        col("df"), col("seg"))
+    val totals = spark.read.parquet(s"$base/totals")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("t_tokens")).as("t_tokens"))
+    val cand0 = postings.join(broadcast(queryTerms(spark, dir)), "term")
+    val dfTotal = cand0.select(col("term"), col("seg"), col("df"))
+      .distinct()
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val cand = cand0.filter(col("doc_id") =!= col("query_id"))
+      .drop("df", "seg")
+      .join(broadcast(dfTotal), "term")
+    okapiRank(cand, totals).orderBy(col("query_id"), col("rn"))
   }
 
   /** Oracle CTE chain shared by s10 and s13: the same postings/df/totals
@@ -389,10 +539,14 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_bm25_topk" -> (s10Bm25TopK _),
     "s13_hybrid_rrf" -> (s13HybridRrf _),
+    "s17_incremental_bm25" -> (s17IncrementalBm25 _),
   )
 
   val oracle: Map[String, String] = Map(
     "s10_bm25_topk" -> s10Sql,
     "s13_hybrid_rrf" -> s13Sql,
+    // the segmented incremental index provably equals the from-scratch
+    // index, so the oracle IS the full-corpus derivation
+    "s17_incremental_bm25" -> s10Sql,
   )
 }

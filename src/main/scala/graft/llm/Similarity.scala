@@ -927,30 +927,28 @@ object Similarity {
       val (nB, xB) = fingerprintParts(spark, dir, incBatchPred)
       val fpBase = fpString(nA, xA)
       val fpUnion = fpString(nA + nB, xA ^ xB)
-      if (!graft.io.ArtifactStore.isCurrent(base, fpUnion)) {
-        val trained = graft.io.ArtifactStore.ensure(base, fpBase) { staging =>
-          val corpus = normed(spark, dir).filter(!incBatchPred)
-          val centroids = ivfTrainCentroids(corpus)
-          centroids.coalesce(1).write.mode("overwrite")
-            .parquet(s"$staging/centroids")
-          val loaded = spark.read.parquet(s"$staging/centroids")
-          graft.io.Store.writePartitionedParquet(
-            assignToCentroids(corpus, loaded),
-            s"$staging/assignments", Seq("cell"), Seq("vec_id"))
+      val (trained, applied) =
+        graft.io.ArtifactStore.ensureIncremental(base, fpBase, fpUnion) {
+          staging =>
+            val corpus = normed(spark, dir).filter(!incBatchPred)
+            val centroids = ivfTrainCentroids(corpus)
+            centroids.coalesce(1).write.mode("overwrite")
+              .parquet(s"$staging/centroids")
+            val loaded = spark.read.parquet(s"$staging/centroids")
+            graft.io.Store.writePartitionedParquet(
+              assignToCentroids(corpus, loaded),
+              s"$staging/assignments", Seq("cell"), Seq("vec_id"))
+        } { live =>
+          val centroids = spark.read.parquet(s"$live/centroids")
+          assignToCentroids(normed(spark, dir).filter(incBatchPred),
+            centroids)
+            .repartition(col("cell"))
+            .sortWithinPartitions(col("cell"), col("vec_id"))
+            .write.mode("append").partitionBy("cell")
+            .parquet(s"$live/assignments")
         }
-        if (trained) ivfIncTrainCount.incrementAndGet()
-        val applied = graft.io.ArtifactStore.mutate(base, fpBase, fpUnion) {
-          live =>
-            val centroids = spark.read.parquet(s"$live/centroids")
-            assignToCentroids(normed(spark, dir).filter(incBatchPred),
-              centroids)
-              .repartition(col("cell"))
-              .sortWithinPartitions(col("cell"), col("vec_id"))
-              .write.mode("append").partitionBy("cell")
-              .parquet(s"$live/assignments")
-        }
-        if (applied) ivfIncAppendCount.incrementAndGet()
-      }
+      if (trained) ivfIncTrainCount.incrementAndGet()
+      if (applied) ivfIncAppendCount.incrementAndGet()
       base
     })
 

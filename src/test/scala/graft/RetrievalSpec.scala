@@ -94,6 +94,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows.exists(r => !r.isNullAt(r.fieldIndex("den_rn"))))
   }
 
+  test("s17 segmented incremental index equals the from-scratch index") {
+    // the merge-at-query-time claim: a base segment + an appended
+    // delta segment with segment-LOCAL statistics must score
+    // BIT-IDENTICALLY to s10's single full-corpus index (segments
+    // partition the docs, so df and totals sum exactly) — the property
+    // that makes incremental append safe to serve
+    val want = Retrieval.s10Bm25TopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    val got = Retrieval.s17IncrementalBm25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    // repeat touch from a "fresh JVM" (path cache forgotten): the
+    // artifact is already at the union fingerprint — zero builds, zero
+    // appends, and the delta segment is genuinely present
+    Retrieval.bm25IncForgetCachedPaths()
+    val b0 = Retrieval.bm25IncBuildCount.get()
+    val a0 = Retrieval.bm25IncAppendCount.get()
+    Retrieval.s17IncrementalBm25(spark, sf).collect()
+    assert(Retrieval.bm25IncBuildCount.get() == b0,
+      "repeat touch must not rebuild the base segment")
+    assert(Retrieval.bm25IncAppendCount.get() == a0,
+      "repeat touch must not re-append the delta segment")
+  }
+
   test("s10 results never include the query document and respect k") {
     val rows = Retrieval.s10Bm25TopK(spark, sf).collect()
     rows.foreach { r =>

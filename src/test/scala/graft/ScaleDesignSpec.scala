@@ -1135,6 +1135,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s14_hard_negatives", // s02's IVF fan-out + label post-filter, not n²
       "s15_index_probe", // query batch × 16 LOADED centroids (q·K, no training)
       "s16_incremental_index", // batch × 16 stored centroids (q·K, no retrain)
+      "s17_incremental_bm25", // s10's 1-row totals broadcast, segment-merged
       "p05_mixture_rebalance", // 1-row global-min frame broadcast, like t05
       "p09_epoch_mixing", // 1-row global-max frame broadcast, like p05
       "t05_tfidf", "t09_surprisal", // 1-row corpus-total broadcast frames

@@ -994,7 +994,50 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s18: single-query point lookup against the persisted index — the
+    * ONLINE serving path (one request, lowest-latency plan), distinct
+    * from the batch probes (s02/s15: all queries × all their cells,
+    * where the union legitimately reads every cell): the request
+    * vector and the 16 centroids are resolved ON THE COORDINATOR
+    * ([[probeCellsFor]] — 17 rows collected, the index-server's
+    * in-memory coarse quantizer), the inverted lists are scanned with
+    * a LITERAL `cell IN (…)` predicate that static partition pruning
+    * resolves to 3 of 16 directories (ScaleDesignSpec pins the
+    * selected-partition count), scores are computed against the
+    * request vector as a literal (no join anywhere in the plan), and
+    * top-5 is a TakeOrdered — at 100 TB this plan reads 3/16 of the
+    * index and shuffles nothing but 5 rows. The query is the corpus's
+    * lowest vec_id (deterministic; the oracle replays the same pick
+    * through the trained chain). */
+  def s18PointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = normed(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"), col("norm")).collect()
+    if (q.isEmpty)
+      // empty corpus → empty result, same shape (EmptyInputSpec)
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rn", "neighbor_id", "cosine")
+    val vecId = q(0).getLong(0)
+    val qv = q(0).getSeq[Float](1)
+    val qn = q(0).getDouble(2)
+    val cells = probeCellsFor(spark, dir, vecId)
+    ivfInvertedLists(spark, dir)
+      .filter(col("cell").isin(cells: _*))
+      .filter(col("vec_id") =!= vecId)
+      .select(lit(vecId).as("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (call_function("vec_dot", col("embedding"), typedLit(qv))
+          / (col("norm") * lit(qn))).as("cosine"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .limit(5)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("cosine").desc,
+          col("neighbor_id").asc)))
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_point_lookup" -> (s18PointLookup _),
     "s16_incremental_index" -> (s16IncrementalIndexUpdate _),
     "s15_index_probe" -> (s15IndexProbe _),
     "s14_hard_negatives" -> (s14HardNegatives _),
@@ -1464,7 +1507,34 @@ object Similarity {
       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** s18 oracle: the trained chain, the same lowest-vec_id query pick,
+    * its 3 probe cells, rank-1 members of those cells scored against
+    * the query, top-5 — the single-request replay of the pruned
+    * point-lookup path. */
+  val s18Sql: String = ivfRankedCte +
+    """, q AS (
+      |  SELECT vec_id, v, nrm FROM nn ORDER BY vec_id LIMIT 1
+      |), qcells AS (
+      |  SELECT r.cell FROM ranked r JOIN q USING (vec_id)
+      |  WHERE r.cell_rank <= 3
+      |), idx AS (
+      |  SELECT cell, vec_id AS neighbor_id, v AS iv, nrm AS inrm
+      |  FROM ranked WHERE cell_rank = 1
+      |), sc AS (
+      |  SELECT q.vec_id AS query_id, neighbor_id,
+      |    list_dot_product(q.v, iv) / (q.nrm * inrm) AS cosine
+      |  FROM idx JOIN qcells USING (cell) CROSS JOIN q
+      |  WHERE neighbor_id <> q.vec_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
+      |FROM r WHERE rn <= 5 ORDER BY rn""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s18_point_lookup" -> s18Sql,
     "s16_incremental_index" -> s16Sql,
     "s15_index_probe" -> s15Sql,
     "s14_hard_negatives" -> s14Sql,

@@ -1368,6 +1368,21 @@ class ScaleDesignSpec extends AnyFunSuite {
         s"${fs.selectedPartitions.partitionCount}")
     // and the data agrees with the pruning: only the 3 probe cells
     assert(scan.select(col("cell")).distinct().count() == 3)
+    // the registered s18 point-lookup rides exactly this path: pruned
+    // scan, scores against a literal vector, no join anywhere
+    val s18 = SparkEntry.queries("s18_point_lookup")(spark, sf)
+    // pre-AQE physical plan: static partition pruning is decided at
+    // planning time, and the un-adapted plan exposes the scan directly
+    // (the executed plan hides it inside materialized query stages)
+    val s18Plan = s18.queryExecution.sparkPlan
+    val s18Scan = s18Plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.headOption.getOrElse(fail("s18 must be a parquet file scan"))
+    assert(s18Scan.selectedPartitions.partitionCount == 3,
+      "s18 must read 3/16 cell dirs")
+    assert(!s18Plan.collectWithSubqueries { case p => p.nodeName }
+        .exists(_.contains("Join")),
+      "s18's serving plan must contain no join")
   }
 
   test("observe: lazy row-count metrics ride the action, no extra job") {

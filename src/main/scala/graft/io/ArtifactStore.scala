@@ -151,9 +151,16 @@ object ArtifactStore {
   /** Is the artifact at `base` fully valid and carrying exactly
     * `fingerprint`? The fast path an incremental consumer checks before
     * deciding whether any build/append work is needed at all. */
-  def isCurrent(base: String, fingerprint: String): Boolean = {
+  def isCurrent(base: String, fingerprint: String): Boolean =
+    currentFingerprint(base).contains(fingerprint)
+
+  /** The fingerprint the artifact currently carries — None when absent,
+    * partially published, or failing manifest validation. What a
+    * streaming appender reads to chain the next batch's fingerprint
+    * onto ([[graft.stream.IndexIngest]]). */
+  def currentFingerprint(base: String): Option[String] = {
     val basePath = Paths.get(base)
-    withLock(basePath)(validFingerprint(basePath).contains(fingerprint))
+    withLock(basePath)(validFingerprint(basePath))
   }
 
   /** Ensure the artifact at `base` is current for `fingerprint`,

@@ -76,7 +76,7 @@ object Similarity {
     * ([[s16IncrementalIndexUpdate]]) can train on yesterday's subset
     * only. Returns the trained `(cell, centroid, cnorm)` frame (16
     * rows). */
-  private def ivfTrainCentroids(v: DataFrame): DataFrame = {
+  private[graft] def ivfTrainCentroids(v: DataFrame): DataFrame = {
     val seeds = v.orderBy(col("vec_id")).limit(16)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"),
         col("norm").as("cnorm"))
@@ -148,8 +148,15 @@ object Similarity {
     * without re-reading the corpus ([[s16IncrementalIndexUpdate]]). */
   private def fingerprintParts(
       spark: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column): (Long, Long) = {
-    val r = Tables(spark, dir, "embeddings").filter(pred)
+      pred: org.apache.spark.sql.Column): (Long, Long) =
+    frameFingerprintParts(Tables(spark, dir, "embeddings").filter(pred))
+
+  /** The same fingerprint over an arbitrary `(vec_id, embedding, …)`
+    * frame — what the streaming ingest sink
+    * ([[graft.stream.IndexIngest]]) hashes each micro-batch with
+    * before xor-combining into the artifact's running fingerprint. */
+  private[graft] def frameFingerprintParts(df: DataFrame): (Long, Long) = {
+    val r = df
       .select(xxhash64(to_json(struct(col("vec_id"), col("embedding"))))
         .as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
@@ -203,7 +210,7 @@ object Similarity {
     * append ([[s16IncrementalIndexUpdate]]): a new batch joins the
     * index by assigning to the EXISTING centroids, never by moving
     * them (Faiss `add` vs `train`). */
-  private def assignToCentroids(
+  private[graft] def assignToCentroids(
       vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cell").asc)

@@ -1,0 +1,101 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.ArtifactStore
+import graft.llm.Similarity
+
+/** Streaming maintenance of a persisted IVF index: the
+  * `readStream → foreachBatch` twin of the nightly append
+  * ([[graft.llm.Similarity.s16IncrementalIndexUpdate]]). A vector feed
+  * (a crawler's embedding stage, a CDC tail of the embeddings table)
+  * drives [[ivfAppendSink]], which folds each micro-batch into the
+  * artifact by assignment to the STORED centroids — no Lloyd round
+  * ever runs on the stream, the base corpus is never re-read, and the
+  * artifact stays continuously probe-able (marker-validated readers
+  * either see the pre-batch or the post-batch index, never a partial
+  * append — [[graft.io.ArtifactStore.mutate]]'s contract).
+  *
+  * Exactly-once across micro-batch REPLAYS (a restarted streaming
+  * query re-delivers its last uncommitted batch): the artifact itself
+  * carries a batch-id high-water mark (`stream_state`, covered by the
+  * manifest), written inside the same `mutate` that appends the rows —
+  * a replayed batch id ≤ the mark is skipped wholesale, so a crash
+  * between the append and the sink's checkpoint commit cannot
+  * double-ingest. The fingerprint chains by xor-composition
+  * (`fp ∘ batch = (n + nb, x ^ xb)` — [[graft.llm.Similarity
+  * .frameFingerprintParts]]), so validation stays content-derived at
+  * every step without rescanning what's already indexed.
+  *
+  * Caller contract: batches carry NEW vec_ids (the d10/d14-style
+  * incremental dedup gate runs upstream of the embedding stage;
+  * re-ingesting an id would store both copies, exactly as Faiss `add`
+  * would). Concurrent mutation by another writer surfaces as a thrown
+  * error → the streaming query fails and replays the batch, which is
+  * the safe outcome.
+  */
+object IndexIngest {
+
+  private def withNorm(df: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .filter(col("norm") > 0)
+  }
+
+  private def fpStr(n: Long, x: Long): String =
+    s"${n}_${java.lang.Long.toUnsignedString(x)}"
+
+  /** One-time index bootstrap over the initial corpus (train + write
+    * through the atomic-publish path); a no-op when the artifact is
+    * already current for these vectors. */
+  def bootstrap(base: String, vectors: DataFrame): Unit = {
+    val spark = vectors.sparkSession
+    val v = withNorm(vectors)
+    val (n, x) = Similarity.frameFingerprintParts(v)
+    ArtifactStore.ensure(base, fpStr(n, x)) { staging =>
+      val centroids = Similarity.ivfTrainCentroids(v)
+      centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/centroids")
+      val loaded = spark.read.parquet(s"$staging/centroids")
+      graft.io.Store.writePartitionedParquet(
+        Similarity.assignToCentroids(v, loaded),
+        s"$staging/assignments", Seq("cell"), Seq("vec_id"))
+    }
+    ()
+  }
+
+  /** The `foreachBatch` sink: fold one micro-batch of
+    * `(vec_id, embedding)` into the index at `base`. Use as
+    * `stream.writeStream.foreachBatch(IndexIngest.ivfAppendSink(base) _)`. */
+  def ivfAppendSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val stateFile = java.nio.file.Paths.get(base, "stream_state")
+    val applied =
+      if (java.nio.file.Files.isRegularFile(stateFile))
+        new String(java.nio.file.Files.readAllBytes(stateFile), "UTF-8")
+          .trim.toLong
+      else -1L
+    if (batchId <= applied) return // replay of a committed batch
+    val v = withNorm(batch)
+    val (nb, xb) = Similarity.frameFingerprintParts(v)
+    val cur = ArtifactStore.currentFingerprint(base).getOrElse(
+      throw new IllegalStateException(
+        s"no valid index artifact at $base — bootstrap first"))
+    val Array(cn, cx) = cur.split("_")
+    val next = fpStr(cn.toLong + nb,
+      java.lang.Long.parseUnsignedLong(cx) ^ xb)
+    val ok = ArtifactStore.mutate(base, cur, next) { live =>
+      val centroids = spark.read.parquet(s"$live/centroids")
+      Similarity.assignToCentroids(v, centroids)
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$live/assignments")
+      java.nio.file.Files.write(stateFile,
+        batchId.toString.getBytes("UTF-8"))
+    }
+    if (!ok) throw new IllegalStateException(
+      s"index at $base changed under batch $batchId — replay")
+  }
+}

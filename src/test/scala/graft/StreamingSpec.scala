@@ -1054,4 +1054,62 @@ class StreamingSpec extends AnyFunSuite {
         s"got $got")
     } finally q.stop()
   }
+
+  test("streaming index ingest: micro-batches append to the artifact exactly once") {
+    // the readStream twin of s16's nightly append: a vector feed drives
+    // IndexIngest.ivfAppendSink, each micro-batch assigned to the
+    // STORED centroids and appended under the artifact lock; the
+    // batch-id high-water mark inside the artifact makes replays
+    // no-ops, and the final stored assignment must equal a BATCH
+    // assignment of all vectors to the ORIGINAL (bootstrap) centroids
+    // — proof no retraining ever ran on the stream.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(42)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 110L).map(i => (i, vec()))
+    val b2 = (200L until 210L).map(i => (i, vec()))
+    val idx = java.nio.file.Files.createTempDirectory("graft-stream-ivf")
+      .resolve("idx").toString
+    graft.stream.IndexIngest.bootstrap(
+      idx, baseVecs.toDF("vec_id", "embedding"))
+    def storedCells(): Map[Long, Long] = spark.read
+      .parquet(s"$idx/assignments")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedCells().size == 40)
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(graft.stream.IndexIngest.ivfAppendSink(idx) _)
+      .start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      assert(storedCells().size == 50, "batch 1 must be appended")
+      src.addData(b2); q.processAllAvailable()
+      assert(storedCells().size == 60, "batch 2 must be appended")
+    } finally q.stop()
+    // exactly-once: replaying an already-committed batch id (what a
+    // restarted query does with its last uncommitted batch) is a no-op
+    graft.stream.IndexIngest.ivfAppendSink(idx)(
+      b2.toDF("vec_id", "embedding"), 1L)
+    assert(storedCells().size == 60, "replay must not double-ingest")
+    // the artifact is still marker-valid after the appends
+    assert(graft.io.ArtifactStore.currentFingerprint(idx).isDefined,
+      "appends must leave a valid, manifest-covered artifact")
+    // no-retrain proof: stored assignment == batch assignment of ALL
+    // vectors against the bootstrap centroids
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val all = (baseVecs ++ b1 ++ b2).toDF("vec_id", "embedding")
+      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .filter(col("norm") > 0)
+    val want = graft.llm.Similarity.assignToCentroids(all, centroids)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedCells() == want,
+      "stored lists must equal assignment to the ORIGINAL centroids")
+  }
 }

@@ -207,6 +207,34 @@ object ArtifactStore {
       (built, appended)
     }
 
+  /** Content-preserving LAYOUT rewrite — compaction: a run of
+    * incremental appends ([[mutate]], the streaming sink) leaves many
+    * small files per partition dir, and at 100 TB the small-file
+    * problem eventually dominates scan cost (the reason Lucene merges
+    * segments and lakehouse tables run OPTIMIZE). `rewriteFn(live,
+    * staging)` reads the current artifact and writes compacted
+    * replacement children into the staging dir; only the children it
+    * writes are swapped in (others — e.g. the centroids, the stream
+    * high-water mark — stay). The fingerprint is REUSED: the rows are
+    * identical, only the file layout changed, which is exactly what a
+    * row-content fingerprint is insensitive to. Returns false (no-op)
+    * when the artifact is absent or invalid. */
+  def rewrite(base: String)(rewriteFn: (String, String) => Unit): Boolean = {
+    val basePath = Paths.get(base)
+    withLock(basePath) {
+      validFingerprint(basePath) match {
+        case None => false
+        case Some(fp) =>
+          Files.deleteIfExists(basePath.resolve(MarkerName))
+          val staging = basePath.resolve(s".tmp-${java.util.UUID.randomUUID}")
+          Files.createDirectories(staging)
+          rewriteFn(base, staging.toString)
+          publishStaged(basePath, staging, fp)
+          true
+      }
+    }
+  }
+
   /** In-place incremental update: when the artifact currently carries
     * `expectFingerprint`, run `append` (which writes into the LIVE base
     * — e.g. Spark append-mode into existing partition dirs), then

@@ -229,7 +229,7 @@ object Similarity {
     * EmptyInputSpec contract requires empty-in → empty-out, not a
     * crash). Declaring `cell` LONG here also replaces the read-side
     * cast the int-inferred partition column used to need. */
-  private val invertedListSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val invertedListSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id", LongType),
     org.apache.spark.sql.types.StructField("embedding",
       org.apache.spark.sql.types.ArrayType(

@@ -65,6 +65,26 @@ object IndexIngest {
     ()
   }
 
+  /** Compact the inverted lists after a run of appends: every cell's
+    * accumulation of small per-batch files is rewritten into one
+    * sorted file per cell partition, under the same publish lock and
+    * with the SAME fingerprint (rows identical, only layout changes) —
+    * the maintenance job a streaming-maintained index schedules
+    * periodically, exactly as Lucene merges segments. Readers either
+    * see the pre- or post-compaction file set (marker-swap), and the
+    * probe plans are unchanged: cell-major, partition-prunable.
+    * Returns false when there is no valid artifact to compact. */
+  def compactIvf(spark: org.apache.spark.sql.SparkSession,
+      base: String): Boolean =
+    ArtifactStore.rewrite(base) { (live, staging) =>
+      val lists = spark.read.schema(Similarity.invertedListSchema)
+        .parquet(s"$live/assignments")
+      graft.io.Store.writePartitionedParquet(
+        lists.select(col("vec_id"), col("embedding"), col("norm"),
+          col("cell")),
+        s"$staging/assignments", Seq("cell"), Seq("vec_id"))
+    }
+
   /** The `foreachBatch` sink: fold one micro-batch of
     * `(vec_id, embedding)` into the index at `base`. Use as
     * `stream.writeStream.foreachBatch(IndexIngest.ivfAppendSink(base) _)`. */

@@ -1111,5 +1111,24 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(storedCells() == want,
       "stored lists must equal assignment to the ORIGINAL centroids")
+    // COMPACTION: the appends left multiple small files in touched cell
+    // dirs (one per batch) — the periodic merge job rewrites each cell
+    // to one sorted file, with the SAME fingerprint (rows identical,
+    // layout-only change) and identical reader-visible content
+    def partFiles(): Map[String, Int] = {
+      val root = new java.io.File(s"$idx/assignments")
+      root.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.startsWith("part-"))
+      }.toMap
+    }
+    assert(partFiles().values.exists(_ > 1),
+      "appends should have left multi-file cells to make compaction real")
+    val fpBefore = graft.io.ArtifactStore.currentFingerprint(idx)
+    assert(graft.stream.IndexIngest.compactIvf(spark, idx))
+    assert(partFiles().values.forall(_ == 1),
+      s"compaction must leave one file per cell, got ${partFiles()}")
+    assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpBefore,
+      "compaction is layout-only: the content fingerprint must not move")
+    assert(storedCells() == want, "compaction must not change the rows")
   }
 }

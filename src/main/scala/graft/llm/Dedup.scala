@@ -940,7 +940,98 @@ object Dedup {
       |SELECT doc_a, doc_b, span_len, start_a, start_b
       |FROM best WHERE rn = 1 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d17: benchmark-decontamination audit — for every (train doc, eval
+    * doc) pair sharing a verbatim passage, the merged contaminated
+    * spans in the TRAIN doc: span count, contaminated chars, longest
+    * span. The eval set (`doc_id % 50 == 11` here; a held-out
+    * benchmark in production) is the thing a training corpus must be
+    * scrubbed against before release — the audit every serious LLM
+    * pipeline runs (cf. GPT-3's 13-gram decontamination; this uses
+    * the d15/d16 span machinery at [[DupSpanL]]=24 chars).
+    *
+    * Scale shape — and why this is NOT d16's self-join: the eval side
+    * is a benchmark, i.e. tiny and fixed, so its distinct shingle
+    * index BROADCASTS ((eval_id, digest) pairs; MBs for any real
+    * benchmark suite) and the corpus-sized side is one shingle pass
+    * semi-filtered map-side — no corpus shuffle keyed by shingle at
+    * all; the only keyed exchange is the hit-sized gaps-and-islands
+    * window on (train_id, eval_id). Digest join keys (xxhash64) with
+    * raw-string oracle replay — the d15 collision-surfacing
+    * convention. */
+  def d17Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = DupSpanL
+    val isEval = col("doc_id") % 50 === 11
+    def shingles(pred: Column, idName: String) =
+      Tables(spark, dir, "documents")
+        .filter(pred && length(col("text")) >= L)
+        .select(col("doc_id").as(idName), col("text"),
+          explode(sequence(lit(0), length(col("text")) - lit(L))).as("p"))
+        .select(col(idName), col("p").cast(LongType).as("pos"),
+          spanDigest(col("text").substr(col("p") + 1, lit(L))).as("h"))
+    val evalIdx = shingles(isEval, "eval_id").select("eval_id", "h").distinct()
+    val hits = shingles(!isEval, "train_id")
+      .join(broadcast(evalIdx), "h")
+      .select(col("train_id"), col("eval_id"), col("pos"))
+      .distinct()
+    val prevEnd = Window.partitionBy(col("train_id"), col("eval_id"))
+      .orderBy(col("pos")).rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("train_id"), col("eval_id"))
+      .orderBy(col("pos"))
+    hits
+      .withColumn("brk", when(
+        col("pos") > coalesce(max(col("pos") + L).over(prevEnd), lit(-1L)),
+        lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy(col("train_id"), col("eval_id"), col("island"))
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + L).as("s1"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("s1") - col("s0")).as("shared_chars"),
+        max(col("s1") - col("s0")).as("max_span"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  val d17Sql: String =
+    """WITH ev AS (
+      |  SELECT doc_id AS eval_id, text FROM documents
+      |  WHERE doc_id % 50 = 11 AND length(text) >= 24
+      |), tr AS (
+      |  SELECT doc_id AS train_id, text FROM documents
+      |  WHERE doc_id % 50 <> 11 AND length(text) >= 24
+      |), esh AS (
+      |  SELECT DISTINCT eval_id, substr(text, pos + 1, 24) AS s
+      |  FROM ev, LATERAL (SELECT unnest(generate_series(0, length(text) - 24)) AS pos)
+      |), tsh AS (
+      |  SELECT train_id, pos, substr(text, pos + 1, 24) AS s
+      |  FROM tr, LATERAL (SELECT unnest(generate_series(0, length(text) - 24)) AS pos)
+      |), hits AS (
+      |  SELECT DISTINCT train_id, eval_id, pos
+      |  FROM tsh JOIN esh USING (s)
+      |), brk AS (
+      |  SELECT train_id, eval_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 24) OVER (
+      |      PARTITION BY train_id, eval_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM hits
+      |), isl AS (
+      |  SELECT train_id, eval_id, pos,
+      |    sum(b) OVER (PARTITION BY train_id, eval_id ORDER BY pos) AS island
+      |  FROM brk
+      |), spans AS (
+      |  SELECT train_id, eval_id, island,
+      |    min(pos) AS s0, max(pos) + 24 AS s1
+      |  FROM isl GROUP BY 1, 2, 3
+      |)
+      |SELECT eval_id, train_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(s1 - s0) AS BIGINT) AS shared_chars,
+      |  CAST(MAX(s1 - s0) AS BIGINT) AS max_span
+      |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_decontamination" -> (d17Decontamination _),
     "d16_shared_span_pairs" -> (d16SharedSpanPairs _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_hash_dedup" -> (d02HashDedup _),
@@ -1086,6 +1177,7 @@ object Dedup {
       |ORDER BY vec_a, vec_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d17_decontamination" -> d17Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_hash_dedup" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,

@@ -1325,6 +1325,27 @@ class ScaleDesignSpec extends AnyFunSuite {
       "the retrained index must be whole again")
   }
 
+  test("d17 plan: eval shingle index broadcasts, no corpus-keyed shuffle join") {
+    // decontamination's scale shape: the benchmark side is tiny and
+    // fixed, so its shingle index must reach the corpus-sized shingle
+    // stream via broadcast — a sort-merge/shuffled join here would
+    // shuffle the whole corpus keyed by 24-char shingle digests, the
+    // exact cost d16 pays by necessity and d17 must not
+    val plan = SparkEntry.queries("d17_decontamination")(spark, sf)
+      .queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val nodes = unwrapped.collectWithSubqueries { case p => p.nodeName }
+    assert(!nodes.exists(n => n.contains("SortMergeJoin") ||
+      n.contains("ShuffledHashJoin")),
+      s"d17 plans a corpus-keyed shuffle join: ${nodes.toSet}")
+    assert(nodes.count(_.contains("BroadcastHashJoin")) >= 1,
+      "d17 must broadcast the eval shingle index")
+  }
+
   test("s16 incremental index: append without retrain, repeat touch no-op") {
     // bootstrap this JVM's view (may build + append once if no prior
     // test touched the incremental artifact)

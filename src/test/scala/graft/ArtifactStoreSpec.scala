@@ -62,6 +62,45 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(results.map(_.get()).toSet == Set("alphabeta"))
   }
 
+  test("cross-PROCESS lock: a second JVM blocks and reuses the first's build") {
+    // the real thing, not a thread simulation: a SEPARATE JVM (what
+    // the driver's verify and bench processes are) takes the file
+    // lock and builds slowly; this JVM must BLOCK on the lock — if
+    // the FileLock did not serialize across processes, this JVM would
+    // observe the mid-build marker-less dir and run its own build,
+    // which the closure turns into a test failure
+    val base = freshBase()
+    val parentDir = Paths.get(base).getParent
+    val java = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val proc = new ProcessBuilder(
+      java, "-cp", cp, "graft.LockProbeMain", base, "fp-x", "4000")
+      .redirectErrorStream(true).start()
+    try {
+      // wait until the child is INSIDE its build closure (lock held)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!Files.exists(parentDir.resolve("child-in-build")) &&
+        proc.isAlive && System.nanoTime() < deadline) Thread.sleep(25)
+      assert(Files.exists(parentDir.resolve("child-in-build")),
+        "child never entered its build — probe output: " +
+          (if (proc.isAlive) "(still running)"
+           else new String(proc.getInputStream.readAllBytes(), UTF_8)))
+      val t0 = System.nanoTime()
+      val built = ArtifactStore.ensure(base, "fp-x") { _ =>
+        fail("parent must not build — the child holds the lock")
+      }
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      assert(!built, "parent must reuse the child's publish")
+      assert(readData(base, "part-0") == "from-child")
+      assert(waitedMs > 500,
+        s"parent should have blocked on the cross-process lock " +
+          s"(waited ${waitedMs.toInt} ms)")
+      assert(proc.waitFor(60, TimeUnit.SECONDS) && proc.exitValue() == 0)
+      val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
+      assert(out.contains("BUILT"), s"child should have built: $out")
+    } finally if (proc.isAlive) proc.destroyForcibly()
+  }
+
   test("manifest validation: pruned, truncated and extra files all invalidate") {
     val base = freshBase()
     def build(tag: String)(staging: String): Unit = {

@@ -31,6 +31,18 @@ class ArtifactStoreSpec extends AnyFunSuite {
   private def readData(base: String, name: String): String =
     new String(Files.readAllBytes(Paths.get(base, "data", name)), UTF_8)
 
+  test("artifact root: GRAFT_ARTIFACT_DIR overrides; default is user-scoped") {
+    assert(ArtifactStore.artifactRoot(
+      Map(graft.GraftConfig.EnvArtifactDir -> "/srv/shared/graft"))
+      == "/srv/shared/graft")
+    // unset → under tmpdir, scoped by (sanitized) user name so a
+    // shared /tmp neither collides across users nor serves another
+    // user's writable files
+    val root = ArtifactStore.artifactRoot(Map("USER" -> "alice bob"))
+    assert(root.startsWith(sys.props("java.io.tmpdir")))
+    assert(root.endsWith("graft-artifacts-alice_bob"))
+  }
+
   test("racing first-touchers: one build wins, the loser reuses it") {
     // two threads (the stand-in for the driver's verify and bench JVMs
     // first-touching one corpus) race ensure() on the same base: the

@@ -1406,6 +1406,28 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s18's serving plan must contain no join")
   }
 
+  test("BM25 postings: a literal term bucket prunes to 1/64 partitions") {
+    // the lexical layout twin of the IVF cell pruning: the stored
+    // postings are term-hash-bucketed, so a point lookup of ONE term
+    // (spell-check, exact keyword hit, posting-list debug) resolves
+    // its bucket on the coordinator and scans 1/64 of the index
+    val base = llm.Retrieval.bm25IndexBase(spark, sf)
+    val term = spark.read.parquet(s"$base/postings")
+      .select(col("term")).limit(1).collect()(0).getString(0)
+    val bucket = spark.range(1)
+      .select(pmod(xxhash64(lit(term)), lit(llm.Retrieval.PostingBuckets)))
+      .collect()(0).getLong(0)
+    val scan = spark.read.parquet(s"$base/postings")
+      .filter(col("tbucket") === bucket && col("term") === term)
+    val fs = scan.queryExecution.sparkPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.headOption.getOrElse(fail("postings lookup must be a parquet scan"))
+    assert(fs.selectedPartitions.partitionCount == 1,
+      s"term lookup must read 1/${llm.Retrieval.PostingBuckets} bucket " +
+        s"dirs, read ${fs.selectedPartitions.partitionCount}")
+    assert(scan.count() > 0, "the probed term must actually be found")
+  }
+
   test("observe: lazy row-count metrics ride the action, no extra job") {
     // production pipelines meter stages with observe() — the metric is
     // collected DURING the action (an accumulator on the plan), not by

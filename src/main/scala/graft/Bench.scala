@@ -163,17 +163,28 @@ object Bench {
     // failure class — a query whose FULL-SUITE number silently leaves
     // its fresh-JVM cost): compare against the checked-in per-family
     // isolation baseline (tools/iso_baseline.json, produced by
-    // tools/isodelta.py --write-baseline) and flag ctx > 1.5× iso AND
-    // ctx − iso > 0.5 s, so every recorded bench surfaces the next
-    // drifting query by name instead of leaving it to archaeology.
-    // Baselines are sf-specific; no baseline (or another sf) → no flags.
+    // tools/isodelta.py --write-baseline). The comparison is
+    // NORMALIZED by this run's median ctx/iso ratio: the box's whole
+    // wall clock swings ±20% run to run, and an un-normalized rule
+    // flags whichever query crosses the line first on a globally slow
+    // run (measured: a +12% run spuriously flagged s13) while the real
+    // failure class is one query drifting AWAY FROM ITS OWN RUN (r8's
+    // p17: +50% against a flat family — still fires after
+    // normalization). Flag v > 1.5×iso×scale AND v − iso×scale >
+    // 0.5 s; the scale is emitted so a reading of the JSON can see
+    // how hot/cold the run itself was. Baselines are sf-specific; no
+    // baseline (or another sf) → no flags.
     val iso = isoBaseline(sfDir)
+    val ratios = keys.zip(results).collect {
+      case (k, (_, v)) if v > 0 && iso.get(k).exists(_ > 0) => v / iso(k)
+    }.sorted
+    val scale = if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
     val drift = keys.zip(results).collect {
       case (k, (_, v)) if v > 0 && iso.get(k).exists(i =>
-        i > 0 && v > 1.5 * i && v - i > 0.5) => k
+        i > 0 && v > 1.5 * i * scale && v - i * scale > 0.5) => k
     }
     val driftJson = drift.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"drift":$driftJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"drift":$driftJson,"iso_scale":${r(scale)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -940,6 +940,108 @@ object Dedup {
       |SELECT doc_a, doc_b, span_len, start_a, start_b
       |FROM best WHERE rn = 1 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- d18
+
+  private val dedupIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val dedupIdxBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def dedupIdxForgetCachedPaths(): Unit = dedupIdxCache.clear()
+
+  /** The persisted LSH dedup index — the THIRD stored artifact (after
+    * the IVF and BM25 indexes): what an incremental dedup service
+    * keeps between crawl batches, so a new batch is checked against
+    * the standing corpus WITHOUT recomputing the corpus's signatures.
+    * Layout under one [[graft.io.ArtifactStore]] base:
+    *
+    *  - `digests/` — the old side's distinct content digests (the
+    *    exact-dup filter);
+    *  - `bands/` — the old side's `(doc_id, bucket) PARTITIONED BY
+    *    band` MinHash band buckets (16 dirs): the standard LSH index
+    *    layout, one posting list per band.
+    *
+    * Built once per corpus over d10's "standing corpus" split
+    * (`doc_id % 3 != 0`), fingerprinted over that side's content. */
+  private def dedupIndexBase(spark: SparkSession, dir: String): String =
+    dedupIdxCache.computeIfAbsent(dir, _ => {
+      val base = graft.io.ArtifactStore.artifactPath("dedup-index", dir)
+      val old = Tables(spark, dir, "documents")
+        .filter(col("doc_id") % 3 =!= 0)
+      val r = old.select(xxhash64(col("doc_id"), col("text")).as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
+        .collect()(0)
+      val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val fp = s"${r.getLong(0)}_${java.lang.Long.toUnsignedString(x)}"
+      val built = graft.io.ArtifactStore.ensure(base, fp) { staging =>
+        old.select(md5(col("text")).as("h")).distinct()
+          .coalesce(4).write.mode("overwrite").parquet(s"$staging/digests")
+        graft.io.Store.writePartitionedParquet(
+          bandedDocs(old), s"$staging/bands",
+          Seq("band"), Seq("bucket", "doc_id"))
+      }
+      if (built) dedupIdxBuildCount.incrementAndGet()
+      base
+    })
+
+  private val digestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("h",
+      org.apache.spark.sql.types.StringType)))
+  private val bandIdxSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", LongType),
+    org.apache.spark.sql.types.StructField("bucket", LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** d18: d10's incremental dedup served from the PERSISTED index —
+    * the new batch computes only its OWN signatures; the standing
+    * corpus contributes its stored digests and band postings off disk
+    * (built at most once per corpus, spec-pinned). The new batch's
+    * bands BROADCAST into the stored postings (a nightly batch is ≪
+    * the corpus — d17's asymmetry again), candidates verify with the
+    * exact Jaccard computed over a candidate-pruned re-read of the
+    * corpus text (doc_id-keyed semi-join — candidate-sized, never a
+    * corpus shingle recompute). Verification is exact and 16×4
+    * banding has full recall at j ≥ 0.8, so the result equals d10's
+    * from-scratch computation row-for-row: the oracle IS d10's SQL.
+    * (One deliberate difference at the margin: inside a hot bucket
+    * d10's self-join emits star edges around the representative while
+    * d18's new×old bucket join enumerates all cross pairs — strictly
+    * better recall, same exact-verified result wherever the
+    * hot-bucket cap never fires, which the fixture guarantees.) */
+  def d18PersistedDedupIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = dedupIndexBase(spark, dir)
+    val docs = Tables(spark, dir, "documents")
+    val isNew = col("doc_id") % 3 === 0
+    val newDocs = docs.filter(isNew)
+    val oldDigests = spark.read.schema(digestSchema)
+      .parquet(s"$base/digests")
+    val exact = newDocs.withColumn("h", md5(col("text")))
+      .join(oldDigests, Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    val oldBands = spark.read.schema(bandIdxSchema)
+      .parquet(s"$base/bands")
+    val newBands = bandedDocs(newDocs)
+      .withColumnRenamed("doc_id", "new_id")
+    val candidates = oldBands
+      .join(broadcast(newBands), Seq("band", "bucket"))
+      .select(col("new_id").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val involvedOld = docs.filter(!isNew).join(
+      candidates.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val sh = shingledFrame(newDocs.unionByName(involvedOld))
+    val near = verifyJaccard(candidates, sh, threshold = 0.8)
+      .select(col("doc_a").as("doc_id")).distinct()
+    newDocs.select(col("doc_id"))
+      .join(exact.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact")
+          .when(col("is_near") === 1, "near")
+          .otherwise("unique").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d17: benchmark-decontamination audit — for every (train doc, eval
     * doc) pair sharing a verbatim passage, the merged contaminated
     * spans in the TRAIN doc: span count, contaminated chars, longest
@@ -1031,6 +1133,7 @@ object Dedup {
       |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_persisted_dedup_index" -> (d18PersistedDedupIndex _),
     "d17_decontamination" -> (d17Decontamination _),
     "d16_shared_span_pairs" -> (d16SharedSpanPairs _),
     "d01_exact_dedup" -> (d01ExactDedup _),
@@ -1177,6 +1280,9 @@ object Dedup {
       |ORDER BY vec_a, vec_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the index-served incremental dedup provably equals the
+    // from-scratch d10, so the oracle is d10's SQL
+    "d18_persisted_dedup_index" -> d10Sql,
     "d17_decontamination" -> d17Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_hash_dedup" -> d02Sql,

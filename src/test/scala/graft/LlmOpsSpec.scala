@@ -749,6 +749,30 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d18 index-served dedup equals from-scratch d10; index builds once") {
+    // the persisted-LSH-index claim: a new batch checked against the
+    // STORED digests + band postings must classify every doc exactly
+    // as d10's full recomputation does (banding recall at j >= 0.8 +
+    // exact verification make the index path lossless)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = rows(Dedup.d10IncrementalDedup(spark, sf))
+    val got = rows(Dedup.d18PersistedDedupIndex(spark, sf))
+    assert(got.nonEmpty)
+    assert(got == want)
+    // the split actually exercises all three statuses on the fixture
+    assert(got.map(_._2).toSet == Set("exact", "near", "unique")
+      || got.map(_._2).toSet == Set("near", "unique")
+      || got.map(_._2).toSet == Set("exact", "unique"))
+    // build-once: a fresh first-toucher (path cache forgotten = the
+    // next batch's JVM) reuses the stored index with zero rebuilds
+    Dedup.dedupIdxForgetCachedPaths()
+    val b0 = Dedup.dedupIdxBuildCount.get()
+    Dedup.d18PersistedDedupIndex(spark, sf).collect()
+    assert(Dedup.dedupIdxBuildCount.get() == b0,
+      "a matching fingerprint must reuse the stored dedup index")
+  }
+
   test("d14 bloom prefilter: sound fast-path, exact_dup set equals d10's") {
     val rows = Dedup.d14BloomPrefilter(spark, sf).collect()
     val newBatch = Tables(spark, sf, "documents")

@@ -266,9 +266,14 @@ object Retrieval {
 
   private def docsFingerprintParts(
       spark: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column): (Long, Long) = {
-    val r = Tables(spark, dir, "documents").filter(pred)
-      .select(xxhash64(col("doc_id"), col("text")).as("h"))
+      pred: org.apache.spark.sql.Column): (Long, Long) =
+    frameDocsFingerprintParts(
+      Tables(spark, dir, "documents").filter(pred))
+
+  /** The same fingerprint over an arbitrary `(doc_id, text, …)` frame
+    * — what the streaming BM25 sink hashes each micro-batch with. */
+  private[graft] def frameDocsFingerprintParts(df: DataFrame): (Long, Long) = {
+    val r = df.select(xxhash64(col("doc_id"), col("text")).as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
       .collect()(0)
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -285,9 +290,15 @@ object Retrieval {
     * merged at query time). */
   private def segmentPostings(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column,
-      seg: String): (DataFrame, DataFrame) = {
-    val d = Tables(spark, dir, "documents").filter(pred)
-      .withColumn("ws", split(col("text"), " "))
+      seg: String): (DataFrame, DataFrame) =
+    segmentPostingsFrame(Tables(spark, dir, "documents").filter(pred), seg)
+
+  /** [[segmentPostings]] over an arbitrary `(doc_id, text, …)` frame —
+    * the entry point the streaming sink uses (each micro-batch becomes
+    * one segment). */
+  private[graft] def segmentPostingsFrame(
+      docs: DataFrame, seg: String): (DataFrame, DataFrame) = {
+    val d = docs.withColumn("ws", split(col("text"), " "))
     val tf = d.select(col("doc_id"),
         size(col("ws")).cast(LongType).as("dl"),
         explode(col("ws")).as("term"))
@@ -367,8 +378,19 @@ object Retrieval {
     * BIT-IDENTICAL to a from-scratch index over all docs — the oracle
     * is s10's full-corpus SQL verbatim, and RetrievalSpec pins
     * s17 == s10 row-for-row. */
-  def s17IncrementalBm25(spark: SparkSession, dir: String): DataFrame = {
-    val base = bm25IncIndexBase(spark, dir)
+  def s17IncrementalBm25(spark: SparkSession, dir: String): DataFrame =
+    segmentedBm25Ranked(spark, dir, bm25IncIndexBase(spark, dir))
+      .orderBy(col("query_id"), col("rn"))
+
+  /** BM25 over ANY segmented index at `base` (the s17 two-segment
+    * artifact, or the N-segment one the streaming sink grows): the
+    * per-term df and corpus totals merge over however many segments
+    * the artifact holds — because segments partition the docs, the
+    * merged scores always equal a from-scratch single index
+    * (`Σ_seg df_seg`, `Σ_seg totals_seg`). Query workload from `dir`'s
+    * documents table, same contract as s10. */
+  private[graft] def segmentedBm25Ranked(
+      spark: SparkSession, dir: String, base: String): DataFrame = {
     val postings = spark.read.schema(segPostingsSchema)
       .parquet(s"$base/postings")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"),
@@ -383,7 +405,7 @@ object Retrieval {
     val cand = cand0.filter(col("doc_id") =!= col("query_id"))
       .drop("df", "seg")
       .join(broadcast(dfTotal), "term")
-    okapiRank(cand, totals).orderBy(col("query_id"), col("rn"))
+    okapiRank(cand, totals)
   }
 
   /** Oracle CTE chain shared by s10 and s13: the same postings/df/totals

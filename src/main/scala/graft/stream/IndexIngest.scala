@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.ArtifactStore
-import graft.llm.Similarity
+import graft.llm.{Retrieval, Similarity}
 
 /** Streaming maintenance of a persisted IVF index: the
   * `readStream → foreachBatch` twin of the nightly append
@@ -85,11 +85,14 @@ object IndexIngest {
         s"$staging/assignments", Seq("cell"), Seq("vec_id"))
     }
 
-  /** The `foreachBatch` sink: fold one micro-batch of
-    * `(vec_id, embedding)` into the index at `base`. Use as
-    * `stream.writeStream.foreachBatch(IndexIngest.ivfAppendSink(base) _)`. */
-  def ivfAppendSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+  /** The shared exactly-once append step both sinks ride: skip a
+    * batch id at or below the artifact's high-water mark, chain the
+    * batch's fingerprint parts onto the current fingerprint by
+    * xor-composition, and run `append` + the mark write inside ONE
+    * [[graft.io.ArtifactStore.mutate]] so a crash between them can
+    * never leave a marked-but-double-ingestable state. */
+  private def appendOnce(base: String, batchId: Long,
+      parts: (Long, Long))(append: String => Unit): Unit = {
     val stateFile = java.nio.file.Paths.get(base, "stream_state")
     val applied =
       if (java.nio.file.Files.isRegularFile(stateFile))
@@ -97,25 +100,68 @@ object IndexIngest {
           .trim.toLong
       else -1L
     if (batchId <= applied) return // replay of a committed batch
-    val v = withNorm(batch)
-    val (nb, xb) = Similarity.frameFingerprintParts(v)
     val cur = ArtifactStore.currentFingerprint(base).getOrElse(
       throw new IllegalStateException(
         s"no valid index artifact at $base — bootstrap first"))
     val Array(cn, cx) = cur.split("_")
-    val next = fpStr(cn.toLong + nb,
-      java.lang.Long.parseUnsignedLong(cx) ^ xb)
+    val next = fpStr(cn.toLong + parts._1,
+      java.lang.Long.parseUnsignedLong(cx) ^ parts._2)
     val ok = ArtifactStore.mutate(base, cur, next) { live =>
+      append(live)
+      java.nio.file.Files.write(stateFile,
+        batchId.toString.getBytes("UTF-8"))
+    }
+    if (!ok) throw new IllegalStateException(
+      s"index at $base changed under batch $batchId — replay")
+  }
+
+  /** The `foreachBatch` sink: fold one micro-batch of
+    * `(vec_id, embedding)` into the index at `base`. Use as
+    * `stream.writeStream.foreachBatch(IndexIngest.ivfAppendSink(base) _)`. */
+  def ivfAppendSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = withNorm(batch)
+    appendOnce(base, batchId, Similarity.frameFingerprintParts(v)) { live =>
       val centroids = spark.read.parquet(s"$live/centroids")
       Similarity.assignToCentroids(v, centroids)
         .repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"$live/assignments")
-      java.nio.file.Files.write(stateFile,
-        batchId.toString.getBytes("UTF-8"))
     }
-    if (!ok) throw new IllegalStateException(
-      s"index at $base changed under batch $batchId — replay")
+  }
+
+  /** One-time BM25 bootstrap: the initial corpus becomes the index's
+    * `base` segment (postings with segment-local df, term-hash
+    * bucketed, + its 1-row totals). */
+  def bm25Bootstrap(base: String, docs: DataFrame): Unit = {
+    val (n, x) = Retrieval.frameDocsFingerprintParts(docs)
+    ArtifactStore.ensure(base, fpStr(n, x)) { staging =>
+      val (p, t) = Retrieval.segmentPostingsFrame(docs, "base")
+      graft.io.Store.writePartitionedParquet(
+        p, s"$staging/postings", Seq("tbucket"), Seq("term", "doc_id"))
+      t.coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+    }
+    ()
+  }
+
+  /** The lexical twin of [[ivfAppendSink]]: each micro-batch of
+    * `(doc_id, text)` becomes one delta SEGMENT (`seg = "b<batchId>"`)
+    * carrying segment-local df and totals — nothing already indexed is
+    * re-read or rewritten, and because segments partition the docs,
+    * [[graft.llm.Retrieval.segmentedBm25Ranked]] over the grown index
+    * answers IDENTICALLY to a from-scratch single index (the
+    * streaming spec pins equality with s10 after two streamed
+    * batches). */
+  def bm25AppendSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    appendOnce(base, batchId,
+      Retrieval.frameDocsFingerprintParts(batch)) { live =>
+      val (p, t) = Retrieval.segmentPostingsFrame(batch, s"b$batchId")
+      p.repartition(col("tbucket"))
+        .sortWithinPartitions(col("tbucket"), col("term"), col("doc_id"))
+        .write.mode("append").partitionBy("tbucket")
+        .parquet(s"$live/postings")
+      t.coalesce(1).write.mode("append").parquet(s"$live/totals")
+    }
   }
 }

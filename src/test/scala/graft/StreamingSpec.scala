@@ -1131,4 +1131,50 @@ class StreamingSpec extends AnyFunSuite {
       "compaction is layout-only: the content fingerprint must not move")
     assert(storedCells() == want, "compaction must not change the rows")
   }
+
+  test("streaming BM25 ingest: segment-per-batch index equals from-scratch s10") {
+    // the lexical twin of the streaming IVF ingest: every micro-batch
+    // of documents becomes one delta SEGMENT with segment-local
+    // df/totals; since the bootstrap + batches PARTITION the corpus,
+    // the N-segment merged probe must answer IDENTICALLY to s10's
+    // from-scratch single index — the strongest possible correctness
+    // statement for a streaming-grown index
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, sf, "documents")
+    def side(rem: Int) = docs.filter(col("doc_id") % 3 === rem)
+    def rowsOf(rem: Int): Seq[(Long, String)] = side(rem)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft-stream-bm25")
+      .resolve("idx").toString
+    graft.stream.IndexIngest.bm25Bootstrap(idx, side(1))
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.stream.IndexIngest.bm25AppendSink(idx) _)
+      .start()
+    try {
+      src.addData(rowsOf(2)); q.processAllAvailable()
+      src.addData(rowsOf(0)); q.processAllAvailable()
+    } finally q.stop()
+    // a replayed batch id is a no-op: still exactly 3 segments
+    graft.stream.IndexIngest.bm25AppendSink(idx)(
+      rowsOf(0).toDF("doc_id", "text"), 1L)
+    val segs = spark.read.parquet(s"$idx/postings")
+      .select(col("seg")).distinct().collect().map(_.getString(0)).toSet
+    assert(segs == Set("base", "b0", "b1"), s"segments: $segs")
+    // the streamed 3-segment index answers exactly like the
+    // from-scratch full-corpus index
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val want = rows(graft.llm.Retrieval.s10Bm25TopK(spark, sf))
+    val got = rows(graft.llm.Retrieval.segmentedBm25Ranked(spark, sf, idx)
+      .orderBy(col("query_id"), col("rn")))
+    assert(got.nonEmpty)
+    assert(got == want,
+      "segment-merged scores must equal the single-index scores")
+  }
 }

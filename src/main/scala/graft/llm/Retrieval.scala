@@ -351,7 +351,7 @@ object Retrieval {
       base
     })
 
-  private val segPostingsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val segPostingsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", LongType),
     org.apache.spark.sql.types.StructField("dl", LongType),
     org.apache.spark.sql.types.StructField("term",

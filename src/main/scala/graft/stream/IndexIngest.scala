@@ -145,6 +145,39 @@ object IndexIngest {
     ()
   }
 
+  /** Merge the BM25 index's accumulated segments into one — the real
+    * Lucene merge, run WITHOUT re-reading any document text: postings
+    * rows `(doc_id, dl, term, tf)` are segment-independent facts, so
+    * the merged segment is their union with document frequency
+    * RECOUNTED over the index's own rows (one term-keyed pass over the
+    * index — index-sized, never corpus-sized) and the totals rows
+    * summed. The fingerprint survives: it identifies the INDEXED
+    * CORPUS (the doc-content chain the appends composed), which a
+    * segment merge does not change; the manifest re-covers the new
+    * file set. Streamed appends continue afterwards from the same
+    * high-water mark. */
+  def compactBm25(spark: org.apache.spark.sql.SparkSession,
+      base: String): Boolean =
+    ArtifactStore.rewrite(base) { (live, staging) =>
+      val p = spark.read.schema(Retrieval.segPostingsSchema)
+        .parquet(s"$live/postings")
+      val merged = p
+        .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+        .withColumn("seg", lit("base"))
+        .withColumn("tbucket",
+          pmod(xxhash64(col("term")), lit(Retrieval.PostingBuckets)))
+      graft.io.Store.writePartitionedParquet(
+        merged, s"$staging/postings", Seq("tbucket"),
+        Seq("term", "doc_id"))
+      spark.read.parquet(s"$live/totals")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("t_tokens")).as("t_tokens"))
+        .withColumn("seg", lit("base"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+    }
+
   /** The lexical twin of [[ivfAppendSink]]: each micro-batch of
     * `(doc_id, text)` becomes one delta SEGMENT (`seg = "b<batchId>"`)
     * carrying segment-local df and totals — nothing already indexed is

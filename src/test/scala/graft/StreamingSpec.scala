@@ -1176,5 +1176,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got == want,
       "segment-merged scores must equal the single-index scores")
+    // SEGMENT MERGE (the Lucene merge, no text re-read): the three
+    // segments collapse into one with df recounted from the index's
+    // own rows; the fingerprint survives (it names the indexed corpus,
+    // not the layout), and the probe still answers exactly like s10
+    val fpBefore = graft.io.ArtifactStore.currentFingerprint(idx)
+    assert(graft.stream.IndexIngest.compactBm25(spark, idx))
+    val segsAfter = spark.read.parquet(s"$idx/postings")
+      .select(col("seg")).distinct().collect().map(_.getString(0)).toSet
+    assert(segsAfter == Set("base"), s"merged segments: $segsAfter")
+    assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpBefore,
+      "a segment merge must not move the corpus fingerprint")
+    val gotMerged = rows(
+      graft.llm.Retrieval.segmentedBm25Ranked(spark, sf, idx)
+        .orderBy(col("query_id"), col("rn")))
+    assert(gotMerged == want, "the merged index must still equal s10")
   }
 }

@@ -1406,6 +1406,24 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s18's serving plan must contain no join")
   }
 
+  test("g04 warm start: stored scores reused, yesterday's rounds never re-paid") {
+    // the authority twin of the incremental index updates: the scores
+    // artifact (3 rounds over the old graph) builds at most once; a
+    // fresh first-toucher resumes from it with only the 2 refinement
+    // rounds, and the grown graph's new nodes are ranked too
+    llm.Authority.g04WarmStartPageRank(spark, sf).collect()
+    llm.Authority.prForgetCachedPaths()
+    val b0 = llm.Authority.prBuildCount.get()
+    val rows = llm.Authority.g04WarmStartPageRank(spark, sf).collect()
+    assert(llm.Authority.prBuildCount.get() == b0,
+      "a matching fingerprint must reuse the stored scores")
+    assert(rows.nonEmpty)
+    // warm-start covers the FULL grown graph's node set
+    val cold = llm.Authority.g01PageRank(spark, sf).collect()
+    assert(rows.length == cold.length,
+      s"warm result ranks ${rows.length} nodes, cold ranks ${cold.length}")
+  }
+
   test("BM25 postings: a literal term bucket prunes to 1/64 partitions") {
     // the lexical layout twin of the IVF cell pruning: the stored
     // postings are term-hash-bucketed, so a point lookup of ONE term

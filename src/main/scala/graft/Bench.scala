@@ -184,7 +184,37 @@ object Bench {
         i > 0 && v > 1.5 * i * scale && v - i * scale > 0.5) => k
     }
     val driftJson = drift.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Two JSON lines, full first, COMPACT LAST. The driver keeps only
+    // the final 2000 chars of output (measured: BENCH_r08.json's tail
+    // ends with sbt's ~72-char "[success]" trailer, so ~1,920 usable),
+    // and at 182 queries the full 2dp line is ~2.1 KB — its head (the
+    // total!) has been truncated away every round since the suite
+    // outgrew it. The LAST line is therefore a compact digest sized to
+    // always fit: 1dp values, numeric sf, and sub-noise queries (the
+    // box's floor is ~±20% wall noise; a 0.2 s query carries no
+    // round-over-round signal) folded into an explicit
+    // "omitted":{n,sec,below} record — never a silent cap. The
+    // threshold self-raises until the line fits 1,800 chars, so query
+    // growth can never push the digest back past the capture window.
+    // Local tools (isodelta, PERF bookkeeping) parse the FIRST line
+    // and keep full precision + the complete per-query map.
     println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"drift":$driftJson,"iso_scale":${r(scale)},"sf":"$sfDir"}""")
+    def r1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val sfName = new java.io.File(sfDir).getName
+    val sfJson =
+      if (sfName.matches("sf[0-9.]+")) sfName.drop(2) else "\"" + sfName + "\""
+    val compact = Seq(0.0, 0.1, 0.2, 0.3, 0.5, 0.75, 1.0, 1.5).iterator
+      .map { below =>
+        val kept = keys.zip(results).collect {
+          case (k, (_, v)) if v < 0 || v >= below => "\"" + k + "\":" + r1(v)
+        }.mkString("{", ",", "}")
+        val om = results.map(_._2).filter(v => v >= 0 && v < below)
+        s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":$kept,"omitted":{"n":${om.length},"sec":${r1(om.sum)},"below":$below},"drift":$driftJson,"sf":$sfJson}"""
+      }
+      .find(_.length <= 1800)
+      .getOrElse(s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":{},"omitted":{"n":${results.length},"sec":${r1(total)},"below":-1},"drift":$driftJson,"sf":$sfJson}""")
+    println(compact)
     spark.stop()
   }
 }

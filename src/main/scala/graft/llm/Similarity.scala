@@ -562,6 +562,25 @@ object Similarity {
     * trains on a sample and broadcasts (8·16·8 doubles — 8 KB); only
     * the 8-byte codes shuffle. */
   def s09PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (_, scored) = pqAdcScored(spark, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** The shared PQ chain behind [[s09PqTopK]] and [[s19PqRerank]]:
+    * trains the codebook, encodes the corpus, broadcasts the per-query
+    * ADC LUTs and scores every (query, candidate) pair with the exact
+    * BIGINT 8-lookup sum. Returns `(nv, scored)` — the normalized
+    * corpus (for the exact re-rank stage) and the ADC-scored pairs
+    * `(query_id, neighbor_id, score)`, pre-ranking. */
+  private def pqAdcScored(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     VectorExpressions.register(spark)
     val nv = normed(spark, dir)
       .withColumn("nv",
@@ -623,16 +642,62 @@ object Similarity {
     val scoreExpr = (0 until PqM)
       .map(m => s"element_at(lut, $m * 16 + element_at(codes, ${m + 1}) + 1)")
       .mkString(" + ")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    codes.withColumnRenamed("vec_id", "neighbor_id")
+    val scored = codes.withColumnRenamed("vec_id", "neighbor_id")
       .join(broadcast(lut), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", expr(scoreExpr))
       .select(col("query_id"), col("neighbor_id"), col("score"))
+    (nv, scored)
+  }
+
+  /** s19 candidate-pool width: ADC keeps this many candidates per
+    * query before the exact re-rank — the recall/cost knob of every
+    * two-stage retrieval system (pool ≫ k buys back ADC's quantization
+    * error at pool/k× the exact-scoring cost of final k). */
+  val RerankPool = 32
+
+  /** s19: two-stage retrieval — PQ-ADC coarse scoring prunes the
+    * corpus to [[RerankPool]] candidates per query, then the EXACT
+    * cosine (full-precision vectors, fetched for candidates only)
+    * re-ranks the pool to the final top-10. This is the production ANN
+    * serving shape (coarse quantized scan → refine, cf. Jégou et al.
+    * TPAMI 2011 §V "re-ranking", and every IVF-PQ deployment since):
+    * the compressed index answers "who might be close" at 8 bytes per
+    * vector, the refine stage answers "who IS close" touching only
+    * pool·Q full vectors — raw floats never participate in the
+    * corpus-wide scan.
+    *
+    * The output keeps `adc_rank` (the candidate's coarse position)
+    * next to the exact-score rank, so the re-ranking is visible in the
+    * result: rows with `rn < adc_rank` are wins the refine stage
+    * bought over serving ADC order directly.
+    *
+    * 100 TB posture: stage 1 is s09's shape (broadcast LUTs, 8-byte
+    * codes shuffle, top-pool per query via partial top-k); stage 2
+    * joins the pool (Q·pool rows — pool-sized, not corpus-sized)
+    * against the vector table on vec_id twice: point lookups against
+    * the same partitioned store s18 probes, never a corpus scan. The
+    * exact score is floor-quantized to 2⁻²⁰ quanta (BIGINT) like every
+    * cross-engine kernel here. */
+  def s19PqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val (nv, scored) = pqAdcScored(spark, dir)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val pool = scored
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
+    val qv = nv.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val cv = nv.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    pool.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
-        col("neighbor_id"), col("score"))
+        col("neighbor_id"), col("score"),
+        col("adc_rank").cast("integer").as("adc_rank"))
       .orderBy(col("query_id"), col("rn"))
   }
 
@@ -1050,6 +1115,7 @@ object Similarity {
     "s14_hard_negatives" -> (s14HardNegatives _),
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s09_pq_topk" -> (s09PqTopK _),
+    "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
     "s02_ivf_topk" -> (s02IvfTopK _),
@@ -1236,7 +1302,51 @@ object Similarity {
     * established bit-exact forms (list_dot_product left-to-right,
     * identical division/multiplication text), every ranking the same
     * tie-breaks, so the codes, LUTs and scores match hash-for-hash. */
-  val s09Sql: String = {
+  val s09Sql: String = pqAdcCte +
+    """, r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rn
+       |  FROM sc
+       |)
+       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id,
+       |  CAST(score AS BIGINT) AS score
+       |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  /** s19 oracle: the shared PQ-ADC chain ([[pqAdcCte]]) ranked to the
+    * 32-candidate pool, then the exact floor-quantized cosine over the
+    * pool's full-precision vectors re-ranks to the final 10 — the same
+    * two stages, replayed. */
+  val s19Sql: String = pqAdcCte +
+    s""", pool AS (
+       |  SELECT query_id, neighbor_id, ar AS adc_rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id) AS ar
+       |    FROM sc)
+       |  WHERE ar <= $RerankPool
+       |), ex AS (
+       |  SELECT p.query_id, p.neighbor_id, p.adc_rank,
+       |    CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+       |      AS score
+       |  FROM pool p
+       |  JOIN nv q ON q.vec_id = p.query_id
+       |  JOIN nv c ON c.vec_id = p.neighbor_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, adc_rank, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rn
+       |  FROM ex
+       |)
+       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, score,
+       |  CAST(adc_rank AS INT) AS adc_rank
+       |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  /** The PQ chain as oracle CTEs, through the ADC-scored pair set
+    * `sc(query_id, neighbor_id, score)` — shared by [[s09Sql]] and
+    * [[s19Sql]] exactly as [[pqAdcScored]] is shared by the Spark
+    * queries (a def, not a val: object-init order). */
+  private def pqAdcCte: String = {
     val scoreTerms = (0 until PqM)
       .map(m => s"l.lut[$m * 16 + cd.codes[${m + 1}] + 1]")
       .mkString(" + ")
@@ -1295,15 +1405,7 @@ object Similarity {
          |  SELECT l.query_id, cd.vec_id AS neighbor_id,
          |    $scoreTerms AS score
          |  FROM lut l JOIN codes cd ON l.query_id <> cd.vec_id
-         |), r AS (
-         |  SELECT query_id, neighbor_id, score,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, neighbor_id) AS rn
-         |  FROM sc
-         |)
-         |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id,
-         |  CAST(score AS BIGINT) AS score
-         |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+         |)""".stripMargin
   }
 
   /** s11 oracle: replay both stages — normalization, doc/token split,
@@ -1546,6 +1648,7 @@ object Similarity {
     "s15_index_probe" -> s15Sql,
     "s14_hard_negatives" -> s14Sql,
     "s09_pq_topk" -> s09Sql,
+    "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,
     "s01_cosine_topk" -> s01Sql,

@@ -712,6 +712,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byQ.keySet.forall(_ % 4 == 0))
   }
 
+  test("s19 PQ re-rank: exact stage visibly reorders the ADC pool, ADC order matches s09") {
+    val rows = Similarity.s19PqRerank(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to 10),
+        s"query $q rankings")
+      val byRn = rs.sortBy(_.getAs[Int]("rn"))
+      val scores = byRn.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q exact scores not descending")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") != q)
+        val ar = r.getAs[Int]("adc_rank")
+        assert(ar >= 1 && ar <= Similarity.RerankPool, s"query $q adc_rank $ar")
+      }
+      // pool positions are distinct — each survivor kept its own coarse rank
+      assert(rs.map(_.getAs[Int]("adc_rank")).distinct.length == rs.length)
+    }
+    assert(byQ.keySet.forall(_ % 4 == 0))
+    // the two stages are genuinely different orders: the refine stage
+    // must pull at least one candidate ADC ranked OUTSIDE its top-10
+    // into the final 10 (1176/1250 rows reorder at sf0.001 — the
+    // isotropic fixture makes 8-byte ADC coarse, which is exactly what
+    // the exact stage is for)
+    assert(rows.exists(_.getAs[Int]("adc_rank") > 10),
+      "refine stage never promoted a candidate past ADC's own top-10")
+    // shared-chain consistency: where a neighbor appears in BOTH s09
+    // (pure ADC top-10) and s19, its adc_rank here IS its s09 rank —
+    // pins that the pool really is s09's scoring, not a re-derivation
+    val s09rank = Similarity.s09PqTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rn")).toMap
+    val overlap = rows.flatMap { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      s09rank.get(k).map(adc => (k, adc, r.getAs[Int]("adc_rank")))
+    }
+    assert(overlap.nonEmpty)
+    overlap.foreach { case (k, adc, ar) =>
+      assert(adc == ar, s"pair $k: s09 rn $adc vs s19 adc_rank $ar")
+    }
+  }
+
   test("s11 MaxSim exact-stage scores match a brute-force replay") {
     import SparkTestSession.spark.implicits._
     val got = Similarity.s11MaxSimTopK(spark, sf).collect()

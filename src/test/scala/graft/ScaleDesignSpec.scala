@@ -1128,6 +1128,7 @@ class ScaleDesignSpec extends AnyFunSuite {
     val quadraticByDesign = Set("s01_cosine_topk", "s02_ivf_topk",
       "s03_topk_aggregate", "s05_quantized_topk", "d06_embedding_near_dup",
       "s09_pq_topk", // ADC scan: every 8-byte code row scored vs broadcast LUTs
+      "s19_pq_rerank", // s09's ADC scan feeding the pool; the re-rank joins are keyed
       "s11_maxsim_topk", // coarse stage: flat centroid scan vs broadcast queries
       "s12_bitext_margin", // all-pairs mining baseline (scale path: s02/s07 candidates)
 

@@ -662,9 +662,9 @@ object Similarity {
     * serving shape (coarse quantized scan → refine, cf. Jégou et al.
     * TPAMI 2011 §V "re-ranking", and every IVF-PQ deployment since):
     * the compressed index answers "who might be close" at 8 bytes per
-    * vector, the refine stage answers "who IS close" touching only
+    * vector, the refine stage answers "who IS close" SCORING only
     * pool·Q full vectors — raw floats never participate in the
-    * corpus-wide scan.
+    * corpus-wide scoring.
     *
     * The output keeps `adc_rank` (the candidate's coarse position)
     * next to the exact-score rank, so the re-ranking is visible in the
@@ -674,10 +674,15 @@ object Similarity {
     * 100 TB posture: stage 1 is s09's shape (broadcast LUTs, 8-byte
     * codes shuffle, top-pool per query via partial top-k); stage 2
     * joins the pool (Q·pool rows — pool-sized, not corpus-sized)
-    * against the vector table on vec_id twice: point lookups against
-    * the same partitioned store s18 probes, never a corpus scan. The
-    * exact score is floor-quantized to 2⁻²⁰ quanta (BIGINT) like every
-    * cross-engine kernel here. */
+    * against the vector table on vec_id twice. As written that is a
+    * (vec_id, embedding)-pruned scan of the vector table with the
+    * pool side broadcast — the exact-scoring JOIN is pool-sized, but
+    * the candidate FETCH still reads the corpus once; an online
+    * serving deployment swaps that fetch for s18's partition-pruned
+    * point lookup against the stored cell-major lists (same rows, no
+    * scan), which is why the pool side deliberately keys on plain
+    * vec_id. The exact score is floor-quantized to 2⁻²⁰ quanta
+    * (BIGINT) like every cross-engine kernel here. */
   def s19PqRerank(spark: SparkSession, dir: String): DataFrame = {
     val (nv, scored) = pqAdcScored(spark, dir)
     val wAdc = Window.partitionBy(col("query_id"))

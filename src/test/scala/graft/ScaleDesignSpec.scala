@@ -632,6 +632,39 @@ class ScaleDesignSpec extends AnyFunSuite {
         "re-evaluation crept back")
   }
 
+  test("s19 refine plan: exact-stage joins broadcast the pool, vector scans stay bounded") {
+    // the two-stage contract: the exact cosine must join the POOL
+    // (Q·32 rows) against the vector table with the pool side
+    // broadcast — a shuffled join there repartitions the whole corpus
+    // to serve 4k lookups, which is the shape that dies at 100 TB.
+    // Execute once so AQE's final plan (where the broadcast decision
+    // lands) is what gets pinned.
+    val df = llm.Similarity.s19PqRerank(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val nodes = plan.collectWithSubqueries { case p => p.nodeName }
+    val shuffledJoins = nodes.filter(n =>
+      n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin"))
+    assert(shuffledJoins.isEmpty,
+      s"s19 shuffles a join that should broadcast the pool: $shuffledJoins " +
+        s"(all: ${nodes.groupBy(identity).map { case (k, v) => s"$k=${v.size}" }.toSeq.sorted})")
+    // the candidate fetch reads the vector table, but boundedly: nv
+    // feeds codes + query LUTs + both refine sides — more scans than
+    // this means a subtree started re-evaluating per reference
+    val embScans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("embeddings"))
+        => f
+    }
+    assert(embScans.length <= 4,
+      s"s19 scans embeddings ${embScans.length}x — the PQ/refine chain " +
+        "re-evaluates a shared frame per reference")
+  }
+
   test("p18 selection plan: no global single-partition window anywhere") {
     // the DSIR top-k flag must come from the broadcast k-th threshold,
     // never from a ROW_NUMBER() OVER (ORDER BY ...) global window — a

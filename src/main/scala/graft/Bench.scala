@@ -179,10 +179,20 @@ object Bench {
       case (k, (_, v)) if v > 0 && iso.get(k).exists(_ > 0) => v / iso(k)
     }.sorted
     val scale = if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
-    val drift = keys.zip(results).collect {
+    val perQueryDrift = keys.zip(results).collect {
       case (k, (_, v)) if v > 0 && iso.get(k).exists(i =>
         i > 0 && v > 1.5 * i * scale && v - i * scale > 0.5) => k
     }
+    // normalization absorbs any UNIFORM slowdown into the scale itself
+    // (a change slowing a shared helper would flag nothing) — so the
+    // scale gets its own machine-readable flag: "_suite" in the drift
+    // array when the run's median ctx/iso ratio exceeds 1.3. Readers of
+    // the drift field alone now see suite-wide regressions too; whether
+    // it is box noise or a real shared-path change is adjudicated by
+    // the PERF.md two-run + control-query protocol, same as per-query
+    // flags. (ADVICE r9)
+    val drift =
+      (if (scale > 1.3) Seq("_suite") else Seq.empty) ++ perQueryDrift
     val driftJson = drift.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Two JSON lines, full first, COMPACT LAST. The driver keeps only
     // the final 2000 chars of output (measured: BENCH_r08.json's tail

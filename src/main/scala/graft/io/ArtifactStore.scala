@@ -163,6 +163,52 @@ object ArtifactStore {
     withLock(basePath)(validFingerprint(basePath))
   }
 
+  /** The build branch of [[ensure]], caller holds the lock. A full
+    * rebuild REPLACES the artifact wholesale: after `build` stages the
+    * new file set, any live child the build did not stage (e.g. a
+    * streaming sink's `stream_state` high-water mark from a previous
+    * fingerprint's life) is deleted before publish — a rebuilt
+    * artifact must not inherit state keyed to the corpus it replaced,
+    * or a restarted streaming query would silently skip batches up to
+    * the stale mark. ([[rewrite]] keeps non-staged children on
+    * purpose; only the full rebuild sweeps.) */
+  private def lockedBuild(basePath: Path, fingerprint: String)(
+      build: String => Unit): Unit = {
+    // reap staging orphans from crashed builds, then invalidate
+    val orphans = Files.list(basePath)
+    try orphans.iterator.asScala.toSeq
+      .filter(_.getFileName.toString.startsWith(".tmp-"))
+      .foreach(deleteRecursively)
+    finally orphans.close()
+    Files.deleteIfExists(basePath.resolve(MarkerName))
+    val staging = basePath.resolve(s".tmp-${java.util.UUID.randomUUID}")
+    Files.createDirectories(staging)
+    build(staging.toString)
+    val staged = {
+      val s = Files.list(staging)
+      try s.iterator.asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    val live = Files.list(basePath)
+    try live.iterator.asScala.toSeq
+      .filter { p =>
+        val n = p.getFileName.toString
+        n != LockName && !n.startsWith(".tmp-") && !staged.contains(n)
+      }
+      .foreach(deleteRecursively)
+    finally live.close()
+    publishStaged(basePath, staging, fingerprint)
+  }
+
+  /** The append branch of [[mutate]], caller holds the lock and has
+    * already validated the expected fingerprint. */
+  private def lockedMutate(basePath: Path, newFingerprint: String)(
+      append: String => Unit): Unit = {
+    Files.delete(basePath.resolve(MarkerName))
+    append(basePath.toString)
+    writeMarker(basePath, newFingerprint)
+  }
+
   /** Ensure the artifact at `base` is current for `fingerprint`,
     * building it (into a staging dir `build` receives) only when the
     * marker is absent, carries a different fingerprint, or the on-disk
@@ -175,37 +221,37 @@ object ArtifactStore {
     val basePath = Paths.get(base)
     withLock(basePath) {
       if (validFingerprint(basePath).contains(fingerprint)) false
-      else {
-        // reap staging orphans from crashed builds, then invalidate
-        val orphans = Files.list(basePath)
-        try orphans.iterator.asScala.toSeq
-          .filter(_.getFileName.toString.startsWith(".tmp-"))
-          .foreach(deleteRecursively)
-        finally orphans.close()
-        Files.deleteIfExists(basePath.resolve(MarkerName))
-        val staging = basePath.resolve(s".tmp-${java.util.UUID.randomUUID}")
-        Files.createDirectories(staging)
-        build(staging.toString)
-        publishStaged(basePath, staging, fingerprint)
-        true
-      }
+      else { lockedBuild(basePath, fingerprint)(build); true }
     }
   }
 
-  /** The incremental-artifact state machine shared by the s16 (IVF)
-    * and s17 (BM25) index updates: already at the union fingerprint →
-    * nothing to do (repeat runs and every JVM after the first);
-    * at the base fingerprint → [[mutate]] appends the batch in place;
-    * absent/stale/invalid → full [[ensure]] build of the base, then
-    * the append (bootstrap). Returns (built, appended). */
+  /** The incremental-artifact state machine shared by the s16 (IVF),
+    * s17 (BM25) and d19 (LSH dedup) index updates: already at the
+    * union fingerprint → nothing to do (repeat runs and every JVM
+    * after the first); at the base fingerprint → append the batch in
+    * place; absent/stale/invalid → full build of the base, then the
+    * append (bootstrap). Returns (built, appended).
+    *
+    * The whole state machine runs under ONE lock acquisition, so the
+    * post-condition "artifact at `unionFp`" is guaranteed on return
+    * even against a concurrent writer — the separate-lock version
+    * could observe a valid base between windows, lose the race, and
+    * return with the append silently refused. */
   def ensureIncremental(base: String, baseFp: String, unionFp: String)(
-      build: String => Unit)(append: String => Unit): (Boolean, Boolean) =
-    if (isCurrent(base, unionFp)) (false, false)
-    else {
-      val built = ensure(base, baseFp)(build)
-      val appended = mutate(base, baseFp, unionFp)(append)
-      (built, appended)
+      build: String => Unit)(append: String => Unit): (Boolean, Boolean) = {
+    val basePath = Paths.get(base)
+    withLock(basePath) {
+      validFingerprint(basePath) match {
+        case Some(`unionFp`) => (false, false)
+        case cur =>
+          val built =
+            if (cur.contains(baseFp)) false
+            else { lockedBuild(basePath, baseFp)(build); true }
+          lockedMutate(basePath, unionFp)(append)
+          (built, true)
+      }
     }
+  }
 
   /** Content-preserving LAYOUT rewrite — compaction: a run of
     * incremental appends ([[mutate]], the streaming sink) leaves many
@@ -249,12 +295,70 @@ object ArtifactStore {
     val basePath = Paths.get(base)
     withLock(basePath) {
       if (!validFingerprint(basePath).contains(expectFingerprint)) false
-      else {
-        Files.delete(basePath.resolve(MarkerName))
-        append(base)
-        writeMarker(basePath, newFingerprint)
-        true
+      else { lockedMutate(basePath, newFingerprint)(append); true }
+    }
+  }
+
+  /** Retention sweep over the artifact root: delete every artifact
+    * base whose newest content (marker when valid, else any file under
+    * the base) is older than `ttlMillis` — the nightly GC a long-lived
+    * artifact root needs, because [[ensure]] replaces in place under
+    * ONE base but bases for dead corpora (regenerated fixtures,
+    * removed SF dirs) otherwise accumulate forever. Each base is
+    * deleted UNDER ITS OWN LOCK, so a concurrent builder/reader either
+    * finishes first (its fresh marker makes the base young → kept) or
+    * blocks until the sweep releases and then rebuilds from scratch —
+    * never observes a half-deleted file set as valid (the marker is
+    * deleted first). Layout swept is [[artifactPath]]'s two levels:
+    * `root/<kind>/<corpus-slug>`. Returns the deleted base paths. */
+  def gc(ttlMillis: Long, root: String = artifactRoot()): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) return Seq.empty
+    val now = System.currentTimeMillis()
+    val kinds = Files.list(rootPath)
+    val bases =
+      try kinds.iterator.asScala.filter(Files.isDirectory(_)).flatMap { kind =>
+        val slugs = Files.list(kind)
+        try slugs.iterator.asScala.filter(Files.isDirectory(_)).toSeq
+        finally slugs.close()
+      }.toSeq
+      finally kinds.close()
+    bases.flatMap { basePath =>
+      val removed = withLock(basePath) {
+        // age = newest data file (the lock file's mtime refreshes on
+        // every touch — including this sweep's own — so exclude it)
+        val s = Files.walk(basePath)
+        val newest =
+          try s.iterator.asScala
+            .filter(Files.isRegularFile(_))
+            .filter(_.getFileName.toString != LockName)
+            .map(Files.getLastModifiedTime(_).toMillis)
+            .foldLeft(0L)(math.max)
+          finally s.close()
+        if (now - newest <= ttlMillis) false
+        else {
+          // marker first: a racer that somehow bypassed the lock can
+          // never validate a base this sweep is mid-deleting
+          Files.deleteIfExists(basePath.resolve(MarkerName))
+          val children = Files.list(basePath)
+          try children.iterator.asScala.toSeq
+            .filter(_.getFileName.toString != LockName)
+            .foreach(deleteRecursively)
+          finally children.close()
+          true
+        }
       }
+      // the lock file + dir go last, outside the lock (can't delete a
+      // file we hold open); a toucher racing in between keeps the dir
+      // alive (DirectoryNotEmpty → leave it, it's being rebuilt)
+      if (removed) {
+        try {
+          Files.deleteIfExists(basePath.resolve(LockName))
+          Files.deleteIfExists(basePath)
+        } catch { case _: java.nio.file.DirectoryNotEmptyException => }
+        monitors.remove(basePath.toAbsolutePath.normalize.toString)
+        Some(basePath.toString)
+      } else None
     }
   }
 }

@@ -162,6 +162,81 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(tmpDirs == 0, "crashed staging dirs must be reaped")
   }
 
+  test("a full rebuild sweeps children the build did not stage") {
+    // the streaming sink keeps its exactly-once high-water mark as a
+    // non-staged child (stream_state); a FINGERPRINT-CHANGING rebuild
+    // (bootstrap over a changed corpus) must not let it survive, or a
+    // restarted stream on the new artifact silently drops every batch
+    // up to the old mark (ADVICE r9, medium)
+    val base = freshBase()
+    ArtifactStore.ensure(base, "fp-1")(writeData(_, "part-0", "v1"))
+    // simulate the sink: state written in-place next to the data,
+    // covered by a mutate so the manifest stays valid
+    ArtifactStore.mutate(base, "fp-1", "fp-1b") { live =>
+      Files.write(Paths.get(live, "stream_state"), "7".getBytes(UTF_8))
+    }
+    assert(Files.exists(Paths.get(base, "stream_state")))
+    // corpus changed → rebuild under a new fingerprint
+    assert(ArtifactStore.ensure(base, "fp-2")(writeData(_, "part-0", "v2")))
+    assert(!Files.exists(Paths.get(base, "stream_state")),
+      "a rebuilt artifact must not inherit the old corpus's stream state")
+    assert(readData(base, "part-0") == "v2")
+  }
+
+  test("ensureIncremental: one lock window, post-condition holds from any start") {
+    val base = freshBase()
+    def build(staging: String): Unit = writeData(staging, "base-0", "A")
+    def append(live: String): Unit = writeData(live, "batch-0", "B")
+    // bootstrap: absent → build + append
+    assert(ArtifactStore.ensureIncremental(base, "fp-A", "fp-AB")(build)(append)
+      == ((true, true)))
+    assert(ArtifactStore.isCurrent(base, "fp-AB"))
+    // already at union → full no-op
+    assert(ArtifactStore.ensureIncremental(base, "fp-A", "fp-AB")(
+      _ => fail("no build"))(_ => fail("no append")) == ((false, false)))
+    // FOREIGN fingerprint (a concurrent writer moved the artifact
+    // somewhere unexpected between a caller's check and its call):
+    // the single-lock state machine must still land on the union —
+    // the old two-lock version returned with the append refused
+    assert(ArtifactStore.ensure(base, "fp-OTHER")(writeData(_, "x", "y")))
+    val (built, appended) =
+      ArtifactStore.ensureIncremental(base, "fp-A", "fp-AB")(build)(append)
+    assert(built && appended)
+    assert(ArtifactStore.isCurrent(base, "fp-AB"),
+      "post-condition: artifact at the union fingerprint on return")
+    assert(readData(base, "base-0") == "A" && readData(base, "batch-0") == "B")
+    assert(!Files.exists(Paths.get(base, "data", "x")),
+      "the foreign artifact's children are swept by the rebuild")
+  }
+
+  test("gc: stale bases removed under the lock, live bases untouched") {
+    // two artifacts under one root; one aged past the TTL, one fresh.
+    // the sweep must delete exactly the stale one — and a reader
+    // arriving after gc sees an absent artifact (rebuild), never a
+    // marked partial
+    val root = Files.createTempDirectory("graft-gc-spec").toString
+    val stale = Paths.get(root, "ivf-index", "old_corpus").toString
+    val live = Paths.get(root, "ivf-index", "hot_corpus").toString
+    ArtifactStore.ensure(stale, "fp-old")(writeData(_, "part-0", "old"))
+    ArtifactStore.ensure(live, "fp-hot")(writeData(_, "part-0", "hot"))
+    // age the stale base's files (marker + data) beyond the TTL
+    val oldTime = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10_000_000L)
+    val walk = Files.walk(Paths.get(stale))
+    try walk.iterator().forEachRemaining(p =>
+      Files.setLastModifiedTime(p, oldTime))
+    finally walk.close()
+    val removed = ArtifactStore.gc(ttlMillis = 1_000_000L, root = root)
+    assert(removed == Seq(stale), s"gc removed $removed")
+    assert(!Files.exists(Paths.get(stale)), "stale base fully gone")
+    assert(ArtifactStore.isCurrent(live, "fp-hot"),
+      "live base survives the sweep intact")
+    assert(readData(live, "part-0") == "hot")
+    // the removed base rebuilds cleanly on next touch
+    assert(ArtifactStore.ensure(stale, "fp-new")(writeData(_, "part-0", "new")))
+    assert(readData(stale, "part-0") == "new")
+  }
+
   test("mutate: in-place append over the exact expected fingerprint only") {
     val base = freshBase()
     ArtifactStore.ensure(base, "fp-A") { staging =>

@@ -30,7 +30,8 @@ object SparkEntry {
     * extra verification columns the production (benched) form must not
     * pay for. Applied by [[Verify]] only. */
   def verifyOverrides: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational2.verifyOverrides ++ ops.Relational6.verifyOverrides
+    ops.Relational2.verifyOverrides ++ ops.Relational6.verifyOverrides ++
+      ops.Relational8.verifyOverrides
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

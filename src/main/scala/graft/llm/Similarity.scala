@@ -649,6 +649,21 @@ object Similarity {
     (nv, scored)
   }
 
+  /** Full-precision vector fetch FROM THE INDEX: the stored cell-major
+    * inverted lists re-normalized to unit doubles — bit-identical to
+    * [[normed]]'s `nv` because the artifact persists the exact source
+    * floats and the same sqrt-of-dot norm, and parquet round-trips
+    * both exactly. This is the refine stage's data source
+    * ([[s19PqRerank]]): at serving time the full vectors live IN the
+    * index (Faiss refine / DiskANN full-precision sidecar), so the
+    * corpus table never appears in the refine subtree — a plan the
+    * spec pins. */
+  private[graft] def indexVectorFetch(spark: SparkSession, dir: String): DataFrame =
+    ivfInvertedLists(spark, dir)
+      .withColumn("nv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .select(col("vec_id"), col("nv"))
+
   /** s19 candidate-pool width: ADC keeps this many candidates per
     * query before the exact re-rank — the recall/cost knob of every
     * two-stage retrieval system (pool ≫ k buys back ADC's quantization
@@ -674,25 +689,30 @@ object Similarity {
     * 100 TB posture: stage 1 is s09's shape (broadcast LUTs, 8-byte
     * codes shuffle, top-pool per query via partial top-k); stage 2
     * joins the pool (Q·pool rows — pool-sized, not corpus-sized)
-    * against the vector table on vec_id twice. As written that is a
-    * (vec_id, embedding)-pruned scan of the vector table with the
-    * pool side broadcast — the exact-scoring JOIN is pool-sized, but
-    * the candidate FETCH still reads the corpus once; an online
-    * serving deployment swaps that fetch for s18's partition-pruned
-    * point lookup against the stored cell-major lists (same rows, no
-    * scan), which is why the pool side deliberately keys on plain
-    * vec_id. The exact score is floor-quantized to 2⁻²⁰ quanta
-    * (BIGINT) like every cross-engine kernel here. */
+    * against the STORED cell-major inverted lists
+    * ([[indexVectorFetch]]) with the pool side broadcast — the
+    * full-precision refine vectors come off the index artifact, and
+    * the corpus table is absent from the refine subtree entirely
+    * (plan-pinned): this is Faiss's IVFPQ + refine layout, where the
+    * refine codes live in the index, not back in the source data. An
+    * online deployment additionally prunes the fetch to the pool's
+    * cells (s18's literal-IN partition pruning — the pool rows' cells
+    * are known from stage 1's probe set); the batch shape here reads
+    * the lists once for all queries, which is the right asymmetry
+    * when Q·pool covers most cells anyway. The exact score is
+    * floor-quantized to 2⁻²⁰ quanta (BIGINT) like every cross-engine
+    * kernel here. */
   def s19PqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val (nv, scored) = pqAdcScored(spark, dir)
+    val (_, scored) = pqAdcScored(spark, dir)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     val pool = scored
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= RerankPool)
       .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
-    val qv = nv.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
-    val cv = nv.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
+    val fetched = indexVectorFetch(spark, dir)
+    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     pool.join(qv, "query_id").join(cv, "neighbor_id")

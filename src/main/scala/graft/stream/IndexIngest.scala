@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.ArtifactStore
-import graft.llm.{Retrieval, Similarity}
+import graft.llm.{Dedup, Retrieval, Similarity}
 
 /** Streaming maintenance of a persisted IVF index: the
   * `readStream → foreachBatch` twin of the nightly append
@@ -197,4 +197,52 @@ object IndexIngest {
       t.coalesce(1).write.mode("append").parquet(s"$live/totals")
     }
   }
+
+  /** One-time LSH dedup-index bootstrap over the initial standing
+    * corpus (digests + band postings through the atomic-publish path);
+    * a no-op when the artifact is already current for these docs. */
+  def lshBootstrap(base: String, docs: DataFrame): Unit = {
+    val (n, x) = Dedup.docsFingerprintParts(docs)
+    ArtifactStore.ensure(base, fpStr(n, x)) {
+      Dedup.writeDedupIndexInto(docs, _)
+    }
+    ()
+  }
+
+  /** The dedup twin of [[ivfAppendSink]]/[[bm25AppendSink]] — the
+    * THIRD exactly-once index sink: each micro-batch of surviving
+    * `(doc_id, text)` docs (the upstream d10/p13-style adjudication
+    * decided they stay) folds into the standing LSH index as new
+    * digest rows + new band-posting files under the 16 existing band
+    * partition dirs. Same replay contract as the siblings: the
+    * batch-id high-water mark lives INSIDE the artifact and commits in
+    * the same [[graft.io.ArtifactStore.mutate]] as the rows, so a
+    * restarted query re-delivering a committed batch is a wholesale
+    * no-op, and the index a probe sees is always pre- or post-batch,
+    * never partial. */
+  def lshAppendSink(base: String)(batch: DataFrame, batchId: Long): Unit =
+    appendOnce(base, batchId, Dedup.docsFingerprintParts(batch)) {
+      Dedup.appendDedupIndexInto(batch, _)
+    }
+
+  /** Compact the LSH dedup index after a run of appends: each band
+    * partition's accumulation of per-batch posting files rewrites to
+    * one sorted file per band, and the digest rows (duplicated across
+    * appends when base and batch shared text) re-distinct into one
+    * file — same fingerprint (the indexed corpus is unchanged; the
+    * digest re-distinct only drops redundant rows the probe's
+    * set-semantics membership join never saw), same publish-lock
+    * marker swap as [[compactIvf]]/[[compactBm25]]. */
+  def compactLsh(spark: org.apache.spark.sql.SparkSession,
+      base: String): Boolean =
+    ArtifactStore.rewrite(base) { (live, staging) =>
+      val bands = spark.read.schema(Dedup.bandIdxSchema)
+        .parquet(s"$live/bands")
+      graft.io.Store.writePartitionedParquet(
+        bands.select(col("doc_id"), col("bucket"), col("band")),
+        s"$staging/bands", Seq("band"), Seq("bucket", "doc_id"))
+      spark.read.schema(Dedup.digestSchema).parquet(s"$live/digests")
+        .distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/digests")
+    }
 }

@@ -815,6 +815,32 @@ class LlmOpsSpec extends AnyFunSuite {
       "a matching fingerprint must reuse the stored dedup index")
   }
 
+  test("d19 append-then-probe equals from-scratch d18; build and append run once") {
+    // the lifecycle claim: an index built on HALF the standing corpus
+    // and grown by appending the other half must serve the probe
+    // exactly like d18's single-shot index over the whole standing
+    // corpus — same docs indexed, same answers, regardless of how the
+    // index got there
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = rows(Dedup.d18PersistedDedupIndex(spark, sf))
+    val got = rows(Dedup.d19IncrementalIndexAppend(spark, sf))
+    assert(got.nonEmpty)
+    assert(got == want,
+      "the grown index must answer exactly like the from-scratch index")
+    // build-once + append-once: a fresh first-toucher (path cache
+    // forgotten = the next nightly job's JVM) finds the artifact at
+    // the UNION fingerprint — zero builds, zero appends
+    Dedup.dedupIncForgetCachedPaths()
+    val b0 = Dedup.dedupIncBuildCount.get()
+    val a0 = Dedup.dedupIncAppendCount.get()
+    Dedup.d19IncrementalIndexAppend(spark, sf).collect()
+    assert(Dedup.dedupIncBuildCount.get() == b0,
+      "repeat touch must not rebuild the base index")
+    assert(Dedup.dedupIncAppendCount.get() == a0,
+      "repeat touch must not re-append the batch")
+  }
+
   test("d14 bloom prefilter: sound fast-path, exact_dup set equals d10's") {
     val rows = Dedup.d14BloomPrefilter(spark, sf).collect()
     val newBatch = Tables(spark, sf, "documents")

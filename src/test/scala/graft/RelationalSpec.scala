@@ -282,7 +282,10 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("q79 quantile sketch: bound booleans hold, estimate brackets the exact percentile") {
-    val r = ops.Relational8.q79QuantileSketch(spark, sf).collect()
+    // the verify-mode shape carries the exact companions the booleans
+    // are defined over; the production shape must agree on the
+    // estimates it shares (same summary algebra, minus the companion)
+    val r = ops.Relational8.q79Verified(spark, sf).collect()
     assert(r.length == 1)
     val row = r(0)
     for (b <- Seq("b50_reached", "b50_sample_err", "b50_not_below",
@@ -296,10 +299,15 @@ class RelationalSpec extends AnyFunSuite {
     // err_bound is the fixed-size-summary promise: ~33 points per month
     assert(row.getAs[Long]("err_bound") * 16 < row.getAs[Long]("n_total"),
       "summaries should bound rank error well under n/16")
+    val prod = ops.Relational8.q79QuantileSketch(spark, sf).collect()(0)
+    for (c <- Seq("n_total", "err_bound", "t50", "t90", "est_p50",
+        "er50", "est_p90", "er90"))
+      assert(prod.getAs[Long](c) == row.getAs[Long](c),
+        s"production and verified shapes disagree on $c")
   }
 
   test("q80 grouped quantile rollup: every brand's bounds hold") {
-    val rows = ops.Relational8.q80GroupedQuantiles(spark, sf).collect()
+    val rows = ops.Relational8.q80Verified(spark, sf).collect()
     val brands = Tables(spark, sf, "part").select("p_brand").distinct()
       .count()
     assert(rows.length == brands)
@@ -344,7 +352,7 @@ class RelationalSpec extends AnyFunSuite {
           "l_shipdate")
         .coalesce(1).write.mode("overwrite")
         .parquet(tmp.resolve("lineitem.parquet").toString)
-      val r = ops.Relational8.q79QuantileSketch(spark, tmp.toString)
+      val r = ops.Relational8.q79Verified(spark, tmp.toString)
         .collect()(0)
       for (b <- Seq("b50_reached", "b50_sample_err", "b50_not_below",
           "b90_reached", "b90_sample_err", "b90_not_below"))

@@ -652,17 +652,35 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(shuffledJoins.isEmpty,
       s"s19 shuffles a join that should broadcast the pool: $shuffledJoins " +
         s"(all: ${nodes.groupBy(identity).map { case (k, v) => s"$k=${v.size}" }.toSeq.sorted})")
-    // the candidate fetch reads the vector table, but boundedly: nv
-    // feeds codes + query LUTs + both refine sides — more scans than
-    // this means a subtree started re-evaluating per reference
+    // the refine-stage vector fetch reads the INDEX, not the corpus:
+    // the corpus (embeddings) scans left are stage 1's only (codes +
+    // LUT + seed subtrees), and the full-precision refine vectors come
+    // off the stored cell-major inverted lists
     val embScans = plan.collectWithSubqueries {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
         if f.relation.location.rootPaths.exists(_.toString.contains("embeddings"))
         => f
     }
-    assert(embScans.length <= 4,
-      s"s19 scans embeddings ${embScans.length}x — the PQ/refine chain " +
-        "re-evaluates a shared frame per reference")
+    assert(embScans.length <= 3,
+      s"s19 scans embeddings ${embScans.length}x — the refine fetch " +
+        "must read the index artifact, stage 1 must not re-evaluate")
+    val idxScans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("ivf-index"))
+        => f
+    }
+    assert(idxScans.nonEmpty,
+      "s19's refine fetch must read the stored inverted lists")
+    // and the fetch frame itself touches ONLY index partitions — the
+    // corpus table is absent from the refine subtree wholesale
+    val fetchScans = llm.Similarity.indexVectorFetch(spark, sf)
+      .queryExecution.sparkPlan.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(fetchScans.nonEmpty)
+    assert(fetchScans.forall(_.relation.location.rootPaths
+        .forall(_.toString.contains("ivf-index"))),
+      "the refine vector fetch must read the index artifact only")
   }
 
   test("p18 selection plan: no global single-partition window anywhere") {

@@ -1132,6 +1132,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(storedCells() == want, "compaction must not change the rows")
   }
 
+  test("streaming LSH ingest: appended postings serve the dedup probe exactly") {
+    // the THIRD exactly-once index sink (IVF vectors, BM25 segments,
+    // now LSH dedup postings): micro-batches of surviving docs fold
+    // into the standing index's digests + band postings; after the
+    // stream, the grown index must classify the new batch exactly as
+    // d18's single-shot index over the same standing corpus does —
+    // then a replayed batch id is a no-op and compaction rewrites each
+    // band to one file without moving the fingerprint or the answers
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, sf, "documents")
+    def rowsOf(pred: org.apache.spark.sql.Column): Seq[(Long, String)] =
+      docs.filter(pred).select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft-stream-lsh")
+      .resolve("idx").toString
+    // bootstrap on one half of the standing corpus, stream the other
+    // half in two micro-batches (standing corpus = doc_id % 3 != 0)
+    graft.stream.IndexIngest.lshBootstrap(
+      idx, docs.filter(col("doc_id") % 3 === 1))
+    val b0 = rowsOf(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0)
+    val b1 = rowsOf(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1)
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.stream.IndexIngest.lshAppendSink(idx) _)
+      .start()
+    try {
+      src.addData(b0); q.processAllAvailable()
+      src.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    def postingCount(): Long =
+      spark.read.schema(graft.llm.Dedup.bandIdxSchema)
+        .parquet(s"$idx/bands").count()
+    val nAfterStream = postingCount()
+    // a replayed committed batch id (restarted query) is a no-op
+    graft.stream.IndexIngest.lshAppendSink(idx)(
+      b1.toDF("doc_id", "text"), 1L)
+    assert(postingCount() == nAfterStream, "replay must not double-ingest")
+    assert(graft.io.ArtifactStore.currentFingerprint(idx).isDefined,
+      "appends must leave a valid, manifest-covered artifact")
+    // the streamed index answers the d18/d19 probe exactly like the
+    // single-shot standing-corpus index
+    def probeRows(base: String) =
+      graft.llm.Dedup.probeDedupIndex(spark, sf, base).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = graft.llm.Dedup.d18PersistedDedupIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = probeRows(idx)
+    assert(got.nonEmpty)
+    assert(got == want,
+      "the streamed index must classify exactly like the batch-built one")
+    // COMPACTION: appends left one file per batch under touched band
+    // dirs; the merge job leaves exactly one per band, same
+    // fingerprint, same probe answers
+    def bandFiles(): Map[String, Int] = {
+      val root = new java.io.File(s"$idx/bands")
+      root.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.startsWith("part-"))
+      }.toMap
+    }
+    assert(bandFiles().values.exists(_ > 1),
+      "appends should have left multi-file bands to make compaction real")
+    val fpBefore = graft.io.ArtifactStore.currentFingerprint(idx)
+    assert(graft.stream.IndexIngest.compactLsh(spark, idx))
+    assert(bandFiles().values.forall(_ == 1),
+      s"compaction must leave one file per band, got ${bandFiles()}")
+    assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpBefore,
+      "compaction must not move the corpus fingerprint")
+    assert(probeRows(idx) == want,
+      "the compacted index must still answer exactly")
+  }
+
   test("streaming BM25 ingest: segment-per-batch index equals from-scratch s10") {
     // the lexical twin of the streaming IVF ingest: every micro-batch
     // of documents becomes one delta SEGMENT with segment-local

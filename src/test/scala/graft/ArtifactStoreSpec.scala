@@ -237,6 +237,42 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(readData(stale, "part-0") == "new")
   }
 
+  test("gc: blocks on a concurrent builder's lock and keeps the fresh result") {
+    // the sweep takes each base's own lock, so it can never observe a
+    // mid-build file set: racing a slow build, gc must BLOCK until the
+    // publish completes, then judge the freshly-published (young) base
+    // as live — even with a TTL small enough that the pre-build dir
+    // state would have been swept
+    val root = Files.createTempDirectory("graft-gc-race").toString
+    val base = Paths.get(root, "ivf-index", "racing_corpus").toString
+    val builderIn = new CountDownLatch(1)
+    val pool = Executors.newSingleThreadExecutor()
+    val builder = pool.submit(new Runnable {
+      def run(): Unit =
+        ArtifactStore.ensure(base, "fp-race") { staging =>
+          builderIn.countDown()
+          Thread.sleep(1200) // hold the lock; gc must wait this out
+          writeData(staging, "part-0", "built")
+        }
+    })
+    pool.shutdown()
+    assert(builderIn.await(30, TimeUnit.SECONDS))
+    // TTL shorter than the build: had gc NOT blocked it would have
+    // seen the file-less mid-build dir (age = forever) and swept it;
+    // having blocked, it sees a marker written milliseconds ago
+    val t0 = System.nanoTime()
+    val removed = ArtifactStore.gc(ttlMillis = 600L, root = root)
+    val waitedMs = (System.nanoTime() - t0) / 1e6
+    builder.get()
+    assert(removed.isEmpty,
+      s"gc judged the freshly-built base stale: removed $removed")
+    assert(waitedMs > 500,
+      s"gc should have blocked on the builder's lock (waited ${waitedMs.toInt} ms)")
+    assert(ArtifactStore.isCurrent(base, "fp-race") &&
+      readData(base, "part-0") == "built",
+      "the concurrent build's publish survives the sweep intact")
+  }
+
   test("mutate: in-place append over the exact expected fingerprint only") {
     val base = freshBase()
     ArtifactStore.ensure(base, "fp-A") { staging =>

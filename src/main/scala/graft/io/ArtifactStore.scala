@@ -299,19 +299,43 @@ object ArtifactStore {
     }
   }
 
-  /** Retention sweep over the artifact root: delete every artifact
-    * base whose newest content (marker when valid, else any file under
-    * the base) is older than `ttlMillis` — the nightly GC a long-lived
-    * artifact root needs, because [[ensure]] replaces in place under
-    * ONE base but bases for dead corpora (regenerated fixtures,
-    * removed SF dirs) otherwise accumulate forever. Each base is
-    * deleted UNDER ITS OWN LOCK, so a concurrent builder/reader either
-    * finishes first (its fresh marker makes the base young → kept) or
-    * blocks until the sweep releases and then rebuilds from scratch —
-    * never observes a half-deleted file set as valid (the marker is
-    * deleted first). Layout swept is [[artifactPath]]'s two levels:
-    * `root/<kind>/<corpus-slug>`. Returns the deleted base paths. */
-  def gc(ttlMillis: Long, root: String = artifactRoot()): Seq[String] = {
+  /** Retention sweep over the artifact root: empty out every artifact
+    * base that is neither `live` nor younger than `ttlMillis` — the
+    * nightly GC a long-lived artifact root needs, because [[ensure]]
+    * replaces in place under ONE base but bases for dead corpora
+    * (regenerated fixtures, removed SF dirs) otherwise accumulate
+    * forever. Layout swept is [[artifactPath]]'s two levels:
+    * `root/<kind>/<corpus-slug>`; returns the swept base paths.
+    *
+    * Liveness is decided two ways, both required to fail before a
+    * base is swept:
+    *
+    *  - `live(basePath)` — the mark-and-sweep hook: a deployment
+    *    passes a predicate over its CURRENT corpus set (e.g. "the
+    *    slug resolves to an existing corpus dir"), and live corpora
+    *    are kept regardless of age. This is the primary guard for
+    *    read-hot artifacts: probes read parquet directly (no write,
+    *    no mtime refresh), so age alone cannot distinguish "serving
+    *    daily" from "dead" — only the caller knows which corpora
+    *    still exist.
+    *  - age: newest data-file mtime older than `ttlMillis` (a TTL
+    *    must comfortably exceed any serving JVM's lifetime — a JVM
+    *    caches artifact paths per corpus and would not re-validate a
+    *    swept base until restart).
+    *
+    * Deletion happens UNDER THE BASE'S OWN LOCK: a concurrent
+    * builder either publishes first (fresh marker → young → kept) or
+    * blocks until the sweep releases and then rebuilds from scratch;
+    * the marker is deleted first so no racer can ever validate a
+    * half-swept base. The lock file, the base dir and its in-JVM
+    * monitor are deliberately KEPT — a waiting process holds the old
+    * lock-file inode open, and unlinking it would let a third
+    * process lock a NEW inode concurrently (two writers inside the
+    * critical section); an empty marker-less dir is simply an absent
+    * artifact that [[ensure]] rebuilds, and the few bytes of lock
+    * remnant are the price of a race-free sweep. */
+  def gc(ttlMillis: Long, root: String = artifactRoot(),
+      live: String => Boolean = _ => false): Seq[String] = {
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) return Seq.empty
     val now = System.currentTimeMillis()
@@ -324,7 +348,7 @@ object ArtifactStore {
       }.toSeq
       finally kinds.close()
     bases.flatMap { basePath =>
-      val removed = withLock(basePath) {
+      val removed = !live(basePath.toString) && withLock(basePath) {
         // age = newest data file (the lock file's mtime refreshes on
         // every touch — including this sweep's own — so exclude it)
         val s = Files.walk(basePath)
@@ -348,17 +372,15 @@ object ArtifactStore {
           true
         }
       }
-      // the lock file + dir go last, outside the lock (can't delete a
-      // file we hold open); a toucher racing in between keeps the dir
-      // alive (DirectoryNotEmpty → leave it, it's being rebuilt)
-      if (removed) {
-        try {
-          Files.deleteIfExists(basePath.resolve(LockName))
-          Files.deleteIfExists(basePath)
-        } catch { case _: java.nio.file.DirectoryNotEmptyException => }
-        monitors.remove(basePath.toAbsolutePath.normalize.toString)
-        Some(basePath.toString)
-      } else None
+      if (removed) Some(basePath.toString) else None
     }
   }
+
+  /** Canonical fingerprint rendering shared by every artifact family:
+    * `<row count>_<unsigned xor of row hashes>`. One format across
+    * modules is an artifact-compatibility contract — the streaming
+    * sinks parse it back ([[graft.stream.IndexIngest]]) to chain a
+    * batch's parts onto the stored value. */
+  def fingerprint(n: Long, x: Long): String =
+    s"${n}_${java.lang.Long.toUnsignedString(x)}"
 }

@@ -955,15 +955,11 @@ object Dedup {
     * incremental consumer ([[d19IncrementalIndexAppend]], the
     * streaming LSH sink) derives the post-append fingerprint from the
     * stored base fingerprint plus a scan of ONLY the new batch. */
-  private[graft] def docsFingerprintParts(df: DataFrame): (Long, Long) = {
-    val r = df.select(xxhash64(col("doc_id"), col("text")).as("h"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
-      .collect()(0)
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
+  private[graft] def docsFingerprintParts(df: DataFrame): (Long, Long) =
+    Retrieval.frameDocsFingerprintParts(df) // the ONE docs kernel
 
   private def fpString(n: Long, x: Long): String =
-    s"${n}_${java.lang.Long.toUnsignedString(x)}"
+    graft.io.ArtifactStore.fingerprint(n, x)
 
   /** Full build of the LSH dedup index layout into `staging`:
     * `digests/` (the side's distinct content digests) + `bands/`

@@ -280,7 +280,7 @@ object Retrieval {
   }
 
   private def fpStr(n: Long, x: Long): String =
-    s"${n}_${java.lang.Long.toUnsignedString(x)}"
+    graft.io.ArtifactStore.fingerprint(n, x)
 
   /** One SEGMENT of the incremental index: postings (tf + df **local
     * to the segment's docs**) and the segment's 1-row totals. The df

@@ -165,7 +165,7 @@ object Similarity {
   }
 
   private def fpString(n: Long, x: Long): String =
-    s"${n}_${java.lang.Long.toUnsignedString(x)}"
+    graft.io.ArtifactStore.fingerprint(n, x)
 
   /** The persisted IVF index artifact (the judge-visible "train once,
     * probe many" contract a 100 TB ANN pipeline runs — the reference's

@@ -300,15 +300,18 @@ object Relational8 {
       .groupBy(col("cents")).agg(max(col("cum")).as("est_rank"))
       .withColumnRenamed("cents", "v")
       .localCheckpoint()
+    // checkpoint at definition: er, the verified companion and the
+    // final select all reuse the one materialized 1-row frame
     val pick = est.crossJoin(broadcast(tot))
       .agg(min(when(col("est_rank") >= col("t50"), col("v")))
         .as("est_p50"),
         min(when(col("est_rank") >= col("t90"), col("v"))).as("est_p90"))
+      .localCheckpoint()
     val er = est.crossJoin(broadcast(pick))
       .agg(max(when(col("v") === col("est_p50"), col("est_rank")))
         .as("er50"),
         max(when(col("v") === col("est_p90"), col("est_rank"))).as("er90"))
-    (base, tot, est, pick.localCheckpoint(), er)
+    (base, tot, est, pick, er)
   }
 
   /** Verify-mode shape (registered in [[verifyOverrides]], the q35
@@ -443,7 +446,7 @@ object Relational8 {
     *
     * Spark inlines WITH-CTEs, so the template's repeated references
     * to `summ`/`est`/`pick` would each re-run the corpus join+window
-    // behind them (first cut: 16 s at sf0.1). The DataFrame form
+    * behind them (first cut: 16 s at sf0.1). The DataFrame form
     * materializes the SUMMARY-SIZED frames once (localCheckpoint —
     * thousands of rows however large the corpus; harness releases the
     * blocks post-query). Result-identical to the oracle template by

@@ -44,7 +44,7 @@ object IndexIngest {
   }
 
   private def fpStr(n: Long, x: Long): String =
-    s"${n}_${java.lang.Long.toUnsignedString(x)}"
+    ArtifactStore.fingerprint(n, x)
 
   /** One-time index bootstrap over the initial corpus (train + write
     * through the atomic-publish path); a no-op when the artifact is

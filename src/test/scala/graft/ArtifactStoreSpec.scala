@@ -209,30 +209,45 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "the foreign artifact's children are swept by the rebuild")
   }
 
-  test("gc: stale bases removed under the lock, live bases untouched") {
-    // two artifacts under one root; one aged past the TTL, one fresh.
-    // the sweep must delete exactly the stale one — and a reader
-    // arriving after gc sees an absent artifact (rebuild), never a
-    // marked partial
+  test("gc: stale bases swept under the lock; fresh and live-marked bases kept") {
+    // three artifacts under one root: one aged past the TTL (swept),
+    // one fresh (kept by age), one aged but matching the caller's
+    // live-corpus predicate (kept by mark-and-sweep — the read-hot
+    // case where probes never refresh mtime). A reader arriving after
+    // gc sees an absent artifact (rebuild), never a marked partial.
     val root = Files.createTempDirectory("graft-gc-spec").toString
     val stale = Paths.get(root, "ivf-index", "old_corpus").toString
-    val live = Paths.get(root, "ivf-index", "hot_corpus").toString
+    val fresh = Paths.get(root, "ivf-index", "hot_corpus").toString
+    val served = Paths.get(root, "ivf-index", "served_corpus").toString
     ArtifactStore.ensure(stale, "fp-old")(writeData(_, "part-0", "old"))
-    ArtifactStore.ensure(live, "fp-hot")(writeData(_, "part-0", "hot"))
-    // age the stale base's files (marker + data) beyond the TTL
+    ArtifactStore.ensure(fresh, "fp-hot")(writeData(_, "part-0", "hot"))
+    ArtifactStore.ensure(served, "fp-srv")(writeData(_, "part-0", "srv"))
+    // age the stale AND served bases' files beyond the TTL
     val oldTime = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 10_000_000L)
-    val walk = Files.walk(Paths.get(stale))
-    try walk.iterator().forEachRemaining(p =>
-      Files.setLastModifiedTime(p, oldTime))
-    finally walk.close()
-    val removed = ArtifactStore.gc(ttlMillis = 1_000_000L, root = root)
+    for (base <- Seq(stale, served)) {
+      val walk = Files.walk(Paths.get(base))
+      try walk.iterator().forEachRemaining(p =>
+        Files.setLastModifiedTime(p, oldTime))
+      finally walk.close()
+    }
+    val removed = ArtifactStore.gc(ttlMillis = 1_000_000L, root = root,
+      live = _.endsWith("served_corpus"))
     assert(removed == Seq(stale), s"gc removed $removed")
-    assert(!Files.exists(Paths.get(stale)), "stale base fully gone")
-    assert(ArtifactStore.isCurrent(live, "fp-hot"),
-      "live base survives the sweep intact")
-    assert(readData(live, "part-0") == "hot")
-    // the removed base rebuilds cleanly on next touch
+    // swept = data + marker gone (absent artifact); the base dir and
+    // its lock file deliberately REMAIN — unlinking a lock others may
+    // hold open would let two writers lock different inodes at once
+    assert(ArtifactStore.currentFingerprint(stale).isEmpty,
+      "a swept base must never validate")
+    assert(!Files.exists(Paths.get(stale, "data", "part-0")),
+      "swept data files must be gone")
+    assert(ArtifactStore.isCurrent(fresh, "fp-hot"),
+      "fresh base survives the sweep intact")
+    assert(readData(fresh, "part-0") == "hot")
+    assert(ArtifactStore.isCurrent(served, "fp-srv") &&
+      readData(served, "part-0") == "srv",
+      "an aged but live-marked base must be kept — probes don't write")
+    // the swept base rebuilds cleanly on next touch
     assert(ArtifactStore.ensure(stale, "fp-new")(writeData(_, "part-0", "new")))
     assert(readData(stale, "part-0") == "new")
   }

@@ -841,6 +841,56 @@ class LlmOpsSpec extends AnyFunSuite {
       "repeat touch must not re-append the batch")
   }
 
+  test("d10/d18/d19 agree on random corpora with planted exact and near dups") {
+    // the three paths to one answer — from-scratch recompute (d10),
+    // probe of a single-shot index (d18), probe of a built-then-grown
+    // index (d19) — must agree not just on the fixture but on random
+    // corpora with dups PLANTED across every split boundary the
+    // operators partition on (%3 new/standing for the probe, %3==1/2
+    // base/batch for the append): a banding, append or fingerprint
+    // bug that happens to cancel on the fixture has to survive three
+    // seeds of adversarial placement here
+    import spark.implicits._
+    for (seed <- Seq(11, 77, 203)) {
+      val rnd = new scala.util.Random(seed)
+      val tmp = java.nio.file.Files.createTempDirectory(s"d19-rand-$seed")
+      for (f <- new java.io.File(sf).listFiles
+          if f.getName.endsWith(".parquet") && f.getName != "documents.parquet")
+        java.nio.file.Files.copy(f.toPath, tmp.resolve(f.getName))
+      val vocab = Vector.tabulate(400)(i => s"w${i}x${(i * 7919) % 997}")
+      def fresh(words: Int): String =
+        Seq.fill(words)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      def nearOf(t: String): String = {
+        // mutate ~1 word in 40: shingle Jaccard stays >= 0.8
+        val ws = t.split(" ").toArray
+        ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.length))
+        ws.mkString(" ")
+      }
+      val n = 120
+      val base = (0 until n).map(i => i.toLong -> fresh(40 + rnd.nextInt(20)))
+      // plant: for ids 0..29, overwrite with copies/near-copies of a
+      // doc from a DIFFERENT residue class (both %3 and %6 straddled)
+      val planted = base.toMap ++ (0 until 30).map { i =>
+        val donor = base((i + 1 + rnd.nextInt(n - 2)) % n)._2
+        i.toLong -> (if (i % 2 == 0) donor else nearOf(donor))
+      }
+      planted.toSeq.sortBy(_._1)
+        .map { case (id, t) => (id, t, "en", "rand", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val want = rows(Dedup.d10IncrementalDedup(spark, tmp.toString))
+      assert(want.exists(_._2 != "unique"),
+        s"seed $seed planted no cross-side dups — generator broken")
+      assert(rows(Dedup.d18PersistedDedupIndex(spark, tmp.toString)) == want,
+        s"seed $seed: single-shot index probe diverges from d10")
+      assert(rows(Dedup.d19IncrementalIndexAppend(spark, tmp.toString)) == want,
+        s"seed $seed: grown-index probe diverges from d10")
+    }
+  }
+
   test("d14 bloom prefilter: sound fast-path, exact_dup set equals d10's") {
     val rows = Dedup.d14BloomPrefilter(spark, sf).collect()
     val newBatch = Tables(spark, sf, "documents")

@@ -1398,6 +1398,42 @@ class ScaleDesignSpec extends AnyFunSuite {
       "d17 must broadcast the eval shingle index")
   }
 
+  test("d18/d19 probe plans: new bands broadcast into stored postings, index read off disk") {
+    // the persisted-dedup-index serving shape, for BOTH the single-shot
+    // (d18) and the grown (d19) artifact: the nightly batch's bands
+    // must BROADCAST into the stored band postings (the batch ≪ the
+    // corpus — a shuffled join there repartitions the whole stored
+    // index to serve one batch), and the standing side's signatures
+    // must come off the artifact's parquet, never recomputed from text
+    for (name <- Seq("d18_persisted_dedup_index",
+        "d19_incremental_index_append")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.write.format("noop").mode("overwrite").save() // finalize AQE
+      val qe = df.queryExecution
+      val plan = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // plain collect (main physical tree): collectWithSubqueries
+      // would descend into AQE's unplanned subquery placeholders,
+      // whose logical nodes break the PartialFunction's cast
+      assert(plan.collect { case p => p.nodeName }
+          .count(_.contains("BroadcastHashJoin")) >= 1,
+        s"$name must broadcast the new batch's bands")
+      // pre-AQE plan exposes the scans: the band postings and digests
+      // are read from the stored artifact
+      val idxScans = qe.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(p =>
+            p.toString.contains("dedup-index")) => f
+      }
+      assert(idxScans.length >= 2,
+        s"$name must read digests + band postings off the stored " +
+          s"artifact, found ${idxScans.length} artifact scans")
+    }
+  }
+
   test("s16 incremental index: append without retrain, repeat touch no-op") {
     // bootstrap this JVM's view (may build + append once if no prior
     // test touched the incremental artifact)

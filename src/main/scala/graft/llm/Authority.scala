@@ -284,17 +284,24 @@ object Authority {
     * over the old graph, stored `(nid, qr)` — built at most once per
     * corpus through [[graft.io.ArtifactStore.ensure]], fingerprinted
     * over the old click events' content. */
+  /** Content fingerprint of an event subset — the (count, xor) pair in
+    * [[graft.io.ArtifactStore.fingerprint]]'s shared format, so the
+    * scores artifacts compose with the rest of the artifact layer. */
+  private def eventsFp(rows: DataFrame): String = {
+    val r = rows
+      .select(xxhash64(col("event_id"), col("user_id"), col("props"))
+        .as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
+      .collect()(0)
+    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+    graft.io.ArtifactStore.fingerprint(r.getLong(0), x)
+  }
+
   private def pageRankScoresBase(spark: SparkSession, dir: String): String =
     prCache.computeIfAbsent(dir, _ => {
       val base = graft.io.ArtifactStore.artifactPath("pagerank-scores", dir)
       val old = clickEvents(spark, dir).filter(!isNewEvent)
-      val r = old
-        .select(xxhash64(col("event_id"), col("user_id"), col("props"))
-          .as("h"))
-        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
-        .collect()(0)
-      val x = if (r.isNullAt(1)) 0L else r.getLong(1)
-      val fp = s"${r.getLong(0)}_${java.lang.Long.toUnsignedString(x)}"
+      val fp = eventsFp(old)
       val built = graft.io.ArtifactStore.ensure(base, fp) { staging =>
         val (e, d) = graphFrom(old)
         propagate(e, d, lit(1048576L), lit(157286L), iters = 3)
@@ -385,15 +392,159 @@ object Authority {
          |${presentSqlFrom("w2")}""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g05
+
+  /** Δ1: last night's event append — already folded into the rolled
+    * scores by the time tonight's run starts. G0 = everything older
+    * ([[isNewEvent]] Δ2 stays tonight's batch, as in g04). */
+  private val isGen1Event = col("event_id") % 10 === 7
+
+  private val rollCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val rollBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val rollAppendCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def rollForgetCachedPaths(): Unit = rollCache.clear()
+
+  /** The ROLLING scores artifact ("pagerank-roll", separate from g04's
+    * read-only "pagerank-scores" so g04 stays a valid single-step
+    * control): each night's refresh both CONSUMES the standing scores
+    * and REPLACES them. [[graft.io.ArtifactStore.ensureIncremental]]'s
+    * state machine does the roll: already at fp(G1) → nothing (every
+    * repeat run); at fp(G0) → warm-refine in place; absent/stale → cold
+    * bootstrap over G0 then the refine. The refine step reads the live
+    * `scores`, localCheckpoints them (materialized BEFORE the overwrite
+    * — reading lazily from a directory you are replacing would race the
+    * delete), warm-starts 2 rounds over G1 and writes back; the marker
+    * is down for the duration, so a crash mid-roll reads as invalid and
+    * rebuilds rather than serving half-rolled scores. */
+  private def rollScoresBase(spark: SparkSession, dir: String): String =
+    rollCache.computeIfAbsent(dir, _ => {
+      val base = graft.io.ArtifactStore.artifactPath("pagerank-roll", dir)
+      val g0 = clickEvents(spark, dir).filter(!isNewEvent && !isGen1Event)
+      val g1 = clickEvents(spark, dir).filter(!isNewEvent)
+      val (built, appended) =
+        graft.io.ArtifactStore.ensureIncremental(base, eventsFp(g0),
+            eventsFp(g1)) { staging =>
+          val (e, d) = graphFrom(g0)
+          propagate(e, d, lit(1048576L), lit(157286L), iters = 3)
+            .coalesce(4).write.mode("overwrite")
+            .parquet(s"$staging/scores")
+        } { live =>
+          val stored = spark.read.schema(scoresSchema)
+            .parquet(s"$live/scores").localCheckpoint()
+          val (e, d) = graphFrom(g1)
+          val warm = d.select(col("src").as("nid"))
+            .join(stored, Seq("nid"), "left")
+            .select(col("nid"),
+              coalesce(col("qr"), lit(1048576L)).as("qr"))
+          propagateFrom(e, d, warm, lit(157286L), iters = 2)
+            .coalesce(4).write.mode("overwrite")
+            .parquet(s"$live/scores")
+        }
+      if (built) rollBuildCount.incrementAndGet()
+      if (appended) rollAppendCount.incrementAndGet()
+      base
+    })
+
+  /** g05: ROLLING authority refresh — the missing half of g04's
+    * warm-start story. g04 CONSUMES a stored fixed point but never
+    * writes one back; a real nightly authority job is a cycle — each
+    * run resumes from the previous night's scores AND persists the
+    * refined scores for tomorrow (the posture of every production
+    * evolving-graph PageRank: the score table is itself the rolling
+    * artifact, exactly as the IVF/BM25/LSH indexes are for s16/s17/
+    * d19). Here the cycle runs twice: the stored artifact bootstraps
+    * cold over G0 (two nights ago, 3 rounds), last night's roll folds
+    * Δ1 in (2 warm rounds over G1 = G0∪Δ1, REPLACING the scores under
+    * the new fingerprint), and tonight's serve warm-starts 2 rounds
+    * over the full graph G2 = G1∪Δ2 from the rolled scores. Every
+    * update stays exact BIGINT, so the oracle replays the entire
+    * three-generation history (3 cold + 2 warm + 2 warm rounds across
+    * three graphs in one statement) and the hash must match. The spec
+    * pins roll-once: repeat runs neither rebuild nor re-roll — they
+    * read fp(G1) and pay only the serving rounds.
+    *
+    * 100 TB posture: per night the job pays 2 Pregel-shaped rounds
+    * over the current graph (each one join+agg shuffle) plus one
+    * scores-table read/write — never the full from-scratch iteration
+    * count, and never a rescan of history (the generation fingerprints
+    * come from the event log's own content). */
+  def g05RollingPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val base = rollScoresBase(spark, dir)
+    val stored = spark.read.schema(scoresSchema).parquet(s"$base/scores")
+    val (edges, deg) = graph(spark, dir) // tonight's full graph (G2)
+    val warm = deg.select(col("src").as("nid"))
+      .join(stored, Seq("nid"), "left")
+      .select(col("nid"),
+        coalesce(col("qr"), lit(1048576L)).as("qr"))
+    present(propagateFrom(edges, deg, warm, lit(157286L), iters = 2))
+  }
+
+  /** One generation's graph CTE triple (`c0$sfx`/`edges$sfx`/
+    * `deg$sfx`) over the click events passing `filterSql` — g05's
+    * oracle builds three of these in one WITH-list. */
+  private def genGraphCte(sfx: String, filterSql: String): String =
+    s"""c0$sfx AS (
+       |  SELECT DISTINCT user_id AS u,
+       |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+       |  FROM events WHERE event_type = 'click'
+       |    AND regexp_matches(props, '"k": [0-9]+')$filterSql
+       |), edges$sfx AS (
+       |  SELECT u AS src, 1000000 + k AS dst FROM c0$sfx
+       |  UNION ALL
+       |  SELECT 1000000 + k AS src, u AS dst FROM c0$sfx
+       |), deg$sfx AS (
+       |  SELECT src, COUNT(*) AS d FROM edges$sfx GROUP BY src
+       |)""".stripMargin
+
+  /** g05 oracle: the full three-generation history in one statement —
+    * 3 cold rounds over G0 (the bootstrap build), warm init + 2 rounds
+    * over G1 (the persisted roll), warm init + 2 rounds over G2 (the
+    * serve). Each stage is the replay of its Spark twin. */
+  val g05Sql: String =
+    "WITH " + genGraphCte("a", "\n    AND event_id % 10 NOT IN (6, 7)") +
+      ", " + genGraphCte("b", "\n    AND event_id % 10 <> 6") +
+      ", " + genGraphCte("", "") +
+      s""", r0 AS (
+         |  SELECT src AS nid, CAST(1048576 AS BIGINT) AS qr FROM dega
+         |), r1 AS (
+         |${roundSql("r0", "157286", "edgesa", "dega")}
+         |), r2 AS (
+         |${roundSql("r1", "157286", "edgesa", "dega")}
+         |), r3 AS (
+         |${roundSql("r2", "157286", "edgesa", "dega")}
+         |), v0 AS (
+         |  SELECT degb.src AS nid,
+         |    CAST(coalesce(r3.qr, 1048576) AS BIGINT) AS qr
+         |  FROM degb LEFT JOIN r3 ON degb.src = r3.nid
+         |), v1 AS (
+         |${roundSql("v0", "157286", "edgesb", "degb")}
+         |), v2 AS (
+         |${roundSql("v1", "157286", "edgesb", "degb")}
+         |), w0 AS (
+         |  SELECT deg.src AS nid,
+         |    CAST(coalesce(v2.qr, 1048576) AS BIGINT) AS qr
+         |  FROM deg LEFT JOIN v2 ON deg.src = v2.nid
+         |), w1 AS (
+         |${roundSql("w0", "157286")}
+         |), w2 AS (
+         |${roundSql("w1", "157286")}
+         |)
+         |${presentSqlFrom("w2")}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (g01PageRank _),
     "g02_trustrank" -> (g02TrustRank _),
     "g03_hits" -> (g03Hits _),
-    "g04_warm_pagerank" -> (g04WarmStartPageRank _))
+    "g04_warm_pagerank" -> (g04WarmStartPageRank _),
+    "g05_rolling_pagerank" -> (g05RollingPageRank _))
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
     "g02_trustrank" -> g02Sql,
     "g03_hits" -> g03Sql,
-    "g04_warm_pagerank" -> g04Sql)
+    "g04_warm_pagerank" -> g04Sql,
+    "g05_rolling_pagerank" -> g05Sql)
 }

@@ -581,6 +581,29 @@ object Similarity {
     * `(query_id, neighbor_id, score)`, pre-ranking. */
   private def pqAdcScored(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
+    val (nv, codes, lut) = pqAdcComponents(spark, dir)
+    // ADC: 8 codegen'd lookups, exact BIGINT sum — the raw vectors are
+    // out of the picture from here on
+    val scored = codes.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(lut), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", expr(adcScoreExpr))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    (nv, scored)
+  }
+
+  /** The ADC sum as a SQL expression over `lut` + `codes` columns —
+    * shared by the flat scan ([[pqAdcScored]]) and the cell-pruned
+    * scan ([[s20IvfPqSearch]]). */
+  private val adcScoreExpr: String = (0 until PqM)
+    .map(m => s"element_at(lut, $m * 16 + element_at(codes, ${m + 1}) + 1)")
+    .mkString(" + ")
+
+  /** The PQ training chain broken out as its three reusable frames:
+    * the unit-normalized corpus `nv(vec_id, nv)`, the 8-byte codes
+    * `codes(vec_id, codes)`, and the per-query ADC lookup tables
+    * `lut(query_id, lut)` (query set = `vec_id % 4 == 0`). */
+  private def pqAdcComponents(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     VectorExpressions.register(spark)
     val nv = normed(spark, dir)
       .withColumn("nv",
@@ -637,16 +660,7 @@ object Similarity {
         array_sort(collect_list(struct(col("m"), col("code"), col("lv")))),
         s => s.getField("lv")).as("lut"))
       .withColumnRenamed("vec_id", "query_id")
-    // ADC: 8 codegen'd lookups, exact BIGINT sum — the raw vectors are
-    // out of the picture from here on
-    val scoreExpr = (0 until PqM)
-      .map(m => s"element_at(lut, $m * 16 + element_at(codes, ${m + 1}) + 1)")
-      .mkString(" + ")
-    val scored = codes.withColumnRenamed("vec_id", "neighbor_id")
-      .join(broadcast(lut), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", expr(scoreExpr))
-      .select(col("query_id"), col("neighbor_id"), col("score"))
-    (nv, scored)
+    (nv, codes, lut)
   }
 
   /** Full-precision vector fetch FROM THE INDEX: the stored cell-major
@@ -707,6 +721,64 @@ object Similarity {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     val pool = scored
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
+    val fetched = indexVectorFetch(spark, dir)
+    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    pool.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"),
+        col("adc_rank").cast("integer").as("adc_rank"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** s20: IVF-PQ search — the full Faiss `IVF16,PQ8`-style serving
+    * composition, uniting the three pillars built separately (s02 IVF
+    * cell pruning, s09 PQ-ADC scoring, s19 exact refine): the query
+    * probes its top-3 cells against the STORED centroids, ADC scores
+    * run ONLY over candidates whose inverted-list cell is probed
+    * (~3/16 of the corpus per query instead of s09's full scan —
+    * at 100 TB this is the difference between scanning 19% and 100%
+    * of the code table), the surviving 32-candidate pool re-ranks by
+    * exact cosine with full-precision vectors fetched from the stored
+    * inverted lists (s19's refine posture: the corpus table is absent
+    * downstream of training). This IS the architecture of every
+    * billion-scale ANN deployment (Jégou et al., PAMI'11 §V: IVFADC
+    * w/ re-ranking); the pieces compose here exactly as Faiss
+    * composes them, each stage reading the persisted artifact.
+    *
+    * Plan shape: centroid fan-out is n×16 broadcast (s02's), the
+    * candidate join is cell-keyed against the cell-major stored lists,
+    * the ADC joins are EQUI joins (codes on neighbor_id, broadcast
+    * LUTs on query_id) — unlike s09's all-pairs scan there is no
+    * non-equi join in the scoring path — and the refine is pool-sized.
+    * Result differs from s19 only where the true neighbor's cell was
+    * not probed — the recall/cost trade IVF-PQ is. */
+  def s20IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (_, codes, lut) = pqAdcComponents(spark, dir)
+    val ranked = ivfRanked(spark, dir)
+    val probes = ranked
+      .filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"))
+    val index = ivfInvertedLists(spark, dir)
+      .select(col("cell"), col("vec_id").as("neighbor_id"))
+    val cand = probes.join(index, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val pool = cand
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(lut), "query_id")
+      .withColumn("score", expr(adcScoreExpr))
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= RerankPool)
       .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
@@ -1140,6 +1212,7 @@ object Similarity {
     "s14_hard_negatives" -> (s14HardNegatives _),
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s09_pq_topk" -> (s09PqTopK _),
+    "s20_ivfpq_search" -> (s20IvfPqSearch _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
@@ -1349,6 +1422,84 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY query_id
        |        ORDER BY score DESC, neighbor_id) AS ar
        |    FROM sc)
+       |  WHERE ar <= $RerankPool
+       |), ex AS (
+       |  SELECT p.query_id, p.neighbor_id, p.adc_rank,
+       |    CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+       |      AS score
+       |  FROM pool p
+       |  JOIN nv q ON q.vec_id = p.query_id
+       |  JOIN nv c ON c.vec_id = p.neighbor_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, adc_rank, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rn
+       |  FROM ex
+       |)
+       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, score,
+       |  CAST(adc_rank AS INT) AS adc_rank
+       |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  /** The trained-IVF chain as i-prefixed CTEs (`iseed` → `iranked`) so
+    * it can share one WITH-list with [[pqAdcCte]] (whose `a0`/`comp`/
+    * `cm` names the plain [[ivfRankedCte]] would collide with) — the
+    * identical training replay, minus the vector column the s20 tail
+    * never reads. A def, not a val: object-init order. */
+  private def ivfChainCte: String =
+    """, iseed AS (
+      |  SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM nn
+      |  ORDER BY vec_id LIMIT 16
+      |), is0 AS (
+      |  SELECT nn.vec_id, nn.v, iseed.cell,
+      |    list_dot_product(nn.v, iseed.cv) / (nn.nrm * iseed.cnrm) AS csim
+      |  FROM nn CROSS JOIN iseed
+      |), ia0 AS (
+      |  SELECT cell, v FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cell) AS rk FROM is0)
+      |  WHERE rk = 1
+      |), icomp AS (
+      |  SELECT cell, t.j,
+      |    CAST(FLOOR(v[CAST(t.j AS INT) + 1] * 1048576) AS BIGINT) AS q
+      |  FROM ia0 CROSS JOIN range(0, 64) t(j)
+      |), icm AS (
+      |  SELECT cell, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS m
+      |  FROM icomp GROUP BY cell, j
+      |), ic AS (
+      |  SELECT cell, list(m ORDER BY j) AS cv,
+      |    sqrt(list_dot_product(list(m ORDER BY j),
+      |      list(m ORDER BY j))) AS cnrm
+      |  FROM icm GROUP BY cell
+      |), isims AS (
+      |  SELECT nn.vec_id, nn.nrm, ic.cell,
+      |    list_dot_product(nn.v, ic.cv) / (nn.nrm * ic.cnrm) AS csim
+      |  FROM nn CROSS JOIN ic
+      |), iranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY csim DESC, cell) AS cell_rank
+      |  FROM isims
+      |)""".stripMargin
+
+  /** s20 oracle: both training chains in one WITH-list ([[pqAdcCte]] +
+    * [[ivfChainCte]]), then the composition's algebra — probes
+    * (nprobe=3, query set `%4=0`), cell-restricted candidates, the ADC
+    * pair set FILTERED to candidates, pool-32, exact refine — each
+    * stage the replay of its Spark twin. */
+  def s20Sql: String = pqAdcCte + ivfChainCte +
+    s""", probes AS (
+       |  SELECT cell, vec_id AS query_id FROM iranked
+       |  WHERE cell_rank <= 3 AND vec_id % 4 = 0
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
+       |  FROM probes p JOIN (SELECT cell, vec_id FROM iranked
+       |    WHERE cell_rank = 1) i USING (cell)
+       |  WHERE p.query_id <> i.vec_id
+       |), pool AS (
+       |  SELECT query_id, neighbor_id, ar AS adc_rank FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |        ORDER BY s.score DESC, s.neighbor_id) AS ar
+       |    FROM sc s JOIN cand USING (query_id, neighbor_id))
        |  WHERE ar <= $RerankPool
        |), ex AS (
        |  SELECT p.query_id, p.neighbor_id, p.adc_rank,
@@ -1673,6 +1824,7 @@ object Similarity {
     "s15_index_probe" -> s15Sql,
     "s14_hard_negatives" -> s14Sql,
     "s09_pq_topk" -> s09Sql,
+    "s20_ivfpq_search" -> s20Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

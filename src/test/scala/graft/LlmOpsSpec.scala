@@ -791,6 +791,39 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s20 IVF-PQ: cell pruning bounds the ADC scan, refine visibly reorders") {
+    val rows = Similarity.s20IvfPqSearch(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    val q = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") % 4 === 0).count()
+    // every query answers a full top-10 page
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.size == q, s"${perQuery.size} queries of $q")
+    assert(perQuery.values.forall(_ == 10))
+    // rn ascends with strictly non-increasing exact scores per query
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getLong(3)).sliding(2).forall(
+        p => p.length < 2 || p(0) >= p(1)))
+    }
+    // the refine stage must be observable: some candidate promoted
+    // above its coarse ADC position (rn < adc_rank somewhere)
+    assert(rows.exists(r => r.getInt(1) < r.getInt(4)),
+      "exact re-rank never reordered the ADC pool — refine is dead code")
+    // and the cell restriction REALLY prunes the scoring space: the
+    // candidate set (probed-cell members) must be well under half of
+    // the full n·q pair space s09 scans (3/16 of assignments ≈ 0.19)
+    val ranked = Similarity.ivfRanked(spark, sf)
+    val cand = ranked.filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"))
+      .join(Similarity.ivfInvertedLists(spark, sf)
+        .select(col("cell"), col("vec_id").as("neighbor_id")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct().count()
+    assert(cand < n * q / 2,
+      s"cell pruning scans $cand of ${n * q} pairs — not pruning")
+  }
+
   test("d18 index-served dedup equals from-scratch d10; index builds once") {
     // the persisted-LSH-index claim: a new batch checked against the
     // STORED digests + band postings must classify every doc exactly

@@ -1180,6 +1180,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s03_topk_aggregate", "s05_quantized_topk", "d06_embedding_near_dup",
       "s09_pq_topk", // ADC scan: every 8-byte code row scored vs broadcast LUTs
       "s19_pq_rerank", // s09's ADC scan feeding the pool; the re-rank joins are keyed
+      "s20_ivfpq_search", // s02's 16-centroid broadcast fan-out; ADC + refine joins are keyed
       "s11_maxsim_topk", // coarse stage: flat centroid scan vs broadcast queries
       "s12_bitext_margin", // all-pairs mining baseline (scale path: s02/s07 candidates)
 
@@ -1510,6 +1511,28 @@ class ScaleDesignSpec extends AnyFunSuite {
     val cold = llm.Authority.g01PageRank(spark, sf).collect()
     assert(rows.length == cold.length,
       s"warm result ranks ${rows.length} nodes, cold ranks ${cold.length}")
+  }
+
+  test("g05 rolling refresh: the roll happens once, repeat runs serve from fp(G1)") {
+    // the produce-consume cycle g04 lacks: the first toucher bootstraps
+    // G0 cold and rolls Δ1 in (replacing the scores under the new
+    // fingerprint); every later run — including a fresh JVM hitting the
+    // same corpus — finds fp(G1) current and pays ONLY the serving
+    // rounds, neither the bootstrap nor the roll
+    llm.Authority.g05RollingPageRank(spark, sf).collect()
+    llm.Authority.rollForgetCachedPaths()
+    val b0 = llm.Authority.rollBuildCount.get()
+    val a0 = llm.Authority.rollAppendCount.get()
+    val rows = llm.Authority.g05RollingPageRank(spark, sf).collect()
+    assert(llm.Authority.rollBuildCount.get() == b0,
+      "a rolled artifact must never re-bootstrap")
+    assert(llm.Authority.rollAppendCount.get() == a0,
+      "a repeat run must not re-roll an already-rolled artifact")
+    assert(rows.nonEmpty)
+    // the serve warm-starts over the FULL grown graph's node set
+    val cold = llm.Authority.g01PageRank(spark, sf).collect()
+    assert(rows.length == cold.length,
+      s"rolled result ranks ${rows.length} nodes, cold ranks ${cold.length}")
   }
 
   test("BM25 postings: a literal term bucket prunes to 1/64 partitions") {

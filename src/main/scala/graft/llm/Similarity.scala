@@ -598,23 +598,38 @@ object Similarity {
     .map(m => s"element_at(lut, $m * 16 + element_at(codes, ${m + 1}) + 1)")
     .mkString(" + ")
 
-  /** The PQ training chain broken out as its three reusable frames:
-    * the unit-normalized corpus `nv(vec_id, nv)`, the 8-byte codes
-    * `codes(vec_id, codes)`, and the per-query ADC lookup tables
-    * `lut(query_id, lut)` (query set = `vec_id % 4 == 0`). */
-  private def pqAdcComponents(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame) = {
+  /** Unit-normalized corpus vectors `(vec_id, nv)` — the PQ chain's
+    * input frame. */
+  private def pqNv(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
-    val nv = normed(spark, dir)
+    normed(spark, dir)
       .withColumn("nv",
         expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
       .select(col("vec_id"), col("nv"))
-    val sub = nv
-      .select(col("vec_id"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("nv"))
-      .withColumn("sv", expr("slice(nv, m * 8 + 1, 8)"))
-      .select(col("vec_id"), col("m"), col("sv"))
-    // 16 seed codewords per subspace; code = seed's rank (16-row window)
+  }
+
+  /** Per-(vector, subspace) slices `(vec_id, m, sv)`. */
+  private def pqSub(nv: DataFrame): DataFrame = nv
+    .select(col("vec_id"),
+      explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("nv"))
+    .withColumn("sv", expr("slice(nv, m * 8 + 1, 8)"))
+    .select(col("vec_id"), col("m"), col("sv"))
+
+  /** Nearest codeword per (vector, subspace): L2 argmin — |x|² is
+    * constant per row, so |c|² − 2·x·c orders identically. */
+  private def pqAssign(sub: DataFrame, cwF: DataFrame): DataFrame = {
+    val byVm = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("code").asc)
+    sub.join(broadcast(cwF), "m")
+      .withColumn("d2", expr("vec_dot(cw, cw) - 2 * vec_dot(sv, cw)"))
+      .withColumn("rk", row_number().over(byVm))
+      .filter(col("rk") === 1)
+  }
+
+  /** The one-Lloyd-round codebook `(m, code, cw)` — 16 seed codewords
+    * per subspace (code = seed's rank) refined to quantized-integer
+    * member means (s02's bit-reproducibility contract). 128 rows. */
+  private def pqTrainCodebook(nv: DataFrame, sub: DataFrame): DataFrame = {
     val seeds = nv.orderBy(col("vec_id")).limit(PqK)
       .withColumn("code",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1)
@@ -624,18 +639,7 @@ object Similarity {
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("nv"))
       .withColumn("cw", expr("slice(nv, m * 8 + 1, 8)"))
       .select(col("m"), col("code"), col("cw"))
-    // nearest codeword per (vector, subspace): L2 argmin — |x|² is
-    // constant per row, so |c|² − 2·x·c orders identically
-    def assign(cwF: DataFrame): DataFrame = {
-      val byVm = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d2").asc, col("code").asc)
-      sub.join(broadcast(cwF), "m")
-        .withColumn("d2", expr("vec_dot(cw, cw) - 2 * vec_dot(sv, cw)"))
-        .withColumn("rk", row_number().over(byVm))
-        .filter(col("rk") === 1)
-    }
-    // one Lloyd round: quantized-integer member means (s02's contract)
-    val trained = assign(seedSub)
+    pqAssign(sub, seedSub)
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("j", "x")))
       .withColumn("q", floor(col("x") * lit(1048576.0)).cast(LongType))
       .groupBy(col("m"), col("code"), col("j"))
@@ -644,15 +648,21 @@ object Similarity {
       .groupBy(col("m"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cwj")))),
         s => s.getField("cwj")).as("cw"))
-      // 128 rows, consumed by BOTH the code assignment and the LUT
-      // build — checkpoint so the Lloyd round runs once, not twice
-      .localCheckpoint()
-    val codes = assign(trained)
+  }
+
+  /** The 8-byte code per vector `(vec_id, codes)` against codebook
+    * `cwF` — Faiss's `sa_encode`, reused by the live chain and the
+    * artifact build ([[pqIndexBase]]). */
+  private def pqEncode(sub: DataFrame, cwF: DataFrame): DataFrame =
+    pqAssign(sub, cwF)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         s => s.getField("code")).as("codes"))
-    val lut = sub.filter(col("vec_id") % 4 === 0)
-      .join(broadcast(trained), "m")
+
+  /** Per-query ADC lookup tables `(query_id, lut)` over `sub` (already
+    * filtered to the query set) against codebook `cwF`. */
+  private def pqLut(sub: DataFrame, cwF: DataFrame): DataFrame =
+    sub.join(broadcast(cwF), "m")
       .withColumn("lv",
         floor(expr("vec_dot(sv, cw)") * lit(1048576.0)).cast(LongType))
       .groupBy(col("vec_id"))
@@ -660,6 +670,20 @@ object Similarity {
         array_sort(collect_list(struct(col("m"), col("code"), col("lv")))),
         s => s.getField("lv")).as("lut"))
       .withColumnRenamed("vec_id", "query_id")
+
+  /** The PQ training chain broken out as its three reusable frames:
+    * the unit-normalized corpus `nv(vec_id, nv)`, the 8-byte codes
+    * `codes(vec_id, codes)`, and the per-query ADC lookup tables
+    * `lut(query_id, lut)` (query set = `vec_id % 4 == 0`). */
+  private def pqAdcComponents(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val nv = pqNv(spark, dir)
+    val sub = pqSub(nv)
+    // 128 rows, consumed by BOTH the code assignment and the LUT
+    // build — checkpoint so the Lloyd round runs once, not twice
+    val trained = pqTrainCodebook(nv, sub).localCheckpoint()
+    val codes = pqEncode(sub, trained)
+    val lut = pqLut(sub.filter(col("vec_id") % 4 === 0), trained)
     (nv, codes, lut)
   }
 
@@ -777,6 +801,126 @@ object Similarity {
       .orderBy(col("score").desc, col("neighbor_id").asc)
     val pool = cand
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(lut), "query_id")
+      .withColumn("score", expr(adcScoreExpr))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
+    val fetched = indexVectorFetch(spark, dir)
+    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    pool.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"),
+        col("adc_rank").cast("integer").as("adc_rank"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------- s21
+
+  private val pqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val pqTrainCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def pqForgetCachedPaths(): Unit = pqIndexCache.clear()
+
+  /** Stored-codes read schema — declared, not inferred, for the same
+    * empty-partitioned-dir reason as [[invertedListSchema]]. */
+  private[graft] val pqCodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", LongType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("cell", LongType)))
+
+  /** The persisted PQ half of the IVF-PQ index — the part of the
+    * artifact story s20 still recomputed per run: a real Faiss index
+    * file serializes the trained codebook AND the packed codes inside
+    * the inverted lists (`IndexIVFPQ::sa_encode` products), and
+    * serving never re-encodes the corpus. Layout under one base:
+    *
+    *  - `codebook/` — the trained `(m, code, cw)` (128 rows: 8
+    *    subspaces × 16 codewords — what a NEW query needs to build its
+    *    ADC LUTs without retraining);
+    *  - `codes/` — `(vec_id, codes) PARTITIONED BY cell`: the 8-byte
+    *    codes stored cell-major exactly like the full-precision lists,
+    *    so a 3-cell probe reads 3/16 of the code table off disk.
+    *
+    * The cell comes from the IVF artifact's rank-1 assignment, so the
+    * two artifacts shard identically. Training is deterministic and
+    * doubles/ints round-trip parquet bit-exactly, so artifact readers
+    * are value-identical to the live chain — s21's oracle is s20's SQL
+    * verbatim. */
+  private[graft] def pqIndexBase(spark: SparkSession, dir: String): String =
+    pqIndexCache.computeIfAbsent(dir, _ => {
+      val base = graft.io.ArtifactStore.artifactPath("pq-index", dir)
+      val fp = corpusFingerprint(spark, dir)
+      val trained = graft.io.ArtifactStore.ensure(base, fp) { staging =>
+        val nv = pqNv(spark, dir)
+        val sub = pqSub(nv)
+        pqTrainCodebook(nv, sub).coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/codebook")
+        // encode against the STORED codebook (what probes will read)
+        val cb = spark.read.parquet(s"$staging/codebook")
+        val cells = ivfInvertedLists(spark, dir)
+          .select(col("vec_id"), col("cell"))
+        graft.io.Store.writePartitionedParquet(
+          pqEncode(sub, cb).join(cells, "vec_id"),
+          s"$staging/codes", Seq("cell"), Seq("vec_id"))
+      }
+      if (trained) pqTrainCount.incrementAndGet()
+      base
+    })
+
+  /** s21: IVF-PQ search served from the PERSISTED index — s20 with the
+    * last recomputed stage moved into the artifact. s20 proved the
+    * composition (cells ∘ ADC ∘ refine) but still trained the codebook
+    * and re-encoded every corpus vector per run; here both live in the
+    * `pq-index` artifact ([[pqIndexBase]]) and serving touches the
+    * corpus table ONLY for the query side (embedding the queries and
+    * ranking them against the stored centroids — the part that is
+    * per-request by nature). The plan is also strictly better than
+    * s20's: because the stored codes are cell-major, candidate
+    * generation and code fetch FUSE into one cell-keyed join (probes ⋈
+    * codes on `cell`) — s20 needed a separate lists-join to establish
+    * candidacy and then a codes-join by neighbor_id.
+    *
+    * 100 TB posture: nightly encode once, serve many — per query the
+    * engine reads 3/16 of the 8-byte code table (cell-major partition
+    * layout), broadcasts a 1 KB LUT built from the 128-row stored
+    * codebook, and fetches pool·Q full vectors from the stored lists.
+    * Re-encoding the corpus per query batch (s20's shape) would read
+    * 64×4-byte floats per vector instead of 8 bytes — this artifact is
+    * the 32× I/O cut that makes PQ worth storing.
+    *
+    * Result = s20 exactly (deterministic training + exact parquet
+    * round-trip), which the spec asserts row-for-row; the oracle is
+    * [[s20Sql]] verbatim (d18/d19-vs-d10 precedent). */
+  def s21PqIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val base = pqIndexBase(spark, dir)
+    val cb = spark.read.parquet(s"$base/codebook")
+    val storedCodes = spark.read.schema(pqCodesSchema)
+      .parquet(s"$base/codes")
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+    val lut = pqLut(
+      pqSub(pqNv(spark, dir)).filter(col("vec_id") % 4 === 0), cb)
+    val probes = ivfRanked(spark, dir)
+      .filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // candidacy + code fetch in ONE cell-keyed join: each vector lives
+    // in exactly one stored cell, so (query, neighbor) pairs are
+    // already distinct
+    val pool = probes.join(storedCodes, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(lut), "query_id")
       .withColumn("score", expr(adcScoreExpr))
       .withColumn("adc_rank", row_number().over(wAdc))
@@ -1213,6 +1357,7 @@ object Similarity {
     "s01_cosine_topk" -> (s01BruteForceTopK _),
     "s09_pq_topk" -> (s09PqTopK _),
     "s20_ivfpq_search" -> (s20IvfPqSearch _),
+    "s21_pq_index_search" -> (s21PqIndexSearch _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
@@ -1825,6 +1970,10 @@ object Similarity {
     "s14_hard_negatives" -> s14Sql,
     "s09_pq_topk" -> s09Sql,
     "s20_ivfpq_search" -> s20Sql,
+    // s21 reads the persisted codebook+codes; deterministic training +
+    // exact parquet round-trip make it value-identical to the live
+    // chain, so the oracle replay IS s20's (d18/d19-vs-d10 precedent)
+    "s21_pq_index_search" -> s20Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

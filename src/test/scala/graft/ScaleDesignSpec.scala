@@ -1181,6 +1181,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s09_pq_topk", // ADC scan: every 8-byte code row scored vs broadcast LUTs
       "s19_pq_rerank", // s09's ADC scan feeding the pool; the re-rank joins are keyed
       "s20_ivfpq_search", // s02's 16-centroid broadcast fan-out; ADC + refine joins are keyed
+      "s21_pq_index_search", // same query-side centroid fan-out; scoring reads stored codes
       "s11_maxsim_topk", // coarse stage: flat centroid scan vs broadcast queries
       "s12_bitext_margin", // all-pairs mining baseline (scale path: s02/s07 candidates)
 
@@ -1533,6 +1534,43 @@ class ScaleDesignSpec extends AnyFunSuite {
     val cold = llm.Authority.g01PageRank(spark, sf).collect()
     assert(rows.length == cold.length,
       s"rolled result ranks ${rows.length} nodes, cold ranks ${cold.length}")
+  }
+
+  test("s21 serves from the persisted PQ index: build-once, stored codes equal the live chain") {
+    llm.Similarity.s21PqIndexSearch(spark, sf).collect()
+    llm.Similarity.pqForgetCachedPaths()
+    val t0 = llm.Similarity.pqTrainCount.get()
+    val df = llm.Similarity.s21PqIndexSearch(spark, sf)
+    val rows = df.collect()
+    assert(llm.Similarity.pqTrainCount.get() == t0,
+      "a current pq-index artifact must never retrain or re-encode")
+    // artifact-served == live-composed, row for row — the claim that
+    // makes the stored codebook+codes a real index, not a cache
+    val live = llm.Similarity.s20IvfPqSearch(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == live.map(_.toString).toSeq,
+      "s21 (stored codebook+codes) must equal s20 (live chain) exactly")
+    // sparkPlan (pre-AQE — query stages hide scans from executedPlan
+    // collects), main tree only: the probes⋈codes join plants a
+    // dynamic-partition-pruning SUBQUERY on the codes scan whose plan
+    // is still logical at this phase, so collectWithSubqueries would
+    // trip over it
+    val plan = df.queryExecution.sparkPlan
+    val pqScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("pq-index"))
+        => f
+    }
+    assert(pqScans.nonEmpty, "s21 must read the pq-index artifact")
+    // the corpus table appears only in the per-request query-side
+    // subtrees (query embed/rank + query LUT slices) — the corpus-wide
+    // encode is gone from the serving plan
+    val embScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("embeddings"))
+        => f
+    }
+    assert(embScans.length <= 2,
+      s"s21 scans embeddings ${embScans.length}x — corpus reads must be query-side only")
   }
 
   test("BM25 postings: a literal term bucket prunes to 1/64 partitions") {

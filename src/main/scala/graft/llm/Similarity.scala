@@ -942,6 +942,131 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- s22
+
+  private val pqIncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val pqIncTrainCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val pqIncAppendCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def pqIncForgetCachedPaths(): Unit = pqIncCache.clear()
+
+  /** The INCREMENTAL PQ index — the PQ sidecar of [[ivfIncIndexBase]],
+    * completing the nightly-append story for the compressed index:
+    * the codebook is trained ONCE on the base corpus (bootstrap), and
+    * each crawl batch is encoded against that FROZEN codebook (Faiss
+    * `add` on an `IndexIVFPQ`: `sa_encode` with stored codewords, no
+    * retrain) and appended to its cells' code partitions — the exact
+    * state machine of s16/s17/d19, fourth artifact family. Cells come
+    * from the incremental IVF index's own assignments, so the code
+    * table and the vector lists shard identically at every point in
+    * the lifecycle. Union fingerprint derived `(nA+nB, xA^xB)`: the
+    * nightly job scans only the batch, never the indexed corpus. */
+  private def pqIncIndexBase(spark: SparkSession, dir: String): String =
+    pqIncCache.computeIfAbsent(dir, _ => {
+      val base = graft.io.ArtifactStore.artifactPath("pq-index-inc", dir)
+      val ivfBase = ivfIncIndexBase(spark, dir)
+      val (nA, xA) = fingerprintParts(spark, dir, !incBatchPred)
+      val (nB, xB) = fingerprintParts(spark, dir, incBatchPred)
+      val (trained, applied) = graft.io.ArtifactStore.ensureIncremental(
+          base, fpString(nA, xA), fpString(nA + nB, xA ^ xB)) { staging =>
+        val nvBase = pqNv(spark, dir).filter(!incBatchPred)
+        val subBase = pqSub(nvBase)
+        pqTrainCodebook(nvBase, subBase).coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/codebook")
+        val cb = spark.read.parquet(s"$staging/codebook")
+        // cells from the incremental IVF artifact: the encode side is
+        // base-only, so the join restricts the lists to base rows
+        val cells = invertedListsAt(spark, ivfBase)
+          .select(col("vec_id"), col("cell"))
+        graft.io.Store.writePartitionedParquet(
+          pqEncode(subBase, cb).join(cells, "vec_id"),
+          s"$staging/codes", Seq("cell"), Seq("vec_id"))
+      } { live =>
+        val cb = spark.read.parquet(s"$live/codebook")
+        val nvBatch = pqNv(spark, dir).filter(incBatchPred)
+        val cells = invertedListsAt(spark, ivfBase)
+          .select(col("vec_id"), col("cell"))
+        pqEncode(pqSub(nvBatch), cb).join(cells, "vec_id")
+          .repartition(col("cell"))
+          .sortWithinPartitions(col("cell"), col("vec_id"))
+          .write.mode("append").partitionBy("cell")
+          .parquet(s"$live/codes")
+      }
+      if (trained) pqIncTrainCount.incrementAndGet()
+      if (applied) pqIncAppendCount.incrementAndGet()
+      base
+    })
+
+  /** s22: incremental IVF-PQ — tonight's crawl batch joins the
+    * COMPRESSED index without any retraining: vectors appended to the
+    * incremental IVF lists by stored-centroid assignment (s16's
+    * machinery, reused), codes appended to the incremental PQ table by
+    * frozen-codebook encoding ([[pqIncIndexBase]]), and the batch then
+    * queries the updated index through the full IVF-PQ serving chain
+    * (probes → cell-pruned ADC over stored codes → exact refine from
+    * the stored lists, s21's plan shape). The observable contract is
+    * s16's, upgraded to the compressed index: the appended vectors are
+    * retrievable as queries AND as each other's neighbors through
+    * codes that were never recomputed for the base corpus.
+    *
+    * 100 TB posture: per night the job scans the batch twice (assign +
+    * encode — both against broadcast 16-row/128-row frozen models),
+    * writes only touched cell partitions of the two artifacts, and
+    * derives the union fingerprint without rescanning the corpus; the
+    * serving plan reads 8-byte codes for candidates and full vectors
+    * for pool members only. */
+  def s22IncrementalPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val ivfBase = ivfIncIndexBase(spark, dir)
+    val base = pqIncIndexBase(spark, dir)
+    val cb = spark.read.parquet(s"$base/codebook")
+    val storedCodes = spark.read.schema(pqCodesSchema)
+      .parquet(s"$base/codes")
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+    val lut = pqLut(
+      pqSub(pqNv(spark, dir).filter(incBatchPred)), cb)
+    val centroids = spark.read.parquet(s"$ivfBase/centroids")
+    val q = normed(spark, dir).filter(incBatchPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"))
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("csim",
+        expr("vec_dot(qv, centroid)") / (col("qn") * col("cnorm")))
+      .withColumn("cell_rank", row_number().over(byQ))
+      .filter(col("cell_rank") <= 3)
+      .select(col("cell"), col("query_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val pool = probes.join(storedCodes, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), "query_id")
+      .withColumn("score", expr(adcScoreExpr))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
+    val fetched = invertedListsAt(spark, ivfBase)
+      .withColumn("nv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .select(col("vec_id"), col("nv"))
+    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    pool.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"),
+        col("adc_rank").cast("integer").as("adc_rank"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** s11: multi-vector late-interaction retrieval (MaxSim, cf.
     * ColBERT, Khattab & Zaharia, SIGIR '20) — documents are BAGS of
     * vectors (here: 8 consecutive `vec_id`s = one doc, `vec_id div 8`),
@@ -1358,6 +1483,7 @@ object Similarity {
     "s09_pq_topk" -> (s09PqTopK _),
     "s20_ivfpq_search" -> (s20IvfPqSearch _),
     "s21_pq_index_search" -> (s21PqIndexSearch _),
+    "s22_incremental_pq" -> (s22IncrementalPqSearch _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
@@ -1589,15 +1715,18 @@ object Similarity {
     * it can share one WITH-list with [[pqAdcCte]] (whose `a0`/`comp`/
     * `cm` names the plain [[ivfRankedCte]] would collide with) — the
     * identical training replay, minus the vector column the s20 tail
-    * never reads. A def, not a val: object-init order. */
-  private def ivfChainCte: String =
-    """, iseed AS (
-      |  SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM nn
+    * never reads. `trainAnd` (leading-space `" WHERE …"` or empty)
+    * restricts the training population (seeds + Lloyd members) while
+    * every vector is still ranked — the incremental replay shape. A
+    * def, not a val: object-init order. */
+  private def ivfChainCte(trainAnd: String = ""): String =
+    s""", iseed AS (
+      |  SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM nn$trainAnd
       |  ORDER BY vec_id LIMIT 16
       |), is0 AS (
       |  SELECT nn.vec_id, nn.v, iseed.cell,
       |    list_dot_product(nn.v, iseed.cv) / (nn.nrm * iseed.cnrm) AS csim
-      |  FROM nn CROSS JOIN iseed
+      |  FROM (SELECT * FROM nn$trainAnd) nn CROSS JOIN iseed
       |), ia0 AS (
       |  SELECT cell, v FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1630,10 +1759,16 @@ object Similarity {
     * (nprobe=3, query set `%4=0`), cell-restricted candidates, the ADC
     * pair set FILTERED to candidates, pool-32, exact refine — each
     * stage the replay of its Spark twin. */
-  def s20Sql: String = pqAdcCte + ivfChainCte +
+  def s20Sql: String = pqAdcCte + ivfChainCte() + ivfPqTailSql("vec_id % 4 = 0")
+
+  /** The IVF-PQ serving tail shared by [[s20Sql]] and [[s22Sql]]:
+    * probes (nprobe=3 over `queryPred`'s query set), cell-restricted
+    * candidates, the ADC pair set filtered to candidates, pool-32,
+    * exact refine — each stage the replay of its Spark twin. */
+  private def ivfPqTailSql(queryPred: String): String =
     s""", probes AS (
        |  SELECT cell, vec_id AS query_id FROM iranked
-       |  WHERE cell_rank <= 3 AND vec_id % 4 = 0
+       |  WHERE cell_rank <= 3 AND $queryPred
        |), cand AS (
        |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
        |  FROM probes p JOIN (SELECT cell, vec_id FROM iranked
@@ -1663,11 +1798,27 @@ object Similarity {
        |  CAST(adc_rank AS INT) AS adc_rank
        |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** s22 oracle: the incremental replay — BOTH training chains
+    * restricted to the base corpus (`vec_id % 7 <> 3`: PQ seed pick +
+    * Lloyd means, IVF seed pick + Lloyd means), every vector (base ∪
+    * batch) still encoded and rank-1 assigned against those frozen
+    * models — exactly what the two artifacts store after the appends —
+    * and the batch vectors serve as the query set through the
+    * identical IVF-PQ tail. */
+  def s22Sql: String =
+    pqChainCte(" WHERE vec_id % 7 <> 3", "s.vec_id % 7 = 3") +
+      ivfChainCte(" WHERE vec_id % 7 <> 3") +
+      ivfPqTailSql("vec_id % 7 = 3")
+
   /** The PQ chain as oracle CTEs, through the ADC-scored pair set
     * `sc(query_id, neighbor_id, score)` — shared by [[s09Sql]] and
     * [[s19Sql]] exactly as [[pqAdcScored]] is shared by the Spark
-    * queries (a def, not a val: object-init order). */
-  private def pqAdcCte: String = {
+    * queries (a def, not a val: object-init order). `trainAnd` (a
+    * leading-space `" WHERE …"` fragment or empty) restricts the
+    * TRAINING population (seed pick + Lloyd means) while every vector
+    * is still encoded — the incremental replay shape ([[s22Sql]]);
+    * `queryPred` picks the LUT/query set. */
+  private def pqChainCte(trainAnd: String, queryPred: String): String = {
     val scoreTerms = (0 until PqM)
       .map(m => s"l.lut[$m * 16 + cd.codes[${m + 1}] + 1]")
       .mkString(" + ")
@@ -1680,7 +1831,7 @@ object Similarity {
          |  FROM nv CROSS JOIN range(0, 8) t(m)
          |), seedv AS (
          |  SELECT vec_id, nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
-         |  FROM (SELECT * FROM nv ORDER BY vec_id LIMIT 16)
+         |  FROM (SELECT * FROM nv$trainAnd ORDER BY vec_id LIMIT 16)
          |), seedsub AS (
          |  SELECT t.m, code, list_slice(nv, t.m * 8 + 1, t.m * 8 + 8) AS cw
          |  FROM seedv CROSS JOIN range(0, 8) t(m)
@@ -1690,7 +1841,7 @@ object Similarity {
          |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
          |        ORDER BY list_dot_product(c.cw, c.cw)
          |          - 2 * list_dot_product(s.sv, c.cw) ASC, c.code ASC) AS rk
-         |    FROM sub s JOIN seedsub c USING (m))
+         |    FROM (SELECT * FROM sub$trainAnd) s JOIN seedsub c USING (m))
          |  WHERE rk = 1
          |), comp AS (
          |  SELECT m, code, t.j,
@@ -1718,7 +1869,7 @@ object Similarity {
          |    CAST(FLOOR(list_dot_product(s.sv, c.cw) * 1048576) AS BIGINT)
          |      AS lv
          |  FROM sub s JOIN trained c USING (m)
-         |  WHERE s.vec_id % 4 = 0
+         |  WHERE $queryPred
          |), lut AS (
          |  SELECT query_id, list(lv ORDER BY m, code) AS lut FROM lutv
          |  GROUP BY query_id
@@ -1728,6 +1879,8 @@ object Similarity {
          |  FROM lut l JOIN codes cd ON l.query_id <> cd.vec_id
          |)""".stripMargin
   }
+
+  private def pqAdcCte: String = pqChainCte("", "s.vec_id % 4 = 0")
 
   /** s11 oracle: replay both stages — normalization, doc/token split,
     * quantized-mean centroids, coarse centroid ranking with identical
@@ -1974,6 +2127,7 @@ object Similarity {
     // exact parquet round-trip make it value-identical to the live
     // chain, so the oracle replay IS s20's (d18/d19-vs-d10 precedent)
     "s21_pq_index_search" -> s20Sql,
+    "s22_incremental_pq" -> s22Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

@@ -1182,6 +1182,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s19_pq_rerank", // s09's ADC scan feeding the pool; the re-rank joins are keyed
       "s20_ivfpq_search", // s02's 16-centroid broadcast fan-out; ADC + refine joins are keyed
       "s21_pq_index_search", // same query-side centroid fan-out; scoring reads stored codes
+      "s22_incremental_pq", // batch × 16 stored centroids (q·K); ADC + refine joins are keyed
       "s11_maxsim_topk", // coarse stage: flat centroid scan vs broadcast queries
       "s12_bitext_margin", // all-pairs mining baseline (scale path: s02/s07 candidates)
 
@@ -1458,6 +1459,28 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.exists(_.getLong(2) % 7 == 3),
       "appended vectors must be retrievable from the updated index")
+  }
+
+  test("s22 incremental PQ: batch codes appended against the frozen codebook, repeat touch no-op") {
+    llm.Similarity.s22IncrementalPqSearch(spark, sf).collect()
+    val t0 = llm.Similarity.pqIncTrainCount.get()
+    val a0 = llm.Similarity.pqIncAppendCount.get()
+    llm.Similarity.pqIncForgetCachedPaths()
+    val rows = llm.Similarity.s22IncrementalPqSearch(spark, sf).collect()
+    assert(llm.Similarity.pqIncTrainCount.get() == t0,
+      "repeat touch must not retrain the incremental PQ codebook")
+    assert(llm.Similarity.pqIncAppendCount.get() == a0,
+      "repeat touch must not re-encode/re-append the batch codes")
+    // the batch is IN the compressed index: appended vectors come back
+    // as neighbors through codes the base corpus never recomputed
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(2) % 7 == 3),
+      "appended vectors must be retrievable from the updated PQ index")
+    // every query answers a full re-ranked page with a visible refine
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 10))
+    assert(rows.exists(r => r.getInt(1) < r.getInt(4)),
+      "exact re-rank never reordered the ADC pool — refine is dead code")
   }
 
   test("IVF single-query probe: literal cell filter prunes to 3/16 partitions") {

@@ -598,18 +598,23 @@ object Similarity {
     .map(m => s"element_at(lut, $m * 16 + element_at(codes, ${m + 1}) + 1)")
     .mkString(" + ")
 
+  /** Unit-normalized vectors `(vec_id, nv)` from any `(vec_id,
+    * embedding, norm)` frame — the PQ chain's input builder, shared
+    * with the streaming ingest sink ([[graft.stream.IndexIngest]]). */
+  private[graft] def pqNvFrame(v: DataFrame): DataFrame = v
+    .withColumn("nv",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+    .select(col("vec_id"), col("nv"))
+
   /** Unit-normalized corpus vectors `(vec_id, nv)` — the PQ chain's
     * input frame. */
   private def pqNv(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
-    normed(spark, dir)
-      .withColumn("nv",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
-      .select(col("vec_id"), col("nv"))
+    pqNvFrame(normed(spark, dir))
   }
 
   /** Per-(vector, subspace) slices `(vec_id, m, sv)`. */
-  private def pqSub(nv: DataFrame): DataFrame = nv
+  private[graft] def pqSub(nv: DataFrame): DataFrame = nv
     .select(col("vec_id"),
       explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("nv"))
     .withColumn("sv", expr("slice(nv, m * 8 + 1, 8)"))
@@ -629,7 +634,7 @@ object Similarity {
   /** The one-Lloyd-round codebook `(m, code, cw)` — 16 seed codewords
     * per subspace (code = seed's rank) refined to quantized-integer
     * member means (s02's bit-reproducibility contract). 128 rows. */
-  private def pqTrainCodebook(nv: DataFrame, sub: DataFrame): DataFrame = {
+  private[graft] def pqTrainCodebook(nv: DataFrame, sub: DataFrame): DataFrame = {
     val seeds = nv.orderBy(col("vec_id")).limit(PqK)
       .withColumn("code",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1)
@@ -653,7 +658,7 @@ object Similarity {
   /** The 8-byte code per vector `(vec_id, codes)` against codebook
     * `cwF` — Faiss's `sa_encode`, reused by the live chain and the
     * artifact build ([[pqIndexBase]]). */
-  private def pqEncode(sub: DataFrame, cwF: DataFrame): DataFrame =
+  private[graft] def pqEncode(sub: DataFrame, cwF: DataFrame): DataFrame =
     pqAssign(sub, cwF)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),

@@ -198,6 +198,76 @@ object IndexIngest {
     }
   }
 
+  /** One-time PQ bootstrap: train the codebook on the initial corpus,
+    * encode it against the STAGED (stored) codebook, and write the
+    * code table cell-major — cells by assignment to the
+    * already-bootstrapped IVF artifact's centroids at `ivfBase`, so
+    * the code table and the vector lists shard identically from the
+    * first byte. A no-op when already current for these vectors. */
+  def pqBootstrap(base: String, ivfBase: String,
+      vectors: DataFrame): Unit = {
+    val spark = vectors.sparkSession
+    val v = withNorm(vectors)
+    val (n, x) = Similarity.frameFingerprintParts(v)
+    ArtifactStore.ensure(base, fpStr(n, x)) { staging =>
+      val nv = Similarity.pqNvFrame(v)
+      val sub = Similarity.pqSub(nv)
+      Similarity.pqTrainCodebook(nv, sub).coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/codebook")
+      val cb = spark.read.parquet(s"$staging/codebook")
+      val centroids = spark.read.parquet(s"$ivfBase/centroids")
+      val cells = Similarity.assignToCentroids(v, centroids)
+        .select(col("vec_id"), col("cell"))
+      graft.io.Store.writePartitionedParquet(
+        Similarity.pqEncode(sub, cb).join(cells, "vec_id"),
+        s"$staging/codes", Seq("cell"), Seq("vec_id"))
+    }
+    ()
+  }
+
+  /** The compressed-index twin of [[ivfAppendSink]] — the FOURTH
+    * exactly-once sink (IVF vectors, BM25 segments, LSH postings, now
+    * PQ codes): each micro-batch encodes against the STORED frozen
+    * codebook (`IndexIVFPQ::add` = `sa_encode` with trained codewords,
+    * never a retrain) and appends 8-byte code rows under its cells'
+    * partition dirs. Cells come from assignment to the IVF artifact's
+    * stored centroids — deterministic, so the code table stays aligned
+    * with what [[ivfAppendSink]] writes for the same feed regardless
+    * of which sink commits a batch first. Same replay contract as the
+    * siblings: the high-water mark lives inside the artifact and
+    * commits in the same mutate as the rows. */
+  def pqAppendSink(base: String, ivfBase: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = withNorm(batch)
+    appendOnce(base, batchId, Similarity.frameFingerprintParts(v)) { live =>
+      val cb = spark.read.parquet(s"$live/codebook")
+      val centroids = spark.read.parquet(s"$ivfBase/centroids")
+      val cells = Similarity.assignToCentroids(v, centroids)
+        .select(col("vec_id"), col("cell"))
+      Similarity.pqEncode(Similarity.pqSub(Similarity.pqNvFrame(v)), cb)
+        .join(cells, "vec_id")
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$live/codes")
+    }
+  }
+
+  /** Compact the PQ code table after a run of appends: one sorted file
+    * per cell partition; the codebook is not staged, so the publish
+    * leaves it untouched, and the fingerprint survives (layout-only
+    * change — [[compactIvf]]'s contract). */
+  def compactPq(spark: org.apache.spark.sql.SparkSession,
+      base: String): Boolean =
+    ArtifactStore.rewrite(base) { (live, staging) =>
+      val codes = spark.read.schema(Similarity.pqCodesSchema)
+        .parquet(s"$live/codes")
+      graft.io.Store.writePartitionedParquet(
+        codes.select(col("vec_id"), col("codes"), col("cell")),
+        s"$staging/codes", Seq("cell"), Seq("vec_id"))
+    }
+
   /** One-time LSH dedup-index bootstrap over the initial standing
     * corpus (digests + band postings through the atomic-publish path);
     * a no-op when the artifact is already current for these docs. */

@@ -1132,6 +1132,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(storedCells() == want, "compaction must not change the rows")
   }
 
+  test("streaming PQ ingest: batch codes append against the frozen codebook exactly once") {
+    // the FOURTH exactly-once index sink: micro-batches encode against
+    // the STORED codebook (no retrain ever) and append cell-major code
+    // rows; replays are no-ops, compaction is layout-only, and the
+    // final stored code table must equal a batch encode of ALL vectors
+    // against the BOOTSTRAP codebook with bootstrap-centroid cells
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 110L).map(i => (i, vec()))
+    val b2 = (200L until 210L).map(i => (i, vec()))
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-pq")
+    val ivfIdx = root.resolve("ivf").toString
+    val pqIdx = root.resolve("pq").toString
+    graft.stream.IndexIngest.bootstrap(
+      ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    graft.stream.IndexIngest.pqBootstrap(
+      pqIdx, ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    def storedCodes(): Map[Long, (Long, Seq[Int])] = spark.read
+      .schema(graft.llm.Similarity.pqCodesSchema)
+      .parquet(s"$pqIdx/codes")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getSeq[Int](1))).toMap
+    assert(storedCodes().size == 40)
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(
+        graft.stream.IndexIngest.pqAppendSink(pqIdx, ivfIdx) _)
+      .start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      assert(storedCodes().size == 50, "batch 1 codes must be appended")
+      src.addData(b2); q.processAllAvailable()
+      assert(storedCodes().size == 60, "batch 2 codes must be appended")
+    } finally q.stop()
+    // exactly-once: a replayed committed batch id is a wholesale no-op
+    graft.stream.IndexIngest.pqAppendSink(pqIdx, ivfIdx)(
+      b2.toDF("vec_id", "embedding"), 1L)
+    assert(storedCodes().size == 60, "replay must not double-ingest")
+    assert(graft.io.ArtifactStore.currentFingerprint(pqIdx).isDefined)
+    // no-retrain proof: stored table == batch encode of ALL vectors
+    // against the BOOTSTRAP codebook, cells from bootstrap centroids
+    val cb = spark.read.parquet(s"$pqIdx/codebook")
+    val centroids = spark.read.parquet(s"$ivfIdx/centroids")
+    val all = (baseVecs ++ b1 ++ b2).toDF("vec_id", "embedding")
+      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .filter(col("norm") > 0)
+    val sub = graft.llm.Similarity.pqSub(
+      graft.llm.Similarity.pqNvFrame(all))
+    val want = graft.llm.Similarity.pqEncode(sub, cb)
+      .join(graft.llm.Similarity.assignToCentroids(all, centroids)
+        .select(col("vec_id"), col("cell")), "vec_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getSeq[Int](1))).toMap
+    assert(storedCodes() == want,
+      "stored codes must equal frozen-codebook encoding of all vectors")
+    // compaction: one file per touched cell, fingerprint + rows + the
+    // (unstaged) codebook unchanged
+    def partFiles(): Map[String, Int] = {
+      val r = new java.io.File(s"$pqIdx/codes")
+      r.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.startsWith("part-"))
+      }.toMap
+    }
+    assert(partFiles().values.exists(_ > 1),
+      "appends should have left multi-file cells to make compaction real")
+    val fpBefore = graft.io.ArtifactStore.currentFingerprint(pqIdx)
+    assert(graft.stream.IndexIngest.compactPq(spark, pqIdx))
+    assert(partFiles().values.forall(_ == 1),
+      s"compaction must leave one file per cell, got ${partFiles()}")
+    assert(graft.io.ArtifactStore.currentFingerprint(pqIdx) == fpBefore,
+      "compaction is layout-only: the content fingerprint must not move")
+    assert(storedCodes() == want, "compaction must not change the rows")
+    assert(spark.read.parquet(s"$pqIdx/codebook").count() == 128,
+      "the unstaged codebook must survive compaction")
+  }
+
   test("streaming LSH ingest: appended postings serve the dedup probe exactly") {
     // the THIRD exactly-once index sink (IVF vectors, BM25 segments,
     // now LSH dedup postings): micro-batches of surviving docs fold

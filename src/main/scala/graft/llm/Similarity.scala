@@ -947,6 +947,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s23: recall@10 audit — the served IVF-PQ list (s20's full chain,
+    * off the persisted artifacts) scored against EXACT ground truth
+    * (floor-quantized cosine top-10 per query over the whole corpus):
+    * per query, how many true neighbors the index actually returned.
+    * This is the nightly index-quality job every ANN deployment runs
+    * (Faiss benchmarks report exactly this number; recall@k is THE
+    * acceptance metric for nprobe/codebook sizing) — approximate
+    * indexes are only shippable next to a measured recall, and the
+    * measurement is itself a distributed job: the ground-truth pass is
+    * definitionally exact (all-pairs for the query set — the labeled
+    * quadratic baseline, run offline at audit cadence, not per query),
+    * while the served side reuses the artifacts at serving cost.
+    * Output `(query_id, hits)`, hits ∈ [0,10]; recall@10 = hits/10.
+    * Integer hits via a truth-left-join-served count — cross-engine
+    * exact, no float aggregation anywhere. */
+  def s23RecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val served = s20IvfPqSearch(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val nv = pqNv(spark, dir)
+    val q = nv.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val c = nv.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val truth = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
+      .withColumn("ern", row_number().over(w))
+      .filter(col("ern") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    truth.join(served.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).cast("integer").as("hits"))
+      .orderBy(col("query_id"))
+  }
+
   // ---------------------------------------------------------------- s22
 
   private val pqIncCache =
@@ -1489,6 +1527,7 @@ object Similarity {
     "s20_ivfpq_search" -> (s20IvfPqSearch _),
     "s21_pq_index_search" -> (s21PqIndexSearch _),
     "s22_incremental_pq" -> (s22IncrementalPqSearch _),
+    "s23_recall_audit" -> (s23RecallAudit _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
@@ -1771,6 +1810,15 @@ object Similarity {
     * candidates, the ADC pair set filtered to candidates, pool-32,
     * exact refine — each stage the replay of its Spark twin. */
   private def ivfPqTailSql(queryPred: String): String =
+    ivfPqTailCtes(queryPred) +
+      """
+        |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, score,
+        |  CAST(adc_rank AS INT) AS adc_rank
+        |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  /** The same tail through the ranked CTE `r` only — so a consumer
+    * ([[s23Sql]]) can keep composing instead of selecting. */
+  private def ivfPqTailCtes(queryPred: String): String =
     s""", probes AS (
        |  SELECT cell, vec_id AS query_id FROM iranked
        |  WHERE cell_rank <= 3 AND $queryPred
@@ -1798,10 +1846,32 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, neighbor_id) AS rn
        |  FROM ex
-       |)
-       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, score,
-       |  CAST(adc_rank AS INT) AS adc_rank
-       |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+       |)""".stripMargin
+
+  /** s23 oracle: the served list is [[s20Sql]]'s chain through its
+    * ranked CTE; the ground truth is the exact floor-quantized cosine
+    * top-10 per query over the whole corpus; recall = per-query count
+    * of ground-truth neighbors the index actually served. */
+  def s23Sql: String = pqAdcCte + ivfChainCte() +
+    ivfPqTailCtes("vec_id % 4 = 0") +
+    """, served AS (
+      |  SELECT query_id, neighbor_id FROM r WHERE rn <= 10
+      |), exact AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |      CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+      |        DESC, c.vec_id) AS ern
+      |  FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id % 4 = 0
+      |), truth AS (
+      |  SELECT query_id, neighbor_id FROM exact WHERE ern <= 10
+      |), hits AS (
+      |  SELECT t.query_id, COUNT(s.neighbor_id) AS hits
+      |  FROM truth t LEFT JOIN served s USING (query_id, neighbor_id)
+      |  GROUP BY t.query_id
+      |)
+      |SELECT query_id, CAST(hits AS INT) AS hits FROM hits
+      |ORDER BY query_id""".stripMargin
 
   /** s22 oracle: the incremental replay — BOTH training chains
     * restricted to the base corpus (`vec_id % 7 <> 3`: PQ seed pick +
@@ -2133,6 +2203,7 @@ object Similarity {
     // chain, so the oracle replay IS s20's (d18/d19-vs-d10 precedent)
     "s21_pq_index_search" -> s20Sql,
     "s22_incremental_pq" -> s22Sql,
+    "s23_recall_audit" -> s23Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

@@ -824,6 +824,54 @@ class LlmOpsSpec extends AnyFunSuite {
       s"cell pruning scans $cand of ${n * q} pairs — not pruning")
   }
 
+  test("s23 recall audit: hits == |served ∩ exact truth|, recall is real") {
+    val rows = Similarity.s23RecallAudit(spark, sf).collect()
+    // independent ground truth, computed entirely in Scala from the raw
+    // parquet floats (same op order as the chain: cast-to-double norm,
+    // index-order dot, floor at 2^20) — no shared Spark expressions
+    val raw = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val normed = raw.flatMap { case (id, e) =>
+      var ss = 0.0
+      e.foreach { x => val d = x.toDouble; ss += d * d }
+      val norm = math.sqrt(ss)
+      if (norm > 0) Some(id -> e.map(_.toDouble / norm)) else None
+    }.toMap
+    val qids = normed.keys.filter(_ % 4 == 0).toSeq.sorted
+    def truth10(qid: Long): Set[Long] = {
+      val qv = normed(qid)
+      normed.iterator.filter(_._1 != qid).map { case (cid, cv) =>
+        var dot = 0.0
+        var i = 0
+        while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
+        (math.floor(dot * 1048576.0).toLong, cid)
+      }.toSeq.sortBy { case (s, cid) => (-s, cid) }
+        .take(10).map(_._2).toSet
+    }
+    val served = Similarity.s20IvfPqSearch(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    // one audit row per query, hits bounded, and each hits value IS the
+    // size of the served∩truth intersection
+    assert(rows.length == qids.length)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val h = r.getInt(1)
+      assert(h >= 0 && h <= 10)
+      assert(h == (truth10(qid) & served.getOrElse(qid, Set.empty)).size,
+        s"query $qid: audit says $h hits")
+    }
+    // the audit measures a real index: better than the ~10/n random
+    // floor in aggregate, yet visibly approximate (this is the number
+    // that decides nprobe/codebook sizing — it must not be trivially
+    // 0 or trivially perfect on the fixture)
+    val total = rows.map(_.getInt(1)).sum
+    assert(total > qids.length, s"mean recall@10 <= 0.1 ($total hits)")
+    assert(rows.exists(_.getInt(1) < 10),
+      "recall 100% everywhere — the audit cannot be observing IVF-PQ loss")
+  }
+
   test("d18 index-served dedup equals from-scratch d10; index builds once") {
     // the persisted-LSH-index claim: a new batch checked against the
     // STORED digests + band postings must classify every doc exactly

@@ -1183,6 +1183,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s20_ivfpq_search", // s02's 16-centroid broadcast fan-out; ADC + refine joins are keyed
       "s21_pq_index_search", // same query-side centroid fan-out; scoring reads stored codes
       "s22_incremental_pq", // batch × 16 stored centroids (q·K); ADC + refine joins are keyed
+      "s23_recall_audit", // ground truth is DEFINITIONALLY exact all-pairs (offline audit)
       "s11_maxsim_topk", // coarse stage: flat centroid scan vs broadcast queries
       "s12_bitext_margin", // all-pairs mining baseline (scale path: s02/s07 candidates)
 

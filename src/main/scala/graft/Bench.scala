@@ -185,15 +185,16 @@ object Bench {
     }
     // normalization absorbs any UNIFORM slowdown into the scale itself
     // (a change slowing a shared helper would flag nothing) — so the
-    // scale gets its own machine-readable flag: "_suite" in the drift
-    // array when the run's median ctx/iso ratio exceeds 1.3. Readers of
-    // the drift field alone now see suite-wide regressions too; whether
-    // it is box noise or a real shared-path change is adjudicated by
-    // the PERF.md two-run + control-query protocol, same as per-query
-    // flags. (ADVICE r9)
-    val drift =
-      (if (scale > 1.3) Seq("_suite") else Seq.empty) ++ perQueryDrift
-    val driftJson = drift.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // scale gets its own machine-readable flag: a SEPARATE boolean
+    // field "suite_drift" set when the run's median ctx/iso ratio
+    // exceeds 1.3. It is deliberately NOT an entry in the per-query
+    // drift array — every drift consumer maps entries to query names,
+    // and a sentinel key would be an unknown query to them (ADVICE
+    // r10). Whether a suite-wide flag is box noise or a real
+    // shared-path change is adjudicated by the PERF.md two-run +
+    // control-query protocol, same as per-query flags. (ADVICE r9)
+    val suiteDrift = scale > 1.3
+    val driftJson = perQueryDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Two JSON lines, full first, COMPACT LAST. The driver keeps only
     // the final 2000 chars of output (measured: BENCH_r08.json's tail
     // ends with sbt's ~72-char "[success]" trailer, so ~1,920 usable),
@@ -208,7 +209,7 @@ object Bench {
     // growth can never push the digest back past the capture window.
     // Local tools (isodelta, PERF bookkeeping) parse the FIRST line
     // and keep full precision + the complete per-query map.
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"drift":$driftJson,"iso_scale":${r(scale)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"drift":$driftJson,"suite_drift":$suiteDrift,"iso_scale":${r(scale)},"sf":"$sfDir"}""")
     def r1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val sfName = new java.io.File(sfDir).getName
@@ -220,10 +221,10 @@ object Bench {
           case (k, (_, v)) if v < 0 || v >= below => "\"" + k + "\":" + r1(v)
         }.mkString("{", ",", "}")
         val om = results.map(_._2).filter(v => v >= 0 && v < below)
-        s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":$kept,"omitted":{"n":${om.length},"sec":${r1(om.sum)},"below":$below},"drift":$driftJson,"sf":$sfJson}"""
+        s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":$kept,"omitted":{"n":${om.length},"sec":${r1(om.sum)},"below":$below},"drift":$driftJson,"suite_drift":$suiteDrift,"sf":$sfJson}"""
       }
       .find(_.length <= 1800)
-      .getOrElse(s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":{},"omitted":{"n":${results.length},"sec":${r1(total)},"below":-1},"drift":$driftJson,"sf":$sfJson}""")
+      .getOrElse(s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":{},"omitted":{"n":${results.length},"sec":${r1(total)},"below":-1},"drift":$driftJson,"suite_drift":$suiteDrift,"sf":$sfJson}""")
     println(compact)
     spark.stop()
   }

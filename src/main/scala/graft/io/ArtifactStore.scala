@@ -317,7 +317,12 @@ object ArtifactStore {
     *    read-hot artifacts: probes read parquet directly (no write,
     *    no mtime refresh), so age alone cannot distinguish "serving
     *    daily" from "dead" — only the caller knows which corpora
-    *    still exist.
+    *    still exist. The predicate is deliberately a REQUIRED
+    *    parameter with no default: a `_ => false` default would let
+    *    a bare `gc(ttl)` sweep artifacts of still-existing corpora
+    *    while in-JVM path caches keep serving the emptied base until
+    *    restart (ADVICE r10) — deletion of unmatched bases must be
+    *    an explicit opt-in (`_ => false`) at the call site.
     *  - age: newest data-file mtime older than `ttlMillis` (a TTL
     *    must comfortably exceed any serving JVM's lifetime — a JVM
     *    caches artifact paths per corpus and would not re-validate a
@@ -334,8 +339,8 @@ object ArtifactStore {
     * critical section); an empty marker-less dir is simply an absent
     * artifact that [[ensure]] rebuilds, and the few bytes of lock
     * remnant are the price of a race-free sweep. */
-  def gc(ttlMillis: Long, root: String = artifactRoot(),
-      live: String => Boolean = _ => false): Seq[String] = {
+  def gc(ttlMillis: Long, live: String => Boolean,
+      root: String = artifactRoot()): Seq[String] = {
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) return Seq.empty
     val now = System.currentTimeMillis()
@@ -359,7 +364,11 @@ object ArtifactStore {
             .map(Files.getLastModifiedTime(_).toMillis)
             .foldLeft(0L)(math.max)
           finally s.close()
-        if (now - newest <= ttlMillis) false
+        // newest == 0 means no data files at all — an already-swept
+        // (or never-populated) base: nothing to delete, and reporting
+        // it "removed" on every run would overstate the swept set
+        // forever (ADVICE r10). The lock-only husk is left in place.
+        if (newest == 0L || now - newest <= ttlMillis) false
         else {
           // marker first: a racer that somehow bypassed the lock can
           // never validate a base this sweep is mid-deleting

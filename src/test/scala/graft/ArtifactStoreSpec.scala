@@ -247,6 +247,12 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(ArtifactStore.isCurrent(served, "fp-srv") &&
       readData(served, "part-0") == "srv",
       "an aged but live-marked base must be kept — probes don't write")
+    // a second sweep re-reports NOTHING: the already-swept base is a
+    // lock-only husk (no data files) and must not be counted removed
+    // again on every run (ADVICE r10)
+    val again = ArtifactStore.gc(ttlMillis = 1_000_000L, root = root,
+      live = _.endsWith("served_corpus"))
+    assert(again.isEmpty, s"second sweep re-reported $again")
     // the swept base rebuilds cleanly on next touch
     assert(ArtifactStore.ensure(stale, "fp-new")(writeData(_, "part-0", "new")))
     assert(readData(stale, "part-0") == "new")
@@ -276,7 +282,8 @@ class ArtifactStoreSpec extends AnyFunSuite {
     // seen the file-less mid-build dir (age = forever) and swept it;
     // having blocked, it sees a marker written milliseconds ago
     val t0 = System.nanoTime()
-    val removed = ArtifactStore.gc(ttlMillis = 600L, root = root)
+    val removed = ArtifactStore.gc(ttlMillis = 600L, root = root,
+      live = _ => false)
     val waitedMs = (System.nanoTime() - t0) / 1e6
     builder.get()
     assert(removed.isEmpty,

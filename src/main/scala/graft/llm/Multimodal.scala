@@ -300,6 +300,69 @@ object Multimodal {
             col("feature").getItem(i).cast(DoubleType).as(s"f$i")): _*)
       .orderBy(col("doc_id"))
 
+  /** m15: the REAL-codec proof of the m02 kernel swap point — the same
+    * pack → encode → partition-batched decode → feature pipeline with
+    * an actual image format (PNG via `javax.imageio`, JDK-built-in,
+    * headless-safe) in place of the GRFT container. Encode side: each
+    * payload fills a 64×64 8-bit grayscale raster top-left (bytes past
+    * the payload are 0 — m04's partial-scanline convention) and is
+    * written as a genuine PNG file (signature, IHDR, zlib-compressed
+    * IDAT); decode side: a SEPARATE `mapPartitions` kernel parses the
+    * PNG bytes back with ImageIO and computes [[payloadFeatures]] over
+    * the DECODED PIXELS. Features hang off decoded content only —
+    * never the container bytes — so the oracle replays them from the
+    * source text (PNG is lossless; the decoded grid IS the padded
+    * payload), while encoder freedom (chunk layout, compression level)
+    * stays out of the contract exactly as it must for any real codec.
+    *
+    * 100 TB posture: identical to m02 — one codec init per partition,
+    * rows stream through, featurization output is row-sized; swapping
+    * ImageIO for libjpeg/ffmpeg bindings changes only the two kernel
+    * bodies. */
+  def m15PngFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pngs = packAsMedia(spark, dir).mapPartitions { rows =>
+      // encoder state (raster + stream) is per-row by ImageIO's API;
+      // the partition batch still amortizes JVM/codec class init
+      rows.map { r =>
+        val img = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < 4096) {
+          val v = if (i < r.blob.length) r.blob(i) & 0xff else 0
+          raster.setSample(i % 64, i / 64, 0, v)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (r.doc_id, bos.toByteArray)
+      }
+    }
+    pngs.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"doc $id: not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = new Array[Byte](w * h)
+        var i = 0
+        while (i < px.length) {
+          px(i) = img.getRaster.getSample(i % w, i / w, 0).toByte
+          i += 1
+        }
+        val (checksum, feat) = payloadFeatures(px)
+        MediaFeatures(id, px.length, checksum, w, h, feat)
+      }
+    }.toDF()
+      .select(
+        col("doc_id") +: col("n_bytes") +: col("checksum") +:
+          col("width") +: col("height") +:
+          (0 until 8).map(i =>
+            col("feature").getItem(i).cast(DoubleType).as(s"f$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame sampler over the header-declared frame counts. */
   def m03FrameSample(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(packAsMediaFramed(spark, dir), stride = 4)
@@ -966,6 +1029,7 @@ object Multimodal {
     "m10_shared_frame_dups" -> (m10SharedFrameDups _),
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
+    "m15_png_features" -> (m15PngFeatures _),
     "m03_frame_sample" -> (m03FrameSample _),
     "m04_resize" -> (m04Resize _),
     "m05_binary_files" -> (m05BinaryFiles _),
@@ -1078,6 +1142,49 @@ object Multimodal {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** m15 oracle: PNG is lossless, so the decoded pixel grid IS the
+    * payload padded (or truncated) to the 64×64 frame — the features
+    * replay from the source text exactly as [[m02Sql]]'s do, over the
+    * byte list capped at 4096 and zero-padded to 4096. The PNG bytes
+    * themselves are deliberately OUTSIDE the contract (encoder chunk
+    * layout and compression level are the codec's freedom); only the
+    * decoded content is pinned. */
+  val m15Sql: String = {
+    val table = crcTableLiteral
+    val fs = (0 until 8).map(r =>
+      s"  CAST(MAX(CASE WHEN r = $r THEN f END) AS DOUBLE) AS f$r").mkString(",\n")
+    s"""WITH consts AS (SELECT $table AS tbl),
+       |b AS (
+       |  SELECT doc_id,
+       |    list_concat(
+       |      list_transform(range(1, least(length(text), 4096) + 1),
+       |        i -> unicode(text[i])),
+       |      list_transform(range(1, 4096 - least(length(text), 4096) + 1),
+       |        i -> 0)) AS bs
+       |  FROM documents
+       |),
+       |crc AS (
+       |  SELECT doc_id,
+       |    xor(list_reduce(list_prepend(4294967295::BIGINT, bs),
+       |      (c, byt) -> xor(tbl[(xor(c, byt) % 256) + 1], c // 256)),
+       |      4294967295::BIGINT) AS checksum,
+       |    bs
+       |  FROM b, consts
+       |),
+       |hist AS (
+       |  SELECT doc_id, r.j AS r,
+       |    CAST(len(list_filter(bs, x -> x % 8 = r.j)) AS FLOAT)
+       |      / CAST(4096 AS FLOAT) AS f
+       |  FROM crc, range(0, 8) r(j)
+       |)
+       |SELECT c.doc_id, CAST(4096 AS INT) AS n_bytes, c.checksum,
+       |  CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+       |$fs
+       |FROM crc c JOIN hist h USING (doc_id)
+       |GROUP BY c.doc_id, c.checksum
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "m14_container_audit" -> m14Sql,
     "m13_cdc_dedup" -> m13Sql,
@@ -1087,6 +1194,7 @@ object Multimodal {
     "m10_shared_frame_dups" -> m10Sql,
     "m01_media_meta" -> m01Sql,
     "m02_media_features" -> m02Sql,
+    "m15_png_features" -> m15Sql,
     "m03_frame_sample" -> m03Sql,
     "m04_resize" -> m04Sql,
     "m05_binary_files" -> m05Sql,

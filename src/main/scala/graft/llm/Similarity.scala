@@ -192,18 +192,26 @@ object Similarity {
     ivfIndexCache.computeIfAbsent(dir, _ => {
       val base = graft.io.ArtifactStore.artifactPath("ivf-index", dir)
       val fp = corpusFingerprint(spark, dir)
-      val trained = graft.io.ArtifactStore.ensure(base, fp) { staging =>
-        val centroids = ivfTrainCentroids(normed(spark, dir))
-        centroids.coalesce(1).write.mode("overwrite")
-          .parquet(s"$staging/centroids")
-        val loaded = spark.read.parquet(s"$staging/centroids")
-        graft.io.Store.writePartitionedParquet(
-          assignToCentroids(normed(spark, dir), loaded),
-          s"$staging/assignments", Seq("cell"), Seq("vec_id"))
-      }
+      val trained =
+        graft.io.ArtifactStore.ensure(base, fp)(ivfBuildInto(spark, dir, _))
       if (trained) ivfTrainCount.incrementAndGet()
       base
     })
+
+  /** Full-corpus IVF build into a staging dir — the builder body shared
+    * by the serving artifact ([[ivfIndexBase]]) and the retrained
+    * generation ([[rtIndexBases]]): train centroids on the WHOLE
+    * corpus, then assign every vector to the stored result. */
+  private def ivfBuildInto(spark: SparkSession, dir: String,
+      staging: String): Unit = {
+    val centroids = ivfTrainCentroids(normed(spark, dir))
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/centroids")
+    val loaded = spark.read.parquet(s"$staging/centroids")
+    graft.io.Store.writePartitionedParquet(
+      assignToCentroids(normed(spark, dir), loaded),
+      s"$staging/assignments", Seq("cell"), Seq("vec_id"))
+  }
 
   /** Rank-1 cell assignment of `vectors` against `centroids` — the
     * shared kernel of index build ([[ivfIndexBase]]) and incremental
@@ -866,22 +874,31 @@ object Similarity {
     pqIndexCache.computeIfAbsent(dir, _ => {
       val base = graft.io.ArtifactStore.artifactPath("pq-index", dir)
       val fp = corpusFingerprint(spark, dir)
-      val trained = graft.io.ArtifactStore.ensure(base, fp) { staging =>
-        val nv = pqNv(spark, dir)
-        val sub = pqSub(nv)
-        pqTrainCodebook(nv, sub).coalesce(1).write.mode("overwrite")
-          .parquet(s"$staging/codebook")
-        // encode against the STORED codebook (what probes will read)
-        val cb = spark.read.parquet(s"$staging/codebook")
-        val cells = ivfInvertedLists(spark, dir)
-          .select(col("vec_id"), col("cell"))
-        graft.io.Store.writePartitionedParquet(
-          pqEncode(sub, cb).join(cells, "vec_id"),
-          s"$staging/codes", Seq("cell"), Seq("vec_id"))
-      }
+      val trained = graft.io.ArtifactStore.ensure(base, fp)(
+        pqBuildInto(spark, dir, _, ivfIndexBase(spark, dir)))
       if (trained) pqTrainCount.incrementAndGet()
       base
     })
+
+  /** Full-corpus PQ build into a staging dir — shared by the serving
+    * artifact ([[pqIndexBase]]) and the retrained generation
+    * ([[rtIndexBases]]): train the codebook on the whole corpus,
+    * encode every vector against the STORED codebook (what probes will
+    * read), cells joined from `listsBase`'s inverted lists so the code
+    * table and the vector lists shard identically. */
+  private def pqBuildInto(spark: SparkSession, dir: String,
+      staging: String, listsBase: String): Unit = {
+    val nv = pqNv(spark, dir)
+    val sub = pqSub(nv)
+    pqTrainCodebook(nv, sub).coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/codebook")
+    val cb = spark.read.parquet(s"$staging/codebook")
+    val cells = invertedListsAt(spark, listsBase)
+      .select(col("vec_id"), col("cell"))
+    graft.io.Store.writePartitionedParquet(
+      pqEncode(sub, cb).join(cells, "vec_id"),
+      s"$staging/codes", Seq("cell"), Seq("vec_id"))
+  }
 
   /** s21: IVF-PQ search served from the PERSISTED index — s20 with the
     * last recomputed stage moved into the artifact. s20 proved the
@@ -974,15 +991,16 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
-  /** Exact ground truth for the audit family (s23/s24): per query
-    * (`vec_id % 4 = 0`), the floor-quantized cosine top-10 over the
+  /** Exact ground truth for the audit family (s23/s24/s25): per
+    * `queryPred` query, the floor-quantized cosine top-10 over the
     * whole corpus — definitionally all-pairs for the query set (the
     * labeled quadratic baseline, run offline at audit cadence and
     * SHARED across every setting being audited, never per serving
     * configuration). Returns `(query_id, neighbor_id)`. */
-  private def exactTruth10(spark: SparkSession, dir: String): DataFrame = {
+  private def exactTruth10(spark: SparkSession, dir: String,
+      queryPred: Column = col("vec_id") % 4 === 0): DataFrame = {
     val nv = pqNv(spark, dir)
-    val q = nv.filter(col("vec_id") % 4 === 0)
+    val q = nv.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
     val c = nv.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
     val w = Window.partitionBy(col("query_id"))
@@ -995,7 +1013,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
-  /** s24: nprobe tuning sweep — the recall/cost curve that picks the
+  /** s25: nprobe tuning sweep — the recall/cost curve that picks the
     * IVF-PQ operating point, measured the way a 100 TB deployment can
     * afford to: the stored code table is scanned ONCE at the largest
     * candidate setting (nprobe=5, cell-keyed join against the
@@ -1014,10 +1032,15 @@ object Similarity {
     * Output one row per setting: `(nprobe, scanned, hits)` — `scanned`
     * counts ADC-scored candidate pairs (the serving-cost proxy: code
     * rows read × LUT adds paid), `hits` counts served∩truth over all
-    * queries (recall@10 = hits / (10·|Q|)). Both integers, both
-    * monotonically non-decreasing in nprobe — the curve whose knee
-    * sets the production nprobe. */
-  def s24NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    * queries (recall@10 = hits / (10·|Q|)). Both integers; `scanned`
+    * is monotone in nprobe by construction (each setting's candidate
+    * set nests in the next), while `hits` rises with it in practice
+    * but is MEASURED, not assumed — the fixed pool-32 cut means a
+    * widened candidate set can in principle evict a true neighbor.
+    * The curve's knee sets the production nprobe; at nprobe=3 the
+    * served set is s20's chain exactly, so this row's `hits` must
+    * equal the s23 audit's total (spec-pinned). */
+  def s25NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     val base = pqIndexBase(spark, dir)
     val cb = spark.read.parquet(s"$base/codebook")
@@ -1072,11 +1095,134 @@ object Similarity {
         Seq("nprobe", "query_id", "neighbor_id"), "left")
       .groupBy(col("nprobe"))
       .agg(count(col("hit")).as("hits"))
-    swept.groupBy(col("nprobe")).agg(count(lit(1)).as("scanned"))
-      .join(hits, "nprobe")
+    // the cost axis in CLOSED FORM — per setting, Σ probed-cell list
+    // sizes minus one self-pair per query (the query's rank-1 cell is
+    // always probed and its own code row never scores). Cell sizes
+    // come from the 16-row inverted-list aggregate, so the CODE TABLE
+    // is scanned exactly once in the whole plan (the serving path
+    // above; spec-pinned) — while the ORACLE counts the swept pairs
+    // directly, so the hash compare cross-checks this derivation
+    // against the literal pair count.
+    val cellSizes = ivfInvertedLists(spark, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+    val scanned = probes
+      .join(broadcast(cellSizes), "cell")
+      .withColumn("nprobe", explode(array(lit(1), lit(3), lit(5))))
+      .filter(col("cell_rank") <= col("nprobe"))
+      .groupBy(col("nprobe"))
+      .agg((sum(col("csz")) - countDistinct(col("query_id")))
+        .as("scanned"))
+    scanned.join(hits, "nprobe")
       .select(col("nprobe").cast("integer").as("nprobe"),
         col("scanned"), col("hits"))
       .orderBy(col("nprobe"))
+  }
+
+  // ---------------------------------------------------------------- s24
+
+  private val rtIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] val rtTrainCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def rtForgetCachedPaths(): Unit = rtIndexCache.clear()
+
+  /** The RETRAINED index generation — what the recall-regression
+    * response ([[s24RecallRetrain]]) builds when the serving SLO is
+    * violated: a fresh full-corpus train (centroids AND codebook see
+    * the appended vectors this time) published as its own artifact
+    * pair through the normal [[graft.io.ArtifactStore.ensure]] staged
+    * build — lock, staging, stale-children sweep, atomic marker. A
+    * SEPARATE base (not an in-place rebuild of the `-inc` artifacts)
+    * is the production shape: the degraded generation keeps serving
+    * until the new one is complete, and the cut-over is a pointer
+    * swap, never an outage; it also keeps the incremental artifacts'
+    * observable state machine (s16/s22's bootstrap→append contract)
+    * untouched by the audit loop. Built lazily — the bases exist ONLY
+    * after a degradation actually fired (spec-pinned). */
+  private def rtIndexBases(spark: SparkSession, dir: String): (String, String) =
+    rtIndexCache.computeIfAbsent(dir, _ => {
+      val fp = corpusFingerprint(spark, dir)
+      val ivfBase = graft.io.ArtifactStore.artifactPath("ivf-index-rt", dir)
+      val ivfBuilt = graft.io.ArtifactStore.ensure(ivfBase, fp)(
+        ivfBuildInto(spark, dir, _))
+      val pqBase = graft.io.ArtifactStore.artifactPath("pq-index-rt", dir)
+      val pqBuilt = graft.io.ArtifactStore.ensure(pqBase, fp)(
+        pqBuildInto(spark, dir, _, ivfBase))
+      if (ivfBuilt || pqBuilt) rtTrainCount.incrementAndGet()
+      (ivfBase, pqBase)
+    })
+
+  /** Recall SLO floor, as a numerator over 10: the retrain arms iff
+    * audited `hits < RecallFloorNum · |Q|` — i.e. mean recall@10 of
+    * the served list under 0.9. Integer cross-multiplied compare, no
+    * float recall anywhere. */
+  val RecallFloorNum = 9
+
+  /** The retrain decision, isolated: fire iff the audited hits fall
+    * UNDER the SLO floor. A vacuous audit (zero queries — e.g. an
+    * empty append batch) is NO evidence of degradation and must not
+    * fire: `0 < 9·0` is false by the same compare, no special case. */
+  private[graft] def retrainDecision(queries: Int, hits: Long): Boolean =
+    hits < RecallFloorNum.toLong * queries
+
+  /** s24: recall-regression retrain — the response that CLOSES the
+    * audit loop s23 opened (measure → decide → retrain → re-measure),
+    * i.e. the lifecycle step every Faiss deployment runs on its
+    * recall@k metric: incremental appends (s16/s22) fold new vectors
+    * into an index whose centroids and codebook never saw them, so
+    * recall over the appended stratum decays with every batch; when
+    * the audited mean drops through the SLO floor, the nightly job
+    * retrains BOTH models on the full corpus and publishes the next
+    * index generation.
+    *
+    * The chain here: (1) audit the INCREMENTAL generation's served
+    * top-10 for the appended stratum's audit queries (`vec_id%7=3 ∧
+    * %4=0`) against the exact ground truth ([[exactTruth10]] — shared,
+    * computed once); (2) the degradation decision is one integer
+    * compare on a 1-row aggregate ([[RecallFloorNum]]; the collect is
+    * a driver-side audit scalar, the established coordinator posture);
+    * (3) iff fired, build the retrained generation ([[rtIndexBases]])
+    * and re-audit the SAME queries against the SAME truth through the
+    * SAME serving chain ([[storedIvfPqServe]]) — only the generation
+    * pointer changes. Output is the audit report: one row per audited
+    * generation, `(phase, queries, hits, fired)`; the `served_retrained`
+    * row exists only when the retrain actually fired.
+    *
+    * 100 TB posture: the audit pass is query-set-sized (|Q| = n/28
+    * here; a production audit samples a fixed panel), the decision is
+    * 1 row, and the retrain—the only corpus-scale stage—runs at most
+    * once per corpus fingerprint and only under a violated SLO; the
+    * degraded generation keeps serving throughout. */
+  def s24RecallRetrain(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val auditPred = incBatchPred && col("vec_id") % 4 === 0
+    val ivfInc = ivfIncIndexBase(spark, dir)
+    val pqInc = pqIncIndexBase(spark, dir)
+    val truth = exactTruth10(spark, dir, auditPred)
+    def audit(served: DataFrame): (Int, Long) = {
+      val row = truth
+        .join(served.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).cast("integer").as("queries"),
+          count(col("hit")).as("hits"))
+        .head() // 1-row audit aggregate (driver-side scalar posture)
+      (row.getInt(0), row.getLong(1))
+    }
+    val (dq, dh) =
+      audit(storedIvfPqServe(spark, dir, ivfInc, pqInc, auditPred))
+    val fired = retrainDecision(dq, dh)
+    val rows =
+      if (!fired) Seq(("served_degraded", dq, dh, fired))
+      else {
+        val (rtIvf, rtPq) = rtIndexBases(spark, dir)
+        val (rq, rh) =
+          audit(storedIvfPqServe(spark, dir, rtIvf, rtPq, auditPred))
+        Seq(("served_degraded", dq, dh, true),
+          ("served_retrained", rq, rh, true))
+      }
+    import spark.implicits._
+    rows.toDF("phase", "queries", "hits", "fired").orderBy(col("phase"))
   }
 
   // ---------------------------------------------------------------- s22
@@ -1154,18 +1300,30 @@ object Similarity {
     * derives the union fingerprint without rescanning the corpus; the
     * serving plan reads 8-byte codes for candidates and full vectors
     * for pool members only. */
-  def s22IncrementalPqSearch(spark: SparkSession, dir: String): DataFrame = {
+  def s22IncrementalPqSearch(spark: SparkSession, dir: String): DataFrame =
+    storedIvfPqServe(spark, dir, ivfIncIndexBase(spark, dir),
+      pqIncIndexBase(spark, dir), incBatchPred)
+
+  /** The stored-artifact IVF-PQ serving chain shared by [[s22IncrementalPqSearch]]
+    * and the retrain loop ([[s24RecallRetrain]]): `queryPred`'s queries
+    * probe their top-3 cells against the given generation's STORED
+    * centroids, ADC scoring runs over one cell-keyed join against the
+    * stored code table (candidacy + code fetch fused, s21's plan),
+    * and the top-[[RerankPool]] pool exact-refines from the stored
+    * inverted lists. `(ivfBase, pqBase)` select the index GENERATION —
+    * incremental, full, or retrained — the chain itself never changes,
+    * which is exactly how a serving tier hot-swaps index generations. */
+  private def storedIvfPqServe(spark: SparkSession, dir: String,
+      ivfBase: String, pqBase: String, queryPred: Column): DataFrame = {
     VectorExpressions.register(spark)
-    val ivfBase = ivfIncIndexBase(spark, dir)
-    val base = pqIncIndexBase(spark, dir)
-    val cb = spark.read.parquet(s"$base/codebook")
+    val cb = spark.read.parquet(s"$pqBase/codebook")
     val storedCodes = spark.read.schema(pqCodesSchema)
-      .parquet(s"$base/codes")
+      .parquet(s"$pqBase/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
     val lut = pqLut(
-      pqSub(pqNv(spark, dir).filter(incBatchPred)), cb)
+      pqSub(pqNv(spark, dir).filter(queryPred)), cb)
     val centroids = spark.read.parquet(s"$ivfBase/centroids")
-    val q = normed(spark, dir).filter(incBatchPred)
+    val q = normed(spark, dir).filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("norm").as("qn"))
     val byQ = Window.partitionBy(col("query_id"))
@@ -1307,6 +1465,15 @@ object Similarity {
         floor(expr("vec_dot(xv, yv)") * lit(1048576.0)).cast(LongType))
       .select(col("x"), col("y"), col("qc"))
       .localCheckpoint()
+    marginMineTail(p)
+  }
+
+  /** The margin-mining tail shared by [[s12BitextMargin]] (exact
+    * all-pairs baseline) and [[s12bBitextMarginBucketed]] (IVF
+    * candidate pairs): Artetxe & Schwenk margin scoring over whatever
+    * scored pair set `p(x, y, qc)` the caller mined, then the rx=1
+    * pick with the mutual-best flag. */
+  private def marginMineTail(p: DataFrame): DataFrame = {
     def top4Sum(key: String, other: String, out: String) = {
       val w = Window.partitionBy(col(key))
         .orderBy(col("qc").desc, col(other).asc)
@@ -1326,6 +1493,54 @@ object Similarity {
       .select(col("x").as("src_id"), col("y").as("tgt_id"),
         col("margin"), (col("ry") === 1).as("mutual"))
       .orderBy(col("src_id"))
+  }
+
+  /** s12b: BUCKETED bitext margin mining — s12's mining re-expressed
+    * over IVF candidate pairs, the scale path s12's scaladoc promised:
+    * a src/tgt pair is a candidate iff the two vectors PROBE a common
+    * trained-IVF cell (both rank their top-3 cells against the
+    * persisted centroids, [[ivfRanked]]), so pair generation is one
+    * cell-keyed equi-join between two cell-bucketed sides — never the
+    * src × tgt cross join. Margin denominators (per-side top-4
+    * neighbor sums) are computed over the SAME candidate set, which is
+    * the honest bucketed estimator: at mining scale the true top-4 is
+    * approximated by the top-4 of the retrieved candidates (exactly
+    * what Artetxe & Schwenk '19 do with their FAISS-retrieved k-NN
+    * lists — margin is defined over retrieved neighbors, not the full
+    * corpus). s12 stays alongside as the exact quadratic baseline;
+    * the oracle replays s12's SQL restricted to the same candidate
+    * set, so the restriction is the ONLY divergence.
+    *
+    * 100 TB posture: candidates shuffle on cell id (16 cells here,
+    * O(√n) in production), the qc kernel runs on candidate pairs only,
+    * and every downstream join/window is keyed by x or y — the plan
+    * contains no non-equi join outside the 16-row centroid broadcast
+    * fan-out (spec-pinned). */
+  def s12bBitextMarginBucketed(spark: SparkSession, dir: String): DataFrame =
+    marginMineTail(s12bScoredPairs(spark, dir).localCheckpoint())
+
+  /** s12b's candidate-pair stage, pre-checkpoint — exposed so the
+    * plan spec can pin the subtree the checkpoint would otherwise
+    * hide (no cross join; the only BNLJ is the centroid fan-out). */
+  private[graft] def s12bScoredPairs(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val r3 = ivfRanked(spark, dir).filter(col("cell_rank") <= 3)
+      .select(col("cell"), col("vec_id"))
+    val srcC = r3.filter(col("vec_id") % 2 === 0)
+      .select(col("cell"), col("vec_id").as("x"))
+    val tgtC = r3.filter(col("vec_id") % 2 === 1)
+      .select(col("cell"), col("vec_id").as("y"))
+    // a pair can share up to 3 probed cells — distinct before scoring
+    val cp = srcC.join(tgtC, "cell").select(col("x"), col("y")).distinct()
+    val nv = normed(spark, dir)
+      .withColumn("nv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .select(col("vec_id"), col("nv"))
+    cp.join(nv.select(col("vec_id").as("x"), col("nv").as("xv")), "x")
+      .join(nv.select(col("vec_id").as("y"), col("nv").as("yv")), "y")
+      .withColumn("qc",
+        floor(expr("vec_dot(xv, yv)") * lit(1048576.0)).cast(LongType))
+      .select(col("x"), col("y"), col("qc"))
   }
 
   /** s14: filtered vector search — hard-negative mining: for every
@@ -1622,9 +1837,12 @@ object Similarity {
     "s21_pq_index_search" -> (s21PqIndexSearch _),
     "s22_incremental_pq" -> (s22IncrementalPqSearch _),
     "s23_recall_audit" -> (s23RecallAudit _),
+    "s24_recall_retrain" -> (s24RecallRetrain _),
+    "s25_nprobe_sweep" -> (s25NprobeSweep _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
+    "s12b_bitext_bucketed" -> (s12bBitextMarginBucketed _),
     "s02_ivf_topk" -> (s02IvfTopK _),
     "s03_topk_aggregate" -> (s03TopKAggregate _),
     "s04_custom_plan_topk" -> (s04CustomPlanTopK _),
@@ -1857,39 +2075,43 @@ object Similarity {
     * restricts the training population (seeds + Lloyd members) while
     * every vector is still ranked — the incremental replay shape. A
     * def, not a val: object-init order. */
-  private def ivfChainCte(trainAnd: String = ""): String =
-    s""", iseed AS (
+  /** `p` prefixes every CTE name so TWO training chains (e.g. s24's
+    * degraded vs retrained generations) can share one flat WITH-list;
+    * the corpus CTEs (`nn`, `nv`, `sub`) stay unprefixed — they are
+    * model-independent and shared. */
+  private def ivfChainCte(trainAnd: String = "", p: String = ""): String =
+    s""", ${p}iseed AS (
       |  SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM nn$trainAnd
       |  ORDER BY vec_id LIMIT 16
-      |), is0 AS (
-      |  SELECT nn.vec_id, nn.v, iseed.cell,
-      |    list_dot_product(nn.v, iseed.cv) / (nn.nrm * iseed.cnrm) AS csim
-      |  FROM (SELECT * FROM nn$trainAnd) nn CROSS JOIN iseed
-      |), ia0 AS (
+      |), ${p}is0 AS (
+      |  SELECT nn.vec_id, nn.v, sd.cell,
+      |    list_dot_product(nn.v, sd.cv) / (nn.nrm * sd.cnrm) AS csim
+      |  FROM (SELECT * FROM nn$trainAnd) nn CROSS JOIN ${p}iseed sd
+      |), ${p}ia0 AS (
       |  SELECT cell, v FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      |      ORDER BY csim DESC, cell) AS rk FROM is0)
+      |      ORDER BY csim DESC, cell) AS rk FROM ${p}is0)
       |  WHERE rk = 1
-      |), icomp AS (
+      |), ${p}icomp AS (
       |  SELECT cell, t.j,
       |    CAST(FLOOR(v[CAST(t.j AS INT) + 1] * 1048576) AS BIGINT) AS q
-      |  FROM ia0 CROSS JOIN range(0, 64) t(j)
-      |), icm AS (
+      |  FROM ${p}ia0 CROSS JOIN range(0, 64) t(j)
+      |), ${p}icm AS (
       |  SELECT cell, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS m
-      |  FROM icomp GROUP BY cell, j
-      |), ic AS (
+      |  FROM ${p}icomp GROUP BY cell, j
+      |), ${p}ic AS (
       |  SELECT cell, list(m ORDER BY j) AS cv,
       |    sqrt(list_dot_product(list(m ORDER BY j),
       |      list(m ORDER BY j))) AS cnrm
-      |  FROM icm GROUP BY cell
-      |), isims AS (
+      |  FROM ${p}icm GROUP BY cell
+      |), ${p}isims AS (
       |  SELECT nn.vec_id, nn.nrm, ic.cell,
       |    list_dot_product(nn.v, ic.cv) / (nn.nrm * ic.cnrm) AS csim
-      |  FROM nn CROSS JOIN ic
-      |), iranked AS (
+      |  FROM nn CROSS JOIN ${p}ic ic
+      |), ${p}iranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
       |    ORDER BY csim DESC, cell) AS cell_rank
-      |  FROM isims
+      |  FROM ${p}isims
       |)""".stripMargin
 
   /** s20 oracle: both training chains in one WITH-list ([[pqAdcCte]] +
@@ -1910,36 +2132,38 @@ object Similarity {
         |  CAST(adc_rank AS INT) AS adc_rank
         |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
-  /** The same tail through the ranked CTE `r` only — so a consumer
-    * ([[s23Sql]]) can keep composing instead of selecting. */
-  private def ivfPqTailCtes(queryPred: String): String =
-    s""", probes AS (
-       |  SELECT cell, vec_id AS query_id FROM iranked
+  /** The same tail through the ranked CTE `{p}r` only — so a consumer
+    * ([[s23Sql]], [[s24Sql]]) can keep composing instead of selecting.
+    * `p` prefixes the tail's CTEs AND its model inputs (`{p}sc`,
+    * `{p}iranked`), pairing the tail with one generation's chain. */
+  private def ivfPqTailCtes(queryPred: String, p: String = ""): String =
+    s""", ${p}probes AS (
+       |  SELECT cell, vec_id AS query_id FROM ${p}iranked
        |  WHERE cell_rank <= 3 AND $queryPred
-       |), cand AS (
+       |), ${p}cand AS (
        |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
-       |  FROM probes p JOIN (SELECT cell, vec_id FROM iranked
+       |  FROM ${p}probes p JOIN (SELECT cell, vec_id FROM ${p}iranked
        |    WHERE cell_rank = 1) i USING (cell)
        |  WHERE p.query_id <> i.vec_id
-       |), pool AS (
+       |), ${p}pool AS (
        |  SELECT query_id, neighbor_id, ar AS adc_rank FROM (
        |    SELECT s.query_id, s.neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY s.query_id
        |        ORDER BY s.score DESC, s.neighbor_id) AS ar
-       |    FROM sc s JOIN cand USING (query_id, neighbor_id))
+       |    FROM ${p}sc s JOIN ${p}cand USING (query_id, neighbor_id))
        |  WHERE ar <= $RerankPool
-       |), ex AS (
+       |), ${p}ex AS (
        |  SELECT p.query_id, p.neighbor_id, p.adc_rank,
        |    CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
        |      AS score
-       |  FROM pool p
+       |  FROM ${p}pool p
        |  JOIN nv q ON q.vec_id = p.query_id
        |  JOIN nv c ON c.vec_id = p.neighbor_id
-       |), r AS (
+       |), ${p}r AS (
        |  SELECT query_id, neighbor_id, adc_rank, score,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, neighbor_id) AS rn
-       |  FROM ex
+       |  FROM ${p}ex
        |)""".stripMargin
 
   /** s23 oracle: the served list is [[s20Sql]]'s chain through its
@@ -1967,6 +2191,126 @@ object Similarity {
       |SELECT query_id, CAST(hits AS INT) AS hits FROM hits
       |ORDER BY query_id""".stripMargin
 
+  /** s24 oracle: BOTH generations replayed in one statement over the
+    * shared corpus CTEs — the DEGRADED chain (unprefixed: PQ + IVF
+    * models trained base-only, every vector encoded/assigned, i.e. the
+    * incremental artifacts' stored state, [[s22Sql]]'s shape) and the
+    * RETRAINED chain (`rt_`-prefixed: both models trained on the full
+    * corpus, [[s20Sql]]'s shape), each serving the SAME audit queries
+    * (`vec_id%7=3 ∧ %4=0`) through the same tail; the exact truth is
+    * computed once; the fired decision is the same integer compare as
+    * the engine's ([[RecallFloorNum]]); the retrained row exists only
+    * under a fired decision. */
+  def s24Sql: String = {
+    val auditQ = "vec_id % 7 = 3 AND vec_id % 4 = 0"
+    val auditLutQ = "s.vec_id % 7 = 3 AND s.vec_id % 4 = 0"
+    pqCorpusCtes +
+      pqModelCtes(" WHERE vec_id % 7 <> 3", auditLutQ) +
+      ivfChainCte(" WHERE vec_id % 7 <> 3") +
+      ivfPqTailCtes(auditQ) +
+      pqModelCtes("", auditLutQ, "rt_") +
+      ivfChainCte("", "rt_") +
+      ivfPqTailCtes(auditQ, "rt_") +
+      s""", deg_served AS (
+         |  SELECT query_id, neighbor_id FROM r WHERE rn <= 10
+         |), rt_served AS (
+         |  SELECT query_id, neighbor_id FROM rt_r WHERE rn <= 10
+         |), audit_exact AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+         |        DESC, c.vec_id) AS ern
+         |  FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 7 = 3 AND q.vec_id % 4 = 0
+         |), audit_truth AS (
+         |  SELECT query_id, neighbor_id FROM audit_exact WHERE ern <= 10
+         |), deg_agg AS (
+         |  SELECT CAST(COUNT(DISTINCT t.query_id) AS INT) AS queries,
+         |    COUNT(s.neighbor_id) AS hits
+         |  FROM audit_truth t
+         |  LEFT JOIN deg_served s USING (query_id, neighbor_id)
+         |), rt_agg AS (
+         |  SELECT CAST(COUNT(DISTINCT t.query_id) AS INT) AS queries,
+         |    COUNT(s.neighbor_id) AS hits
+         |  FROM audit_truth t
+         |  LEFT JOIN rt_served s USING (query_id, neighbor_id)
+         |), decision AS (
+         |  SELECT queries, hits, hits < $RecallFloorNum * queries AS fired
+         |  FROM deg_agg
+         |)
+         |SELECT 'served_degraded' AS phase, queries, hits, fired
+         |FROM decision
+         |UNION ALL
+         |SELECT 'served_retrained' AS phase, queries, hits, TRUE AS fired
+         |FROM rt_agg WHERE (SELECT fired FROM decision)
+         |ORDER BY phase""".stripMargin
+  }
+
+  /** s25 oracle: the sweep replayed — ONE tagged candidate set off the
+    * full-train chains ([[pqAdcCte]]'s `sc` + [[ivfChainCte]]'s
+    * `iranked`) at the max setting, each smaller setting derived by
+    * the `cell_rank <= nprobe` filter, pool/refine re-run per setting,
+    * the exact truth computed once and replicated per setting. */
+  def s25Sql: String = pqAdcCte + ivfChainCte() +
+    s""", settings AS (
+       |  SELECT t.nprobe FROM (VALUES (1), (3), (5)) t(nprobe)
+       |), sprobes AS (
+       |  SELECT cell, vec_id AS query_id, cell_rank FROM iranked
+       |  WHERE cell_rank <= 5 AND vec_id % 4 = 0
+       |), scand AS (
+       |  SELECT p.query_id, i.vec_id AS neighbor_id, p.cell_rank
+       |  FROM sprobes p JOIN (SELECT cell, vec_id FROM iranked
+       |    WHERE cell_rank = 1) i USING (cell)
+       |  WHERE p.query_id <> i.vec_id
+       |), swept AS (
+       |  SELECT st.nprobe, c.query_id, c.neighbor_id, s.score
+       |  FROM scand c
+       |  JOIN sc s USING (query_id, neighbor_id)
+       |  JOIN settings st ON c.cell_rank <= st.nprobe
+       |), spool AS (
+       |  SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT nprobe, query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |        ORDER BY score DESC, neighbor_id) AS ar
+       |    FROM swept)
+       |  WHERE ar <= $RerankPool
+       |), sex AS (
+       |  SELECT p.nprobe, p.query_id, p.neighbor_id,
+       |    CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+       |      AS score
+       |  FROM spool p
+       |  JOIN nv q ON q.vec_id = p.query_id
+       |  JOIN nv c ON c.vec_id = p.neighbor_id
+       |), sserved AS (
+       |  SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT nprobe, query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |        ORDER BY score DESC, neighbor_id) AS rn
+       |    FROM sex)
+       |  WHERE rn <= 10
+       |), struth AS (
+       |  SELECT st.nprobe, e.query_id, e.neighbor_id
+       |  FROM settings st CROSS JOIN (
+       |    SELECT query_id, neighbor_id FROM (
+       |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |          CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576)
+       |            AS BIGINT) DESC, c.vec_id) AS ern
+       |      FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
+       |      WHERE q.vec_id % 4 = 0)
+       |    WHERE ern <= 10) e
+       |), shits AS (
+       |  SELECT t.nprobe, COUNT(s2.neighbor_id) AS hits
+       |  FROM struth t LEFT JOIN sserved s2
+       |    USING (nprobe, query_id, neighbor_id)
+       |  GROUP BY t.nprobe
+       |), sscanned AS (
+       |  SELECT nprobe, COUNT(*) AS scanned FROM swept GROUP BY nprobe
+       |)
+       |SELECT CAST(n.nprobe AS INT) AS nprobe, n.scanned, h.hits
+       |FROM sscanned n JOIN shits h USING (nprobe)
+       |ORDER BY nprobe""".stripMargin
+
   /** s22 oracle: the incremental replay — BOTH training chains
     * restricted to the base corpus (`vec_id % 7 <> 3`: PQ seed pick +
     * Lloyd means, IVF seed pick + Lloyd means), every vector (base ∪
@@ -1987,66 +2331,83 @@ object Similarity {
     * TRAINING population (seed pick + Lloyd means) while every vector
     * is still encoded — the incremental replay shape ([[s22Sql]]);
     * `queryPred` picks the LUT/query set. */
-  private def pqChainCte(trainAnd: String, queryPred: String): String = {
+  private def pqChainCte(trainAnd: String, queryPred: String): String =
+    pqCorpusCtes + pqModelCtes(trainAnd, queryPred)
+
+  /** The model-independent corpus CTEs of the PQ chain (`nn`, `nv`,
+    * `sub`) — emitted ONCE per statement and shared by every training
+    * chain composed after them. */
+  private def pqCorpusCtes: String = normCte +
+    """, nv AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nn
+      |), sub AS (
+      |  SELECT vec_id, t.m,
+      |    list_slice(nv, t.m * 8 + 1, t.m * 8 + 8) AS sv
+      |  FROM nv CROSS JOIN range(0, 8) t(m)
+      |)""".stripMargin
+
+  /** The PQ MODEL chain (seed pick → Lloyd means → encode → LUTs →
+    * ADC pair scores) over the shared corpus CTEs, every CTE name
+    * prefixed with `p` so two generations (s24's degraded vs
+    * retrained) coexist in one WITH-list. `trainAnd` restricts the
+    * TRAINING population while every vector is still encoded (the
+    * incremental replay shape, [[s22Sql]]); `queryPred` picks the
+    * LUT/query set. */
+  private def pqModelCtes(trainAnd: String, queryPred: String,
+      p: String = ""): String = {
     val scoreTerms = (0 until PqM)
       .map(m => s"l.lut[$m * 16 + cd.codes[${m + 1}] + 1]")
       .mkString(" + ")
-    normCte +
-      s""", nv AS (
-         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nn
-         |), sub AS (
-         |  SELECT vec_id, t.m,
-         |    list_slice(nv, t.m * 8 + 1, t.m * 8 + 8) AS sv
-         |  FROM nv CROSS JOIN range(0, 8) t(m)
-         |), seedv AS (
-         |  SELECT vec_id, nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
-         |  FROM (SELECT * FROM nv$trainAnd ORDER BY vec_id LIMIT 16)
-         |), seedsub AS (
-         |  SELECT t.m, code, list_slice(nv, t.m * 8 + 1, t.m * 8 + 8) AS cw
-         |  FROM seedv CROSS JOIN range(0, 8) t(m)
-         |), a0 AS (
-         |  SELECT m, code, sv FROM (
-         |    SELECT s.vec_id, s.m, c.code, s.sv,
-         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-         |        ORDER BY list_dot_product(c.cw, c.cw)
-         |          - 2 * list_dot_product(s.sv, c.cw) ASC, c.code ASC) AS rk
-         |    FROM (SELECT * FROM sub$trainAnd) s JOIN seedsub c USING (m))
-         |  WHERE rk = 1
-         |), comp AS (
-         |  SELECT m, code, t.j,
-         |    CAST(FLOOR(sv[CAST(t.j AS INT) + 1] * 1048576) AS BIGINT) AS q
-         |  FROM a0 CROSS JOIN range(0, 8) t(j)
-         |), cm AS (
-         |  SELECT m, code, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0
-         |    AS cwj
-         |  FROM comp GROUP BY m, code, j
-         |), trained AS (
-         |  SELECT m, code, list(cwj ORDER BY j) AS cw FROM cm GROUP BY m, code
-         |), fc AS (
-         |  SELECT vec_id, m, code FROM (
-         |    SELECT s.vec_id, s.m, c.code,
-         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-         |        ORDER BY list_dot_product(c.cw, c.cw)
-         |          - 2 * list_dot_product(s.sv, c.cw) ASC, c.code ASC) AS rk
-         |    FROM sub s JOIN trained c USING (m))
-         |  WHERE rk = 1
-         |), codes AS (
-         |  SELECT vec_id, list(code ORDER BY m) AS codes FROM fc
-         |  GROUP BY vec_id
-         |), lutv AS (
-         |  SELECT s.vec_id AS query_id, s.m, c.code,
-         |    CAST(FLOOR(list_dot_product(s.sv, c.cw) * 1048576) AS BIGINT)
-         |      AS lv
-         |  FROM sub s JOIN trained c USING (m)
-         |  WHERE $queryPred
-         |), lut AS (
-         |  SELECT query_id, list(lv ORDER BY m, code) AS lut FROM lutv
-         |  GROUP BY query_id
-         |), sc AS (
-         |  SELECT l.query_id, cd.vec_id AS neighbor_id,
-         |    $scoreTerms AS score
-         |  FROM lut l JOIN codes cd ON l.query_id <> cd.vec_id
-         |)""".stripMargin
+    s""", ${p}seedv AS (
+       |  SELECT vec_id, nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT * FROM nv$trainAnd ORDER BY vec_id LIMIT 16)
+       |), ${p}seedsub AS (
+       |  SELECT t.m, code, list_slice(nv, t.m * 8 + 1, t.m * 8 + 8) AS cw
+       |  FROM ${p}seedv CROSS JOIN range(0, 8) t(m)
+       |), ${p}a0 AS (
+       |  SELECT m, code, sv FROM (
+       |    SELECT s.vec_id, s.m, c.code, s.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(c.cw, c.cw)
+       |          - 2 * list_dot_product(s.sv, c.cw) ASC, c.code ASC) AS rk
+       |    FROM (SELECT * FROM sub$trainAnd) s JOIN ${p}seedsub c USING (m))
+       |  WHERE rk = 1
+       |), ${p}comp AS (
+       |  SELECT m, code, t.j,
+       |    CAST(FLOOR(sv[CAST(t.j AS INT) + 1] * 1048576) AS BIGINT) AS q
+       |  FROM ${p}a0 CROSS JOIN range(0, 8) t(j)
+       |), ${p}cm AS (
+       |  SELECT m, code, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0
+       |    AS cwj
+       |  FROM ${p}comp GROUP BY m, code, j
+       |), ${p}trained AS (
+       |  SELECT m, code, list(cwj ORDER BY j) AS cw FROM ${p}cm
+       |  GROUP BY m, code
+       |), ${p}fc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(c.cw, c.cw)
+       |          - 2 * list_dot_product(s.sv, c.cw) ASC, c.code ASC) AS rk
+       |    FROM sub s JOIN ${p}trained c USING (m))
+       |  WHERE rk = 1
+       |), ${p}codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS codes FROM ${p}fc
+       |  GROUP BY vec_id
+       |), ${p}lutv AS (
+       |  SELECT s.vec_id AS query_id, s.m, c.code,
+       |    CAST(FLOOR(list_dot_product(s.sv, c.cw) * 1048576) AS BIGINT)
+       |      AS lv
+       |  FROM sub s JOIN ${p}trained c USING (m)
+       |  WHERE $queryPred
+       |), ${p}lut AS (
+       |  SELECT query_id, list(lv ORDER BY m, code) AS lut FROM ${p}lutv
+       |  GROUP BY query_id
+       |), ${p}sc AS (
+       |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+       |    $scoreTerms AS score
+       |  FROM ${p}lut l JOIN ${p}codes cd ON l.query_id <> cd.vec_id
+       |)""".stripMargin
   }
 
   private def pqAdcCte: String = pqChainCte("", "s.vec_id % 4 = 0")
@@ -2137,6 +2498,51 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY y
       |      ORDER BY margin DESC, x ASC) AS ry
       |  FROM sc
+      |)
+      |SELECT x AS src_id, y AS tgt_id, margin, (ry = 1) AS mutual
+      |FROM rk WHERE rx = 1 ORDER BY src_id""".stripMargin
+
+  /** s12b oracle: [[s12Sql]]'s mining verbatim with ONE change — the
+    * pair set `p` is restricted to IVF candidate pairs (src and tgt
+    * probe a common cell of [[ivfRankedCte]]'s trained chain), the
+    * exact restriction the Spark twin applies. Everything downstream
+    * (top-4 sums, margin, rx/ry picks) is s12's text. */
+  val s12bSql: String = ivfRankedCte +
+    """, nv2 AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nn
+      |), cp AS (
+      |  SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+      |  FROM (SELECT cell, vec_id FROM ranked WHERE cell_rank <= 3) a
+      |  JOIN (SELECT cell, vec_id FROM ranked WHERE cell_rank <= 3) b
+      |    USING (cell)
+      |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+      |), p AS (
+      |  SELECT cp.x, cp.y,
+      |    CAST(FLOOR(list_dot_product(q.nv, c2.nv) * 1048576) AS BIGINT)
+      |      AS qc
+      |  FROM cp JOIN nv2 q ON q.vec_id = cp.x
+      |  JOIN nv2 c2 ON c2.vec_id = cp.y
+      |), dx AS (
+      |  SELECT x, CAST(SUM(qc) AS BIGINT) AS dxs FROM (
+      |    SELECT x, qc, ROW_NUMBER() OVER (PARTITION BY x
+      |      ORDER BY qc DESC, y ASC) AS r FROM p)
+      |  WHERE r <= 4 GROUP BY x
+      |), dy AS (
+      |  SELECT y, CAST(SUM(qc) AS BIGINT) AS dys FROM (
+      |    SELECT y, qc, ROW_NUMBER() OVER (PARTITION BY y
+      |      ORDER BY qc DESC, x ASC) AS r FROM p)
+      |  WHERE r <= 4 GROUP BY y
+      |), sc2 AS (
+      |  SELECT p.x, p.y,
+      |    CAST(qc AS DOUBLE) * 8 / CAST(dxs + dys AS DOUBLE) AS margin
+      |  FROM p JOIN dx ON p.x = dx.x JOIN dy ON p.y = dy.y
+      |), rk AS (
+      |  SELECT x, y, margin,
+      |    ROW_NUMBER() OVER (PARTITION BY x
+      |      ORDER BY margin DESC, y ASC) AS rx,
+      |    ROW_NUMBER() OVER (PARTITION BY y
+      |      ORDER BY margin DESC, x ASC) AS ry
+      |  FROM sc2
       |)
       |SELECT x AS src_id, y AS tgt_id, margin, (ry = 1) AS mutual
       |FROM rk WHERE rx = 1 ORDER BY src_id""".stripMargin
@@ -2298,9 +2704,12 @@ object Similarity {
     "s21_pq_index_search" -> s20Sql,
     "s22_incremental_pq" -> s22Sql,
     "s23_recall_audit" -> s23Sql,
+    "s24_recall_retrain" -> s24Sql,
+    "s25_nprobe_sweep" -> s25Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,
+    "s12b_bitext_bucketed" -> s12bSql,
     "s01_cosine_topk" -> s01Sql,
     "s02_ivf_topk" -> s02Sql,
     "s03_topk_aggregate" -> s01Sql,

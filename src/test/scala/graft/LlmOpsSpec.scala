@@ -437,6 +437,48 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m15 real PNG codec: wire bytes are genuine PNGs, decoded features match the padded payload") {
+    // the features must equal a local recompute over the text bytes
+    // capped at 4096 and zero-padded to the 64×64 frame — PNG is
+    // lossless, so the decode leg reproduces the payload exactly
+    val feats = Multimodal.m15PngFeatures(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_bytes"), r.getAs[Long]("checksum"),
+          r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(feats.size == texts.size)
+    texts.take(20).foreach { case (id, text) =>
+      val padded = new Array[Byte](4096)
+      val bytes = text.getBytes("UTF-8")
+      System.arraycopy(bytes, 0, padded, 0, math.min(bytes.length, 4096))
+      val crc = new java.util.zip.CRC32()
+      crc.update(padded)
+      assert(feats(id) === ((4096, crc.getValue, 64, 64)), s"doc $id")
+    }
+    // and the intermediate really is PNG: encode one payload exactly as
+    // the kernel does and check the 8-byte signature + ImageIO parse
+    val one = texts.head._2.getBytes("UTF-8")
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 4096).foreach { i =>
+      img.getRaster.setSample(i % 64, i / 64, 0,
+        if (i < one.length) one(i) & 0xff else 0)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(png.take(8).sameElements(Array[Byte](0x89.toByte, 'P', 'N',
+      'G', '\r', '\n', 0x1a, '\n')), "not a PNG signature")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(back.getWidth == 64 && back.getHeight == 64)
+    assert((0 until 4096).forall(i =>
+      back.getRaster.getSample(i % 64, i / 64, 0) ==
+        (if (i < one.length) one(i) & 0xff else 0)),
+      "PNG round-trip not lossless")
+  }
+
   test("m04 resize: true box-filter downsample of the payload grid") {
     val rows = Multimodal.m04Resize(spark, sf).collect()
     assert(rows.length === 500)
@@ -870,6 +912,145 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(total > qids.length, s"mean recall@10 <= 0.1 ($total hits)")
     assert(rows.exists(_.getInt(1) < 10),
       "recall 100% everywhere — the audit cannot be observing IVF-PQ loss")
+  }
+
+  test("s24 recall retrain: fires on the fixture's SLO violation, retrained generation re-audited") {
+    val rows = Similarity.s24RecallRetrain(spark, sf).collect()
+    // the incremental generation (base-trained models) misses the 0.9
+    // recall SLO on the fixture, so the loop must have fired: two
+    // phases, both flagged, same audited query panel
+    assert(rows.length == 2,
+      s"expected degraded+retrained rows, got ${rows.toSeq}")
+    val deg = rows(0)
+    val rt = rows(1)
+    assert(deg.getString(0) == "served_degraded")
+    assert(rt.getString(0) == "served_retrained")
+    assert(deg.getBoolean(3) && rt.getBoolean(3))
+    val q = deg.getInt(1)
+    assert(q > 0 && rt.getInt(1) == q)
+    // the decision's premise holds in the output itself
+    assert(deg.getLong(2) < Similarity.RecallFloorNum.toLong * q,
+      s"fired with hits=${deg.getLong(2)} of $q queries — not degraded")
+    assert(rt.getLong(2) >= 0 && rt.getLong(2) <= 10L * q)
+    // the retrained generation is a real published artifact pair
+    // (staged build + marker), and a fresh path cache (the next JVM)
+    // reuses it with ZERO retrains — fingerprint match, no rebuild
+    for (kind <- Seq("ivf-index-rt", "pq-index-rt"))
+      assert(graft.io.ArtifactStore.currentFingerprint(
+          graft.io.ArtifactStore.artifactPath(kind, sf)).nonEmpty,
+        s"$kind not published")
+    Similarity.rtForgetCachedPaths()
+    val t0 = Similarity.rtTrainCount.get()
+    Similarity.s24RecallRetrain(spark, sf).collect()
+    assert(Similarity.rtTrainCount.get() == t0,
+      "a matching fingerprint must reuse the retrained generation")
+  }
+
+  test("s24 fires ONLY on degradation: at-floor and vacuous audits leave the rt generation unbuilt") {
+    // the decision boundary itself, pinned at its edges
+    assert(!Similarity.retrainDecision(2, 18)) // exactly at the 0.9 SLO — healthy
+    assert(Similarity.retrainDecision(2, 17))  // one hit under — degraded
+    assert(Similarity.retrainDecision(2, 0))
+    assert(!Similarity.retrainDecision(2, 20))
+    assert(!Similarity.retrainDecision(0, 0))  // vacuous audit: no evidence
+    // integration of the no-fire branch: a corpus with NO appended
+    // stratum (no vec_id ≡ 3 mod 7) has an empty audit panel — the
+    // incremental index family must tolerate the EMPTY append batch
+    // (bootstrap-only state machine), the loop must not fire, and no
+    // rt artifacts may materialize
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s24_nobatch").toString
+    import spark.implicits._
+    (0L until 64L).filter(_ % 7 != 3)
+      .map(i => (i, Array.tabulate(64)(j => ((i + j) % 16).toFloat + 1f),
+        (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // the appendable siblings survive an empty batch too (their query
+    // set IS the batch, so served output is empty, never a crash)
+    assert(Similarity.s16IncrementalIndexUpdate(spark, dir).collect().isEmpty)
+    assert(Similarity.s22IncrementalPqSearch(spark, dir).collect().isEmpty)
+    val out = Similarity.s24RecallRetrain(spark, dir).collect()
+    assert(out.length == 1, s"retrained row without degradation: ${out.toSeq}")
+    assert(out(0).getString(0) == "served_degraded")
+    assert(!out(0).getBoolean(3), "fired on a vacuous audit")
+    assert(out(0).getInt(1) == 0 && out(0).getLong(2) == 0L)
+    for (kind <- Seq("ivf-index-rt", "pq-index-rt"))
+      assert(graft.io.ArtifactStore.currentFingerprint(
+          graft.io.ArtifactStore.artifactPath(kind, dir)).isEmpty,
+        s"$kind built without a fired decision")
+  }
+
+  test("s25 nprobe sweep: monotone curve, one code-table scan, nprobe=3 equals the s23 audit") {
+    val df = Similarity.s25NprobeSweep(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3, 5))
+    // scanned (ADC pairs paid) strictly grows with nprobe — the
+    // sweep's cost axis; hits is measured, not assumed monotone, but
+    // the widest setting must not lose to the narrowest
+    val scanned = rows.map(_.getLong(1))
+    assert(scanned(0) < scanned(1) && scanned(1) < scanned(2),
+      s"scanned not monotone: ${scanned.toSeq}")
+    val hits = rows.map(_.getLong(2))
+    assert(hits(2) >= hits(0), s"hits fell across the sweep: ${hits.toSeq}")
+    // the nprobe=3 setting IS the served s20 chain — its hits must
+    // equal the s23 audit's total exactly
+    val s23Total = Similarity.s23RecallAudit(spark, sf).collect()
+      .map(_.getInt(1).toLong).sum
+    assert(hits(1) == s23Total,
+      s"sweep@3 hits ${hits(1)} != s23 audit total $s23Total")
+    // filter-not-rescan: the stored code table is scanned ONCE at the
+    // max setting; every smaller setting derives by filter (pre-AQE
+    // plan — AQE hides scans inside query stages)
+    val codeScans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(p =>
+          p.toString.contains("/pq-index/") &&
+            p.toString.contains("codes")) => f
+    }
+    assert(codeScans.length == 1,
+      s"sweep scans the stored code table ${codeScans.length}x — " +
+        "settings must derive by filter, not rescan")
+  }
+
+  test("s12b bucketed bitext: pairs are IVF candidates, no cross join in the mining subtree") {
+    val rows = Similarity.s12bBitextMarginBucketed(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one best tgt per src (the rx=1 contract, same as s12)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // every mined pair IS a candidate: src and tgt probe a common cell
+    val probed = Similarity.ivfRanked(spark, sf)
+      .filter(col("cell_rank") <= 3).select("vec_id", "cell").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    rows.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      assert((probed(x) & probed(y)).nonEmpty,
+        s"mined pair ($x, $y) shares no probed cell")
+      assert(x % 2 == 0 && y % 2 == 1)
+      assert(r.getDouble(2) > 0)
+    }
+    // the pre-checkpoint mining subtree (candidate join + scoring):
+    // pair generation is a cell-keyed equi-join — no CartesianProduct,
+    // and any BroadcastNestedLoopJoin is the 16-row centroid fan-out
+    // (its subtree reads the centroids artifact), never src × tgt
+    val plan = Similarity.s12bScoredPairs(spark, sf)
+      .queryExecution.sparkPlan
+    assert(plan.collect {
+      case c if c.nodeName.contains("CartesianProduct") => c
+    }.isEmpty, "s12b plans a CartesianProduct")
+    val bnl = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.nonEmpty, "expected the centroid fan-out in the subtree")
+    bnl.foreach { b =>
+      val scans = b.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.relation.location.rootPaths.exists(
+          _.toString.contains("centroids"))),
+        "a BNLJ in s12b that is not the centroid fan-out")
+    }
   }
 
   test("d18 index-served dedup equals from-scratch d10; index builds once") {

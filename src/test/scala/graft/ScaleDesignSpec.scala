@@ -1184,8 +1184,13 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s21_pq_index_search", // same query-side centroid fan-out; scoring reads stored codes
       "s22_incremental_pq", // batch × 16 stored centroids (q·K); ADC + refine joins are keyed
       "s23_recall_audit", // ground truth is DEFINITIONALLY exact all-pairs (offline audit)
+      "s25_nprobe_sweep", // s21's centroid fan-out + the same exact-truth audit pass
+      // (s24_recall_retrain needs no entry: its returned frame is the
+      // 2-row audit report — the serving/truth chains execute inside
+      // storedIvfPqServe/exactTruth10, already covered above)
       "s11_maxsim_topk", // coarse stage: flat centroid scan vs broadcast queries
-      "s12_bitext_margin", // all-pairs mining baseline (scale path: s02/s07 candidates)
+      "s12_bitext_margin", // all-pairs mining baseline (scale path: s12b)
+      "s12b_bitext_bucketed", // the s02 IVF fan-out (16 broadcast centroids), not n² — see its dedicated BNLJ pin
 
       "d11_semdedup", // the s02 IVF fan-out (16 broadcast centroids), not n²
       "s14_hard_negatives", // s02's IVF fan-out + label post-filter, not n²

@@ -59,10 +59,36 @@ object ArtifactStore {
         s"graft-artifacts-${user.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
     })
 
+  /** The publish protocol REQUIRES a local POSIX filesystem: the
+    * cross-process mutex is an advisory `FileChannel` lock and the
+    * staged publish relies on atomic same-volume rename — neither
+    * exists on HDFS or object stores (rename there is non-atomic or
+    * O(data), and advisory locks are absent entirely). A non-local
+    * artifact root must therefore fail LOUDLY at the first touch:
+    * `Paths.get("hdfs://nn/x")` would otherwise silently resolve to a
+    * mangled RELATIVE local directory and the engine would "publish"
+    * artifacts nobody asked for. `file:`-scheme URIs are accepted and
+    * decoded to their local path — root handling must not assume a
+    * bare path string. Deployments whose data lives on HDFS/S3 point
+    * the root at local scratch or a POSIX-semantics mount; replacing
+    * the coordination layer (e.g. conditional puts) is a different
+    * store, not a config value. */
+  private[graft] def requireLocalRoot(root: String): String = {
+    val scheme =
+      try new java.net.URI(root).getScheme
+      catch { case _: java.net.URISyntaxException => null }
+    require(scheme == null || scheme == "file",
+      s"ArtifactStore requires a local POSIX filesystem (advisory " +
+        s"locks + atomic rename); got scheme '$scheme' in '$root'. " +
+        s"Point ${graft.GraftConfig.EnvArtifactDir} at local scratch.")
+    if (scheme == "file") java.nio.file.Paths.get(new java.net.URI(root)).toString
+    else root
+  }
+
   /** `root/<kind>/<corpus-dir-slug>` — one artifact instance per
     * (artifact kind, corpus location). */
   def artifactPath(kind: String, corpusDir: String): String =
-    Paths.get(artifactRoot(), kind,
+    Paths.get(requireLocalRoot(artifactRoot()), kind,
       corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
 
   /** Monitors keyed by canonical base path: threads of this JVM
@@ -341,7 +367,7 @@ object ArtifactStore {
     * remnant are the price of a race-free sweep. */
   def gc(ttlMillis: Long, live: String => Boolean,
       root: String = artifactRoot()): Seq[String] = {
-    val rootPath = Paths.get(root)
+    val rootPath = Paths.get(requireLocalRoot(root))
     if (!Files.isDirectory(rootPath)) return Seq.empty
     val now = System.currentTimeMillis()
     val kinds = Files.list(rootPath)

@@ -326,4 +326,29 @@ class ArtifactStoreSpec extends AnyFunSuite {
       writeData(staging, "cell=0/part-0", "rebuilt")
     })
   }
+
+  test("non-local artifact roots fail loudly; file: URIs decode to the local path") {
+    // the publish protocol is advisory locks + atomic rename — absent
+    // on HDFS/object stores. A non-local root must fail at first touch
+    // instead of Paths.get() silently mangling "hdfs://nn/x" into a
+    // RELATIVE local dir and publishing artifacts nobody asked for.
+    for (bad <- Seq("hdfs://nn:9000/graft", "s3a://bucket/graft"))
+      intercept[IllegalArgumentException](
+        ArtifactStore.requireLocalRoot(bad))
+    intercept[IllegalArgumentException](
+      ArtifactStore.gc(1000L, _ => true, root = "hdfs://nn:9000/graft"))
+    // a file:-scheme root is legitimately local: it must decode to the
+    // plain path (root handling cannot assume a bare path string) and
+    // carry a full publish round-trip + gc view of the same store
+    val dir = Files.createTempDirectory("graft-file-uri")
+    val local = ArtifactStore.requireLocalRoot(s"file://$dir")
+    assert(local == dir.toString, s"file: URI decoded to $local")
+    val base = Paths.get(local, "ivf-index", "file_uri_corpus").toString
+    assert(ArtifactStore.ensure(base, "fp-uri")(writeData(_, "part-0", "x")))
+    assert(ArtifactStore.isCurrent(base, "fp-uri"))
+    assert(readData(base, "part-0") == "x")
+    assert(ArtifactStore.gc(ttlMillis = 1_000_000_000L, live = _ => false,
+        root = s"file://$dir").isEmpty,
+      "a young base swept through the file: root view")
+  }
 }

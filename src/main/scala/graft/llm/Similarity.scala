@@ -991,16 +991,62 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
-  /** Exact ground truth for the audit family (s23/s24/s25): per
-    * `queryPred` query, the floor-quantized cosine top-10 over the
-    * whole corpus — definitionally all-pairs for the query set (the
-    * labeled quadratic baseline, run offline at audit cadence and
-    * SHARED across every setting being audited, never per serving
-    * configuration). Returns `(query_id, neighbor_id)`. */
+  private val gtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val gtBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def gtForgetCachedPaths(): Unit = gtCache.clear()
+
+  private[graft] val gtSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("query_id", LongType),
+    org.apache.spark.sql.types.StructField("neighbor_id", LongType)))
+
+  /** The PERSISTED ground-truth artifact for the audit family — every
+    * published ANN benchmark ships exactly this file (SIFT1B's
+    * `ground_truth.ivecs`, Faiss's GT arrays): the exact top-10 panel
+    * is the most expensive audit stage and a pure function of the
+    * corpus, so it is computed once per corpus fingerprint and stored,
+    * never per audit query. s23/s24/s25 all read this one artifact;
+    * before it existed each of the three re-ran the all-pairs pass per
+    * bench invocation. Layout: `truth/` = `(query_id, neighbor_id)` for
+    * the `vec_id % 4 = 0` audit panel, 10 rows per query. Training-free
+    * and integer-quantized, so the stored rows are value-identical to
+    * the live computation ([[exactTruth10Live]]) — oracles keep
+    * replaying the computation itself. */
+  private def gtBase(spark: SparkSession, dir: String): String =
+    gtCache.computeIfAbsent(dir, _ => {
+      val base = graft.io.ArtifactStore.artifactPath("gt-top10", dir)
+      val fp = corpusFingerprint(spark, dir)
+      val built = graft.io.ArtifactStore.ensure(base, fp) { staging =>
+        exactTruth10Live(spark, dir).coalesce(4)
+          .write.mode("overwrite").parquet(s"$staging/truth")
+      }
+      if (built) gtBuildCount.incrementAndGet()
+      base
+    })
+
+  /** Exact ground truth for the audit family (s23/s24/s25), read from
+    * the persisted [[gtBase]] artifact: per `queryPred` query the
+    * floor-quantized cosine top-10 over the whole corpus. The stored
+    * panel is the `vec_id % 4 = 0` audit convention; `queryPred` must
+    * REFINE that panel (s24 filters to the appended stratum — a
+    * subset), which is the audit-family contract: one GT file, every
+    * audit selects from it. Returns `(query_id, neighbor_id)`. */
   private def exactTruth10(spark: SparkSession, dir: String,
-      queryPred: Column = col("vec_id") % 4 === 0): DataFrame = {
+      queryPred: Column = col("vec_id") % 4 === 0): DataFrame =
+    spark.read.schema(gtSchema)
+      .parquet(s"${gtBase(spark, dir)}/truth")
+      .withColumnRenamed("query_id", "vec_id")
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("neighbor_id"))
+
+  /** The live GT computation ([[gtBase]]'s builder): definitionally
+    * all-pairs for the query set — the labeled quadratic baseline, run
+    * offline at artifact-build cadence and SHARED across every setting
+    * being audited, never per serving configuration. */
+  private def exactTruth10Live(spark: SparkSession, dir: String): DataFrame = {
     val nv = pqNv(spark, dir)
-    val q = nv.filter(queryPred)
+    val q = nv.filter(col("vec_id") % 4 === 0)
       .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
     val c = nv.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
     val w = Window.partitionBy(col("query_id"))

@@ -914,6 +914,29 @@ class LlmOpsSpec extends AnyFunSuite {
       "recall 100% everywhere — the audit cannot be observing IVF-PQ loss")
   }
 
+  test("ground-truth artifact: one build per corpus fingerprint, audits read the stored panel") {
+    Similarity.s23RecallAudit(spark, sf).collect() // materialize the artifact
+    // a fresh first-toucher (path cache forgotten = the next audit
+    // JVM) must reuse the stored panel with ZERO rebuilds — the GT
+    // pass is the expensive audit stage and is a pure function of the
+    // corpus, so it runs at artifact-build cadence only
+    Similarity.gtForgetCachedPaths()
+    val b0 = Similarity.gtBuildCount.get()
+    Similarity.s23RecallAudit(spark, sf).collect()
+    Similarity.s25NprobeSweep(spark, sf).collect()
+    assert(Similarity.gtBuildCount.get() == b0,
+      "a matching fingerprint must reuse the stored ground truth")
+    // and the audit PLAN reads the artifact — the all-pairs subtree
+    // lives in the builder, not in the per-audit query
+    val gtScans = Similarity.s23RecallAudit(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("gt-top10")) => f
+      }
+    assert(gtScans.nonEmpty, "s23's truth side must read the GT artifact")
+  }
+
   test("s24 recall retrain: fires on the fixture's SLO violation, retrained generation re-audited") {
     val rows = Similarity.s24RecallRetrain(spark, sf).collect()
     // the incremental generation (base-trained models) misses the 0.9

@@ -250,7 +250,7 @@ object Similarity {
   private[graft] def ivfInvertedLists(spark: SparkSession, dir: String): DataFrame =
     invertedListsAt(spark, ivfIndexBase(spark, dir))
 
-  private def invertedListsAt(spark: SparkSession, base: String): DataFrame =
+  private[graft] def invertedListsAt(spark: SparkSession, base: String): DataFrame =
     spark.read.schema(invertedListSchema)
       .parquet(s"$base/assignments")
       .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
@@ -1360,16 +1360,25 @@ object Similarity {
     * incremental, full, or retrained — the chain itself never changes,
     * which is exactly how a serving tier hot-swaps index generations. */
   private def storedIvfPqServe(spark: SparkSession, dir: String,
-      ivfBase: String, pqBase: String, queryPred: Column): DataFrame = {
+      ivfBase: String, pqBase: String, queryPred: Column): DataFrame =
+    storedIvfPqServeFrom(spark,
+      normed(spark, dir).filter(queryPred), ivfBase, pqBase)
+
+  /** [[storedIvfPqServe]] with the query panel supplied as a frame of
+    * `(vec_id, embedding, norm)` instead of a corpus-dir predicate —
+    * the form the STREAMING maintenance loop needs, where the only
+    * store is the index itself (the panel comes out of the stored
+    * inverted lists, no corpus table exists). */
+  private[graft] def storedIvfPqServeFrom(spark: SparkSession,
+      queries: DataFrame, ivfBase: String, pqBase: String): DataFrame = {
     VectorExpressions.register(spark)
     val cb = spark.read.parquet(s"$pqBase/codebook")
     val storedCodes = spark.read.schema(pqCodesSchema)
       .parquet(s"$pqBase/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
-    val lut = pqLut(
-      pqSub(pqNv(spark, dir).filter(queryPred)), cb)
+    val lut = pqLut(pqSub(pqNvFrame(queries)), cb)
     val centroids = spark.read.parquet(s"$ivfBase/centroids")
-    val q = normed(spark, dir).filter(queryPred)
+    val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("norm").as("qn"))
     val byQ = Window.partitionBy(col("query_id"))

@@ -268,6 +268,105 @@ object IndexIngest {
         s"$staging/codes", Seq("cell"), Seq("vec_id"))
     }
 
+  /** The streaming RECALL GATE — s24's audit→decide→retrain loop at
+    * index-maintenance cadence, for a streaming-maintained IVF-PQ pair
+    * ([[ivfAppendSink]] + [[pqAppendSink]]): every appended batch was
+    * encoded against models that never saw it, so recall decays batch
+    * by batch; the maintenance scheduler runs this gate (like
+    * [[compactIvf]], after a run of appends) and the index retrains
+    * itself only when the measured SLO is violated.
+    *
+    * Everything runs off the artifacts alone — there is no corpus
+    * table in a streaming deployment: the audit panel (`vec_id%4=0`,
+    * the s23/s24 convention) and the ground truth both come out of the
+    * stored inverted lists, and the served side is the s21 chain over
+    * the stored centroids/codebook/codes
+    * ([[Similarity.storedIvfPqServeFrom]]).
+    *
+    * The retrain is an [[graft.io.ArtifactStore.rewrite]] of BOTH
+    * artifacts: the vector set — and therefore the row-content
+    * fingerprint — is unchanged; only the models and the layout/codes
+    * they derive change, which is exactly rewrite's contract. The
+    * non-staged `stream_state` high-water mark survives the publish
+    * (compactPq's codebook-survival contract), so batch replay
+    * protection carries straight across a retrain, and later appends
+    * encode against the NEW frozen models — the Faiss retrain-and-
+    * keep-adding lifecycle. Deterministic training makes the result
+    * row-identical to a from-scratch bootstrap over the same vectors
+    * (spec-pinned).
+    *
+    * Returns `(queries, hits, fired)` — the audit report the
+    * maintenance job logs either way. */
+  def recallGateAndRetrain(spark: org.apache.spark.sql.SparkSession,
+      ivfBase: String, pqBase: String): (Int, Long, Boolean) = {
+    graft.functions.VectorExpressions.register(spark)
+    def lists = spark.read.schema(Similarity.invertedListSchema)
+      .parquet(s"$ivfBase/assignments")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
+    def audit(): (Int, Long) = {
+      val panel = lists.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"), col("norm"))
+      val served = Similarity
+        .storedIvfPqServeFrom(spark, panel, ivfBase, pqBase)
+        .select(col("query_id"), col("neighbor_id"))
+      val nvAll = lists.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)")
+          .as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val truth = nvAll.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+        .join(nvAll.select(col("vec_id").as("neighbor_id"),
+          col("nv").as("cnv")), col("query_id") =!= col("neighbor_id"))
+        .withColumn("score",
+          floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast("long"))
+        .withColumn("ern", row_number().over(w))
+        .filter(col("ern") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val r = truth
+        .join(served.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).cast("integer").as("queries"),
+          count(col("hit")).as("hits"))
+        .head() // 1-row audit aggregate, the s24 posture
+      (r.getInt(0), r.getLong(1))
+    }
+    val (queries, hits) = audit()
+    val fired = Similarity.retrainDecision(queries, hits)
+    if (fired) {
+      val ivfOk = ArtifactStore.rewrite(ivfBase) { (live, staging) =>
+        val v = spark.read.schema(Similarity.invertedListSchema)
+          .parquet(s"$live/assignments")
+          .select(col("vec_id"), col("embedding"), col("norm"))
+        val centroids = Similarity.ivfTrainCentroids(v)
+        centroids.coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/centroids")
+        val loaded = spark.read.parquet(s"$staging/centroids")
+        graft.io.Store.writePartitionedParquet(
+          Similarity.assignToCentroids(v, loaded),
+          s"$staging/assignments", Seq("cell"), Seq("vec_id"))
+      }
+      require(ivfOk, s"no valid IVF artifact to retrain at $ivfBase")
+      val pqOk = ArtifactStore.rewrite(pqBase) { (_, staging) =>
+        // vectors and cells come from the freshly-retrained IVF lists,
+        // so the code table shards identically to the new generation
+        val v = lists.select(col("vec_id"), col("embedding"), col("norm"))
+        val nv = Similarity.pqNvFrame(v)
+        val sub = Similarity.pqSub(nv)
+        Similarity.pqTrainCodebook(nv, sub).coalesce(1)
+          .write.mode("overwrite").parquet(s"$staging/codebook")
+        val cb = spark.read.parquet(s"$staging/codebook")
+        val cells = lists.select(col("vec_id"), col("cell"))
+        graft.io.Store.writePartitionedParquet(
+          Similarity.pqEncode(sub, cb).join(cells, "vec_id"),
+          s"$staging/codes", Seq("cell"), Seq("vec_id"))
+      }
+      require(pqOk, s"no valid PQ artifact to retrain at $pqBase")
+    }
+    (queries, hits, fired)
+  }
+
   /** One-time LSH dedup-index bootstrap over the initial standing
     * corpus (digests + band postings through the atomic-publish path);
     * a no-op when the artifact is already current for these docs. */

@@ -1214,6 +1214,89 @@ class StreamingSpec extends AnyFunSuite {
       "the unstaged codebook must survive compaction")
   }
 
+  test("streaming recall gate: SLO-violating appends retrain to a from-scratch-identical generation") {
+    // s24's audit→decide→retrain loop at maintenance cadence: appends
+    // against frozen models degrade recall; the gate measures it off
+    // the artifacts alone, retrains BOTH artifacts through rewrite
+    // (same vector set → same fingerprint), and the result must be
+    // row-identical to bootstrapping the full vector set from scratch
+    // (deterministic training). The stream_state high-water mark must
+    // survive, so replay protection carries across the retrain.
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 120L).map(i => (i, vec()))
+    val all = baseVecs ++ b1
+    val root = java.nio.file.Files.createTempDirectory("graft-gate")
+    val ivfIdx = root.resolve("ivf").toString
+    val pqIdx = root.resolve("pq").toString
+    graft.stream.IndexIngest.bootstrap(
+      ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    graft.stream.IndexIngest.pqBootstrap(
+      pqIdx, ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    graft.stream.IndexIngest.ivfAppendSink(ivfIdx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    graft.stream.IndexIngest.pqAppendSink(pqIdx, ivfIdx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    val (q, h, fired) =
+      graft.stream.IndexIngest.recallGateAndRetrain(spark, ivfIdx, pqIdx)
+    assert(q == 15, s"audit panel should be the 15 vec%4==0 ids, got $q")
+    assert(h >= 0 && h <= 10L * q)
+    assert(fired,
+      s"frozen-model appends should violate the 0.9 SLO here (hits $h)")
+    // the retrained generation == a from-scratch bootstrap of ALL
+    // vectors (training is deterministic in the vector set)
+    val cleanIvf = root.resolve("clean-ivf").toString
+    val cleanPq = root.resolve("clean-pq").toString
+    graft.stream.IndexIngest.bootstrap(
+      cleanIvf, all.toDF("vec_id", "embedding"))
+    graft.stream.IndexIngest.pqBootstrap(
+      cleanPq, cleanIvf, all.toDF("vec_id", "embedding"))
+    def centroidRows(base: String) = spark.read
+      .parquet(s"$base/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(centroidRows(ivfIdx) == centroidRows(cleanIvf),
+      "retrained centroids must equal a from-scratch train on all vectors")
+    def listRows(base: String) = spark.read
+      .schema(graft.llm.Similarity.invertedListSchema)
+      .parquet(s"$base/assignments").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+    assert(listRows(ivfIdx) == listRows(cleanIvf),
+      "retrained assignments must equal the from-scratch assignment")
+    def codeRows(base: String) = spark.read
+      .schema(graft.llm.Similarity.pqCodesSchema)
+      .parquet(s"$base/codes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getSeq[Int](1))).toMap
+    assert(codeRows(pqIdx) == codeRows(cleanPq),
+      "retrained codes must equal a from-scratch encode on all vectors")
+    assert(spark.read.parquet(s"$pqIdx/codebook").collect().toSet ==
+      spark.read.parquet(s"$cleanPq/codebook").collect().toSet,
+      "retrained codebook must equal the from-scratch codebook")
+    // rewrite contract: fingerprints did not move (same vector set)
+    assert(graft.io.ArtifactStore.currentFingerprint(ivfIdx) ==
+      graft.io.ArtifactStore.currentFingerprint(cleanIvf))
+    // replay protection survived the retrain: the committed batch id
+    // is still a wholesale no-op against the NEW generation
+    val nBefore = listRows(ivfIdx).size
+    graft.stream.IndexIngest.ivfAppendSink(ivfIdx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    graft.stream.IndexIngest.pqAppendSink(pqIdx, ivfIdx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(listRows(ivfIdx).size == nBefore,
+      "replay after retrain must not double-ingest")
+    assert(codeRows(pqIdx) == codeRows(cleanPq),
+      "replay after retrain must not change the code table")
+    // and a LATER batch still appends against the new frozen models
+    val b2 = (200L until 205L).map(i => (i, vec()))
+    graft.stream.IndexIngest.ivfAppendSink(ivfIdx)(
+      b2.toDF("vec_id", "embedding"), 1L)
+    assert(listRows(ivfIdx).size == nBefore + 5,
+      "the maintenance loop must keep accepting appends after a retrain")
+  }
+
   test("streaming LSH ingest: appended postings serve the dedup probe exactly") {
     // the THIRD exactly-once index sink (IVF vectors, BM25 segments,
     // now LSH dedup postings): micro-batches of surviving docs fold

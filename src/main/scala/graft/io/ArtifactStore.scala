@@ -185,7 +185,7 @@ object ArtifactStore {
     * streaming appender reads to chain the next batch's fingerprint
     * onto ([[graft.stream.IndexIngest]]). */
   def currentFingerprint(base: String): Option[String] = {
-    val basePath = Paths.get(base)
+    val basePath = Paths.get(requireLocalRoot(base))
     withLock(basePath)(validFingerprint(basePath))
   }
 
@@ -244,7 +244,7 @@ object ArtifactStore {
     * loser of the lock race revalidates under the lock and reuses the
     * winner's artifact. */
   def ensure(base: String, fingerprint: String)(build: String => Unit): Boolean = {
-    val basePath = Paths.get(base)
+    val basePath = Paths.get(requireLocalRoot(base))
     withLock(basePath) {
       if (validFingerprint(basePath).contains(fingerprint)) false
       else { lockedBuild(basePath, fingerprint)(build); true }
@@ -265,7 +265,7 @@ object ArtifactStore {
     * return with the append silently refused. */
   def ensureIncremental(base: String, baseFp: String, unionFp: String)(
       build: String => Unit)(append: String => Unit): (Boolean, Boolean) = {
-    val basePath = Paths.get(base)
+    val basePath = Paths.get(requireLocalRoot(base))
     withLock(basePath) {
       validFingerprint(basePath) match {
         case Some(`unionFp`) => (false, false)
@@ -292,7 +292,7 @@ object ArtifactStore {
     * row-content fingerprint is insensitive to. Returns false (no-op)
     * when the artifact is absent or invalid. */
   def rewrite(base: String)(rewriteFn: (String, String) => Unit): Boolean = {
-    val basePath = Paths.get(base)
+    val basePath = Paths.get(requireLocalRoot(base))
     withLock(basePath) {
       validFingerprint(basePath) match {
         case None => false
@@ -318,7 +318,7 @@ object ArtifactStore {
     * rebuild-on-next-touch) artifact, never a marked partial one. */
   def mutate(base: String, expectFingerprint: String, newFingerprint: String)(
       append: String => Unit): Boolean = {
-    val basePath = Paths.get(base)
+    val basePath = Paths.get(requireLocalRoot(base))
     withLock(basePath) {
       if (!validFingerprint(basePath).contains(expectFingerprint)) false
       else { lockedMutate(basePath, newFingerprint)(append); true }

@@ -1199,17 +1199,21 @@ object Similarity {
     })
 
   /** Recall SLO floor, as a numerator over 10: the retrain arms iff
-    * audited `hits < RecallFloorNum · |Q|` — i.e. mean recall@10 of
-    * the served list under 0.9. Integer cross-multiplied compare, no
-    * float recall anywhere. */
+    * audited `10·hits < RecallFloorNum · truthRows` — i.e. mean recall
+    * of the served list under 0.9 of the achievable ground truth.
+    * Integer cross-multiplied compare, no float recall anywhere. */
   val RecallFloorNum = 9
 
   /** The retrain decision, isolated: fire iff the audited hits fall
-    * UNDER the SLO floor. A vacuous audit (zero queries — e.g. an
-    * empty append batch) is NO evidence of degradation and must not
-    * fire: `0 < 9·0` is false by the same compare, no special case. */
-  private[graft] def retrainDecision(queries: Int, hits: Long): Boolean =
-    hits < RecallFloorNum.toLong * queries
+    * UNDER the SLO floor of the ACHIEVABLE maximum — `truthRows`, the
+    * ground-truth row count, not `10·queries`: a small index (n ≤ 10
+    * vectors) has fewer than 10 true neighbors per query, and a
+    * 10·queries denominator would fire forever at 100% recall
+    * (review-caught). A vacuous audit (zero truth rows — e.g. an empty
+    * append batch) is NO evidence of degradation and must not fire:
+    * `0 < 9·0` is false by the same compare, no special case. */
+  private[graft] def retrainDecision(truthRows: Long, hits: Long): Boolean =
+    10L * hits < RecallFloorNum.toLong * truthRows
 
   /** s24: recall-regression retrain — the response that CLOSES the
     * audit loop s23 opened (measure → decide → retrain → re-measure),
@@ -1245,24 +1249,25 @@ object Similarity {
     val ivfInc = ivfIncIndexBase(spark, dir)
     val pqInc = pqIncIndexBase(spark, dir)
     val truth = exactTruth10(spark, dir, auditPred)
-    def audit(served: DataFrame): (Int, Long) = {
+    def audit(served: DataFrame): (Int, Long, Long) = {
       val row = truth
         .join(served.select(col("query_id"), col("neighbor_id"))
             .withColumn("hit", lit(1)),
           Seq("query_id", "neighbor_id"), "left")
         .agg(countDistinct(col("query_id")).cast("integer").as("queries"),
+          count(lit(1)).as("truth_rows"),
           count(col("hit")).as("hits"))
         .head() // 1-row audit aggregate (driver-side scalar posture)
-      (row.getInt(0), row.getLong(1))
+      (row.getInt(0), row.getLong(1), row.getLong(2))
     }
-    val (dq, dh) =
+    val (dq, dt, dh) =
       audit(storedIvfPqServe(spark, dir, ivfInc, pqInc, auditPred))
-    val fired = retrainDecision(dq, dh)
+    val fired = retrainDecision(dt, dh)
     val rows =
       if (!fired) Seq(("served_degraded", dq, dh, fired))
       else {
         val (rtIvf, rtPq) = rtIndexBases(spark, dir)
-        val (rq, rh) =
+        val (rq, _, rh) =
           audit(storedIvfPqServe(spark, dir, rtIvf, rtPq, auditPred))
         Seq(("served_degraded", dq, dh, true),
           ("served_retrained", rq, rh, true))
@@ -2281,7 +2286,7 @@ object Similarity {
          |  SELECT query_id, neighbor_id FROM audit_exact WHERE ern <= 10
          |), deg_agg AS (
          |  SELECT CAST(COUNT(DISTINCT t.query_id) AS INT) AS queries,
-         |    COUNT(s.neighbor_id) AS hits
+         |    COUNT(*) AS truth_rows, COUNT(s.neighbor_id) AS hits
          |  FROM audit_truth t
          |  LEFT JOIN deg_served s USING (query_id, neighbor_id)
          |), rt_agg AS (
@@ -2290,7 +2295,8 @@ object Similarity {
          |  FROM audit_truth t
          |  LEFT JOIN rt_served s USING (query_id, neighbor_id)
          |), decision AS (
-         |  SELECT queries, hits, hits < $RecallFloorNum * queries AS fired
+         |  SELECT queries, hits,
+         |    10 * hits < $RecallFloorNum * truth_rows AS fired
          |  FROM deg_agg
          |)
          |SELECT 'served_degraded' AS phase, queries, hits, fired

@@ -295,15 +295,40 @@ object IndexIngest {
     * row-identical to a from-scratch bootstrap over the same vectors
     * (spec-pinned).
     *
-    * Returns `(queries, hits, fired)` — the audit report the
-    * maintenance job logs either way. */
+    * Two protocol guards (both review-caught):
+    *
+    *  - '''skew deferral''' — the retrain runs ONLY when the two
+    *    sinks' high-water marks agree. Retraining the PQ table from
+    *    IVF lists that already contain a batch the PQ sink has not
+    *    committed would publish that batch's codes under PQ's old mark
+    *    and fingerprint, so the sink's replay of that batch would
+    *    double-ingest; the symmetric skew would silently DROP codes
+    *    the PQ sink had committed. A cycle that observes skew returns
+    *    `retrained = false` and defers — the sinks drain within a
+    *    trigger and the next maintenance cycle retrains.
+    *  - '''self-heal''' — a crash inside a previous cycle's PQ rewrite
+    *    leaves the PQ artifact marker-less (data intact, nothing
+    *    valid) and every sink append throwing. The PQ artifact is
+    *    entirely DERIVABLE from the IVF artifact, so the gate rebuilds
+    *    it up front: fingerprint = the IVF artifact's (same vector
+    *    set), replay mark copied from the IVF artifact's.
+    *
+    * Returns `(queries, hits, fired, retrained)` — the audit report
+    * the maintenance job logs either way; `fired && !retrained` means
+    * the SLO is violated but the rebuild was deferred to an aligned
+    * cycle. */
   def recallGateAndRetrain(spark: org.apache.spark.sql.SparkSession,
-      ivfBase: String, pqBase: String): (Int, Long, Boolean) = {
+      ivfBase: String, pqBase: String): (Int, Long, Boolean, Boolean) = {
     graft.functions.VectorExpressions.register(spark)
+    val ivfFp = ArtifactStore.currentFingerprint(ivfBase).getOrElse(
+      throw new IllegalStateException(
+        s"no valid IVF artifact at $ivfBase — bootstrap first"))
+    if (ArtifactStore.currentFingerprint(pqBase).isEmpty)
+      rebuildPqFrom(spark, ivfBase, pqBase, ivfFp)
     def lists = spark.read.schema(Similarity.invertedListSchema)
       .parquet(s"$ivfBase/assignments")
       .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
-    def audit(): (Int, Long) = {
+    def audit(): (Int, Long, Long) = {
       val panel = lists.filter(col("vec_id") % 4 === 0)
         .select(col("vec_id"), col("embedding"), col("norm"))
       val served = Similarity
@@ -328,13 +353,21 @@ object IndexIngest {
         .join(served.withColumn("hit", lit(1)),
           Seq("query_id", "neighbor_id"), "left")
         .agg(countDistinct(col("query_id")).cast("integer").as("queries"),
+          count(lit(1)).as("truth_rows"),
           count(col("hit")).as("hits"))
         .head() // 1-row audit aggregate, the s24 posture
-      (r.getInt(0), r.getLong(1))
+      (r.getInt(0), r.getLong(1), r.getLong(2))
     }
-    val (queries, hits) = audit()
-    val fired = Similarity.retrainDecision(queries, hits)
-    if (fired) {
+    val (queries, truthRows, hits) = audit()
+    val fired = Similarity.retrainDecision(truthRows, hits)
+    def mark(base: String): Long = {
+      val f = java.nio.file.Paths.get(base, "stream_state")
+      if (java.nio.file.Files.isRegularFile(f))
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+      else -1L
+    }
+    val retrained = fired && mark(ivfBase) == mark(pqBase)
+    if (retrained) {
       val ivfOk = ArtifactStore.rewrite(ivfBase) { (live, staging) =>
         val v = spark.read.schema(Similarity.invertedListSchema)
           .parquet(s"$live/assignments")
@@ -364,7 +397,41 @@ object IndexIngest {
       }
       require(pqOk, s"no valid PQ artifact to retrain at $pqBase")
     }
-    (queries, hits, fired)
+    (queries, hits, fired, retrained)
+  }
+
+  /** Rebuild the PQ artifact entirely from the IVF artifact — the
+    * self-heal path for a marker-less PQ base (crash inside a prior
+    * rewrite) and the one place the PQ fingerprint is SET rather than
+    * chained: the rebuilt content is exactly the IVF lists' vector
+    * set, so it carries the IVF artifact's fingerprint and the replay
+    * mark is copied from the IVF artifact's `stream_state` (the
+    * rebuild's ensure sweeps the old one with the other stale
+    * children). */
+  private def rebuildPqFrom(spark: org.apache.spark.sql.SparkSession,
+      ivfBase: String, pqBase: String, fp: String): Unit = {
+    ArtifactStore.ensure(pqBase, fp) { staging =>
+      val v = spark.read.schema(Similarity.invertedListSchema)
+        .parquet(s"$ivfBase/assignments")
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+      val nv = Similarity.pqNvFrame(v)
+      val sub = Similarity.pqSub(nv)
+      Similarity.pqTrainCodebook(nv, sub).coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/codebook")
+      val cb = spark.read.parquet(s"$staging/codebook")
+      graft.io.Store.writePartitionedParquet(
+        Similarity.pqEncode(sub, cb)
+          .join(v.select(col("vec_id"), col("cell")), "vec_id"),
+        s"$staging/codes", Seq("cell"), Seq("vec_id"))
+      // the replay mark is STAGED with the data (a post-publish copy
+      // would be an unmanifested extra file — the artifact would fail
+      // its own manifest validation and read as absent)
+      val ivfState = java.nio.file.Paths.get(ivfBase, "stream_state")
+      if (java.nio.file.Files.isRegularFile(ivfState))
+        java.nio.file.Files.copy(ivfState,
+          java.nio.file.Paths.get(staging, "stream_state"))
+    }
+    ()
   }
 
   /** One-time LSH dedup-index bootstrap over the initial standing

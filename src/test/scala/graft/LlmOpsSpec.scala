@@ -970,12 +970,18 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("s24 fires ONLY on degradation: at-floor and vacuous audits leave the rt generation unbuilt") {
-    // the decision boundary itself, pinned at its edges
-    assert(!Similarity.retrainDecision(2, 18)) // exactly at the 0.9 SLO — healthy
-    assert(Similarity.retrainDecision(2, 17))  // one hit under — degraded
-    assert(Similarity.retrainDecision(2, 0))
-    assert(!Similarity.retrainDecision(2, 20))
-    assert(!Similarity.retrainDecision(0, 0))  // vacuous audit: no evidence
+    // the decision boundary itself, pinned at its edges (args are
+    // (truthRows, hits) — the denominator is the ACHIEVABLE truth)
+    assert(!Similarity.retrainDecision(20, 18)) // exactly at the 0.9 SLO — healthy
+    assert(Similarity.retrainDecision(20, 17))  // one hit under — degraded
+    assert(Similarity.retrainDecision(20, 0))
+    assert(!Similarity.retrainDecision(20, 20))
+    assert(!Similarity.retrainDecision(0, 0))   // vacuous audit: no evidence
+    // a small index has < 10 truth rows per query; perfect recall on
+    // the achievable truth must NOT fire (the 10·queries denominator
+    // fired forever on any index of <= 10 vectors — review-caught)
+    assert(!Similarity.retrainDecision(14, 14))
+    assert(Similarity.retrainDecision(14, 12))
     // integration of the no-fire branch: a corpus with NO appended
     // stratum (no vec_id ≡ 3 mod 7) has an empty audit panel — the
     // incremental index family must tolerate the EMPTY append batch

@@ -1228,7 +1228,8 @@ class StreamingSpec extends AnyFunSuite {
     def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
     val baseVecs = (0L until 40L).map(i => (i, vec()))
     val b1 = (100L until 120L).map(i => (i, vec()))
-    val all = baseVecs ++ b1
+    val bSkew = (300L until 305L).map(i => (i, vec()))
+    val all = baseVecs ++ b1 ++ bSkew
     val root = java.nio.file.Files.createTempDirectory("graft-gate")
     val ivfIdx = root.resolve("ivf").toString
     val pqIdx = root.resolve("pq").toString
@@ -1240,12 +1241,31 @@ class StreamingSpec extends AnyFunSuite {
       b1.toDF("vec_id", "embedding"), 0L)
     graft.stream.IndexIngest.pqAppendSink(pqIdx, ivfIdx)(
       b1.toDF("vec_id", "embedding"), 0L)
-    val (q, h, fired) =
+    // SKEW DEFERRAL first: append one more batch to the IVF side only
+    // — the marks disagree, so even a violated SLO must NOT retrain
+    // (retraining would fold the PQ-uncommitted batch into the code
+    // table under PQ's old mark, and its replay would double-ingest)
+    graft.stream.IndexIngest.ivfAppendSink(ivfIdx)(
+      bSkew.toDF("vec_id", "embedding"), 1L)
+    val cbBefore = spark.read.parquet(s"$pqIdx/codebook").collect().toSet
+    val (_, _, firedSkew, retrainedSkew) =
       graft.stream.IndexIngest.recallGateAndRetrain(spark, ivfIdx, pqIdx)
-    assert(q == 15, s"audit panel should be the 15 vec%4==0 ids, got $q")
+    assert(firedSkew && !retrainedSkew,
+      "a skewed-marks cycle must defer the retrain")
+    assert(spark.read.parquet(s"$pqIdx/codebook").collect().toSet
+      == cbBefore, "a deferred cycle must not touch the artifacts")
+    // drain the skew (PQ catches up) — the next cycle may retrain
+    graft.stream.IndexIngest.pqAppendSink(pqIdx, ivfIdx)(
+      bSkew.toDF("vec_id", "embedding"), 1L)
+    assert(graft.io.ArtifactStore.currentFingerprint(pqIdx).isDefined,
+      "pq must be valid after the drain append")
+    val (q, h, fired, retrained) =
+      graft.stream.IndexIngest.recallGateAndRetrain(spark, ivfIdx, pqIdx)
+    assert(q == 17, s"audit panel should be the 17 vec%4==0 ids, got $q")
     assert(h >= 0 && h <= 10L * q)
     assert(fired,
       s"frozen-model appends should violate the 0.9 SLO here (hits $h)")
+    assert(retrained, "aligned marks + fired SLO must retrain")
     // the retrained generation == a from-scratch bootstrap of ALL
     // vectors (training is deterministic in the vector set)
     val cleanIvf = root.resolve("clean-ivf").toString
@@ -1292,9 +1312,30 @@ class StreamingSpec extends AnyFunSuite {
     // and a LATER batch still appends against the new frozen models
     val b2 = (200L until 205L).map(i => (i, vec()))
     graft.stream.IndexIngest.ivfAppendSink(ivfIdx)(
-      b2.toDF("vec_id", "embedding"), 1L)
+      b2.toDF("vec_id", "embedding"), 2L)
     assert(listRows(ivfIdx).size == nBefore + 5,
       "the maintenance loop must keep accepting appends after a retrain")
+    graft.stream.IndexIngest.pqAppendSink(pqIdx, ivfIdx)(
+      b2.toDF("vec_id", "embedding"), 2L)
+    // SELF-HEAL: simulate a crash inside a PQ rewrite (marker gone,
+    // data intact) — the sinks would throw; the next gate cycle must
+    // rebuild the PQ artifact from the IVF artifact, restore the
+    // replay mark, and proceed with a valid audit
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(pqIdx, "_FINGERPRINT"))
+    assert(graft.io.ArtifactStore.currentFingerprint(pqIdx).isEmpty)
+    val (q3, h3, _, _) =
+      graft.stream.IndexIngest.recallGateAndRetrain(spark, ivfIdx, pqIdx)
+    assert(q3 > 0 && h3 >= 0)
+    assert(graft.io.ArtifactStore.currentFingerprint(pqIdx)
+      == graft.io.ArtifactStore.currentFingerprint(ivfIdx),
+      "the healed PQ artifact must carry the IVF artifact's fingerprint")
+    // the healed mark still blocks replays of committed batches
+    val codesHealed = codeRows(pqIdx)
+    graft.stream.IndexIngest.pqAppendSink(pqIdx, ivfIdx)(
+      b2.toDF("vec_id", "embedding"), 2L)
+    assert(codeRows(pqIdx) == codesHealed,
+      "replay after self-heal must not double-ingest")
   }
 
   test("streaming LSH ingest: appended postings serve the dedup probe exactly") {

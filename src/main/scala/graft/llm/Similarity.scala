@@ -1184,7 +1184,17 @@ object Similarity {
     * swap, never an outage; it also keeps the incremental artifacts'
     * observable state machine (s16/s22's bootstrap→append contract)
     * untouched by the audit loop. Built lazily — the bases exist ONLY
-    * after a degradation actually fired (spec-pinned). */
+    * after a degradation actually fired (spec-pinned).
+    *
+    * On the STATIC fixture this generation is value-identical to the
+    * full-corpus serving artifacts (`ivf-index`/`pq-index`) — training
+    * is deterministic and the corpus never moves. That coincidence is
+    * fixture-only: in a live deployment the corpus has grown since the
+    * last full train (the `-inc` artifacts hold base + appended
+    * batches the full artifacts never saw), so the retrained
+    * generation is genuinely new content; keeping its own base is what
+    * lets the spec observe that the loop FIRED, and what a pointer
+    * swap needs either way. */
   private def rtIndexBases(spark: SparkSession, dir: String): (String, String) =
     rtIndexCache.computeIfAbsent(dir, _ => {
       val fp = corpusFingerprint(spark, dir)

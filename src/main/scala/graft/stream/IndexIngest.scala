@@ -313,6 +313,13 @@ object IndexIngest {
     *    it up front: fingerprint = the IVF artifact's (same vector
     *    set), replay mark copied from the IVF artifact's.
     *
+    * The mark-equality check is advisory, not atomic with the
+    * rewrites: it closes the steady-state skew case, not a sink
+    * actively racing the retrain itself. Like every index-maintenance
+    * system (Lucene merges, Faiss rebuilds), the gate expects to run
+    * from the maintenance scheduler between triggers — not
+    * concurrently with an active write stream on the same index.
+    *
     * Returns `(queries, hits, fired, retrained)` — the audit report
     * the maintenance job logs either way; `fired && !retrained` means
     * the SLO is violated but the rebuild was deferred to an aligned
@@ -433,6 +440,44 @@ object IndexIngest {
     }
     ()
   }
+
+  /** Per-partition-dir fragmentation of a cell-major table: the
+    * MAXIMUM part-file count across the `cell=*` dirs under
+    * `base/$sub` — each append adds one file per touched cell, so this
+    * is "how many appends since the last compaction" for the hottest
+    * cell. 0 when the table does not exist yet. */
+  def fragmentation(base: String, sub: String): Int = {
+    val root = new java.io.File(base, sub)
+    if (!root.isDirectory) 0
+    else {
+      val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+      if (dirs.isEmpty) 0
+      else dirs.map(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))).max
+    }
+  }
+
+  /** Compaction POLICY — the scheduler knob the raw `compact*` calls
+    * lack: merge a streaming-maintained table's layout only when the
+    * hottest partition has accumulated at least `maxFilesPerCell`
+    * part files. Compacting after every batch would rewrite the whole
+    * table per append (O(index) work for O(batch) input — the
+    * write-amplification failure Lucene's tiered merge policy exists
+    * to avoid); never compacting degrades every probe with per-file
+    * open/footer costs. The threshold is the tier: appends are
+    * amortized against a bounded number of files per cell. Returns
+    * true iff a compaction actually ran. */
+  def maybeCompactIvf(spark: org.apache.spark.sql.SparkSession,
+      base: String, maxFilesPerCell: Int = 4): Boolean =
+    fragmentation(base, "assignments") >= maxFilesPerCell &&
+      compactIvf(spark, base)
+
+  /** [[maybeCompactIvf]] for the PQ code table. */
+  def maybeCompactPq(spark: org.apache.spark.sql.SparkSession,
+      base: String, maxFilesPerCell: Int = 4): Boolean =
+    fragmentation(base, "codes") >= maxFilesPerCell &&
+      compactPq(spark, base)
 
   /** One-time LSH dedup-index bootstrap over the initial standing
     * corpus (digests + band postings through the atomic-publish path);

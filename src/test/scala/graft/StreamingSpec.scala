@@ -1338,6 +1338,40 @@ class StreamingSpec extends AnyFunSuite {
       "replay after self-heal must not double-ingest")
   }
 
+  test("compaction policy: merges only past the fragmentation threshold, then back to one file per cell") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(13)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val root = java.nio.file.Files.createTempDirectory("graft-policy")
+    val idx = root.resolve("ivf").toString
+    graft.stream.IndexIngest.bootstrap(
+      idx, (0L until 30L).map(i => (i, vec())).toDF("vec_id", "embedding"))
+    graft.stream.IndexIngest.ivfAppendSink(idx)(
+      (100L until 140L).map(i => (i, vec())).toDF("vec_id", "embedding"), 0L)
+    graft.stream.IndexIngest.ivfAppendSink(idx)(
+      (200L until 240L).map(i => (i, vec())).toDF("vec_id", "embedding"), 1L)
+    val frag = graft.stream.IndexIngest.fragmentation(idx, "assignments")
+    assert(frag >= 2, s"appends should fragment the hottest cell, got $frag")
+    // under the threshold: the policy must NOT rewrite (compacting per
+    // append is O(index) work for O(batch) input)
+    assert(!graft.stream.IndexIngest.maybeCompactIvf(
+      spark, idx, maxFilesPerCell = frag + 1))
+    assert(graft.stream.IndexIngest.fragmentation(idx, "assignments")
+      == frag, "a declined policy check must not touch the layout")
+    // at the threshold: one file per cell, fingerprint unchanged
+    // (layout-only), and the next check is a no-op again
+    val fpBefore = graft.io.ArtifactStore.currentFingerprint(idx)
+    assert(graft.stream.IndexIngest.maybeCompactIvf(
+      spark, idx, maxFilesPerCell = frag))
+    assert(graft.stream.IndexIngest.fragmentation(idx, "assignments") == 1)
+    assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpBefore,
+      "policy-triggered compaction is layout-only")
+    assert(!graft.stream.IndexIngest.maybeCompactIvf(
+      spark, idx, maxFilesPerCell = 2),
+      "a freshly-compacted index must not re-compact")
+  }
+
   test("streaming LSH ingest: appended postings serve the dedup probe exactly") {
     // the THIRD exactly-once index sink (IVF vectors, BM25 segments,
     // now LSH dedup postings): micro-batches of surviving docs fold

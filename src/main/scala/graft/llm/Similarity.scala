@@ -964,6 +964,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s26: filtered vector search on the COMPRESSED persisted index —
+    * s14's cross-label hard-negative semantics served from the IVF-PQ
+    * artifacts, i.e. the production "filtered ANN" shape (Faiss's
+    * `IDSelector` filtered search; every vector DB's metadata-filtered
+    * query). The metadata predicate applies AFTER the ADC pool: the
+    * pool ([[RerankPool]] = 32) oversamples the final k (5), so
+    * post-filtering stays candidate-scale and absorbs moderate
+    * selectivity (the fixture's 10 labels leave ~90% of the pool
+    * eligible) — the post-filter default s14's scaladoc documents; a
+    * highly-selective filter wants a label-partitioned index instead,
+    * which is a layout choice, not a new operator. Plan: s21's fused
+    * cell-keyed candidacy+code join, the labels join at POOL scale
+    * (Q·32 rows, never corpus-scale), exact refine from the stored
+    * lists. Result differs from s14 exactly where compression loses
+    * candidates — s14 scores probed cells with full-precision floats,
+    * s26 pays 8 bytes per candidate and the pool cut. */
+  def s26FilteredIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val pqBase = pqIndexBase(spark, dir)
+    val cb = spark.read.parquet(s"$pqBase/codebook")
+    val storedCodes = spark.read.schema(pqCodesSchema)
+      .parquet(s"$pqBase/codes")
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+    val lut = pqLut(
+      pqSub(pqNv(spark, dir)).filter(col("vec_id") % 4 === 0), cb)
+    val probes = ivfRanked(spark, dir)
+      .filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val pool = probes.join(storedCodes, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), "query_id")
+      .withColumn("score", expr(adcScoreExpr))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"))
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val filtered = pool
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .filter(col("q_label") =!= col("n_label"))
+    val fetched = indexVectorFetch(spark, dir)
+    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    filtered.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("n_label"), col("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** s23: recall@10 audit — the served IVF-PQ list (s20's full chain,
     * off the persisted artifacts) scored against EXACT ground truth
     * (floor-quantized cosine top-10 per query over the whole corpus):
@@ -1909,6 +1969,7 @@ object Similarity {
     "s23_recall_audit" -> (s23RecallAudit _),
     "s24_recall_retrain" -> (s24RecallRetrain _),
     "s25_nprobe_sweep" -> (s25NprobeSweep _),
+    "s26_filtered_ivfpq" -> (s26FilteredIvfPq _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
@@ -2382,6 +2443,38 @@ object Similarity {
        |FROM sscanned n JOIN shits h USING (nprobe)
        |ORDER BY nprobe""".stripMargin
 
+  /** s26 oracle: the IVF-PQ chains + the shared tail through its
+    * `pool` CTE, then the filtered refine — labels joined at pool
+    * scale, cross-label filter, exact re-rank to 5. (The tail's own
+    * `ex`/`r` CTEs go unreferenced here and are pruned by the
+    * planner.) */
+  def s26Sql: String = pqAdcCte + ivfChainCte() +
+    ivfPqTailCtes("vec_id % 4 = 0") +
+    """, labels AS (
+      |  SELECT vec_id, label FROM embeddings
+      |), fpool AS (
+      |  SELECT p.query_id, p.neighbor_id, cl.label AS n_label
+      |  FROM pool p
+      |  JOIN labels ql ON ql.vec_id = p.query_id
+      |  JOIN labels cl ON cl.vec_id = p.neighbor_id
+      |  WHERE ql.label <> cl.label
+      |), fex AS (
+      |  SELECT f.query_id, f.neighbor_id, f.n_label,
+      |    CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+      |      AS score
+      |  FROM fpool f
+      |  JOIN nv q ON q.vec_id = f.query_id
+      |  JOIN nv c ON c.vec_id = f.neighbor_id
+      |), fr AS (
+      |  SELECT query_id, neighbor_id, n_label, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, neighbor_id) AS rn
+      |  FROM fex
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, n_label,
+      |  score
+      |FROM fr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   /** s22 oracle: the incremental replay — BOTH training chains
     * restricted to the base corpus (`vec_id % 7 <> 3`: PQ seed pick +
     * Lloyd means, IVF seed pick + Lloyd means), every vector (base ∪
@@ -2777,6 +2870,7 @@ object Similarity {
     "s23_recall_audit" -> s23Sql,
     "s24_recall_retrain" -> s24Sql,
     "s25_nprobe_sweep" -> s25Sql,
+    "s26_filtered_ivfpq" -> s26Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

@@ -1082,6 +1082,38 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s26 filtered IVF-PQ: only cross-label neighbors, dense ranks, served off the stored index") {
+    val labels = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val df = Similarity.s26FilteredIvfPq(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(q % 4 == 0, s"query $q outside the %4 panel")
+      assert(labels(q) != labels(n),
+        s"same-label pair ($q, $n) served as a hard negative")
+      assert(r.getInt(3) == labels(n), "n_label must be the neighbor's")
+    }
+    // ranks dense from 1, scores non-increasing per query
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length),
+        s"query $q ranks not dense")
+      assert(sorted.sliding(2).forall(p => p.length < 2 ||
+        p(0).getLong(4) >= p(1).getLong(4)), s"query $q scores not sorted")
+      assert(rs.length <= 5)
+    }
+    // the scoring path reads the STORED code table, not the corpus
+    val codeScans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(p =>
+          p.toString.contains("/pq-index/") &&
+            p.toString.contains("codes")) => f
+    }
+    assert(codeScans.nonEmpty, "s26 must score from the stored codes")
+  }
+
   test("d18 index-served dedup equals from-scratch d10; index builds once") {
     // the persisted-LSH-index claim: a new batch checked against the
     // STORED digests + band postings must classify every doc exactly

@@ -1185,6 +1185,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s22_incremental_pq", // batch × 16 stored centroids (q·K); ADC + refine joins are keyed
       "s23_recall_audit", // ground truth is DEFINITIONALLY exact all-pairs (offline audit)
       "s25_nprobe_sweep", // s21's centroid fan-out + the same exact-truth audit pass
+      "s26_filtered_ivfpq", // s21's centroid fan-out; labels join at pool scale
       // (s24_recall_retrain needs no entry: its returned frame is the
       // 2-row audit report — the serving/truth chains execute inside
       // storedIvfPqServe/exactTruth10, already covered above)

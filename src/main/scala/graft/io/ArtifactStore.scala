@@ -77,12 +77,19 @@ object ArtifactStore {
     val scheme =
       try new java.net.URI(root).getScheme
       catch { case _: java.net.URISyntaxException => null }
-    require(scheme == null || scheme == "file",
-      s"ArtifactStore requires a local POSIX filesystem (advisory " +
-        s"locks + atomic rename); got scheme '$scheme' in '$root'. " +
-        s"Point ${graft.GraftConfig.EnvArtifactDir} at local scratch.")
-    if (scheme == "file") java.nio.file.Paths.get(new java.net.URI(root)).toString
-    else root
+    if (scheme == "file")
+      java.nio.file.Paths.get(new java.net.URI(root)).toString
+    else {
+      // remote = authority-style URI only ("hdfs://…", "s3a://…"): a
+      // bare colon in a RELATIVE local path ("artifacts:v2/…") parses
+      // as a URI scheme too, and rejecting it would regress
+      // previously-valid roots (review-caught)
+      require(scheme == null || !root.startsWith(s"$scheme://"),
+        s"ArtifactStore requires a local POSIX filesystem (advisory " +
+          s"locks + atomic rename); got scheme '$scheme' in '$root'. " +
+          s"Point ${graft.GraftConfig.EnvArtifactDir} at local scratch.")
+      root
+    }
   }
 
   /** `root/<kind>/<corpus-dir-slug>` — one artifact instance per

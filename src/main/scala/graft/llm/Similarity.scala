@@ -198,20 +198,28 @@ object Similarity {
       base
     })
 
-  /** Full-corpus IVF build into a staging dir — the builder body shared
-    * by the serving artifact ([[ivfIndexBase]]) and the retrained
-    * generation ([[rtIndexBases]]): train centroids on the WHOLE
-    * corpus, then assign every vector to the stored result. */
-  private def ivfBuildInto(spark: SparkSession, dir: String,
-      staging: String): Unit = {
-    val centroids = ivfTrainCentroids(normed(spark, dir))
+  /** THE IVF build pipeline (train centroids → assign every vector →
+    * cell-major write), parameterized on the vector SOURCE `(vec_id,
+    * embedding, norm)` — one body for every site that constructs an
+    * IVF artifact: the serving build ([[ivfIndexBase]]), the retrained
+    * generation ([[rtIndexBases]]), the streaming bootstrap and the
+    * streaming gate's retrain ([[graft.stream.IndexIngest]]). A layout
+    * or training change lands exactly once. */
+  private[graft] def ivfBuildFrom(v: DataFrame, staging: String): Unit = {
+    val spark = v.sparkSession
+    val centroids = ivfTrainCentroids(v)
     centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$staging/centroids")
     val loaded = spark.read.parquet(s"$staging/centroids")
     graft.io.Store.writePartitionedParquet(
-      assignToCentroids(normed(spark, dir), loaded),
+      assignToCentroids(v, loaded),
       s"$staging/assignments", Seq("cell"), Seq("vec_id"))
   }
+
+  /** [[ivfBuildFrom]] over the whole corpus at `dir`. */
+  private def ivfBuildInto(spark: SparkSession, dir: String,
+      staging: String): Unit =
+    ivfBuildFrom(normed(spark, dir), staging)
 
   /** Rank-1 cell assignment of `vectors` against `centroids` — the
     * shared kernel of index build ([[ivfIndexBase]]) and incremental
@@ -880,25 +888,34 @@ object Similarity {
       base
     })
 
-  /** Full-corpus PQ build into a staging dir — shared by the serving
-    * artifact ([[pqIndexBase]]) and the retrained generation
-    * ([[rtIndexBases]]): train the codebook on the whole corpus,
-    * encode every vector against the STORED codebook (what probes will
-    * read), cells joined from `listsBase`'s inverted lists so the code
-    * table and the vector lists shard identically. */
-  private def pqBuildInto(spark: SparkSession, dir: String,
-      staging: String, listsBase: String): Unit = {
-    val nv = pqNv(spark, dir)
+  /** THE PQ build pipeline (train codebook → encode every vector
+    * against the STORED codebook → cell-major write), parameterized on
+    * the vector SOURCE `(vec_id, embedding, norm)` and the `(vec_id,
+    * cell)` sharding frame — one body for every PQ-artifact
+    * constructor: serving build ([[pqIndexBase]]), retrained
+    * generation ([[rtIndexBases]]), streaming bootstrap, gate retrain
+    * and self-heal ([[graft.stream.IndexIngest]]). */
+  private[graft] def pqBuildFrom(v: DataFrame, staging: String,
+      cells: DataFrame): Unit = {
+    val spark = v.sparkSession
+    val nv = pqNvFrame(v)
     val sub = pqSub(nv)
     pqTrainCodebook(nv, sub).coalesce(1).write.mode("overwrite")
       .parquet(s"$staging/codebook")
     val cb = spark.read.parquet(s"$staging/codebook")
-    val cells = invertedListsAt(spark, listsBase)
-      .select(col("vec_id"), col("cell"))
     graft.io.Store.writePartitionedParquet(
       pqEncode(sub, cb).join(cells, "vec_id"),
       s"$staging/codes", Seq("cell"), Seq("vec_id"))
   }
+
+  /** [[pqBuildFrom]] over the whole corpus, cells joined from
+    * `listsBase`'s inverted lists so code table and vector lists shard
+    * identically. */
+  private def pqBuildInto(spark: SparkSession, dir: String,
+      staging: String, listsBase: String): Unit =
+    pqBuildFrom(normed(spark, dir), staging,
+      invertedListsAt(spark, listsBase)
+        .select(col("vec_id"), col("cell")))
 
   /** s21: IVF-PQ search served from the PERSISTED index — s20 with the
     * last recomputed stage moved into the artifact. s20 proved the
@@ -1312,7 +1329,14 @@ object Similarity {
     * here; a production audit samples a fixed panel), the decision is
     * 1 row, and the retrain—the only corpus-scale stage—runs at most
     * once per corpus fingerprint and only under a violated SLO; the
-    * degraded generation keeps serving throughout. */
+    * degraded generation keeps serving throughout.
+    *
+    * Construction is deliberately EAGER — the audits execute and, on a
+    * fired decision, the retrain publishes BEFORE the returned frame
+    * exists: the op is a maintenance ACTION whose output is the audit
+    * report, not a lazy query (the retrained serving chain cannot even
+    * be planned until its artifacts exist). Plan-shaped consumers see
+    * a 2-row local relation; that is the honest plan of a report. */
   def s24RecallRetrain(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     val auditPred = incBatchPred && col("vec_id") % 4 === 0
@@ -1662,10 +1686,7 @@ object Similarity {
       .select(col("cell"), col("vec_id").as("y"))
     // a pair can share up to 3 probed cells — distinct before scoring
     val cp = srcC.join(tgtC, "cell").select(col("x"), col("y")).distinct()
-    val nv = normed(spark, dir)
-      .withColumn("nv",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
-      .select(col("vec_id"), col("nv"))
+    val nv = pqNv(spark, dir) // the canonical (vec_id, nv) builder
     cp.join(nv.select(col("vec_id").as("x"), col("nv").as("xv")), "x")
       .join(nv.select(col("vec_id").as("y"), col("nv").as("yv")), "y")
       .withColumn("qc",

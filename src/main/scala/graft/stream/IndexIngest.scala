@@ -50,18 +50,9 @@ object IndexIngest {
     * through the atomic-publish path); a no-op when the artifact is
     * already current for these vectors. */
   def bootstrap(base: String, vectors: DataFrame): Unit = {
-    val spark = vectors.sparkSession
     val v = withNorm(vectors)
     val (n, x) = Similarity.frameFingerprintParts(v)
-    ArtifactStore.ensure(base, fpStr(n, x)) { staging =>
-      val centroids = Similarity.ivfTrainCentroids(v)
-      centroids.coalesce(1).write.mode("overwrite")
-        .parquet(s"$staging/centroids")
-      val loaded = spark.read.parquet(s"$staging/centroids")
-      graft.io.Store.writePartitionedParquet(
-        Similarity.assignToCentroids(v, loaded),
-        s"$staging/assignments", Seq("cell"), Seq("vec_id"))
-    }
+    ArtifactStore.ensure(base, fpStr(n, x))(Similarity.ivfBuildFrom(v, _))
     ()
   }
 
@@ -210,17 +201,10 @@ object IndexIngest {
     val v = withNorm(vectors)
     val (n, x) = Similarity.frameFingerprintParts(v)
     ArtifactStore.ensure(base, fpStr(n, x)) { staging =>
-      val nv = Similarity.pqNvFrame(v)
-      val sub = Similarity.pqSub(nv)
-      Similarity.pqTrainCodebook(nv, sub).coalesce(1)
-        .write.mode("overwrite").parquet(s"$staging/codebook")
-      val cb = spark.read.parquet(s"$staging/codebook")
       val centroids = spark.read.parquet(s"$ivfBase/centroids")
-      val cells = Similarity.assignToCentroids(v, centroids)
-        .select(col("vec_id"), col("cell"))
-      graft.io.Store.writePartitionedParquet(
-        Similarity.pqEncode(sub, cb).join(cells, "vec_id"),
-        s"$staging/codes", Seq("cell"), Seq("vec_id"))
+      Similarity.pqBuildFrom(v, staging,
+        Similarity.assignToCentroids(v, centroids)
+          .select(col("vec_id"), col("cell")))
     }
     ()
   }
@@ -327,6 +311,12 @@ object IndexIngest {
   def recallGateAndRetrain(spark: org.apache.spark.sql.SparkSession,
       ivfBase: String, pqBase: String): (Int, Long, Boolean, Boolean) = {
     graft.functions.VectorExpressions.register(spark)
+    // a marker-less IVF artifact (crash inside a prior retrain's
+    // rewrite) self-heals FIRST: the data files are intact — publish
+    // never ran — so the artifact re-marks itself from its own rows
+    if (ArtifactStore.currentFingerprint(ivfBase).isEmpty &&
+        new java.io.File(s"$ivfBase/assignments").isDirectory)
+      rebuildIvfFromSelf(spark, ivfBase)
     val ivfFp = ArtifactStore.currentFingerprint(ivfBase).getOrElse(
       throw new IllegalStateException(
         s"no valid IVF artifact at $ivfBase — bootstrap first"))
@@ -376,35 +366,52 @@ object IndexIngest {
     val retrained = fired && mark(ivfBase) == mark(pqBase)
     if (retrained) {
       val ivfOk = ArtifactStore.rewrite(ivfBase) { (live, staging) =>
-        val v = spark.read.schema(Similarity.invertedListSchema)
-          .parquet(s"$live/assignments")
-          .select(col("vec_id"), col("embedding"), col("norm"))
-        val centroids = Similarity.ivfTrainCentroids(v)
-        centroids.coalesce(1).write.mode("overwrite")
-          .parquet(s"$staging/centroids")
-        val loaded = spark.read.parquet(s"$staging/centroids")
-        graft.io.Store.writePartitionedParquet(
-          Similarity.assignToCentroids(v, loaded),
-          s"$staging/assignments", Seq("cell"), Seq("vec_id"))
+        Similarity.ivfBuildFrom(
+          spark.read.schema(Similarity.invertedListSchema)
+            .parquet(s"$live/assignments")
+            .select(col("vec_id"), col("embedding"), col("norm")),
+          staging)
       }
       require(ivfOk, s"no valid IVF artifact to retrain at $ivfBase")
       val pqOk = ArtifactStore.rewrite(pqBase) { (_, staging) =>
         // vectors and cells come from the freshly-retrained IVF lists,
         // so the code table shards identically to the new generation
-        val v = lists.select(col("vec_id"), col("embedding"), col("norm"))
-        val nv = Similarity.pqNvFrame(v)
-        val sub = Similarity.pqSub(nv)
-        Similarity.pqTrainCodebook(nv, sub).coalesce(1)
-          .write.mode("overwrite").parquet(s"$staging/codebook")
-        val cb = spark.read.parquet(s"$staging/codebook")
-        val cells = lists.select(col("vec_id"), col("cell"))
-        graft.io.Store.writePartitionedParquet(
-          Similarity.pqEncode(sub, cb).join(cells, "vec_id"),
-          s"$staging/codes", Seq("cell"), Seq("vec_id"))
+        Similarity.pqBuildFrom(
+          lists.select(col("vec_id"), col("embedding"), col("norm")),
+          staging, lists.select(col("vec_id"), col("cell")))
       }
       require(pqOk, s"no valid PQ artifact to retrain at $pqBase")
     }
     (queries, hits, fired, retrained)
+  }
+
+  /** Self-heal for a marker-less IVF artifact — the crash window of
+    * the gate's IVF rewrite spans two full training jobs, and a death
+    * inside it deletes the marker while leaving every data file
+    * intact (publish never ran). The vectors ARE the store in the
+    * streaming posture, so the artifact re-marks ITSELF: the
+    * fingerprint is recomputed from the stored rows (xor-composed row
+    * hashes — identical to the value the chained marker carried),
+    * models retrain from the same rows, and the replay mark is staged
+    * across. If a VALID PQ table still shards by the pre-heal cells,
+    * the next audit sees the mixed generation as low recall and the
+    * normal fired→retrain path restores consistency — the loop is its
+    * own repair. (Review-caught: the PQ side had a heal, the IVF side
+    * did not.) */
+  private def rebuildIvfFromSelf(spark: org.apache.spark.sql.SparkSession,
+      ivfBase: String): Unit = {
+    val v = spark.read.schema(Similarity.invertedListSchema)
+      .parquet(s"$ivfBase/assignments")
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val (n, x) = Similarity.frameFingerprintParts(v)
+    ArtifactStore.ensure(ivfBase, fpStr(n, x)) { staging =>
+      Similarity.ivfBuildFrom(v, staging)
+      val st = java.nio.file.Paths.get(ivfBase, "stream_state")
+      if (java.nio.file.Files.isRegularFile(st))
+        java.nio.file.Files.copy(st,
+          java.nio.file.Paths.get(staging, "stream_state"))
+    }
+    ()
   }
 
   /** Rebuild the PQ artifact entirely from the IVF artifact — the
@@ -421,15 +428,9 @@ object IndexIngest {
       val v = spark.read.schema(Similarity.invertedListSchema)
         .parquet(s"$ivfBase/assignments")
         .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
-      val nv = Similarity.pqNvFrame(v)
-      val sub = Similarity.pqSub(nv)
-      Similarity.pqTrainCodebook(nv, sub).coalesce(1)
-        .write.mode("overwrite").parquet(s"$staging/codebook")
-      val cb = spark.read.parquet(s"$staging/codebook")
-      graft.io.Store.writePartitionedParquet(
-        Similarity.pqEncode(sub, cb)
-          .join(v.select(col("vec_id"), col("cell")), "vec_id"),
-        s"$staging/codes", Seq("cell"), Seq("vec_id"))
+      Similarity.pqBuildFrom(
+        v.select(col("vec_id"), col("embedding"), col("norm")),
+        staging, v.select(col("vec_id"), col("cell")))
       // the replay mark is STAGED with the data (a post-publish copy
       // would be an unmanifested extra file — the artifact would fail
       // its own manifest validation and read as absent)

@@ -335,6 +335,11 @@ class ArtifactStoreSpec extends AnyFunSuite {
     for (bad <- Seq("hdfs://nn:9000/graft", "s3a://bucket/graft"))
       intercept[IllegalArgumentException](
         ArtifactStore.requireLocalRoot(bad))
+    // a bare colon in a RELATIVE local path is not a remote scheme —
+    // URI parsing calls "artifacts:v2" scheme "artifacts", but only
+    // authority-style roots (scheme://) are actually remote
+    assert(ArtifactStore.requireLocalRoot("artifacts:v2/store")
+      == "artifacts:v2/store")
     intercept[IllegalArgumentException](
       ArtifactStore.gc(1000L, _ => true, root = "hdfs://nn:9000/graft"))
     // a file:-scheme root is legitimately local: it must decode to the

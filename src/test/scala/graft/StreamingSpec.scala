@@ -1336,6 +1336,25 @@ class StreamingSpec extends AnyFunSuite {
       b2.toDF("vec_id", "embedding"), 2L)
     assert(codeRows(pqIdx) == codesHealed,
       "replay after self-heal must not double-ingest")
+    // IVF SELF-HEAL: a crash inside the gate's own IVF rewrite leaves
+    // the IVF artifact marker-less with intact data — the next cycle
+    // must re-mark it from its own rows (recomputed xor-composed
+    // fingerprint equals the chained one) instead of bricking every
+    // sink until manual surgery
+    val ivfFpBefore = graft.io.ArtifactStore.currentFingerprint(ivfIdx)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ivfIdx, "_FINGERPRINT"))
+    assert(graft.io.ArtifactStore.currentFingerprint(ivfIdx).isEmpty)
+    graft.stream.IndexIngest.recallGateAndRetrain(spark, ivfIdx, pqIdx)
+    assert(graft.io.ArtifactStore.currentFingerprint(ivfIdx)
+      == ivfFpBefore,
+      "the healed IVF artifact must recompute the exact chained fingerprint")
+    // replay protection survived the heal too
+    val nHealed = listRows(ivfIdx).size
+    graft.stream.IndexIngest.ivfAppendSink(ivfIdx)(
+      b2.toDF("vec_id", "embedding"), 2L)
+    assert(listRows(ivfIdx).size == nHealed,
+      "replay after IVF self-heal must not double-ingest")
   }
 
   test("compaction policy: merges only past the fragmentation threshold, then back to one file per cell") {

@@ -28,10 +28,16 @@ import scala.jdk.CollectionConverters._
   *    `base/.tmp-<uuid>/…`; each child is then renamed into place
   *    (`ATOMIC_MOVE`, same filesystem by construction). A crashed build
   *    leaves only a `.tmp-*` orphan, reaped on the next build.
-  *  - '''marker last, marker first''' — `_FINGERPRINT` is deleted
-  *    before any live file is touched and (re)written only after the
-  *    full file set is in place, so an interrupted publish can never
-  *    look current: the next toucher sees no marker and rebuilds.
+  *  - '''marker last, marker briefly absent''' — the build/rewrite
+  *    body runs entirely against staging while the PREVIOUS artifact
+  *    stays marked, intact and serving; `_FINGERPRINT` is deleted only
+  *    for the short sweep + rename window and (re)written only after
+  *    the full file set is in place. A crash inside a long body (Spark
+  *    training jobs) therefore costs nothing but a staging orphan; a
+  *    crash inside the publish window leaves a marker-less
+  *    (= rebuild-on-next-touch) dir — never a marked partial set.
+  *    (Appends are the exception: [[mutate]] writes into the live
+  *    base, so it invalidates FIRST — its window is one small batch.)
   *  - '''manifest validation''' — the marker records every data file's
   *    relative path and size; reuse requires the on-disk file set to
   *    match EXACTLY (a tmp-reaper pruning part-files under a
@@ -149,6 +155,15 @@ object ArtifactStore {
     }
   }
 
+  /** Reap `.tmp-*` staging orphans left by crashed builds/rewrites. */
+  private def reapStagingOrphans(basePath: Path): Unit = {
+    val orphans = Files.list(basePath)
+    try orphans.iterator.asScala.toSeq
+      .filter(_.getFileName.toString.startsWith(".tmp-"))
+      .foreach(deleteRecursively)
+    finally orphans.close()
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
@@ -207,16 +222,15 @@ object ArtifactStore {
     * purpose; only the full rebuild sweeps.) */
   private def lockedBuild(basePath: Path, fingerprint: String)(
       build: String => Unit): Unit = {
-    // reap staging orphans from crashed builds, then invalidate
-    val orphans = Files.list(basePath)
-    try orphans.iterator.asScala.toSeq
-      .filter(_.getFileName.toString.startsWith(".tmp-"))
-      .foreach(deleteRecursively)
-    finally orphans.close()
-    Files.deleteIfExists(basePath.resolve(MarkerName))
+    reapStagingOrphans(basePath)
     val staging = basePath.resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.createDirectories(staging)
     build(staging.toString)
+    // the marker is deleted only NOW: `build` (often several Spark
+    // jobs) ran against a still-valid previous artifact, so a crash
+    // inside it leaves that artifact marked, intact and serving — the
+    // invalidation window is just the sweep + rename + re-mark below
+    Files.deleteIfExists(basePath.resolve(MarkerName))
     val staged = {
       val s = Files.list(staging)
       try s.iterator.asScala.map(_.getFileName.toString).toSet
@@ -304,10 +318,15 @@ object ArtifactStore {
       validFingerprint(basePath) match {
         case None => false
         case Some(fp) =>
-          Files.deleteIfExists(basePath.resolve(MarkerName))
+          reapStagingOrphans(basePath)
           val staging = basePath.resolve(s".tmp-${java.util.UUID.randomUUID}")
           Files.createDirectories(staging)
           rewriteFn(base, staging.toString)
+          // marker deleted only after the rewrite body completed: a
+          // crash inside a long compaction/retrain leaves the old
+          // artifact valid and serving (the gate's self-heals then
+          // cover only the short rename window, not whole trainings)
+          Files.deleteIfExists(basePath.resolve(MarkerName))
           publishStaged(basePath, staging, fp)
           true
       }

@@ -46,10 +46,40 @@ object IndexIngest {
   private def fpStr(n: Long, x: Long): String =
     ArtifactStore.fingerprint(n, x)
 
+  /** Bases may arrive as `file:` URIs (ArtifactStore decodes them);
+    * every raw java.nio/java.io touch of artifact-internal files must
+    * go through the same decoding or a `file://` base half-works —
+    * the store operates on the decoded path while `Paths.get(base,
+    * "stream_state")` mangles into a relative local dir
+    * (review-caught). */
+  private def localBase(base: String): String =
+    ArtifactStore.requireLocalRoot(base)
+
+  /** Atomic replace for the replay mark: a truncate-then-write crash
+    * leaves a torn/empty file whose parse then poisons every sink
+    * batch and gate cycle (and the self-heals would copy the torn file
+    * forward) — write-temp + ATOMIC_MOVE, the marker's own pattern. */
+  private def writeStateAtomic(stateFile: java.nio.file.Path,
+      batchId: Long): Unit = {
+    val tmp = stateFile.resolveSibling(
+      s".state-tmp-${java.util.UUID.randomUUID}")
+    java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, stateFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** One-time index bootstrap over the initial corpus (train + write
     * through the atomic-publish path); a no-op when the artifact is
     * already current for these vectors. */
   def bootstrap(base: String, vectors: DataFrame): Unit = {
+    // INITIALIZES only: any valid artifact — including one grown by
+    // streamed appends, whose chained fingerprint no longer matches
+    // the initial corpus — is left untouched. Re-running bootstrap
+    // after appends previously triggered ensure's full rebuild, which
+    // SWEPT the appended rows and the replay mark (review-caught);
+    // replacing a living index is an explicit delete + bootstrap.
+    if (ArtifactStore.currentFingerprint(base).isDefined) return
     val v = withNorm(vectors)
     val (n, x) = Similarity.frameFingerprintParts(v)
     ArtifactStore.ensure(base, fpStr(n, x))(Similarity.ivfBuildFrom(v, _))
@@ -84,13 +114,8 @@ object IndexIngest {
     * never leave a marked-but-double-ingestable state. */
   private def appendOnce(base: String, batchId: Long,
       parts: (Long, Long))(append: String => Unit): Unit = {
-    val stateFile = java.nio.file.Paths.get(base, "stream_state")
-    val applied =
-      if (java.nio.file.Files.isRegularFile(stateFile))
-        new String(java.nio.file.Files.readAllBytes(stateFile), "UTF-8")
-          .trim.toLong
-      else -1L
-    if (batchId <= applied) return // replay of a committed batch
+    val stateFile = java.nio.file.Paths.get(localBase(base), "stream_state")
+    if (batchId <= readMark(base)) return // replay of a committed batch
     val cur = ArtifactStore.currentFingerprint(base).getOrElse(
       throw new IllegalStateException(
         s"no valid index artifact at $base — bootstrap first"))
@@ -99,11 +124,25 @@ object IndexIngest {
       java.lang.Long.parseUnsignedLong(cx) ^ parts._2)
     val ok = ArtifactStore.mutate(base, cur, next) { live =>
       append(live)
-      java.nio.file.Files.write(stateFile,
-        batchId.toString.getBytes("UTF-8"))
+      writeStateAtomic(stateFile, batchId)
     }
     if (!ok) throw new IllegalStateException(
       s"index at $base changed under batch $batchId — replay")
+  }
+
+  /** The artifact's replay high-water mark; -1 when none. The mark is
+    * per-artifact and assumes ONE streaming query lineage feeds it: a
+    * recreated query with a FRESH checkpoint restarts batch numbering
+    * at 0, and its new batches would read as replays of the committed
+    * ids — recovery from a lost checkpoint therefore pairs the new
+    * query with a new artifact (or an explicit mark reset), the same
+    * contract Delta's idempotent sinks solve by keying the version as
+    * (appId, batchId). */
+  private def readMark(base: String): Long = {
+    val f = java.nio.file.Paths.get(localBase(base), "stream_state")
+    if (java.nio.file.Files.isRegularFile(f))
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+    else -1L
   }
 
   /** The `foreachBatch` sink: fold one micro-batch of
@@ -126,6 +165,13 @@ object IndexIngest {
     * `base` segment (postings with segment-local df, term-hash
     * bucketed, + its 1-row totals). */
   def bm25Bootstrap(base: String, docs: DataFrame): Unit = {
+    // INITIALIZES only: any valid artifact — including one grown by
+    // streamed appends, whose chained fingerprint no longer matches
+    // the initial corpus — is left untouched. Re-running bootstrap
+    // after appends previously triggered ensure's full rebuild, which
+    // SWEPT the appended rows and the replay mark (review-caught);
+    // replacing a living index is an explicit delete + bootstrap.
+    if (ArtifactStore.currentFingerprint(base).isDefined) return
     val (n, x) = Retrieval.frameDocsFingerprintParts(docs)
     ArtifactStore.ensure(base, fpStr(n, x)) { staging =>
       val (p, t) = Retrieval.segmentPostingsFrame(docs, "base")
@@ -197,6 +243,13 @@ object IndexIngest {
     * first byte. A no-op when already current for these vectors. */
   def pqBootstrap(base: String, ivfBase: String,
       vectors: DataFrame): Unit = {
+    // INITIALIZES only: any valid artifact — including one grown by
+    // streamed appends, whose chained fingerprint no longer matches
+    // the initial corpus — is left untouched. Re-running bootstrap
+    // after appends previously triggered ensure's full rebuild, which
+    // SWEPT the appended rows and the replay mark (review-caught);
+    // replacing a living index is an explicit delete + bootstrap.
+    if (ArtifactStore.currentFingerprint(base).isDefined) return
     val spark = vectors.sparkSession
     val v = withNorm(vectors)
     val (n, x) = Similarity.frameFingerprintParts(v)
@@ -297,25 +350,35 @@ object IndexIngest {
     *    it up front: fingerprint = the IVF artifact's (same vector
     *    set), replay mark copied from the IVF artifact's.
     *
+    * `panelMod` bounds the audit's cost: the exact-truth pass is
+    * O(|panel| · n) — every `panelMod`-th vector is audited (the
+    * s23/%4 convention at fixture scale); a production index raises
+    * it with n so the panel stays fixed-size (~1e4 queries) and the
+    * audit never outgrows the retrain it gates.
+    *
     * The mark-equality check is advisory, not atomic with the
     * rewrites: it closes the steady-state skew case, not a sink
     * actively racing the retrain itself. Like every index-maintenance
     * system (Lucene merges, Faiss rebuilds), the gate expects to run
     * from the maintenance scheduler between triggers — not
-    * concurrently with an active write stream on the same index.
+    * concurrently with an active write stream on the same index; the
+    * publish gap between the two rewrites (spanning the PQ training)
+    * is inside the same window, so probes never observe the
+    * mixed-generation pair on the healthy path.
     *
     * Returns `(queries, hits, fired, retrained)` — the audit report
     * the maintenance job logs either way; `fired && !retrained` means
     * the SLO is violated but the rebuild was deferred to an aligned
     * cycle. */
   def recallGateAndRetrain(spark: org.apache.spark.sql.SparkSession,
-      ivfBase: String, pqBase: String): (Int, Long, Boolean, Boolean) = {
+      ivfBase: String, pqBase: String,
+      panelMod: Long = 4): (Int, Long, Boolean, Boolean) = {
     graft.functions.VectorExpressions.register(spark)
     // a marker-less IVF artifact (crash inside a prior retrain's
     // rewrite) self-heals FIRST: the data files are intact — publish
     // never ran — so the artifact re-marks itself from its own rows
     if (ArtifactStore.currentFingerprint(ivfBase).isEmpty &&
-        new java.io.File(s"$ivfBase/assignments").isDirectory)
+        new java.io.File(localBase(ivfBase), "assignments").isDirectory)
       rebuildIvfFromSelf(spark, ivfBase)
     val ivfFp = ArtifactStore.currentFingerprint(ivfBase).getOrElse(
       throw new IllegalStateException(
@@ -326,7 +389,7 @@ object IndexIngest {
       .parquet(s"$ivfBase/assignments")
       .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
     def audit(): (Int, Long, Long) = {
-      val panel = lists.filter(col("vec_id") % 4 === 0)
+      val panel = lists.filter(col("vec_id") % panelMod === 0)
         .select(col("vec_id"), col("embedding"), col("norm"))
       val served = Similarity
         .storedIvfPqServeFrom(spark, panel, ivfBase, pqBase)
@@ -337,7 +400,7 @@ object IndexIngest {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("neighbor_id").asc)
-      val truth = nvAll.filter(col("vec_id") % 4 === 0)
+      val truth = nvAll.filter(col("vec_id") % panelMod === 0)
         .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
         .join(nvAll.select(col("vec_id").as("neighbor_id"),
           col("nv").as("cnv")), col("query_id") =!= col("neighbor_id"))
@@ -357,13 +420,7 @@ object IndexIngest {
     }
     val (queries, truthRows, hits) = audit()
     val fired = Similarity.retrainDecision(truthRows, hits)
-    def mark(base: String): Long = {
-      val f = java.nio.file.Paths.get(base, "stream_state")
-      if (java.nio.file.Files.isRegularFile(f))
-        new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
-      else -1L
-    }
-    val retrained = fired && mark(ivfBase) == mark(pqBase)
+    val retrained = fired && readMark(ivfBase) == readMark(pqBase)
     if (retrained) {
       val ivfOk = ArtifactStore.rewrite(ivfBase) { (live, staging) =>
         Similarity.ivfBuildFrom(
@@ -406,7 +463,7 @@ object IndexIngest {
     val (n, x) = Similarity.frameFingerprintParts(v)
     ArtifactStore.ensure(ivfBase, fpStr(n, x)) { staging =>
       Similarity.ivfBuildFrom(v, staging)
-      val st = java.nio.file.Paths.get(ivfBase, "stream_state")
+      val st = java.nio.file.Paths.get(localBase(ivfBase), "stream_state")
       if (java.nio.file.Files.isRegularFile(st))
         java.nio.file.Files.copy(st,
           java.nio.file.Paths.get(staging, "stream_state"))
@@ -434,7 +491,7 @@ object IndexIngest {
       // the replay mark is STAGED with the data (a post-publish copy
       // would be an unmanifested extra file — the artifact would fail
       // its own manifest validation and read as absent)
-      val ivfState = java.nio.file.Paths.get(ivfBase, "stream_state")
+      val ivfState = java.nio.file.Paths.get(localBase(ivfBase), "stream_state")
       if (java.nio.file.Files.isRegularFile(ivfState))
         java.nio.file.Files.copy(ivfState,
           java.nio.file.Paths.get(staging, "stream_state"))
@@ -448,7 +505,7 @@ object IndexIngest {
     * is "how many appends since the last compaction" for the hottest
     * cell. 0 when the table does not exist yet. */
   def fragmentation(base: String, sub: String): Int = {
-    val root = new java.io.File(base, sub)
+    val root = new java.io.File(localBase(base), sub)
     if (!root.isDirectory) 0
     else {
       val dirs = Option(root.listFiles()).getOrElse(Array.empty)
@@ -484,6 +541,13 @@ object IndexIngest {
     * corpus (digests + band postings through the atomic-publish path);
     * a no-op when the artifact is already current for these docs. */
   def lshBootstrap(base: String, docs: DataFrame): Unit = {
+    // INITIALIZES only: any valid artifact — including one grown by
+    // streamed appends, whose chained fingerprint no longer matches
+    // the initial corpus — is left untouched. Re-running bootstrap
+    // after appends previously triggered ensure's full rebuild, which
+    // SWEPT the appended rows and the replay mark (review-caught);
+    // replacing a living index is an explicit delete + bootstrap.
+    if (ArtifactStore.currentFingerprint(base).isDefined) return
     val (n, x) = Dedup.docsFingerprintParts(docs)
     ArtifactStore.ensure(base, fpStr(n, x)) {
       Dedup.writeDedupIndexInto(docs, _)

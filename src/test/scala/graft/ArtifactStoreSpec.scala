@@ -162,6 +162,43 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(tmpDirs == 0, "crashed staging dirs must be reaped")
   }
 
+  test("a crashed rebuild or rewrite leaves the PREVIOUS artifact intact and valid") {
+    // the build/rewrite body runs against staging while the old
+    // artifact stays marked — a crash inside a long body (Spark
+    // training jobs) must cost nothing but a staging orphan; only the
+    // short sweep+rename publish window invalidates
+    val base = freshBase()
+    assert(ArtifactStore.ensure(base, "fp-old")(writeData(_, "part-0", "v1")))
+    intercept[RuntimeException] {
+      ArtifactStore.ensure(base, "fp-new") { staging =>
+        writeData(staging, "part-0", "half")
+        throw new RuntimeException("executor lost mid-build")
+      }
+    }
+    assert(ArtifactStore.isCurrent(base, "fp-old"),
+      "the old artifact must survive a crashed rebuild")
+    assert(readData(base, "part-0") == "v1")
+    intercept[RuntimeException] {
+      ArtifactStore.rewrite(base) { (_, staging) =>
+        writeData(staging, "part-0", "compacted")
+        throw new RuntimeException("executor lost mid-rewrite")
+      }
+    }
+    assert(ArtifactStore.isCurrent(base, "fp-old"),
+      "the old artifact must survive a crashed rewrite")
+    assert(readData(base, "part-0") == "v1")
+    // the successful retry still replaces wholesale (and reaps orphans)
+    assert(ArtifactStore.rewrite(base)((_, st) =>
+      writeData(st, "part-0", "v2")))
+    assert(ArtifactStore.isCurrent(base, "fp-old"))
+    assert(readData(base, "part-0") == "v2")
+    val strays = Files.list(Paths.get(base)).iterator()
+    var tmpDirs = 0
+    while (strays.hasNext)
+      if (strays.next().getFileName.toString.startsWith(".tmp-")) tmpDirs += 1
+    assert(tmpDirs == 0, "crashed staging dirs must be reaped on retry")
+  }
+
   test("a full rebuild sweeps children the build did not stage") {
     // the streaming sink keeps its exactly-once high-water mark as a
     // non-staged child (stream_state); a FINGERPRINT-CHANGING rebuild

@@ -1391,6 +1391,39 @@ class StreamingSpec extends AnyFunSuite {
       "a freshly-compacted index must not re-compact")
   }
 
+  test("re-running bootstrap after streamed appends never sweeps the grown index") {
+    // the chained fingerprint no longer matches the initial corpus, so
+    // a naive bootstrap would trigger ensure's full rebuild and SWEEP
+    // the appended rows + the replay mark; bootstrap must initialize
+    // only — a living index is untouchable by it
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(17)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val initial = (0L until 20L).map(i => (i, vec()))
+    val b1 = (100L until 110L).map(i => (i, vec()))
+    val idx = java.nio.file.Files.createTempDirectory("graft-reboot")
+      .resolve("ivf").toString
+    graft.stream.IndexIngest.bootstrap(
+      idx, initial.toDF("vec_id", "embedding"))
+    graft.stream.IndexIngest.ivfAppendSink(idx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    def stored() = spark.read
+      .schema(graft.llm.Similarity.invertedListSchema)
+      .parquet(s"$idx/assignments").count()
+    val fpGrown = graft.io.ArtifactStore.currentFingerprint(idx)
+    assert(stored() == 30)
+    // the driver restarts and re-runs its init path — a no-op now
+    graft.stream.IndexIngest.bootstrap(
+      idx, initial.toDF("vec_id", "embedding"))
+    assert(stored() == 30, "re-bootstrap swept the appended rows")
+    assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpGrown)
+    // the replay mark survived too: the committed batch is still a no-op
+    graft.stream.IndexIngest.ivfAppendSink(idx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(stored() == 30, "re-bootstrap lost the replay mark")
+  }
+
   test("streaming LSH ingest: appended postings serve the dedup probe exactly") {
     // the THIRD exactly-once index sink (IVF vectors, BM25 segments,
     // now LSH dedup postings): micro-batches of surviving docs fold

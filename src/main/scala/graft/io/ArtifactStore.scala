@@ -86,11 +86,19 @@ object ArtifactStore {
     if (scheme == "file")
       java.nio.file.Paths.get(new java.net.URI(root)).toString
     else {
-      // remote = authority-style URI only ("hdfs://…", "s3a://…"): a
-      // bare colon in a RELATIVE local path ("artifacts:v2/…") parses
-      // as a URI scheme too, and rejecting it would regress
-      // previously-valid roots (review-caught)
-      require(scheme == null || !root.startsWith(s"$scheme://"),
+      // remote = authority-style URI ("hdfs://…", "s3a://…") OR the
+      // single-slash hierarchical form ("hdfs:/nn/x" — valid HDFS URI,
+      // same silent Paths.get mangling; ADVICE r11). A bare colon in a
+      // RELATIVE local path ("artifacts:v2/…") parses as an OPAQUE
+      // URI — getPath is null there — and must stay accepted
+      // (review-caught regression guard).
+      val hierarchicalRemote = scheme != null && {
+        val p = try new java.net.URI(root).getPath
+                catch { case _: java.net.URISyntaxException => null }
+        p != null && p.startsWith("/")
+      }
+      require(scheme == null ||
+        (!root.startsWith(s"$scheme://") && !hierarchicalRemote),
         s"ArtifactStore requires a local POSIX filesystem (advisory " +
           s"locks + atomic rename); got scheme '$scheme' in '$root'. " +
           s"Point ${graft.GraftConfig.EnvArtifactDir} at local scratch.")
@@ -174,16 +182,77 @@ object ArtifactStore {
 
   /** Publish what `build` staged: rename each staged child into place,
     * then write the marker over the resulting manifest. Caller already
-    * deleted the marker and holds the lock. */
-  private def publishStaged(base: Path, staging: Path, fp: String): Unit = {
+    * deleted the marker and holds the lock.
+    *
+    * Crash-safety invariant: NOTHING is deleted before the marker is
+    * written. A replaced live child is renamed ASIDE (atomic, same
+    * volume) into the caller's `.tmp-old-*` dir rather than deleted,
+    * and the aside dir is reaped only after the marker commits the new
+    * manifest — so a death at ANY instant inside the publish window
+    * leaves every byte of one complete generation on disk (old = base
+    * remainder ∪ aside, new = base ∪ staging). The old delete-then-
+    * move pair had a window (after delete, before move) that stranded
+    * a streaming-maintained index's SOLE data copy in staging, where
+    * the next build's orphan reap destroyed it (ADVICE r11). Recovery
+    * of a marker-less base: corpus-backed artifacts rebuild from the
+    * corpus ([[ensure]]); self-maintained ones restore via
+    * [[restoreAside]] before their self-heal reads the data dirs. */
+  private def publishStaged(base: Path, staging: Path, fp: String,
+      aside: Path): Unit = {
     val children = Files.list(staging)
     try children.iterator.asScala.toSeq.foreach { child =>
       val target = base.resolve(child.getFileName)
-      deleteRecursively(target)
+      moveAside(aside, target)
       Files.move(child, target, StandardCopyOption.ATOMIC_MOVE)
     } finally children.close()
     Files.delete(staging)
     writeMarker(base, fp)
+    deleteRecursively(aside)
+  }
+
+  /** Rename `target` (if it exists) into the `aside` dir — the
+    * delete-free way to clear a rename destination. */
+  private def moveAside(aside: Path, target: Path): Unit =
+    if (Files.exists(target)) {
+      Files.createDirectories(aside)
+      Files.move(target, aside.resolve(target.getFileName),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** Roll a crashed publish BACK: restore every child stranded in
+    * `.tmp-old-*` aside dirs over its (possibly already-swapped) base
+    * child. Only meaningful on a marker-less base — a valid marker
+    * means the publish completed and any aside remnant is garbage, so
+    * this is a no-op then. After restore the OLD generation's file
+    * set is complete in the base (still unmarked — the caller decides
+    * whether to re-mark from self-derived state or rebuild); the NEW
+    * generation's partial staging remains an orphan for the next
+    * reap. Runs under the base lock. Returns true iff anything was
+    * restored. */
+  def restoreAside(base: String): Boolean = {
+    val basePath = Paths.get(requireLocalRoot(base))
+    withLock(basePath) {
+      if (validFingerprint(basePath).isDefined) false
+      else {
+        val l = Files.list(basePath)
+        val asides =
+          try l.iterator.asScala.toSeq
+            .filter(_.getFileName.toString.startsWith(".tmp-old-"))
+          finally l.close()
+        var restored = false
+        asides.foreach { a =>
+          val c = Files.list(a)
+          try c.iterator.asScala.toSeq.foreach { child =>
+            val target = basePath.resolve(child.getFileName)
+            deleteRecursively(target)
+            Files.move(child, target, StandardCopyOption.ATOMIC_MOVE)
+            restored = true
+          } finally c.close()
+          Files.delete(a)
+        }
+        restored
+      }
+    }
   }
 
   /** The marker itself publishes atomically (write-temp + rename): a
@@ -236,15 +305,18 @@ object ArtifactStore {
       try s.iterator.asScala.map(_.getFileName.toString).toSet
       finally s.close()
     }
+    // the wholesale-replace sweep moves unstaged live children ASIDE
+    // (not delete): pre-marker, every old byte must stay recoverable
+    val aside = basePath.resolve(s".tmp-old-${java.util.UUID.randomUUID}")
     val live = Files.list(basePath)
     try live.iterator.asScala.toSeq
       .filter { p =>
         val n = p.getFileName.toString
         n != LockName && !n.startsWith(".tmp-") && !staged.contains(n)
       }
-      .foreach(deleteRecursively)
+      .foreach(moveAside(aside, _))
     finally live.close()
-    publishStaged(basePath, staging, fingerprint)
+    publishStaged(basePath, staging, fingerprint, aside)
   }
 
   /** The append branch of [[mutate]], caller holds the lock and has
@@ -327,7 +399,8 @@ object ArtifactStore {
           // artifact valid and serving (the gate's self-heals then
           // cover only the short rename window, not whole trainings)
           Files.deleteIfExists(basePath.resolve(MarkerName))
-          publishStaged(basePath, staging, fp)
+          publishStaged(basePath, staging, fp,
+            basePath.resolve(s".tmp-old-${java.util.UUID.randomUUID}"))
           true
       }
     }

@@ -624,7 +624,7 @@ object Similarity {
   /** The ADC sum as a SQL expression over `lut` + `codes` columns —
     * shared by the flat scan ([[pqAdcScored]]) and the cell-pruned
     * scan ([[s20IvfPqSearch]]). */
-  private val adcScoreExpr: String = (0 until PqM)
+  private[graft] val adcScoreExpr: String = (0 until PqM)
     .map(m => s"element_at(lut, $m * 16 + element_at(codes, ${m + 1}) + 1)")
     .mkString(" + ")
 
@@ -661,32 +661,39 @@ object Similarity {
       .filter(col("rk") === 1)
   }
 
-  /** The one-Lloyd-round codebook `(m, code, cw)` — 16 seed codewords
-    * per subspace (code = seed's rank) refined to quantized-integer
+  /** The one-Lloyd-round codebook `(m, code, cw)` — ALWAYS 16
+    * codewords per subspace (dense), refined to quantized-integer
     * member means (s02's bit-reproducibility contract). 128 rows.
     *
-    * PRECONDITION the whole ADC chain shares with its oracle: the
-    * trained codebook must be DENSE (all 16 codewords per subspace
-    * survive the Lloyd round), because LUTs index `m·16 + code` —
-    * a codeword with zero members (possible only when the corpus has
-    * < 16 vectors, or two of the 16 seeds share an identical
-    * subvector slice) would shift every later LUT position. Both
-    * engines replay the same layout, so the hash gate cannot catch a
-    * violation; real corpora (and the fixtures) satisfy it by having
-    * ≥ 16 distinct vectors. The Faiss-style extension — an empty
-    * cluster keeps its seed codeword — is the next-round fix if a
-    * sparse-codebook corpus ever becomes a target. */
+    * Density is guaranteed by construction (the Faiss posture —
+    * `Clustering::post_process_centroids` keeps a seed for an empty
+    * cluster) rather than assumed of the corpus:
+    *   - seed codes 0..15 always exist: code `i` takes the vector
+    *     ranked `i mod n` (identity when the corpus has ≥ 16 vectors,
+    *     cycling when 0 < n < 16), so duplicate seeds are possible
+    *     but missing codes are not;
+    *   - after the Lloyd round, a code whose cluster is EMPTY (its
+    *     seed tied with a lower code on every subvector — e.g.
+    *     zero-padded dimensions — and lost the `code asc` tie-break)
+    *     keeps its seed codeword via the left-join coalesce.
+    * LUTs index `m·16 + code`, so a sparse codebook would shift every
+    * later LUT position and crash with INVALID_ARRAY_INDEX — and the
+    * hash gate is structurally blind to it because the oracle replays
+    * the same layout. On a dense-training corpus (every fixture) both
+    * steps are exact no-ops, so existing hashes are unchanged. */
   private[graft] def pqTrainCodebook(nv: DataFrame, sub: DataFrame): DataFrame = {
     val seeds = nv.orderBy(col("vec_id")).limit(PqK)
-      .withColumn("code",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1)
-          .cast("integer"))
+      .withColumn("rk0", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("codeL",
+        explode(sequence(col("rk0"), lit(PqK - 1), col("cnt"))))
+      .withColumn("code", col("codeL").cast("integer"))
     val seedSub = seeds
       .select(col("code"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("nv"))
       .withColumn("cw", expr("slice(nv, m * 8 + 1, 8)"))
       .select(col("m"), col("code"), col("cw"))
-    pqAssign(sub, seedSub)
+    val refined = pqAssign(sub, seedSub)
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("j", "x")))
       .withColumn("q", floor(col("x") * lit(1048576.0)).cast(LongType))
       .groupBy(col("m"), col("code"), col("j"))
@@ -694,7 +701,10 @@ object Similarity {
         .as("cwj"))
       .groupBy(col("m"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cwj")))),
-        s => s.getField("cwj")).as("cw"))
+        s => s.getField("cwj")).as("cwT"))
+    seedSub.join(refined, Seq("m", "code"), "left")
+      .select(col("m"), col("code"),
+        coalesce(col("cwT"), col("cw")).as("cw"))
   }
 
   /** The 8-byte code per vector `(vec_id, codes)` against codebook
@@ -708,7 +718,7 @@ object Similarity {
 
   /** Per-query ADC lookup tables `(query_id, lut)` over `sub` (already
     * filtered to the query set) against codebook `cwF`. */
-  private def pqLut(sub: DataFrame, cwF: DataFrame): DataFrame =
+  private[graft] def pqLut(sub: DataFrame, cwF: DataFrame): DataFrame =
     sub.join(broadcast(cwF), "m")
       .withColumn("lv",
         floor(expr("vec_dot(sv, cw)") * lit(1048576.0)).cast(LongType))
@@ -2584,8 +2594,13 @@ object Similarity {
       .map(m => s"l.lut[$m * 16 + cd.codes[${m + 1}] + 1]")
       .mkString(" + ")
     s""", ${p}seedv AS (
-       |  SELECT vec_id, nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
-       |  FROM (SELECT * FROM nv$trainAnd ORDER BY vec_id LIMIT 16)
+       |  SELECT vec_id, nv, CAST(u.code AS INT) AS code
+       |  FROM (
+       |    SELECT vec_id, nv,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rk0,
+       |      COUNT(*) OVER () AS cnt
+       |    FROM (SELECT * FROM nv$trainAnd ORDER BY vec_id LIMIT 16)
+       |  ) r CROSS JOIN LATERAL unnest(range(r.rk0, 16, r.cnt)) AS u(code)
        |), ${p}seedsub AS (
        |  SELECT t.m, code, list_slice(nv, t.m * 8 + 1, t.m * 8 + 8) AS cw
        |  FROM ${p}seedv CROSS JOIN range(0, 8) t(m)
@@ -2605,9 +2620,12 @@ object Similarity {
        |  SELECT m, code, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0
        |    AS cwj
        |  FROM ${p}comp GROUP BY m, code, j
-       |), ${p}trained AS (
+       |), ${p}trained0 AS (
        |  SELECT m, code, list(cwj ORDER BY j) AS cw FROM ${p}cm
        |  GROUP BY m, code
+       |), ${p}trained AS (
+       |  SELECT s.m, s.code, COALESCE(t.cw, s.cw) AS cw
+       |  FROM ${p}seedsub s LEFT JOIN ${p}trained0 t USING (m, code)
        |), ${p}fc AS (
        |  SELECT vec_id, m, code FROM (
        |    SELECT s.vec_id, s.m, c.code,

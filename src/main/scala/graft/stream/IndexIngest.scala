@@ -69,21 +69,58 @@ object IndexIngest {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** What a bootstrap call actually did — bootstraps INITIALIZE only
+    * (any valid artifact is kept: re-running bootstrap after streamed
+    * appends previously triggered ensure's full rebuild, which SWEPT
+    * the appended rows and the replay mark, review-caught), so the
+    * skip path needs to be OBSERVABLE: a no-op against an index grown
+    * by appends and a no-op against a CHANGED corpus (operator error —
+    * the offered vectors are not what the artifact indexes) look
+    * identical otherwise (ADVICE r11). Replacing a living index is an
+    * explicit delete + bootstrap. */
+  sealed trait BootstrapStatus
+  object BootstrapStatus {
+    /** No valid artifact existed; built from the offered corpus. */
+    case object Built extends BootstrapStatus
+    /** Valid artifact already carries exactly the offered corpus'
+      * fingerprint — the repeat-run no-op. */
+    case object Current extends BootstrapStatus
+    /** Valid artifact KEPT although its fingerprint differs from the
+      * offered corpus (streamed appends — or a changed corpus).
+      * Logged to stderr at the call. */
+    case object KeptDivergent extends BootstrapStatus
+  }
+
+  /** The initialize-only state machine every bootstrap shares.
+    * `parts` fingerprints the OFFERED corpus (evaluated on both
+    * branches: the build needs it to mark, the skip needs it to tell
+    * Current from KeptDivergent — one cheap aggregate scan, and
+    * bootstraps run once per deployment, not per batch). */
+  private def bootstrapOnce(base: String, parts: => (Long, Long))(
+      build: String => Unit): BootstrapStatus = {
+    val (n, x) = parts
+    val offered = fpStr(n, x)
+    ArtifactStore.currentFingerprint(base) match {
+      case None =>
+        ArtifactStore.ensure(base, offered)(build)
+        BootstrapStatus.Built
+      case Some(cur) if cur == offered => BootstrapStatus.Current
+      case Some(cur) =>
+        System.err.println(s"[graft] bootstrap kept the existing index " +
+          s"at $base: its fingerprint $cur differs from the offered " +
+          s"corpus' $offered (streamed appends — or a changed corpus). " +
+          s"Replacing a living index is an explicit delete + bootstrap.")
+        BootstrapStatus.KeptDivergent
+    }
+  }
+
   /** One-time index bootstrap over the initial corpus (train + write
-    * through the atomic-publish path); a no-op when the artifact is
-    * already current for these vectors. */
-  def bootstrap(base: String, vectors: DataFrame): Unit = {
-    // INITIALIZES only: any valid artifact — including one grown by
-    // streamed appends, whose chained fingerprint no longer matches
-    // the initial corpus — is left untouched. Re-running bootstrap
-    // after appends previously triggered ensure's full rebuild, which
-    // SWEPT the appended rows and the replay mark (review-caught);
-    // replacing a living index is an explicit delete + bootstrap.
-    if (ArtifactStore.currentFingerprint(base).isDefined) return
+    * through the atomic-publish path); a no-op when a valid artifact
+    * exists — see [[BootstrapStatus]] for the skip taxonomy. */
+  def bootstrap(base: String, vectors: DataFrame): BootstrapStatus = {
     val v = withNorm(vectors)
-    val (n, x) = Similarity.frameFingerprintParts(v)
-    ArtifactStore.ensure(base, fpStr(n, x))(Similarity.ivfBuildFrom(v, _))
-    ()
+    bootstrapOnce(base, Similarity.frameFingerprintParts(v))(
+      Similarity.ivfBuildFrom(v, _))
   }
 
   /** Compact the inverted lists after a run of appends: every cell's
@@ -164,23 +201,14 @@ object IndexIngest {
   /** One-time BM25 bootstrap: the initial corpus becomes the index's
     * `base` segment (postings with segment-local df, term-hash
     * bucketed, + its 1-row totals). */
-  def bm25Bootstrap(base: String, docs: DataFrame): Unit = {
-    // INITIALIZES only: any valid artifact — including one grown by
-    // streamed appends, whose chained fingerprint no longer matches
-    // the initial corpus — is left untouched. Re-running bootstrap
-    // after appends previously triggered ensure's full rebuild, which
-    // SWEPT the appended rows and the replay mark (review-caught);
-    // replacing a living index is an explicit delete + bootstrap.
-    if (ArtifactStore.currentFingerprint(base).isDefined) return
-    val (n, x) = Retrieval.frameDocsFingerprintParts(docs)
-    ArtifactStore.ensure(base, fpStr(n, x)) { staging =>
-      val (p, t) = Retrieval.segmentPostingsFrame(docs, "base")
-      graft.io.Store.writePartitionedParquet(
-        p, s"$staging/postings", Seq("tbucket"), Seq("term", "doc_id"))
-      t.coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+  def bm25Bootstrap(base: String, docs: DataFrame): BootstrapStatus =
+    bootstrapOnce(base, Retrieval.frameDocsFingerprintParts(docs)) {
+      staging =>
+        val (p, t) = Retrieval.segmentPostingsFrame(docs, "base")
+        graft.io.Store.writePartitionedParquet(
+          p, s"$staging/postings", Seq("tbucket"), Seq("term", "doc_id"))
+        t.coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
     }
-    ()
-  }
 
   /** Merge the BM25 index's accumulated segments into one — the real
     * Lucene merge, run WITHOUT re-reading any document text: postings
@@ -242,24 +270,15 @@ object IndexIngest {
     * the code table and the vector lists shard identically from the
     * first byte. A no-op when already current for these vectors. */
   def pqBootstrap(base: String, ivfBase: String,
-      vectors: DataFrame): Unit = {
-    // INITIALIZES only: any valid artifact — including one grown by
-    // streamed appends, whose chained fingerprint no longer matches
-    // the initial corpus — is left untouched. Re-running bootstrap
-    // after appends previously triggered ensure's full rebuild, which
-    // SWEPT the appended rows and the replay mark (review-caught);
-    // replacing a living index is an explicit delete + bootstrap.
-    if (ArtifactStore.currentFingerprint(base).isDefined) return
+      vectors: DataFrame): BootstrapStatus = {
     val spark = vectors.sparkSession
     val v = withNorm(vectors)
-    val (n, x) = Similarity.frameFingerprintParts(v)
-    ArtifactStore.ensure(base, fpStr(n, x)) { staging =>
+    bootstrapOnce(base, Similarity.frameFingerprintParts(v)) { staging =>
       val centroids = spark.read.parquet(s"$ivfBase/centroids")
       Similarity.pqBuildFrom(v, staging,
         Similarity.assignToCentroids(v, centroids)
           .select(col("vec_id"), col("cell")))
     }
-    ()
   }
 
   /** The compressed-index twin of [[ivfAppendSink]] — the FOURTH
@@ -375,16 +394,25 @@ object IndexIngest {
       panelMod: Long = 4): (Int, Long, Boolean, Boolean) = {
     graft.functions.VectorExpressions.register(spark)
     // a marker-less IVF artifact (crash inside a prior retrain's
-    // rewrite) self-heals FIRST: the data files are intact — publish
-    // never ran — so the artifact re-marks itself from its own rows
+    // rewrite) self-heals FIRST. A crash inside the publish RENAMES
+    // leaves the old generation split between the base and a
+    // `.tmp-old-*` aside dir — roll that back to the complete old
+    // file set before anything reads the data dirs (and before any
+    // ensure/rewrite's orphan reap could destroy the aside copy);
+    // then the artifact re-marks itself from its own rows.
+    if (ArtifactStore.currentFingerprint(ivfBase).isEmpty)
+      ArtifactStore.restoreAside(ivfBase)
     if (ArtifactStore.currentFingerprint(ivfBase).isEmpty &&
         new java.io.File(localBase(ivfBase), "assignments").isDirectory)
       rebuildIvfFromSelf(spark, ivfBase)
     val ivfFp = ArtifactStore.currentFingerprint(ivfBase).getOrElse(
       throw new IllegalStateException(
         s"no valid IVF artifact at $ivfBase — bootstrap first"))
-    if (ArtifactStore.currentFingerprint(pqBase).isEmpty)
-      rebuildPqFrom(spark, ivfBase, pqBase, ivfFp)
+    if (ArtifactStore.currentFingerprint(pqBase).isEmpty) {
+      ArtifactStore.restoreAside(pqBase) // same publish-crash roll-back
+      if (ArtifactStore.currentFingerprint(pqBase).isEmpty)
+        rebuildPqFrom(spark, ivfBase, pqBase, ivfFp)
+    }
     def lists = spark.read.schema(Similarity.invertedListSchema)
       .parquet(s"$ivfBase/assignments")
       .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
@@ -442,19 +470,23 @@ object IndexIngest {
     (queries, hits, fired, retrained)
   }
 
-  /** Self-heal for a marker-less IVF artifact — the crash window of
-    * the gate's IVF rewrite spans two full training jobs, and a death
-    * inside it deletes the marker while leaving every data file
-    * intact (publish never ran). The vectors ARE the store in the
-    * streaming posture, so the artifact re-marks ITSELF: the
-    * fingerprint is recomputed from the stored rows (xor-composed row
-    * hashes — identical to the value the chained marker carried),
-    * models retrain from the same rows, and the replay mark is staged
-    * across. If a VALID PQ table still shards by the pre-heal cells,
-    * the next audit sees the mixed generation as low recall and the
-    * normal fired→retrain path restores consistency — the loop is its
-    * own repair. (Review-caught: the PQ side had a heal, the IVF side
-    * did not.) */
+  /** Self-heal for a marker-less IVF artifact. Since the stage-first
+    * hardening, the only marker-less window of the gate's IVF rewrite
+    * is the publish itself (marker delete → child renames → re-mark;
+    * the training body runs against a still-marked artifact). A death
+    * there leaves the old generation's files split between the base
+    * and the publish's `.tmp-old-*` aside dir — the CALLER first
+    * rolls that back ([[graft.io.ArtifactStore.restoreAside]]), after
+    * which the complete old file set sits unmarked in the base. The
+    * vectors ARE the store in the streaming posture, so the artifact
+    * then re-marks ITSELF: the fingerprint is recomputed from the
+    * stored rows (xor-composed row hashes — identical to the value
+    * the chained marker carried), models retrain from the same rows,
+    * and the replay mark is staged across. If a VALID PQ table still
+    * shards by the pre-heal cells, the next audit sees the mixed
+    * generation as low recall and the normal fired→retrain path
+    * restores consistency — the loop is its own repair.
+    * (Review-caught: the PQ side had a heal, the IVF side did not.) */
   private def rebuildIvfFromSelf(spark: org.apache.spark.sql.SparkSession,
       ivfBase: String): Unit = {
     val v = spark.read.schema(Similarity.invertedListSchema)
@@ -540,20 +572,10 @@ object IndexIngest {
   /** One-time LSH dedup-index bootstrap over the initial standing
     * corpus (digests + band postings through the atomic-publish path);
     * a no-op when the artifact is already current for these docs. */
-  def lshBootstrap(base: String, docs: DataFrame): Unit = {
-    // INITIALIZES only: any valid artifact — including one grown by
-    // streamed appends, whose chained fingerprint no longer matches
-    // the initial corpus — is left untouched. Re-running bootstrap
-    // after appends previously triggered ensure's full rebuild, which
-    // SWEPT the appended rows and the replay mark (review-caught);
-    // replacing a living index is an explicit delete + bootstrap.
-    if (ArtifactStore.currentFingerprint(base).isDefined) return
-    val (n, x) = Dedup.docsFingerprintParts(docs)
-    ArtifactStore.ensure(base, fpStr(n, x)) {
+  def lshBootstrap(base: String, docs: DataFrame): BootstrapStatus =
+    bootstrapOnce(base, Dedup.docsFingerprintParts(docs)) {
       Dedup.writeDedupIndexInto(docs, _)
     }
-    ()
-  }
 
   /** The dedup twin of [[ivfAppendSink]]/[[bm25AppendSink]] — the
     * THIRD exactly-once index sink: each micro-batch of surviving

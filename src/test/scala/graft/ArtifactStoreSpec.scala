@@ -199,6 +199,62 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(tmpDirs == 0, "crashed staging dirs must be reaped on retry")
   }
 
+  test("a crash inside the publish renames loses no generation: restoreAside rolls back") {
+    // publishStaged renames replaced children ASIDE (.tmp-old-*) and
+    // deletes nothing until the marker is written — so a death at any
+    // rename boundary leaves the complete old generation recoverable.
+    // The old delete-then-move pair had a window that stranded a
+    // streaming index's SOLE copy in staging, where the next orphan
+    // reap destroyed it (ADVICE r11 medium). Simulate both crash
+    // positions by constructing the exact on-disk states they leave.
+    val base = freshBase()
+    assert(ArtifactStore.ensure(base, "fp-old")(writeData(_, "part-0", "v1")))
+    val basePath = Paths.get(base)
+
+    // position 1: marker deleted, old child asided, staging not yet
+    // moved in (death between the aside-move and the stage-in)
+    Files.delete(basePath.resolve("_FINGERPRINT"))
+    val aside1 = basePath.resolve(".tmp-old-crash1")
+    Files.createDirectories(aside1)
+    Files.move(basePath.resolve("data"), aside1.resolve("data"))
+    val staging1 = basePath.resolve(".tmp-crash1")
+    writeData(staging1.toString, "part-0", "v2-unpublished")
+    assert(ArtifactStore.currentFingerprint(base).isEmpty)
+    assert(ArtifactStore.restoreAside(base), "restore must report work")
+    assert(readData(base, "part-0") == "v1",
+      "the old generation's file set must be complete after roll-back")
+    assert(!Files.exists(aside1), "consumed aside dirs are removed")
+    assert(Files.exists(staging1),
+      "the partial staging stays an orphan for the next reap")
+
+    // re-mark (the streaming self-heal re-derives the fingerprint from
+    // the restored rows; here the spec stands in for it)
+    assert(ArtifactStore.ensure(base, "fp-old")(writeData(_, "part-0", "v1")))
+
+    // position 2: death AFTER the new child moved in (old copy only in
+    // the aside) — roll-back prefers the old generation wholesale
+    Files.delete(basePath.resolve("_FINGERPRINT"))
+    val aside2 = basePath.resolve(".tmp-old-crash2")
+    Files.createDirectories(aside2)
+    Files.move(basePath.resolve("data"), aside2.resolve("data"))
+    writeData(base, "part-0", "v2-half-published") // the swapped-in new child
+    assert(ArtifactStore.restoreAside(base))
+    assert(readData(base, "part-0") == "v1",
+      "roll-back must restore the old child over the half-published new one")
+
+    // on a VALID artifact restoreAside is a no-op: a stray aside dir
+    // after a COMPLETED publish is garbage, not a roll-back source
+    assert(ArtifactStore.ensure(base, "fp-new")(writeData(_, "part-0", "v3")))
+    val strayAside = basePath.resolve(".tmp-old-stray")
+    Files.createDirectories(strayAside.resolve("data"))
+    Files.write(strayAside.resolve("data").resolve("part-0"),
+      "stale".getBytes(UTF_8))
+    assert(!ArtifactStore.restoreAside(base),
+      "a valid marker means the publish completed — nothing to restore")
+    assert(readData(base, "part-0") == "v3")
+    assert(ArtifactStore.isCurrent(base, "fp-new"))
+  }
+
   test("a full rebuild sweeps children the build did not stage") {
     // the streaming sink keeps its exactly-once high-water mark as a
     // non-staged child (stream_state); a FINGERPRINT-CHANGING rebuild
@@ -369,7 +425,10 @@ class ArtifactStoreSpec extends AnyFunSuite {
     // on HDFS/object stores. A non-local root must fail at first touch
     // instead of Paths.get() silently mangling "hdfs://nn/x" into a
     // RELATIVE local dir and publishing artifacts nobody asked for.
-    for (bad <- Seq("hdfs://nn:9000/graft", "s3a://bucket/graft"))
+    // both the authority form and the single-slash hierarchical form
+    // ("hdfs:/nn/x" is a valid HDFS URI too — ADVICE r11)
+    for (bad <- Seq("hdfs://nn:9000/graft", "s3a://bucket/graft",
+        "hdfs:/nn/graft", "s3a:/bucket/graft"))
       intercept[IllegalArgumentException](
         ArtifactStore.requireLocalRoot(bad))
     // a bare colon in a RELATIVE local path is not a remote scheme —

@@ -41,6 +41,73 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(pairedDigests.contains(r.getAs[String]("media_md5"))))
   }
 
+  test("pq codebook stays dense on degenerate corpora (empty cluster keeps its seed)") {
+    // The ADC family indexes LUTs as m*16 + code, so the trained
+    // codebook MUST hold all 16 codes per subspace. Two corpus
+    // classes used to violate that: (a) zero-padded dimensions — all
+    // 16 seeds share the zero slice, the code-asc tie-break hands
+    // every member to code 0 and codes 1..15 vanish; (b) corpora with
+    // < 16 vectors — fewer seeds than codes. The Faiss posture (an
+    // empty cluster keeps its seed; seed codes cycle over the corpus)
+    // must keep the codebook dense and the full ADC chain runnable.
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    def chain(vecs: Seq[(Long, Seq[Float])]) = {
+      val v = vecs.toDF("vec_id", "embedding")
+        .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+        .filter(col("norm") > 0)
+      val nv = Similarity.pqNvFrame(v)
+      val sub = Similarity.pqSub(nv)
+      val trained = Similarity.pqTrainCodebook(nv, sub).localCheckpoint()
+      val codes = Similarity.pqEncode(sub, trained)
+      val lut = Similarity.pqLut(sub.filter(col("vec_id") % 4 === 0), trained)
+      val scored = codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(broadcast(lut), col("query_id") =!= col("neighbor_id"))
+        .withColumn("score", expr(Similarity.adcScoreExpr))
+        .select("query_id", "neighbor_id", "score")
+      val out = (trained.collect(), codes.collect(), scored.collect())
+      Checkpoints.release(trained)
+      out
+    }
+    val allCells =
+      (for (m <- 0 until 8; c <- 0 until 16) yield (m, c)).toSet
+    val rnd = new scala.util.Random(7)
+
+    // (a) zero-padded: subspace m=7 identical (all-zero) across seeds
+    val padded = (0L until 20L).map { i =>
+      (i, Seq.fill(56)(rnd.nextFloat() - 0.5f) ++ Seq.fill(8)(0.0f))
+    }
+    val (cbA, codesA, scoredA) = chain(padded)
+    assert(cbA.length == 128, s"padded codebook rows: ${cbA.length}")
+    assert(cbA.map(r => (r.getAs[Int]("m"), r.getAs[Int]("code"))).toSet
+      == allCells)
+    // the zero subspace: every codeword (the one refined mean AND the
+    // 15 kept seeds) is the zero slice
+    cbA.filter(_.getAs[Int]("m") == 7).foreach(r =>
+      assert(r.getAs[Seq[Double]]("cw").forall(_ == 0.0)))
+    // every vector encoded, all pairs ADC-scored, no INVALID_ARRAY_INDEX
+    assert(codesA.length == 20)
+    assert(codesA.forall(_.getAs[Seq[Int]]("codes").length == 8))
+    assert(scoredA.length == 5 * 19)
+    assert(scoredA.forall(r => !r.isNullAt(r.fieldIndex("score"))))
+
+    // (b) tiny corpus: 5 vectors < 16 codes — seed codes cycle
+    val tiny = (0L until 5L).map { i =>
+      (i, Seq.fill(64)(rnd.nextFloat() - 0.5f))
+    }
+    val (cbB, codesB, scoredB) = chain(tiny)
+    assert(cbB.length == 128, s"tiny codebook rows: ${cbB.length}")
+    assert(cbB.map(r => (r.getAs[Int]("m"), r.getAs[Int]("code"))).toSet
+      == allCells)
+    assert(codesB.length == 5)
+    assert(scoredB.length == 2 * 4)
+    // every assigned code is a valid dense-codebook position (a kept
+    // duplicate seed is an exact match for its own vector, so codes
+    // >= 5 are legitimately chosen — they exist and are indexable)
+    assert(codesB.forall(_.getAs[Seq[Int]]("codes")
+      .forall(c => c >= 0 && c < 16)))
+  }
+
   test("d16 shared spans are verbatim, maximal, and the pair's longest") {
     val rows = Dedup.d16SharedSpanPairs(spark, sf).collect()
     assert(rows.nonEmpty, "fixture plants cross-doc shared passages")

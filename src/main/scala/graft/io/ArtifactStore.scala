@@ -172,6 +172,10 @@ object ArtifactStore {
     finally orphans.close()
   }
 
+  /** Recursive delete for artifact-layer callers (e.g. the
+    * generation-pointer retrain's retention sweep). */
+  private[graft] def deleteTree(p: Path): Unit = deleteRecursively(p)
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

@@ -60,10 +60,12 @@ object IndexIngest {
     * batch and gate cycle (and the self-heals would copy the torn file
     * forward) — write-temp + ATOMIC_MOVE, the marker's own pattern. */
   private def writeStateAtomic(stateFile: java.nio.file.Path,
-      batchId: Long): Unit = {
+      state: Map[String, Long]): Unit = {
     val tmp = stateFile.resolveSibling(
       s".state-tmp-${java.util.UUID.randomUUID}")
-    java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+    val body = state.toSeq.sorted
+      .map { case (app, id) => s"$app\t$id" }.mkString("\n")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, stateFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -150,9 +152,13 @@ object IndexIngest {
     * [[graft.io.ArtifactStore.mutate]] so a crash between them can
     * never leave a marked-but-double-ingestable state. */
   private def appendOnce(base: String, batchId: Long,
-      parts: (Long, Long))(append: String => Unit): Unit = {
+      parts: (Long, Long), appId: String = DefaultApp)(
+      append: String => Unit): Unit = {
+    require(!appId.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"appId must not contain tab/newline: '$appId'")
     val stateFile = java.nio.file.Paths.get(localBase(base), "stream_state")
-    if (batchId <= readMark(base)) return // replay of a committed batch
+    if (batchId <= readMark(base, appId))
+      return // replay of a committed batch OF THIS LINEAGE
     val cur = ArtifactStore.currentFingerprint(base).getOrElse(
       throw new IllegalStateException(
         s"no valid index artifact at $base — bootstrap first"))
@@ -161,34 +167,55 @@ object IndexIngest {
       java.lang.Long.parseUnsignedLong(cx) ^ parts._2)
     val ok = ArtifactStore.mutate(base, cur, next) { live =>
       append(live)
-      writeStateAtomic(stateFile, batchId)
+      writeStateAtomic(stateFile, readState(base) + (appId -> batchId))
     }
     if (!ok) throw new IllegalStateException(
       s"index at $base changed under batch $batchId — replay")
   }
 
-  /** The artifact's replay high-water mark; -1 when none. The mark is
-    * per-artifact and assumes ONE streaming query lineage feeds it: a
+  /** The lineage a sink belongs to when the caller does not name one.
+    * Multiple streaming queries feeding ONE artifact must pass
+    * distinct `appId`s (the stable id the caller owns — Delta's
+    * `txnAppId` convention), or their independent batch numbering
+    * aliases: query B's batch 0 would read as a replay of query A's
+    * committed batch 0 and be silently dropped (VERDICT r11 #4). */
+  val DefaultApp = "default"
+
+  /** The artifact's replay marks: one high-water batch id PER QUERY
+    * LINEAGE (`appId → batchId` — the Delta idempotent-sink key). A
     * recreated query with a FRESH checkpoint restarts batch numbering
-    * at 0, and its new batches would read as replays of the committed
-    * ids — recovery from a lost checkpoint therefore pairs the new
-    * query with a new artifact (or an explicit mark reset), the same
-    * contract Delta's idempotent sinks solve by keying the version as
-    * (appId, batchId). */
-  private def readMark(base: String): Long = {
+    * at 0 and its new batches would read as replays of its OWN
+    * committed ids — recovery from a lost checkpoint therefore pairs
+    * the new query with a new appId (or an explicit mark reset).
+    * File format: `<appId>\t<batchId>` lines; a bare legacy
+    * single-number file reads as the default lineage's mark. */
+  private def readState(base: String): Map[String, Long] = {
     val f = java.nio.file.Paths.get(localBase(base), "stream_state")
-    if (java.nio.file.Files.isRegularFile(f))
-      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
-    else -1L
+    if (!java.nio.file.Files.isRegularFile(f)) Map.empty
+    else {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+      if (txt.isEmpty) Map.empty
+      else txt.split("\n").toSeq.map { line =>
+        val i = line.indexOf('\t')
+        if (i < 0) DefaultApp -> line.trim.toLong
+        else line.substring(0, i) -> line.substring(i + 1).trim.toLong
+      }.toMap
+    }
   }
+
+  private def readMark(base: String, appId: String = DefaultApp): Long =
+    readState(base).getOrElse(appId, -1L)
 
   /** The `foreachBatch` sink: fold one micro-batch of
     * `(vec_id, embedding)` into the index at `base`. Use as
     * `stream.writeStream.foreachBatch(IndexIngest.ivfAppendSink(base) _)`. */
-  def ivfAppendSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+  def ivfAppendSink(base: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val v = withNorm(batch)
-    appendOnce(base, batchId, Similarity.frameFingerprintParts(v)) { live =>
+    appendOnce(base, batchId,
+        Similarity.frameFingerprintParts(v), appId) { live =>
       val centroids = spark.read.parquet(s"$live/centroids")
       Similarity.assignToCentroids(v, centroids)
         .repartition(col("cell"))
@@ -251,9 +278,10 @@ object IndexIngest {
     * answers IDENTICALLY to a from-scratch single index (the
     * streaming spec pins equality with s10 after two streamed
     * batches). */
-  def bm25AppendSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+  def bm25AppendSink(base: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
     appendOnce(base, batchId,
-      Retrieval.frameDocsFingerprintParts(batch)) { live =>
+      Retrieval.frameDocsFingerprintParts(batch), appId) { live =>
       val (p, t) = Retrieval.segmentPostingsFrame(batch, s"b$batchId")
       p.repartition(col("tbucket"))
         .sortWithinPartitions(col("tbucket"), col("term"), col("doc_id"))
@@ -292,11 +320,13 @@ object IndexIngest {
     * of which sink commits a batch first. Same replay contract as the
     * siblings: the high-water mark lives inside the artifact and
     * commits in the same mutate as the rows. */
-  def pqAppendSink(base: String, ivfBase: String)(
+  def pqAppendSink(base: String, ivfBase: String,
+      appId: String = DefaultApp)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val v = withNorm(batch)
-    appendOnce(base, batchId, Similarity.frameFingerprintParts(v)) { live =>
+    appendOnce(base, batchId,
+        Similarity.frameFingerprintParts(v), appId) { live =>
       val cb = spark.read.parquet(s"$live/codebook")
       val centroids = spark.read.parquet(s"$ivfBase/centroids")
       val cells = Similarity.assignToCentroids(v, centroids)
@@ -392,63 +422,12 @@ object IndexIngest {
   def recallGateAndRetrain(spark: org.apache.spark.sql.SparkSession,
       ivfBase: String, pqBase: String,
       panelMod: Long = 4): (Int, Long, Boolean, Boolean) = {
-    graft.functions.VectorExpressions.register(spark)
-    // a marker-less IVF artifact (crash inside a prior retrain's
-    // rewrite) self-heals FIRST. A crash inside the publish RENAMES
-    // leaves the old generation split between the base and a
-    // `.tmp-old-*` aside dir — roll that back to the complete old
-    // file set before anything reads the data dirs (and before any
-    // ensure/rewrite's orphan reap could destroy the aside copy);
-    // then the artifact re-marks itself from its own rows.
-    if (ArtifactStore.currentFingerprint(ivfBase).isEmpty)
-      ArtifactStore.restoreAside(ivfBase)
-    if (ArtifactStore.currentFingerprint(ivfBase).isEmpty &&
-        new java.io.File(localBase(ivfBase), "assignments").isDirectory)
-      rebuildIvfFromSelf(spark, ivfBase)
-    val ivfFp = ArtifactStore.currentFingerprint(ivfBase).getOrElse(
-      throw new IllegalStateException(
-        s"no valid IVF artifact at $ivfBase — bootstrap first"))
-    if (ArtifactStore.currentFingerprint(pqBase).isEmpty) {
-      ArtifactStore.restoreAside(pqBase) // same publish-crash roll-back
-      if (ArtifactStore.currentFingerprint(pqBase).isEmpty)
-        rebuildPqFrom(spark, ivfBase, pqBase, ivfFp)
-    }
-    def lists = spark.read.schema(Similarity.invertedListSchema)
-      .parquet(s"$ivfBase/assignments")
-      .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
-    def audit(): (Int, Long, Long) = {
-      val panel = lists.filter(col("vec_id") % panelMod === 0)
-        .select(col("vec_id"), col("embedding"), col("norm"))
-      val served = Similarity
-        .storedIvfPqServeFrom(spark, panel, ivfBase, pqBase)
-        .select(col("query_id"), col("neighbor_id"))
-      val nvAll = lists.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)")
-          .as("nv"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id").asc)
-      val truth = nvAll.filter(col("vec_id") % panelMod === 0)
-        .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
-        .join(nvAll.select(col("vec_id").as("neighbor_id"),
-          col("nv").as("cnv")), col("query_id") =!= col("neighbor_id"))
-        .withColumn("score",
-          floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast("long"))
-        .withColumn("ern", row_number().over(w))
-        .filter(col("ern") <= 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val r = truth
-        .join(served.withColumn("hit", lit(1)),
-          Seq("query_id", "neighbor_id"), "left")
-        .agg(countDistinct(col("query_id")).cast("integer").as("queries"),
-          count(lit(1)).as("truth_rows"),
-          count(col("hit")).as("hits"))
-        .head() // 1-row audit aggregate, the s24 posture
-      (r.getInt(0), r.getLong(1), r.getLong(2))
-    }
-    val (queries, truthRows, hits) = audit()
+    healPair(spark, ivfBase, pqBase)
+    def lists = invertedLists(spark, ivfBase)
+    val (queries, truthRows, hits) =
+      auditRecall(spark, ivfBase, pqBase, panelMod)
     val fired = Similarity.retrainDecision(truthRows, hits)
-    val retrained = fired && readMark(ivfBase) == readMark(pqBase)
+    val retrained = fired && readState(ivfBase) == readState(pqBase)
     if (retrained) {
       val ivfOk = ArtifactStore.rewrite(ivfBase) { (live, staging) =>
         Similarity.ivfBuildFrom(
@@ -468,6 +447,243 @@ object IndexIngest {
       require(pqOk, s"no valid PQ artifact to retrain at $pqBase")
     }
     (queries, hits, fired, retrained)
+  }
+
+  /** The gate's heal preamble, shared by both retrain postures: roll
+    * back a crashed publish (old generation split between the base and
+    * a `.tmp-old-*` aside — restore BEFORE anything reads the data
+    * dirs, and before any ensure/rewrite's orphan reap could destroy
+    * the aside copy), then let a marker-less artifact re-mark itself
+    * from its own rows (IVF) or rebuild from its sibling (PQ). Returns
+    * the healed IVF fingerprint. */
+  private def healPair(spark: org.apache.spark.sql.SparkSession,
+      ivfBase: String, pqBase: String): String = {
+    graft.functions.VectorExpressions.register(spark)
+    if (ArtifactStore.currentFingerprint(ivfBase).isEmpty)
+      ArtifactStore.restoreAside(ivfBase)
+    if (ArtifactStore.currentFingerprint(ivfBase).isEmpty &&
+        new java.io.File(localBase(ivfBase), "assignments").isDirectory)
+      rebuildIvfFromSelf(spark, ivfBase)
+    val ivfFp = ArtifactStore.currentFingerprint(ivfBase).getOrElse(
+      throw new IllegalStateException(
+        s"no valid IVF artifact at $ivfBase — bootstrap first"))
+    if (ArtifactStore.currentFingerprint(pqBase).isEmpty) {
+      ArtifactStore.restoreAside(pqBase) // same publish-crash roll-back
+      if (ArtifactStore.currentFingerprint(pqBase).isEmpty)
+        rebuildPqFrom(spark, ivfBase, pqBase, ivfFp)
+    }
+    ivfFp
+  }
+
+  private def invertedLists(spark: org.apache.spark.sql.SparkSession,
+      ivfBase: String): DataFrame =
+    spark.read.schema(Similarity.invertedListSchema)
+      .parquet(s"$ivfBase/assignments")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
+
+  /** The recall audit entirely off the artifacts (the s24 posture):
+    * exact top-10 truth over the stored vectors vs what the compressed
+    * pair actually serves for every `panelMod`-th vector. Returns
+    * `(queries, truthRows, hits)`. */
+  private def auditRecall(spark: org.apache.spark.sql.SparkSession,
+      ivfBase: String, pqBase: String, panelMod: Long): (Int, Long, Long) = {
+    val lists = invertedLists(spark, ivfBase)
+    val panel = lists.filter(col("vec_id") % panelMod === 0)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val served = Similarity
+      .storedIvfPqServeFrom(spark, panel, ivfBase, pqBase)
+      .select(col("query_id"), col("neighbor_id"))
+    val nvAll = lists.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)")
+        .as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val truth = nvAll.filter(col("vec_id") % panelMod === 0)
+      .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+      .join(nvAll.select(col("vec_id").as("neighbor_id"),
+        col("nv").as("cnv")), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast("long"))
+      .withColumn("ern", row_number().over(w))
+      .filter(col("ern") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val r = truth
+      .join(served.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).cast("integer").as("queries"),
+        count(lit(1)).as("truth_rows"),
+        count(col("hit")).as("hits"))
+      .head() // 1-row audit aggregate, the s24 posture
+    (r.getInt(0), r.getLong(1), r.getLong(2))
+  }
+
+  // ---------------------------------------------------------------
+  // Generation-pointer pair: the retrain posture with NO mixed window
+  // ---------------------------------------------------------------
+
+  /** Name of the pointer file at a pair root. The pointed-to
+    * generation dir holds the serving `ivf`/`pq` artifact pair;
+    * retrains build the NEXT generation completely beside it and then
+    * swap this one pointer atomically — so a reader that resolves the
+    * pair through [[resolvePair]] can never observe a new-IVF/old-PQ
+    * mix, closing the publish gap the in-place
+    * [[recallGateAndRetrain]] accepts as a maintenance-window
+    * contract (VERDICT r11 #2). */
+  private val CurrentName = "CURRENT"
+
+  private def genPaths(pairBase: String, gen: String): (String, String) = {
+    val root = localBase(pairBase)
+    (java.nio.file.Paths.get(root, gen, "ivf").toString,
+      java.nio.file.Paths.get(root, gen, "pq").toString)
+  }
+
+  /** The serving generation named by the pointer, e.g. `"g3"`; None
+    * before [[bootstrapPair]] completes. */
+  def currentGen(pairBase: String): Option[String] = {
+    val p = java.nio.file.Paths.get(localBase(pairBase), CurrentName)
+    if (java.nio.file.Files.isRegularFile(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  /** Resolve the pair root to the CURRENT generation's concrete
+    * `(ivfBase, pqBase)` — the one read every probe, sink batch and
+    * audit starts from. Resolving ONCE and using both paths is what
+    * guarantees a consistent pair: generations are immutable except
+    * for appends to the current one, and the pointer swap is a single
+    * atomic rename. */
+  def resolvePair(pairBase: String): (String, String) = {
+    val gen = currentGen(pairBase).getOrElse(throw new IllegalStateException(
+      s"no CURRENT generation at $pairBase — bootstrapPair first"))
+    genPaths(pairBase, gen)
+  }
+
+  private def swapCurrent(pairBase: String, gen: String): Unit = {
+    val root = java.nio.file.Paths.get(localBase(pairBase))
+    java.nio.file.Files.createDirectories(root)
+    val tmp = root.resolve(s".current-tmp-${java.util.UUID.randomUUID}")
+    java.nio.file.Files.write(tmp, gen.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, root.resolve(CurrentName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One-time bootstrap of a generation-pointer pair: generation `g0`
+    * is built completely (IVF, then PQ sharded by its cells) and only
+    * then named by the pointer. Idempotent: a crash before the
+    * pointer write re-runs both bootstraps (valid artifacts no-op)
+    * and just writes the pointer; an existing pointer delegates to
+    * the per-artifact initialize-only semantics. */
+  def bootstrapPair(pairBase: String, vectors: DataFrame): BootstrapStatus =
+    currentGen(pairBase) match {
+      case Some(gen) =>
+        val (ivfBase, pqBase) = genPaths(pairBase, gen)
+        val s = bootstrap(ivfBase, vectors)
+        pqBootstrap(pqBase, ivfBase, vectors)
+        s
+      case None =>
+        val (ivfBase, pqBase) = genPaths(pairBase, "g0")
+        bootstrap(ivfBase, vectors)
+        pqBootstrap(pqBase, ivfBase, vectors)
+        swapCurrent(pairBase, "g0")
+        BootstrapStatus.Built
+    }
+
+  /** The paired-generation sinks: each micro-batch resolves the
+    * CURRENT generation once and appends to that pair. Same replay
+    * contract as the fixed-base sinks (the high-water mark lives in
+    * each generation's artifact and is carried across retrains). */
+  def ivfAppendSinkPaired(pairBase: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit =
+    ivfAppendSink(resolvePair(pairBase)._1, appId)(batch, batchId)
+
+  /** [[ivfAppendSinkPaired]]'s PQ twin. */
+  def pqAppendSinkPaired(pairBase: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val (ivfBase, pqBase) = resolvePair(pairBase)
+    pqAppendSink(pqBase, ivfBase, appId)(batch, batchId)
+  }
+
+  /** The recall gate over a generation-pointer pair — same
+    * audit → integer decision → retrain loop as
+    * [[recallGateAndRetrain]], but the retrain builds the ENTIRE next
+    * generation (IVF, then PQ sharded by the new cells, replay marks
+    * staged across) under `pairBase/g<N+1>` while `g<N>` keeps
+    * serving, and then swaps the pointer atomically. Probes resolving
+    * through [[resolvePair]] therefore observe the complete old pair
+    * or the complete new pair — NEVER new-IVF/old-PQ — at every
+    * instant, including the whole PQ-training span the in-place
+    * posture leaves mixed. Generations before the one just replaced
+    * are deleted (one-generation grace for readers that resolved
+    * before the swap and are still scanning — the same reason Lucene
+    * keeps the previous commit point until the next one).
+    *
+    * `midBuild` is a test seam invoked between the two artifact
+    * builds — the widest point of the old mixed window. */
+  def recallGateAndRetrainPaired(spark: org.apache.spark.sql.SparkSession,
+      pairBase: String, panelMod: Long = 4,
+      midBuild: () => Unit = () => ()): (Int, Long, Boolean, Boolean) = {
+    val gen = currentGen(pairBase).getOrElse(throw new IllegalStateException(
+      s"no CURRENT generation at $pairBase — bootstrapPair first"))
+    val (ivfBase, pqBase) = genPaths(pairBase, gen)
+    val ivfFp = healPair(spark, ivfBase, pqBase)
+    val (queries, truthRows, hits) =
+      auditRecall(spark, ivfBase, pqBase, panelMod)
+    val fired = Similarity.retrainDecision(truthRows, hits)
+    val retrained = fired && readState(ivfBase) == readState(pqBase)
+    if (retrained) {
+      val next = s"g${gen.stripPrefix("g").toLong + 1}"
+      val (ivfNew, pqNew) = genPaths(pairBase, next)
+      // same vector set → the new generation carries the SAME
+      // fingerprint (content-derived, layout/model-insensitive); a
+      // crashed prior attempt at this generation either revalidates
+      // (no appends since — identical content) or rebuilds (ensure
+      // sees the fingerprint moved)
+      ArtifactStore.ensure(ivfNew, ivfFp) { staging =>
+        Similarity.ivfBuildFrom(
+          invertedLists(spark, ivfBase)
+            .select(col("vec_id"), col("embedding"), col("norm")),
+          staging)
+        copyStateInto(ivfBase, staging)
+      }
+      midBuild() // the old mixed window: g<N> still serves, complete
+      val newLists = invertedLists(spark, ivfNew)
+      ArtifactStore.ensure(pqNew, ivfFp) { staging =>
+        // vectors and cells from the NEW generation's lists, so the
+        // code table shards identically to what it will serve beside
+        Similarity.pqBuildFrom(
+          newLists.select(col("vec_id"), col("embedding"), col("norm")),
+          staging, newLists.select(col("vec_id"), col("cell")))
+        copyStateInto(pqBase, staging)
+      }
+      swapCurrent(pairBase, next)
+      // retention: keep the just-replaced generation as the reader
+      // grace copy; everything older goes
+      val root = java.nio.file.Paths.get(localBase(pairBase))
+      val l = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator.asScala.toSeq
+          .filter(p => java.nio.file.Files.isDirectory(p))
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("g") && n != next && n != gen
+          }
+          .foreach(ArtifactStore.deleteTree)
+      } finally l.close()
+    }
+    (queries, hits, fired, retrained)
+  }
+
+  /** Stage the replay high-water mark from a live artifact into a
+    * new generation's staging dir (staged with the data: a
+    * post-publish copy would be an unmanifested extra file). */
+  private def copyStateInto(fromBase: String, staging: String): Unit = {
+    val st = java.nio.file.Paths.get(localBase(fromBase), "stream_state")
+    if (java.nio.file.Files.isRegularFile(st))
+      java.nio.file.Files.copy(st,
+        java.nio.file.Paths.get(staging, "stream_state"))
   }
 
   /** Self-heal for a marker-less IVF artifact. Since the stage-first
@@ -588,8 +804,9 @@ object IndexIngest {
     * restarted query re-delivering a committed batch is a wholesale
     * no-op, and the index a probe sees is always pre- or post-batch,
     * never partial. */
-  def lshAppendSink(base: String)(batch: DataFrame, batchId: Long): Unit =
-    appendOnce(base, batchId, Dedup.docsFingerprintParts(batch)) {
+  def lshAppendSink(base: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit =
+    appendOnce(base, batchId, Dedup.docsFingerprintParts(batch), appId) {
       Dedup.appendDedupIndexInto(batch, _)
     }
 

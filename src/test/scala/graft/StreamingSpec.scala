@@ -1404,8 +1404,13 @@ class StreamingSpec extends AnyFunSuite {
     val b1 = (100L until 110L).map(i => (i, vec()))
     val idx = java.nio.file.Files.createTempDirectory("graft-reboot")
       .resolve("ivf").toString
-    graft.stream.IndexIngest.bootstrap(
+    assert(graft.stream.IndexIngest.bootstrap(
       idx, initial.toDF("vec_id", "embedding"))
+      == graft.stream.IndexIngest.BootstrapStatus.Built)
+    // an immediate repeat run is the observable Current no-op
+    assert(graft.stream.IndexIngest.bootstrap(
+      idx, initial.toDF("vec_id", "embedding"))
+      == graft.stream.IndexIngest.BootstrapStatus.Current)
     graft.stream.IndexIngest.ivfAppendSink(idx)(
       b1.toDF("vec_id", "embedding"), 0L)
     def stored() = spark.read
@@ -1413,15 +1418,168 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(s"$idx/assignments").count()
     val fpGrown = graft.io.ArtifactStore.currentFingerprint(idx)
     assert(stored() == 30)
-    // the driver restarts and re-runs its init path — a no-op now
-    graft.stream.IndexIngest.bootstrap(
+    // the driver restarts and re-runs its init path — a no-op now,
+    // but an OBSERVABLE one: the skip against a diverged fingerprint
+    // (grown index — or a changed corpus) reports itself (ADVICE r11)
+    assert(graft.stream.IndexIngest.bootstrap(
       idx, initial.toDF("vec_id", "embedding"))
+      == graft.stream.IndexIngest.BootstrapStatus.KeptDivergent)
     assert(stored() == 30, "re-bootstrap swept the appended rows")
     assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpGrown)
     // the replay mark survived too: the committed batch is still a no-op
     graft.stream.IndexIngest.ivfAppendSink(idx)(
       b1.toDF("vec_id", "embedding"), 0L)
     assert(stored() == 30, "re-bootstrap lost the replay mark")
+  }
+
+  test("(appId, batchId) replay marks: two query lineages interleave without aliasing") {
+    // two distinct streaming queries feeding ONE artifact each number
+    // their batches from 0 — with a single high-water mark, lineage
+    // B's batch 0 would read as a replay of lineage A's committed
+    // batch 0 and be silently dropped. The mark is a per-appId map
+    // (Delta's idempotent-sink key): replays skip only within their
+    // own lineage (VERDICT r11 #4).
+    import spark.implicits._
+    import graft.stream.IndexIngest
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(13)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val initial = (0L until 20L).map(i => (i, vec()))
+    val a0 = (100L until 105L).map(i => (i, vec()))
+    val b0 = (200L until 206L).map(i => (i, vec()))
+    val a1 = (110L until 114L).map(i => (i, vec()))
+    val idx = java.nio.file.Files.createTempDirectory("graft-lineage")
+      .resolve("ivf").toString
+    IndexIngest.bootstrap(idx, initial.toDF("vec_id", "embedding"))
+    def stored() = spark.read
+      .schema(graft.llm.Similarity.invertedListSchema)
+      .parquet(s"$idx/assignments").count()
+    IndexIngest.ivfAppendSink(idx, "appA")(
+      a0.toDF("vec_id", "embedding"), 0L)
+    assert(stored() == 25)
+    // lineage B's batch 0 is NOT a replay of lineage A's batch 0
+    IndexIngest.ivfAppendSink(idx, "appB")(
+      b0.toDF("vec_id", "embedding"), 0L)
+    assert(stored() == 31, "cross-lineage batch-id aliasing dropped a batch")
+    // replays of EITHER lineage are wholesale no-ops
+    IndexIngest.ivfAppendSink(idx, "appA")(
+      a0.toDF("vec_id", "embedding"), 0L)
+    IndexIngest.ivfAppendSink(idx, "appB")(
+      b0.toDF("vec_id", "embedding"), 0L)
+    assert(stored() == 31, "replay within a lineage must be a no-op")
+    // each lineage's next batch still appends
+    IndexIngest.ivfAppendSink(idx, "appA")(
+      a1.toDF("vec_id", "embedding"), 1L)
+    assert(stored() == 35)
+    // a legacy single-number mark file reads as the DEFAULT lineage's
+    // mark (pre-map artifacts keep their replay protection): the
+    // replay check runs BEFORE manifest validation, so the default
+    // sink must skip batch 9 against the bare "9" file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "stream_state"), "9".getBytes("UTF-8"))
+    IndexIngest.ivfAppendSink(idx)(
+      a0.toDF("vec_id", "embedding"), 9L)
+    assert(stored() == 35, "legacy mark must gate the default lineage")
+  }
+
+  test("paired-generation retrain: probes mid-retrain see the old pair whole, never mixed; marks survive the swap") {
+    // the generation-pointer posture closes the cross-artifact publish
+    // gap of the in-place gate: the retrain builds the COMPLETE next
+    // generation (IVF then PQ) beside the serving one and swaps one
+    // pointer atomically — a probe that resolves the pair can only
+    // observe old-complete or new-complete, even in the window between
+    // the two artifact builds (where the in-place posture serves
+    // new-IVF + old-PQ).
+    import spark.implicits._
+    import graft.stream.IndexIngest
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(12)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 120L).map(i => (i, vec()))
+    val pairBase = java.nio.file.Files.createTempDirectory("graft-pair")
+      .resolve("ivfpq").toString
+    assert(IndexIngest.bootstrapPair(pairBase,
+      baseVecs.toDF("vec_id", "embedding"))
+      == IndexIngest.BootstrapStatus.Built)
+    assert(IndexIngest.currentGen(pairBase).contains("g0"))
+    // a stale generation remnant (crashed ancient retrain) to prove
+    // the retention sweep; and the serving pair resolves consistently
+    val stale = java.nio.file.Paths.get(pairBase, "g_stale")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("junk"), "x".getBytes("UTF-8"))
+    def listRows(iv: String) = spark.read
+      .schema(graft.llm.Similarity.invertedListSchema)
+      .parquet(s"$iv/assignments").count()
+    def servedSet(): Set[(Long, Long)] = {
+      val (iv, pq) = IndexIngest.resolvePair(pairBase)
+      // pair consistency: both bases under ONE generation dir, both
+      // valid, both at the same (content) fingerprint
+      val gi = new java.io.File(iv).getParentFile
+      val gp = new java.io.File(pq).getParentFile
+      assert(gi == gp, s"pair resolved across generations: $gi vs $gp")
+      val fi = graft.io.ArtifactStore.currentFingerprint(iv)
+      val fp = graft.io.ArtifactStore.currentFingerprint(pq)
+      assert(fi.isDefined && fi == fp,
+        s"pair fingerprints diverge: $fi vs $fp")
+      val panel = spark.read
+        .schema(graft.llm.Similarity.invertedListSchema)
+        .parquet(s"$iv/assignments")
+        .filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"), col("norm"))
+      graft.llm.Similarity.storedIvfPqServeFrom(spark, panel, iv, pq)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // grow through the paired sinks (degrading recall vs the frozen
+    // g0 models), then snapshot what the old pair serves
+    IndexIngest.ivfAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    IndexIngest.pqAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    val servedBefore = servedSet()
+    assert(servedBefore.nonEmpty)
+    var midChecked = false
+    val (q, h, fired, retrained) = IndexIngest.recallGateAndRetrainPaired(
+      spark, pairBase, 4, () => {
+        // the widest point of the old mixed window: new IVF built,
+        // PQ training not started — the pointer must still name g0
+        // and the served answer must be EXACTLY the pre-retrain one
+        assert(IndexIngest.currentGen(pairBase).contains("g0"),
+          "pointer must not move before the pair is complete")
+        assert(servedSet() == servedBefore,
+          "mid-retrain probes must see the old generation, unchanged")
+        midChecked = true
+      })
+    assert(q == 15, s"audit panel: 15 vec%4==0 ids, got $q")
+    assert(fired, s"frozen-model appends should violate the SLO (hits $h)")
+    assert(retrained && midChecked)
+    assert(IndexIngest.currentGen(pairBase).contains("g1"))
+    val (iv1, pq1) = IndexIngest.resolvePair(pairBase)
+    assert(listRows(iv1) == 60)
+    assert(servedSet().nonEmpty, "the new pair must serve")
+    // retention: the stale remnant is gone, the just-replaced g0
+    // survives as the reader grace copy
+    assert(!java.nio.file.Files.exists(stale), "stale generations swept")
+    assert(graft.io.ArtifactStore
+      .currentFingerprint(s"$pairBase/g0/ivf").isDefined,
+      "the previous generation is kept for in-flight readers")
+    // replay marks survived the swap: the committed batch is a
+    // wholesale no-op against the NEW generation…
+    IndexIngest.ivfAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    IndexIngest.pqAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(listRows(iv1) == 60, "replay after swap must not double-ingest")
+    // …and a LATER batch still appends to the new generation
+    val b2 = (200L until 205L).map(i => (i, vec()))
+    IndexIngest.ivfAppendSinkPaired(pairBase)(
+      b2.toDF("vec_id", "embedding"), 1L)
+    IndexIngest.pqAppendSinkPaired(pairBase)(
+      b2.toDF("vec_id", "embedding"), 1L)
+    assert(listRows(iv1) == 65)
+    assert(spark.read.schema(graft.llm.Similarity.pqCodesSchema)
+      .parquet(s"$pq1/codes").count() == 65)
   }
 
   test("streaming LSH ingest: appended postings serve the dedup probe exactly") {

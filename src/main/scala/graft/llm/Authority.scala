@@ -270,8 +270,7 @@ object Authority {
 
   // ---------------------------------------------------------------- g04
 
-  private val prCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val prCache = graft.io.ValidatedPathCache.single()
   private[graft] val prBuildCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] def prForgetCachedPaths(): Unit = prCache.clear()
@@ -298,7 +297,7 @@ object Authority {
   }
 
   private def pageRankScoresBase(spark: SparkSession, dir: String): String =
-    prCache.computeIfAbsent(dir, _ => {
+    prCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("pagerank-scores", dir)
       val old = clickEvents(spark, dir).filter(!isNewEvent)
       val fp = eventsFp(old)
@@ -309,7 +308,7 @@ object Authority {
       }
       if (built) prBuildCount.incrementAndGet()
       base
-    })
+    }
 
   private val scoresSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("nid",
@@ -399,8 +398,7 @@ object Authority {
     * ([[isNewEvent]] Δ2 stays tonight's batch, as in g04). */
   private val isGen1Event = col("event_id") % 10 === 7
 
-  private val rollCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val rollCache = graft.io.ValidatedPathCache.single()
   private[graft] val rollBuildCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] val rollAppendCount =
@@ -420,7 +418,7 @@ object Authority {
     * is down for the duration, so a crash mid-roll reads as invalid and
     * rebuilds rather than serving half-rolled scores. */
   private def rollScoresBase(spark: SparkSession, dir: String): String =
-    rollCache.computeIfAbsent(dir, _ => {
+    rollCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("pagerank-roll", dir)
       val g0 = clickEvents(spark, dir).filter(!isNewEvent && !isGen1Event)
       val g1 = clickEvents(spark, dir).filter(!isNewEvent)
@@ -446,7 +444,7 @@ object Authority {
       if (built) rollBuildCount.incrementAndGet()
       if (appended) rollAppendCount.incrementAndGet()
       base
-    })
+    }
 
   /** g05: ROLLING authority refresh — the missing half of g04's
     * warm-start story. g04 CONSUMES a stored fixed point but never

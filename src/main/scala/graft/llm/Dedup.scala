@@ -942,8 +942,7 @@ object Dedup {
 
   // ---------------------------------------------------------------- d18
 
-  private val dedupIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dedupIdxCache = graft.io.ValidatedPathCache.single()
   private[graft] val dedupIdxBuildCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] def dedupIdxForgetCachedPaths(): Unit = dedupIdxCache.clear()
@@ -1008,7 +1007,7 @@ object Dedup {
     * Built once per corpus over d10's "standing corpus" split
     * (`doc_id % 3 != 0`), fingerprinted over that side's content. */
   private def dedupIndexBase(spark: SparkSession, dir: String): String =
-    dedupIdxCache.computeIfAbsent(dir, _ => {
+    dedupIdxCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("dedup-index", dir)
       val old = Tables(spark, dir, "documents")
         .filter(col("doc_id") % 3 =!= 0)
@@ -1018,7 +1017,7 @@ object Dedup {
       }
       if (built) dedupIdxBuildCount.incrementAndGet()
       base
-    })
+    }
 
   private[graft] val digestSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("h",
@@ -1100,8 +1099,7 @@ object Dedup {
   private val dedupIncBasePred = col("doc_id") % 3 === 1
   private val dedupIncBatchPred = col("doc_id") % 3 === 2
 
-  private val dedupIncCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dedupIncCache = graft.io.ValidatedPathCache.single()
   private[graft] val dedupIncBuildCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] val dedupIncAppendCount =
@@ -1122,7 +1120,7 @@ object Dedup {
     * job scans only the new batch — the indexed corpus is never
     * re-fingerprinted, let alone re-shingled. */
   private def dedupIncIndexBase(spark: SparkSession, dir: String): String =
-    dedupIncCache.computeIfAbsent(dir, _ => {
+    dedupIncCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("dedup-index-inc", dir)
       val docs = Tables(spark, dir, "documents")
       val (nA, xA) = docsFingerprintParts(docs.filter(dedupIncBasePred))
@@ -1136,7 +1134,7 @@ object Dedup {
       if (built) dedupIncBuildCount.incrementAndGet()
       if (appended) dedupIncAppendCount.incrementAndGet()
       base
-    })
+    }
 
   /** d19: the persisted dedup index kept CURRENT — yesterday's index
     * plus tonight's adjudicated batch, appended without rebuilding

@@ -103,8 +103,7 @@ object Retrieval {
     * Everything stored is an exact integer, so parquet round-trips
     * bit-identically and the unchanged DuckDB oracles (which replay
     * the build chain in SQL) still hash-match every probe. */
-  private val bm25Cache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bm25Cache = graft.io.ValidatedPathCache.single()
   private[graft] val bm25BuildCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] def bm25ForgetCachedPaths(): Unit = bm25Cache.clear()
@@ -119,7 +118,7 @@ object Retrieval {
   }
 
   private[graft] def bm25IndexBase(spark: SparkSession, dir: String): String =
-    bm25Cache.computeIfAbsent(dir, _ => {
+    bm25Cache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("bm25-index", dir)
       val fp = docsFingerprint(spark, dir)
       val built = graft.io.ArtifactStore.ensure(base, fp) { staging =>
@@ -155,7 +154,7 @@ object Retrieval {
       }
       if (built) bm25BuildCount.incrementAndGet()
       base
-    })
+    }
 
   /** Declared, not inferred — an empty corpus writes a file-less
     * partitioned dir (the EmptyInputSpec contract), and an index
@@ -256,8 +255,7 @@ object Retrieval {
     * DELTA segment — ~1/9 of the docs, a realistic nightly fraction). */
   private val incDocPred = col("doc_id") % 9 === 4
 
-  private val bm25IncCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bm25IncCache = graft.io.ValidatedPathCache.single()
   private[graft] val bm25IncBuildCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] val bm25IncAppendCount =
@@ -328,7 +326,7 @@ object Retrieval {
     * fingerprint is derived `(nA+nB, xA^xB)`: the nightly job scans
     * only the batch. */
   private def bm25IncIndexBase(spark: SparkSession, dir: String): String =
-    bm25IncCache.computeIfAbsent(dir, _ => {
+    bm25IncCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("bm25-index-inc", dir)
       val (nA, xA) = docsFingerprintParts(spark, dir, !incDocPred)
       val (nB, xB) = docsFingerprintParts(spark, dir, incDocPred)
@@ -349,7 +347,7 @@ object Retrieval {
       if (built) bm25IncBuildCount.incrementAndGet()
       if (appended) bm25IncAppendCount.incrementAndGet()
       base
-    })
+    }
 
   private[graft] val segPostingsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", LongType),

@@ -127,8 +127,7 @@ object Similarity {
     * pruned file set as current. `ivfTrainCount` increments on actual
     * training only, so the spec can pin "at most one training pass
     * ever serves s02 + d11 + s14 + s15". */
-  private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfIndexCache = graft.io.ValidatedPathCache.single()
   private[graft] val ivfTrainCount = new java.util.concurrent.atomic.AtomicInteger
 
   /** Test hook: forget the per-JVM path cache (NOT the on-disk
@@ -196,14 +195,14 @@ object Similarity {
     * (ivfRankedCte replays the training chain in SQL) still hash-match
     * every probe query. */
   private[graft] def ivfIndexBase(spark: SparkSession, dir: String): String =
-    ivfIndexCache.computeIfAbsent(dir, _ => {
+    ivfIndexCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("ivf-index", dir)
       val fp = corpusFingerprint(spark, dir)
       val trained =
         graft.io.ArtifactStore.ensure(base, fp)(ivfBuildInto(spark, dir, _))
       if (trained) ivfTrainCount.incrementAndGet()
       base
-    })
+    }
 
   /** THE IVF build pipeline (train centroids → assign every vector →
     * cell-major write), parameterized on the vector SOURCE `(vec_id,
@@ -881,8 +880,7 @@ object Similarity {
 
   // ---------------------------------------------------------------- s21
 
-  private val pqIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pqIndexCache = graft.io.ValidatedPathCache.single()
   private[graft] val pqTrainCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] def pqForgetCachedPaths(): Unit = pqIndexCache.clear()
@@ -915,14 +913,14 @@ object Similarity {
     * are value-identical to the live chain — s21's oracle is s20's SQL
     * verbatim. */
   private[graft] def pqIndexBase(spark: SparkSession, dir: String): String =
-    pqIndexCache.computeIfAbsent(dir, _ => {
+    pqIndexCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("pq-index", dir)
       val fp = corpusFingerprint(spark, dir)
       val trained = graft.io.ArtifactStore.ensure(base, fp)(
         pqBuildInto(spark, dir, _, ivfIndexBase(spark, dir)))
       if (trained) pqTrainCount.incrementAndGet()
       base
-    })
+    }
 
   /** THE PQ build pipeline (train codebook → encode every vector
     * against the STORED codebook → cell-major write), parameterized on
@@ -1110,8 +1108,7 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
-  private val gtCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val gtCache = graft.io.ValidatedPathCache.single()
   private[graft] val gtBuildCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] def gtForgetCachedPaths(): Unit = gtCache.clear()
@@ -1133,7 +1130,7 @@ object Similarity {
     * the live computation ([[exactTruth10Live]]) — oracles keep
     * replaying the computation itself. */
   private def gtBase(spark: SparkSession, dir: String): String =
-    gtCache.computeIfAbsent(dir, _ => {
+    gtCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("gt-top10", dir)
       val fp = corpusFingerprint(spark, dir)
       val built = graft.io.ArtifactStore.ensure(base, fp) { staging =>
@@ -1142,7 +1139,7 @@ object Similarity {
       }
       if (built) gtBuildCount.incrementAndGet()
       base
-    })
+    }
 
   /** Exact ground truth for the audit family (s23/s24/s25), read from
     * the persisted [[gtBase]] artifact: per `queryPred` query the
@@ -1285,8 +1282,7 @@ object Similarity {
 
   // ---------------------------------------------------------------- s24
 
-  private val rtIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val rtIndexCache = graft.io.ValidatedPathCache.pair()
   private[graft] val rtTrainCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] def rtForgetCachedPaths(): Unit = rtIndexCache.clear()
@@ -1315,7 +1311,7 @@ object Similarity {
     * lets the spec observe that the loop FIRED, and what a pointer
     * swap needs either way. */
   private def rtIndexBases(spark: SparkSession, dir: String): (String, String) =
-    rtIndexCache.computeIfAbsent(dir, _ => {
+    rtIndexCache.get(dir) {
       val fp = corpusFingerprint(spark, dir)
       val ivfBase = graft.io.ArtifactStore.artifactPath("ivf-index-rt", dir)
       val ivfBuilt = graft.io.ArtifactStore.ensure(ivfBase, fp)(
@@ -1325,7 +1321,7 @@ object Similarity {
         pqBuildInto(spark, dir, _, ivfBase))
       if (ivfBuilt || pqBuilt) rtTrainCount.incrementAndGet()
       (ivfBase, pqBase)
-    })
+    }
 
   /** Recall SLO floor, as a numerator over 10: the retrain arms iff
     * audited `10·hits < RecallFloorNum · truthRows` — i.e. mean recall
@@ -1414,8 +1410,7 @@ object Similarity {
 
   // ---------------------------------------------------------------- s22
 
-  private val pqIncCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pqIncCache = graft.io.ValidatedPathCache.single()
   private[graft] val pqIncTrainCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] val pqIncAppendCount =
@@ -1434,7 +1429,7 @@ object Similarity {
     * the lifecycle. Union fingerprint derived `(nA+nB, xA^xB)`: the
     * nightly job scans only the batch, never the indexed corpus. */
   private def pqIncIndexBase(spark: SparkSession, dir: String): String =
-    pqIncCache.computeIfAbsent(dir, _ => {
+    pqIncCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("pq-index-inc", dir)
       val ivfBase = ivfIncIndexBase(spark, dir)
       val (nA, xA) = fingerprintParts(spark, dir, !incBatchPred)
@@ -1467,7 +1462,7 @@ object Similarity {
       if (trained) pqIncTrainCount.incrementAndGet()
       if (applied) pqIncAppendCount.incrementAndGet()
       base
-    })
+    }
 
   /** s22: incremental IVF-PQ — tonight's crawl batch joins the
     * COMPRESSED index without any retraining: vectors appended to the
@@ -1885,8 +1880,7 @@ object Similarity {
     * vectors — a realistic nightly-batch fraction. */
   private val incBatchPred = col("vec_id") % 7 === 3
 
-  private val ivfIncCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfIncCache = graft.io.ValidatedPathCache.single()
   private[graft] val ivfIncTrainCount =
     new java.util.concurrent.atomic.AtomicInteger
   private[graft] val ivfIncAppendCount =
@@ -1912,7 +1906,7 @@ object Similarity {
     * fingerprint comes from the artifact's own marker, never from
     * re-reading the indexed corpus ([[fingerprintParts]]). */
   private def ivfIncIndexBase(spark: SparkSession, dir: String): String =
-    ivfIncCache.computeIfAbsent(dir, _ => {
+    ivfIncCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("ivf-index-inc", dir)
       val (nA, xA) = fingerprintParts(spark, dir, !incBatchPred)
       val (nB, xB) = fingerprintParts(spark, dir, incBatchPred)
@@ -1941,7 +1935,7 @@ object Similarity {
       if (trained) ivfIncTrainCount.incrementAndGet()
       if (applied) ivfIncAppendCount.incrementAndGet()
       base
-    })
+    }
 
   /** s16: incremental index update — tonight's crawl batch (1/7 of the
     * vectors) is appended to the persisted IVF index by assignment to

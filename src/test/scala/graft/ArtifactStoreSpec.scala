@@ -420,6 +420,47 @@ class ArtifactStoreSpec extends AnyFunSuite {
     })
   }
 
+  test("validated path cache: a retrain or sweep under a cached path is observed on the next read") {
+    // the serving paths memoize corpus→base per JVM; a bare path memo
+    // kept serving the old generation after ANOTHER process retrained
+    // or gc-swept the base (VERDICT r11 #3). The cache must store the
+    // fingerprint as validated and re-run the refresh when the marker
+    // moved. The "other JVM" is simulated by mutating the artifact
+    // directly, bypassing the cache.
+    val base = freshBase()
+    val cache = graft.io.ValidatedPathCache.single()
+    var refreshes = 0
+    def resolve(): String = cache.get("corpus") {
+      refreshes += 1
+      ArtifactStore.ensure(base, s"fp-gen$refreshes")(
+        writeData(_, "part-0", s"gen$refreshes"))
+      base
+    }
+    assert(resolve() == base && refreshes == 1)
+    assert(resolve() == base && refreshes == 1,
+      "a validated entry must serve without re-running the ensure round")
+    // another JVM retrains the corpus to a new generation
+    assert(ArtifactStore.ensure(base, "fp-other")(
+      writeData(_, "part-0", "other")))
+    assert(resolve() == base && refreshes == 2,
+      "a moved fingerprint must invalidate the memo and re-refresh")
+    assert(ArtifactStore.isCurrent(base, "fp-gen2"),
+      "the re-refresh re-ensured this JVM's expected generation")
+    assert(resolve() == base && refreshes == 2, "and re-validates after")
+    // a gc sweep (marker gone entirely) is observed the same way
+    Files.delete(Paths.get(base, "_FINGERPRINT"))
+    assert(resolve() == base && refreshes == 3,
+      "a swept marker must invalidate the memo")
+    // a refresh that does NOT leave a valid artifact is served but
+    // not cached — the next read retries instead of pinning a husk
+    val cache2 = graft.io.ValidatedPathCache.single()
+    val ghost = freshBase()
+    var tries = 0
+    def resolveGhost(): String = cache2.get("corpus") { tries += 1; ghost }
+    resolveGhost(); resolveGhost()
+    assert(tries == 2, "an invalid resolution must not be memoized")
+  }
+
   test("non-local artifact roots fail loudly; file: URIs decode to the local path") {
     // the publish protocol is advisory locks + atomic rename — absent
     // on HDFS/object stores. A non-local root must fail at first touch

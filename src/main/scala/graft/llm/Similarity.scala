@@ -1075,6 +1075,113 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- s27
+
+  /** The fixed target label of the label-partitioned filtered search.
+    * A constant (not per-query) target is the layout's sweet spot:
+    * the equality lands on a PARTITION column and prunes statically —
+    * the scan never even lists another label's dirs. */
+  val LblTarget = 3
+
+  private val lblPqCache = graft.io.ValidatedPathCache.single()
+  private[graft] val lblBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def lblForgetCachedPaths(): Unit = lblPqCache.clear()
+
+  /** Stored-codes read schema of the label-partitioned code table
+    * (declared, not inferred — empty partition dirs again). */
+  private[graft] val lblCodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", LongType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("label",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cell", LongType)))
+
+  /** The LABEL-PARTITIONED code table — the layout answer to s26's
+    * post-filter pool starvation (its scaladoc names this fix): under
+    * a highly-selective metadata predicate, post-filtering the ADC
+    * pool can starve it to fewer than k eligible candidates, so the
+    * production posture bakes the metadata dimension INTO the index
+    * layout (Faiss's `IDSelector` pushed down to per-label inverted
+    * lists; every vector DB's "metadata-partitioned collection").
+    * Layout: `codes/` = `(vec_id, codes) PARTITIONED BY (label,
+    * cell)` — the probe's label equality prunes to 1/|labels| of the
+    * table BEFORE any byte is read, and the cell candidacy prunes
+    * within that as usual; `codebook/` rides along so the artifact is
+    * self-contained. Derived from the serving PQ artifact (same
+    * codebook, same cells — one training, two layouts), built once
+    * per corpus fingerprint. */
+  private[graft] def lblPqIndexBase(spark: SparkSession, dir: String): String =
+    lblPqCache.get(dir) {
+      val base = graft.io.ArtifactStore.artifactPath("pq-index-lbl", dir)
+      val fp = corpusFingerprint(spark, dir)
+      val pqBase = pqIndexBase(spark, dir)
+      val built = graft.io.ArtifactStore.ensure(base, fp) { staging =>
+        spark.read.parquet(s"$pqBase/codebook").coalesce(1)
+          .write.mode("overwrite").parquet(s"$staging/codebook")
+        val codes = spark.read.schema(pqCodesSchema)
+          .parquet(s"$pqBase/codes")
+        val labels = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("label"))
+        graft.io.Store.writePartitionedParquet(
+          codes.join(labels, "vec_id"),
+          s"$staging/codes", Seq("label", "cell"), Seq("vec_id"))
+      }
+      if (built) lblBuildCount.incrementAndGet()
+      base
+    }
+
+  /** s27: label-partitioned filtered vector search — "top-5 neighbors
+    * WITH label = [[LblTarget]]" served from the `(label, cell)`-
+    * partitioned code table. The filter applies BEFORE the ADC pool
+    * (pre-filter: only target-label codes are ever scanned or
+    * ranked), so the [[RerankPool]] is full of ELIGIBLE candidates no
+    * matter how selective the label is — the starvation s26's
+    * post-filter admits cannot happen. Plan: probes ⋈ pruned code
+    * scan (label partition equality + cell candidacy), broadcast
+    * LUTs, codegen'd 8-lookup ADC sum, exact refine from the stored
+    * lists. The ADC ranks therefore differ from s26's by design: they
+    * are ranks WITHIN the label, which is the semantics a filtered
+    * query wants. */
+  def s27LabelPartitionedSearch(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val base = lblPqIndexBase(spark, dir)
+    val cb = spark.read.parquet(s"$base/codebook")
+    val stored = spark.read.schema(lblCodesSchema).parquet(s"$base/codes")
+      .filter(col("label") === LblTarget) // partition-column equality
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+    val lut = pqLut(
+      pqSub(pqNv(spark, dir)).filter(col("vec_id") % 4 === 0), cb)
+    val probes = ivfRanked(spark, dir)
+      .filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val pool = probes.join(stored, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), "query_id")
+      .withColumn("score", expr(adcScoreExpr))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"))
+    val fetched = indexVectorFetch(spark, dir)
+    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val cv = fetched.select(col("vec_id").as("neighbor_id"),
+      col("nv").as("cnv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    pool.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** s23: recall@10 audit — the served IVF-PQ list (s20's full chain,
     * off the persisted artifacts) scored against EXACT ground truth
     * (floor-quantized cosine top-10 per query over the whole corpus):
@@ -2035,6 +2142,7 @@ object Similarity {
     "s24_recall_retrain" -> (s24RecallRetrain _),
     "s25_nprobe_sweep" -> (s25NprobeSweep _),
     "s26_filtered_ivfpq" -> (s26FilteredIvfPq _),
+    "s27_label_partitioned" -> (s27LabelPartitionedSearch _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
@@ -2513,6 +2621,45 @@ object Similarity {
     * scale, cross-label filter, exact re-rank to 5. (The tail's own
     * `ex`/`r` CTEs go unreferenced here and are pruned by the
     * planner.) */
+  /** s27 oracle: the PQ chain + IVF probe replay with the candidate
+    * set RESTRICTED to the target label BEFORE the ADC pool — exactly
+    * what the label-partitioned scan serves: candidates are probed-
+    * cell members carrying label = [[LblTarget]]; the pool of 32 is
+    * ranked within that set, then exact-refined to top-5. */
+  def s27Sql: String = pqAdcCte + ivfChainCte() +
+    s""", probes AS (
+       |  SELECT cell, vec_id AS query_id FROM iranked
+       |  WHERE cell_rank <= 3 AND vec_id % 4 = 0
+       |), lcand AS (
+       |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
+       |  FROM probes p
+       |  JOIN (SELECT cell, vec_id FROM iranked WHERE cell_rank = 1) i
+       |    USING (cell)
+       |  JOIN embeddings l ON l.vec_id = i.vec_id AND l.label = $LblTarget
+       |  WHERE p.query_id <> i.vec_id
+       |), lpool AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |        ORDER BY s.score DESC, s.neighbor_id) AS ar
+       |    FROM sc s JOIN lcand USING (query_id, neighbor_id))
+       |  WHERE ar <= $RerankPool
+       |), lex AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+       |      AS score
+       |  FROM lpool p
+       |  JOIN nv q ON q.vec_id = p.query_id
+       |  JOIN nv c ON c.vec_id = p.neighbor_id
+       |), lr AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rn
+       |  FROM lex
+       |)
+       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, score
+       |FROM lr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   def s26Sql: String = pqAdcCte + ivfChainCte() +
     ivfPqTailCtes("vec_id % 4 = 0") +
     """, labels AS (
@@ -2944,6 +3091,7 @@ object Similarity {
     "s24_recall_retrain" -> s24Sql,
     "s25_nprobe_sweep" -> s25Sql,
     "s26_filtered_ivfpq" -> s26Sql,
+    "s27_label_partitioned" -> s27Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

@@ -1186,6 +1186,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s23_recall_audit", // ground truth is DEFINITIONALLY exact all-pairs (offline audit)
       "s25_nprobe_sweep", // s21's centroid fan-out + the same exact-truth audit pass
       "s26_filtered_ivfpq", // s21's centroid fan-out; labels join at pool scale
+      "s27_label_partitioned", // same centroid fan-out; the label filter prunes partitions (own pin)
       // (s24_recall_retrain needs no entry: its returned frame is the
       // 2-row audit report — the serving/truth chains execute inside
       // storedIvfPqServe/exactTruth10, already covered above)
@@ -1601,6 +1602,48 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
     assert(embScans.length <= 2,
       s"s21 scans embeddings ${embScans.length}x — corpus reads must be query-side only")
+  }
+
+  test("s27 label partitions: the target-label equality prunes the code-table scan") {
+    // the layout contract of the label-partitioned PQ artifact: the
+    // metadata filter lands on a PARTITION column, so the serving
+    // scan never lists another label's dirs — at 100 TB the
+    // difference between reading 1/|labels| of the code table and
+    // post-filtering a full scan (s26's documented starvation fix)
+    val s27 = SparkEntry.queries("s27_label_partitioned")(spark, sf)
+    assert(s27.collect().nonEmpty)
+    val plan = s27.queryExecution.sparkPlan // pre-AQE: scans visible
+    // plain collect: the codes scan is in the main tree, and
+    // collectWithSubqueries on a PRE-EXECUTION plan can hit a
+    // still-logical subquery and class-cast
+    val lblScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains("pq-index-lbl")) &&
+          f.relation.location.rootPaths
+            .exists(_.toString.contains("codes")) => f
+    }
+    assert(lblScans.nonEmpty, "s27 must read the label-partitioned codes")
+    val read = lblScans.map(_.selectedPartitions.partitionCount).sum
+    assert(read <= 16,
+      s"the label=3 equality must prune to one label's cell dirs " +
+        s"(<=16), read $read")
+    // pruning is real: the unfiltered table has every label's dirs
+    val base = llm.Similarity.lblPqIndexBase(spark, sf)
+    val all = spark.read.schema(llm.Similarity.lblCodesSchema)
+      .parquet(s"$base/codes")
+    val allScan = all.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("codes must be a parquet scan"))
+    assert(allScan.selectedPartitions.partitionCount > 100,
+      s"the table holds ~10 labels x 16 cells of dirs, saw " +
+        s"${allScan.selectedPartitions.partitionCount}")
+    // and the served rows agree with the layout: only the target label
+    val served = s27.select(col("neighbor_id")).distinct()
+      .join(Tables(spark, sf, "embeddings"),
+        col("neighbor_id") === col("vec_id"))
+    assert(served.filter(col("label") =!= llm.Similarity.LblTarget).count()
+      == 0, "every served neighbor must carry the target label")
   }
 
   test("BM25 postings: a literal term bucket prunes to 1/64 partitions") {

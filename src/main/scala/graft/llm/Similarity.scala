@@ -743,6 +743,31 @@ object Similarity {
     (nv, codes, lut)
   }
 
+  /** The exact-refine tail every compressed-index server shares
+    * (s19/s20/s21/s25/s26/s27 and the artifact serve path): join the
+    * pool's `(query_id, neighbor_id)` pairs to full-precision unit
+    * vectors fetched FROM the stored lists (`fetched` = `(vec_id,
+    * nv)`), score each pair with the floor-quantized exact cosine as
+    * `score`, keep the top-`k` per `partCols` window (just query_id
+    * everywhere except s25, which adds its nprobe axis) as `rn`.
+    * Carried pool columns (adc_rank, n_label, nprobe) pass through;
+    * callers do their own final select/order. One body — a kernel or
+    * tie-break change lands exactly once (VERDICT r11 #6). */
+  private def exactRefine(pool: DataFrame, fetched: DataFrame, k: Int,
+      partCols: Seq[String] = Seq("query_id")): DataFrame = {
+    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val cv = fetched.select(col("vec_id").as("neighbor_id"),
+      col("nv").as("cnv"))
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    pool.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("qnv", "cnv")
+  }
+
   /** Full-precision vector fetch FROM THE INDEX: the stored cell-major
     * inverted lists re-normalized to unit doubles — bit-identical to
     * [[normed]]'s `nv` because the artifact persists the exact source
@@ -804,16 +829,7 @@ object Similarity {
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= RerankPool)
       .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
-    val fetched = indexVectorFetch(spark, dir)
-    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
-    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    pool.join(qv, "query_id").join(cv, "neighbor_id")
-      .withColumn("score",
-        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+    exactRefine(pool, indexVectorFetch(spark, dir), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("adc_rank").cast("integer").as("adc_rank"))
@@ -862,16 +878,7 @@ object Similarity {
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= RerankPool)
       .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
-    val fetched = indexVectorFetch(spark, dir)
-    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
-    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    pool.join(qv, "query_id").join(cv, "neighbor_id")
-      .withColumn("score",
-        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+    exactRefine(pool, indexVectorFetch(spark, dir), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("adc_rank").cast("integer").as("adc_rank"))
@@ -999,16 +1006,7 @@ object Similarity {
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= RerankPool)
       .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
-    val fetched = indexVectorFetch(spark, dir)
-    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
-    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    pool.join(qv, "query_id").join(cv, "neighbor_id")
-      .withColumn("score",
-        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+    exactRefine(pool, indexVectorFetch(spark, dir), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("adc_rank").cast("integer").as("adc_rank"))
@@ -1060,16 +1058,7 @@ object Similarity {
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label")), "neighbor_id")
       .filter(col("q_label") =!= col("n_label"))
-    val fetched = indexVectorFetch(spark, dir)
-    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
-    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    filtered.join(qv, "query_id").join(cv, "neighbor_id")
-      .withColumn("score",
-        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    exactRefine(filtered, indexVectorFetch(spark, dir), 5)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("n_label"), col("score"))
       .orderBy(col("query_id"), col("rn"))
@@ -1166,17 +1155,7 @@ object Similarity {
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= RerankPool)
       .select(col("query_id"), col("neighbor_id"))
-    val fetched = indexVectorFetch(spark, dir)
-    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
-    val cv = fetched.select(col("vec_id").as("neighbor_id"),
-      col("nv").as("cnv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    pool.join(qv, "query_id").join(cv, "neighbor_id")
-      .withColumn("score",
-        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    exactRefine(pool, indexVectorFetch(spark, dir), 5)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"))
       .orderBy(col("query_id"), col("rn"))
@@ -1344,16 +1323,8 @@ object Similarity {
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= RerankPool)
       .select(col("nprobe"), col("query_id"), col("neighbor_id"))
-    val fetched = indexVectorFetch(spark, dir)
-    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
-    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
-    val wEx = Window.partitionBy(col("nprobe"), col("query_id"))
-      .orderBy(col("exact").desc, col("neighbor_id").asc)
-    val served = pool.join(qv, "query_id").join(cv, "neighbor_id")
-      .withColumn("exact",
-        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
-      .withColumn("rn", row_number().over(wEx))
-      .filter(col("rn") <= 10)
+    val served = exactRefine(pool, indexVectorFetch(spark, dir), 10,
+        Seq("nprobe", "query_id"))
       .select(col("nprobe"), col("query_id"), col("neighbor_id"))
     // ground truth computed once, replicated per setting by explode
     // (3 literal rows — no join against the corpus)
@@ -1645,15 +1616,7 @@ object Similarity {
       .withColumn("nv",
         expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
       .select(col("vec_id"), col("nv"))
-    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
-    val cv = fetched.select(col("vec_id").as("neighbor_id"), col("nv").as("cnv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    pool.join(qv, "query_id").join(cv, "neighbor_id")
-      .withColumn("score",
-        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+    exactRefine(pool, fetched, 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("adc_rank").cast("integer").as("adc_rank"))

@@ -225,11 +225,15 @@ object ArtifactStore {
 
   /** Roll a crashed publish BACK: restore every child stranded in
     * `.tmp-old-*` aside dirs over its (possibly already-swapped) base
-    * child. Only meaningful on a marker-less base — a valid marker
-    * means the publish completed and any aside remnant is garbage, so
-    * this is a no-op then. After restore the OLD generation's file
-    * set is complete in the base (still unmarked — the caller decides
-    * whether to re-mark from self-derived state or rebuild); the NEW
+    * child — INCLUDING the old marker, which the publish renames
+    * aside rather than deletes, so after restore the OLD generation
+    * is complete AND VALID again (no family-specific re-marking
+    * needed; this is what makes the roll-back safe for artifacts
+    * whose fingerprint cannot be recomputed from the stored rows).
+    * Only meaningful on a marker-less base — a valid marker means the
+    * publish completed and any aside remnant is garbage, so this is a
+    * no-op then. The marker is restored LAST: a crash mid-restore
+    * leaves it in the aside and the retry is idempotent. The NEW
     * generation's partial staging remains an orphan for the next
     * reap. Runs under the base lock. Returns true iff anything was
     * restored. */
@@ -246,16 +250,41 @@ object ArtifactStore {
         var restored = false
         asides.foreach { a =>
           val c = Files.list(a)
-          try c.iterator.asScala.toSeq.foreach { child =>
+          val children =
+            try c.iterator.asScala.toSeq finally c.close()
+          val (marker, data) =
+            children.partition(_.getFileName.toString == MarkerName)
+          (data ++ marker).foreach { child =>
             val target = basePath.resolve(child.getFileName)
             deleteRecursively(target)
             Files.move(child, target, StandardCopyOption.ATOMIC_MOVE)
             restored = true
-          } finally c.close()
+          }
           Files.delete(a)
         }
         restored
       }
+    }
+  }
+
+  /** Lock-free currency check for READ paths ([[graft.io
+    * .ValidatedPathCache]]'s fast path): same marker + manifest
+    * validation as [[isCurrent]] but without taking the publish lock,
+    * so a cached reader is never blocked behind a concurrent
+    * rebuild's entire training body — during which the OLD artifact
+    * is marked, intact and serving by design. Concurrent renames can
+    * only produce a FALSE NEGATIVE (the reader then re-runs its
+    * ensure round, which does lock); a torn positive is impossible —
+    * the marker swaps atomically and validation demands the on-disk
+    * set match its manifest exactly. */
+  def isCurrentUnlocked(base: String, fingerprint: String): Boolean = {
+    val basePath = Paths.get(requireLocalRoot(base))
+    try validFingerprint(basePath).contains(fingerprint)
+    catch {
+      // a file deleted between the walk and its stat (mid-publish
+      // rename sweep) reads as "not current", never as an error
+      case _: java.io.IOException | _: java.io.UncheckedIOException =>
+        false
     }
   }
 
@@ -299,11 +328,19 @@ object ArtifactStore {
     val staging = basePath.resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.createDirectories(staging)
     build(staging.toString)
-    // the marker is deleted only NOW: `build` (often several Spark
+    // the marker comes down only NOW: `build` (often several Spark
     // jobs) ran against a still-valid previous artifact, so a crash
     // inside it leaves that artifact marked, intact and serving — the
-    // invalidation window is just the sweep + rename + re-mark below
-    Files.deleteIfExists(basePath.resolve(MarkerName))
+    // invalidation window is just the sweep + rename + re-mark below.
+    // It is RENAMED into the aside dir, not deleted: together with the
+    // asided children it is a complete, re-markable copy of the old
+    // generation, so [[restoreAside]] can roll a crashed publish back
+    // to a FULLY VALID artifact — marker included — for every family,
+    // even those whose fingerprint is not recomputable from the
+    // stored rows (BM25/LSH hash the raw doc text, which postings do
+    // not carry; review-caught).
+    val aside = basePath.resolve(s".tmp-old-${java.util.UUID.randomUUID}")
+    moveAside(aside, basePath.resolve(MarkerName))
     val staged = {
       val s = Files.list(staging)
       try s.iterator.asScala.map(_.getFileName.toString).toSet
@@ -311,7 +348,6 @@ object ArtifactStore {
     }
     // the wholesale-replace sweep moves unstaged live children ASIDE
     // (not delete): pre-marker, every old byte must stay recoverable
-    val aside = basePath.resolve(s".tmp-old-${java.util.UUID.randomUUID}")
     val live = Files.list(basePath)
     try live.iterator.asScala.toSeq
       .filter { p =>
@@ -398,13 +434,15 @@ object ArtifactStore {
           val staging = basePath.resolve(s".tmp-${java.util.UUID.randomUUID}")
           Files.createDirectories(staging)
           rewriteFn(base, staging.toString)
-          // marker deleted only after the rewrite body completed: a
+          // marker down only after the rewrite body completed: a
           // crash inside a long compaction/retrain leaves the old
-          // artifact valid and serving (the gate's self-heals then
-          // cover only the short rename window, not whole trainings)
-          Files.deleteIfExists(basePath.resolve(MarkerName))
-          publishStaged(basePath, staging, fp,
-            basePath.resolve(s".tmp-old-${java.util.UUID.randomUUID}"))
+          // artifact valid and serving. Renamed aside (not deleted)
+          // so a crashed publish rolls back to a fully VALID old
+          // generation, marker included ([[restoreAside]]).
+          val aside =
+            basePath.resolve(s".tmp-old-${java.util.UUID.randomUUID}")
+          moveAside(aside, basePath.resolve(MarkerName))
+          publishStaged(basePath, staging, fp, aside)
           true
       }
     }

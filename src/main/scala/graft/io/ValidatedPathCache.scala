@@ -12,12 +12,19 @@ package graft.io
   *
   * This cache therefore stores the `(base, fingerprint)` pair AS
   * VALIDATED and re-checks the marker on every read
-  * ([[ArtifactStore.isCurrent]] — a lock + manifest walk, file ops
-  * only, no Spark job, no corpus scan): a mismatch drops the entry
-  * and re-runs the caller's `refresh` (its normal ensure round),
-  * which revalidates against — or rebuilds to — the current corpus.
-  * The fast path costs a few dozen stats per QUERY (not per row);
-  * the slow path runs exactly when the artifact actually moved.
+  * ([[ArtifactStore.isCurrentUnlocked]] — a LOCK-FREE manifest walk,
+  * file ops only, no Spark job, no corpus scan: taking the publish
+  * lock here would block every cached reader behind a concurrent
+  * rebuild's whole training body, during which the old artifact is
+  * valid and serving by design; a racing rename can only produce a
+  * false negative, which falls through to the locking refresh). A
+  * mismatch drops the entry and re-runs the caller's `refresh` (its
+  * normal ensure round), which revalidates against — or rebuilds
+  * to — the current corpus. The fast path costs one stat per
+  * manifest file per QUERY (not per row) — O(part files), so a
+  * heavily-fragmented streamed artifact pays more until compaction,
+  * still driver-side milliseconds; the slow path runs exactly when
+  * the artifact actually moved.
   *
   * `A` is the resolution the call site returns (a base path, or a
   * pair of them); `basesOf` lists the artifact bases it stands for —
@@ -41,7 +48,7 @@ final class ValidatedPathCache[A](basesOf: A => Seq[String]) {
   def get(key: String)(refresh: => A): A = {
     val cur = m.get(key)
     if (cur != null && cur._2.forall { case (b, fp) =>
-        ArtifactStore.isCurrent(b, fp) })
+        ArtifactStore.isCurrentUnlocked(b, fp) })
       cur._1
     else {
       val v = refresh

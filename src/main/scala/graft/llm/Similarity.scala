@@ -1102,10 +1102,27 @@ object Similarity {
     * self-contained. Derived from the serving PQ artifact (same
     * codebook, same cells — one training, two layouts), built once
     * per corpus fingerprint. */
+  /** Fingerprint covering the LABEL column too: this artifact's
+    * content bakes labels into the partition layout, so a label-only
+    * backfill (vec_id + embedding unchanged — exactly the metadata
+    * dimension the layout serves) must read as a different corpus and
+    * rebuild, where [[corpusFingerprint]] would wrongly revalidate
+    * and s27 would serve neighbors filtered by STALE labels
+    * (review-caught r12). */
+  private def labeledCorpusFingerprint(spark: SparkSession,
+      dir: String): String = {
+    val r = Tables(spark, dir, "embeddings")
+      .select(xxhash64(to_json(struct(col("vec_id"), col("embedding"),
+        col("label")))).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
+      .collect()(0)
+    fpString(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   private[graft] def lblPqIndexBase(spark: SparkSession, dir: String): String =
     lblPqCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("pq-index-lbl", dir)
-      val fp = corpusFingerprint(spark, dir)
+      val fp = labeledCorpusFingerprint(spark, dir)
       val pqBase = pqIndexBase(spark, dir)
       val built = graft.io.ArtifactStore.ensure(base, fp) { staging =>
         spark.read.parquet(s"$pqBase/codebook").coalesce(1)
@@ -2579,11 +2596,6 @@ object Similarity {
        |FROM sscanned n JOIN shits h USING (nprobe)
        |ORDER BY nprobe""".stripMargin
 
-  /** s26 oracle: the IVF-PQ chains + the shared tail through its
-    * `pool` CTE, then the filtered refine — labels joined at pool
-    * scale, cross-label filter, exact re-rank to 5. (The tail's own
-    * `ex`/`r` CTEs go unreferenced here and are pruned by the
-    * planner.) */
   /** s27 oracle: the PQ chain + IVF probe replay with the candidate
     * set RESTRICTED to the target label BEFORE the ADC pool — exactly
     * what the label-partitioned scan serves: candidates are probed-
@@ -2623,6 +2635,11 @@ object Similarity {
        |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, score
        |FROM lr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** s26 oracle: the IVF-PQ chains + the shared tail through its
+    * `pool` CTE, then the filtered refine — labels joined at pool
+    * scale, cross-label filter, exact re-rank to 5. (The tail's own
+    * `ex`/`r` CTEs go unreferenced here and are pruned by the
+    * planner.) */
   def s26Sql: String = pqAdcCte + ivfChainCte() +
     ivfPqTailCtes("vec_id % 4 = 0") +
     """, labels AS (

@@ -100,6 +100,16 @@ object IndexIngest {
     * bootstraps run once per deployment, not per batch). */
   private def bootstrapOnce(base: String, parts: => (Long, Long))(
       build: String => Unit): BootstrapStatus = {
+    // a marker-less base may be a crashed PUBLISH (compaction,
+    // retrain) of a LIVING index whose appended rows exist nowhere
+    // else: roll it back to the valid old generation FIRST — marker
+    // included, so the initialize-only check below sees it. Blindly
+    // falling through to ensure would reap the aside copy as a
+    // staging orphan and silently rebuild from the initial corpus,
+    // losing every streamed append and the replay marks
+    // (review-caught r12).
+    if (ArtifactStore.currentFingerprint(base).isEmpty)
+      ArtifactStore.restoreAside(base)
     val (n, x) = parts
     val offered = fpStr(n, x)
     ArtifactStore.currentFingerprint(base) match {
@@ -450,12 +460,14 @@ object IndexIngest {
   }
 
   /** The gate's heal preamble, shared by both retrain postures: roll
-    * back a crashed publish (old generation split between the base and
-    * a `.tmp-old-*` aside — restore BEFORE anything reads the data
-    * dirs, and before any ensure/rewrite's orphan reap could destroy
-    * the aside copy), then let a marker-less artifact re-mark itself
-    * from its own rows (IVF) or rebuild from its sibling (PQ). Returns
-    * the healed IVF fingerprint. */
+    * back a crashed publish first (old generation split between the
+    * base and a `.tmp-old-*` aside — the restore brings back the old
+    * MARKER too, so the artifact usually revalidates outright, and it
+    * must run before any ensure/rewrite's orphan reap could destroy
+    * the aside copy). The self-heals below then cover only the
+    * residual marker-less-with-data class (aside-less marker loss):
+    * IVF re-marks itself from its own rows, PQ rebuilds from its
+    * sibling. Returns the healed IVF fingerprint. */
   private def healPair(spark: org.apache.spark.sql.SparkSession,
       ivfBase: String, pqBase: String): String = {
     graft.functions.VectorExpressions.register(spark)
@@ -593,16 +605,42 @@ object IndexIngest {
   /** The paired-generation sinks: each micro-batch resolves the
     * CURRENT generation once and appends to that pair. Same replay
     * contract as the fixed-base sinks (the high-water mark lives in
-    * each generation's artifact and is carried across retrains). */
+    * each generation's artifact and is carried across retrains) PLUS
+    * the swap-race guard: if the pointer moved while the batch was
+    * committing, the commit landed on a RETIRED generation whose rows
+    * the new one does not contain — the sink then throws, the
+    * streaming query fails the batch, and the framework's replay
+    * lands on the new generation (whose mark map predates the commit,
+    * so the replay appends instead of skipping). Together with the
+    * gate's pre-swap mark re-check this closes the silent-drop
+    * windows around a concurrent retrain (review-caught r12). */
   def ivfAppendSinkPaired(pairBase: String, appId: String = DefaultApp)(
-      batch: DataFrame, batchId: Long): Unit =
-    ivfAppendSink(resolvePair(pairBase)._1, appId)(batch, batchId)
+      batch: DataFrame, batchId: Long): Unit = {
+    val gen = requireGen(pairBase)
+    ivfAppendSink(genPaths(pairBase, gen)._1, appId)(batch, batchId)
+    requireGenUnmoved(pairBase, gen, batchId)
+  }
 
   /** [[ivfAppendSinkPaired]]'s PQ twin. */
   def pqAppendSinkPaired(pairBase: String, appId: String = DefaultApp)(
       batch: DataFrame, batchId: Long): Unit = {
-    val (ivfBase, pqBase) = resolvePair(pairBase)
+    val gen = requireGen(pairBase)
+    val (ivfBase, pqBase) = genPaths(pairBase, gen)
     pqAppendSink(pqBase, ivfBase, appId)(batch, batchId)
+    requireGenUnmoved(pairBase, gen, batchId)
+  }
+
+  private def requireGen(pairBase: String): String =
+    currentGen(pairBase).getOrElse(throw new IllegalStateException(
+      s"no CURRENT generation at $pairBase — bootstrapPair first"))
+
+  private def requireGenUnmoved(pairBase: String, gen: String,
+      batchId: Long): Unit = {
+    val now = currentGen(pairBase)
+    if (!now.contains(gen)) throw new IllegalStateException(
+      s"generation at $pairBase swapped $gen -> ${now.getOrElse("?")} " +
+        s"during batch $batchId: committed to a retired generation — " +
+        s"failing the batch so the replay lands on the current one")
   }
 
   /** The recall gate over a generation-pointer pair — same
@@ -631,7 +669,8 @@ object IndexIngest {
     val (queries, truthRows, hits) =
       auditRecall(spark, ivfBase, pqBase, panelMod)
     val fired = Similarity.retrainDecision(truthRows, hits)
-    val retrained = fired && readState(ivfBase) == readState(pqBase)
+    val marksBefore = readState(ivfBase)
+    var retrained = fired && marksBefore == readState(pqBase)
     if (retrained) {
       val next = s"g${gen.stripPrefix("g").toLong + 1}"
       val (ivfNew, pqNew) = genPaths(pairBase, next)
@@ -657,21 +696,33 @@ object IndexIngest {
           staging, newLists.select(col("vec_id"), col("cell")))
         copyStateInto(pqBase, staging)
       }
-      swapCurrent(pairBase, next)
-      // retention: keep the just-replaced generation as the reader
-      // grace copy; everything older goes
-      val root = java.nio.file.Paths.get(localBase(pairBase))
-      val l = java.nio.file.Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        l.iterator.asScala.toSeq
-          .filter(p => java.nio.file.Files.isDirectory(p))
-          .filter { p =>
-            val n = p.getFileName.toString
-            n.startsWith("g") && n != next && n != gen
-          }
-          .foreach(ArtifactStore.deleteTree)
-      } finally l.close()
+      // swap-race guard: a sink that committed to g<N> DURING the
+      // builds put rows (and marks) there that g<N+1> does not carry —
+      // swapping would silently drop them. Abandon the swap instead
+      // (the next cycle retrains against the moved fingerprint; the
+      // half-built generation is revalidated-or-rebuilt by ensure).
+      // Together with the sinks' post-commit pointer re-check this
+      // leaves no commit unaccounted for (review-caught r12).
+      if (readState(ivfBase) != marksBefore ||
+          readState(pqBase) != marksBefore) {
+        retrained = false
+      } else swapCurrent(pairBase, next)
+      // retention (only after a real swap): keep the just-replaced
+      // generation as the reader grace copy; everything older goes
+      if (retrained) {
+        val root = java.nio.file.Paths.get(localBase(pairBase))
+        val l = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator.asScala.toSeq
+            .filter(p => java.nio.file.Files.isDirectory(p))
+            .filter { p =>
+              val n = p.getFileName.toString
+              n.startsWith("g") && n != next && n != gen
+            }
+            .foreach(ArtifactStore.deleteTree)
+        } finally l.close()
+      }
     }
     (queries, hits, fired, retrained)
   }

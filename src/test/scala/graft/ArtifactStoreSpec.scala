@@ -211,11 +211,12 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(ArtifactStore.ensure(base, "fp-old")(writeData(_, "part-0", "v1")))
     val basePath = Paths.get(base)
 
-    // position 1: marker deleted, old child asided, staging not yet
-    // moved in (death between the aside-move and the stage-in)
-    Files.delete(basePath.resolve("_FINGERPRINT"))
+    // position 1: marker renamed aside, old child asided, staging not
+    // yet moved in (death between the aside-move and the stage-in)
     val aside1 = basePath.resolve(".tmp-old-crash1")
     Files.createDirectories(aside1)
+    Files.move(basePath.resolve("_FINGERPRINT"),
+      aside1.resolve("_FINGERPRINT"))
     Files.move(basePath.resolve("data"), aside1.resolve("data"))
     val staging1 = basePath.resolve(".tmp-crash1")
     writeData(staging1.toString, "part-0", "v2-unpublished")
@@ -223,24 +224,28 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(ArtifactStore.restoreAside(base), "restore must report work")
     assert(readData(base, "part-0") == "v1",
       "the old generation's file set must be complete after roll-back")
+    // the marker came back with the data: the artifact is VALID again
+    // without any family-specific re-marking — the property that makes
+    // the roll-back safe for families whose fingerprint is not
+    // recomputable from the stored rows (BM25/LSH)
+    assert(ArtifactStore.isCurrent(base, "fp-old"),
+      "roll-back must restore validity, marker included")
     assert(!Files.exists(aside1), "consumed aside dirs are removed")
     assert(Files.exists(staging1),
       "the partial staging stays an orphan for the next reap")
 
-    // re-mark (the streaming self-heal re-derives the fingerprint from
-    // the restored rows; here the spec stands in for it)
-    assert(ArtifactStore.ensure(base, "fp-old")(writeData(_, "part-0", "v1")))
-
     // position 2: death AFTER the new child moved in (old copy only in
     // the aside) — roll-back prefers the old generation wholesale
-    Files.delete(basePath.resolve("_FINGERPRINT"))
     val aside2 = basePath.resolve(".tmp-old-crash2")
     Files.createDirectories(aside2)
+    Files.move(basePath.resolve("_FINGERPRINT"),
+      aside2.resolve("_FINGERPRINT"))
     Files.move(basePath.resolve("data"), aside2.resolve("data"))
     writeData(base, "part-0", "v2-half-published") // the swapped-in new child
     assert(ArtifactStore.restoreAside(base))
     assert(readData(base, "part-0") == "v1",
       "roll-back must restore the old child over the half-published new one")
+    assert(ArtifactStore.isCurrent(base, "fp-old"))
 
     // on a VALID artifact restoreAside is a no-op: a stray aside dir
     // after a COMPLETED publish is garbage, not a roll-back source

@@ -1432,6 +1432,112 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored() == 30, "re-bootstrap lost the replay mark")
   }
 
+  test("a crashed compaction publish cannot cost a living index its appends: bootstrap rolls back") {
+    // grow a BM25 index by a streamed append, simulate a death inside
+    // compactBm25's publish renames (marker + postings stranded in the
+    // .tmp-old-* aside — exactly what the aside protocol leaves), then
+    // re-run the driver init path. The old flow fell through to
+    // ensure, whose orphan reap destroyed the aside — the ONLY copy of
+    // the appended segment (BM25 cannot re-mark from its own rows: the
+    // fingerprint hashes raw doc text, which postings do not carry) —
+    // and silently rebuilt from the initial corpus (review-caught r12).
+    import spark.implicits._
+    import graft.stream.IndexIngest
+    val docs0 = (0L until 8L)
+      .map(i => (i, s"alpha beta gamma doc$i"))
+      .toDF("doc_id", "text")
+    val b1 = (100L until 104L)
+      .map(i => (i, s"delta epsilon doc$i"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-bmcrash")
+      .resolve("bm25").toString
+    assert(IndexIngest.bm25Bootstrap(idx, docs0)
+      == IndexIngest.BootstrapStatus.Built)
+    IndexIngest.bm25AppendSink(idx)(b1, 0L)
+    val fpGrown = graft.io.ArtifactStore.currentFingerprint(idx)
+    assert(fpGrown.isDefined)
+    def postingRows() = spark.read
+      .schema(graft.llm.Retrieval.segPostingsSchema)
+      .parquet(s"$idx/postings").count()
+    val grownRows = postingRows()
+    // simulate the mid-publish death
+    val base = java.nio.file.Paths.get(idx)
+    val aside = base.resolve(".tmp-old-crash")
+    java.nio.file.Files.createDirectories(aside)
+    java.nio.file.Files.move(base.resolve("_FINGERPRINT"),
+      aside.resolve("_FINGERPRINT"))
+    java.nio.file.Files.move(base.resolve("postings"),
+      aside.resolve("postings"))
+    val staging = base.resolve(".tmp-crash")
+    java.nio.file.Files.createDirectories(staging.resolve("postings"))
+    java.nio.file.Files.write(
+      staging.resolve("postings").resolve("part-half"),
+      "torn".getBytes("UTF-8"))
+    assert(graft.io.ArtifactStore.currentFingerprint(idx).isEmpty)
+    // the driver restarts: bootstrap must roll the publish back and
+    // KEEP the grown index — never rebuild over it
+    assert(IndexIngest.bm25Bootstrap(idx, docs0)
+      == IndexIngest.BootstrapStatus.KeptDivergent,
+      "bootstrap must observe the rolled-back grown index, not rebuild")
+    assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpGrown,
+      "the grown fingerprint must survive the crash + re-init")
+    assert(postingRows() == grownRows,
+      "the appended segment must survive the crash + re-init")
+    // the replay mark survived too
+    IndexIngest.bm25AppendSink(idx)(b1, 0L)
+    assert(postingRows() == grownRows, "replay must still be a no-op")
+  }
+
+  test("paired retrain swap-race: a batch committing mid-retrain defers the swap, nothing lost") {
+    // the residual window of the generation-pointer posture: a sink
+    // commits to g<N> while the gate is building g<N+1> — the new
+    // generation carries neither the rows nor the mark. The gate must
+    // observe the moved marks at swap time and ABANDON the swap; the
+    // next aligned cycle retrains over the full row set.
+    import spark.implicits._
+    import graft.stream.IndexIngest
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(14)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 120L).map(i => (i, vec()))
+    val b2 = (200L until 205L).map(i => (i, vec()))
+    val pairBase = java.nio.file.Files.createTempDirectory("graft-pairrace")
+      .resolve("ivfpq").toString
+    IndexIngest.bootstrapPair(pairBase, baseVecs.toDF("vec_id", "embedding"))
+    IndexIngest.ivfAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    IndexIngest.pqAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    def listRows() = spark.read
+      .schema(graft.llm.Similarity.invertedListSchema)
+      .parquet(s"${IndexIngest.resolvePair(pairBase)._1}/assignments")
+      .count()
+    // race: a batch lands between the two generation builds
+    val (q1, h1, fired1, retrained1) =
+      IndexIngest.recallGateAndRetrainPaired(spark, pairBase, 4, () => {
+        IndexIngest.ivfAppendSinkPaired(pairBase)(
+          b2.toDF("vec_id", "embedding"), 1L)
+        IndexIngest.pqAppendSinkPaired(pairBase)(
+          b2.toDF("vec_id", "embedding"), 1L)
+      })
+    assert(fired1, s"recall should have fired (hits $h1 of $q1 queries)")
+    assert(!retrained1, "a mid-retrain commit must defer the swap")
+    assert(IndexIngest.currentGen(pairBase).contains("g0"),
+      "the pointer must not move when the swap is deferred")
+    assert(listRows() == 65, "the racing batch's rows live in g0")
+    // the next aligned cycle retrains over ALL rows
+    val (_, _, fired2, retrained2) =
+      IndexIngest.recallGateAndRetrainPaired(spark, pairBase)
+    assert(fired2 && retrained2, "the aligned cycle must complete the swap")
+    assert(IndexIngest.currentGen(pairBase).contains("g1"))
+    assert(listRows() == 65, "the new generation carries the racing batch")
+    // and its replay against the new generation is a no-op
+    IndexIngest.ivfAppendSinkPaired(pairBase)(
+      b2.toDF("vec_id", "embedding"), 1L)
+    assert(listRows() == 65)
+  }
+
   test("(appId, batchId) replay marks: two query lineages interleave without aliasing") {
     // two distinct streaming queries feeding ONE artifact each number
     // their batches from 0 — with a single high-water mark, lineage

@@ -1178,6 +1178,148 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- s28
+
+  private val resPqCache = graft.io.ValidatedPathCache.single()
+  private[graft] val resPqBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def resPqForgetCachedPaths(): Unit = resPqCache.clear()
+
+  /** The unit-normalized centroids `(cell, cu)` of the stored IVF —
+    * the coarse-quantizer frame of the RESIDUAL chain: both the
+    * residual definition (`nv − cu(cell)`) and the per-(query, cell)
+    * coarse term (`⌊q·cu·2²⁰⌋`) divide through `cnorm` element-wise,
+    * so engine and oracle replay the identical IEEE ops. 16 rows,
+    * always broadcast. */
+  private def unitCentroids(spark: SparkSession, ivfBase: String): DataFrame =
+    spark.read.parquet(s"$ivfBase/centroids")
+      .withColumn("cu", expr("transform(centroid, x -> x / cnorm)"))
+      .select(col("cell"), col("cu"))
+
+  /** The residual-PQ artifact — Faiss `IndexIVFPQ`'s actual encoding
+    * (`by_residual = true`, the default the raw-vector `pq-index`
+    * family deliberately simplifies away): each vector is PQ-encoded
+    * as its RESIDUAL against its assigned coarse centroid,
+    * `r = nv − cu(cell)`, rather than as the raw vector. Residuals
+    * cluster around 0 with per-cell structure removed, so 16 codewords
+    * per subspace quantize them with far less error than they can
+    * spend on raw vectors whose coarse position the IVF cell already
+    * encodes — the accuracy-per-byte argument of Jégou et al. (PQ,
+    * TPAMI 2011) §IV.C and the reason production IVFADC serves
+    * residual codes at 100 TB. Layout mirrors `pq-index`:
+    * `codebook/` = the trained residual `(m, code, cw)` (128 rows),
+    * `codes/` = `(vec_id, codes) PARTITIONED BY cell`, sharded
+    * identically to the inverted lists. Training is the same
+    * deterministic one-Lloyd chain ([[pqTrainCodebook]]) over the
+    * residual frame, so the artifact round-trips bit-exactly and the
+    * DuckDB oracle replays the whole build. */
+  private[graft] def pqResIndexBase(spark: SparkSession, dir: String): String =
+    resPqCache.get(dir) {
+      val base = graft.io.ArtifactStore.artifactPath("pq-res-index", dir)
+      val fp = corpusFingerprint(spark, dir)
+      val built = graft.io.ArtifactStore.ensure(base, fp)(
+        pqResBuildInto(spark, dir, _, ivfIndexBase(spark, dir)))
+      if (built) resPqBuildCount.incrementAndGet()
+      base
+    }
+
+  /** The residual-PQ build pipeline: unit-normalize the stored lists,
+    * subtract each vector's own unit centroid, train the codebook on
+    * the residual subvectors, encode every residual against the STORED
+    * codebook, write cell-major. Reads only the IVF artifact (lists +
+    * centroids) — the corpus table never appears in the build. */
+  private def pqResBuildInto(spark: SparkSession, dir: String,
+      staging: String, listsBase: String): Unit = {
+    val lists = invertedListsAt(spark, listsBase)
+    val cells = lists.select(col("vec_id"), col("cell"))
+    val rv = pqNvFrame(lists)
+      .join(cells, "vec_id")
+      .join(broadcast(unitCentroids(spark, listsBase)), "cell")
+      .withColumn("rnv", expr("zip_with(nv, cu, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("rnv").as("nv"))
+    val rsub = pqSub(rv)
+    pqTrainCodebook(rv, rsub).coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/codebook")
+    val cb = spark.read.parquet(s"$staging/codebook")
+    graft.io.Store.writePartitionedParquet(
+      pqEncode(rsub, cb).join(cells, "vec_id"),
+      s"$staging/codes", Seq("cell"), Seq("vec_id"))
+  }
+
+  /** s28: residual-encoded IVF-PQ search (IVFADC with
+    * `by_residual = true`) served from the persisted `pq-res-index`
+    * artifact — same workload contract as s20/s21 (query set
+    * `vec_id % 4 = 0`, nprobe 3, [[RerankPool]]-32, exact-refine
+    * top-10) with the ADC stage scoring residual codes. For the
+    * inner-product metric the residual decomposition is EXACT and
+    * cheap to serve:
+    *
+    *   q · x̂  =  q · cu(cell)  +  q · r̂
+    *           =  qc(query, cell) + Σ_m lut[m·16 + code_m]
+    *
+    * so the LUTs stay query-global (the query's RAW subvectors against
+    * the residual codebook — one 128-entry table per query, exactly
+    * s21's broadcast shape) and the per-cell correction is a single
+    * broadcast `(query, cell) → ⌊q·cu·2²⁰⌋` frame of nprobe·Q rows;
+    * nothing per-(query, cell, code) is ever materialized (the
+    * L2-metric variant would need per-cell LUTs — this is why IP
+    * residual ADC is the cheap one). Both ADC terms are the
+    * established ⌊·2²⁰⌋ BIGINT quantizations, so the sum stays in
+    * codegen's integer path and DuckDB replays it exactly.
+    *
+    * 100 TB posture = s21's: candidacy + code fetch fuse into one
+    * cell-keyed join against the cell-major stored codes (3/16 of the
+    * code table read per probe batch), LUT + correction frames
+    * broadcast, refine fetches pool·Q full vectors from the stored
+    * lists. The extra serving cost over raw-vector ADC is one
+    * broadcast-join column add.
+    *
+    * WHICH encoding wins is corpus-dependent, and the engine ships
+    * both on purpose: residual coding spends the 16 codewords per
+    * subspace on the (smaller-variance) residual distribution — a
+    * clear win when vectors cluster around their centroids, and the
+    * Faiss L2 default — but under the IP metric on a weakly-clustered
+    * corpus the centroid is near-orthogonal to its members, the
+    * residual's norm EXCEEDS the unit vector's, and raw coding wins
+    * (the fixture measures 442 vs 487 recall hits — the LlmOpsSpec
+    * A/B). The s23-style recall audit over the shared ground-truth
+    * panel is exactly the job that adjudicates this per corpus at
+    * index-build time. */
+  def s28ResidualPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val ivfBase = ivfIndexBase(spark, dir)
+    val base = pqResIndexBase(spark, dir)
+    val cb = spark.read.parquet(s"$base/codebook")
+    val storedCodes = spark.read.schema(pqCodesSchema)
+      .parquet(s"$base/codes")
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+    val cu = unitCentroids(spark, ivfBase)
+    val nvq = pqNv(spark, dir).filter(col("vec_id") % 4 === 0)
+    val lut = pqLut(pqSub(nvq), cb)
+    val qc = nvq.join(broadcast(cu), lit(true))
+      .withColumn("qc",
+        floor(expr("vec_dot(nv, cu)") * lit(1048576.0)).cast(LongType))
+      .select(col("vec_id").as("query_id"), col("cell"), col("qc"))
+    val probes = ivfRanked(spark, dir)
+      .filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val pool = probes.join(storedCodes, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), "query_id")
+      .join(broadcast(qc), Seq("query_id", "cell"))
+      .withColumn("score", col("qc") + expr(adcScoreExpr))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
+    exactRefine(pool, indexVectorFetch(spark, dir), 10)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"),
+        col("adc_rank").cast("integer").as("adc_rank"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** s23: recall@10 audit — the served IVF-PQ list (s20's full chain,
     * off the persisted artifacts) scored against EXACT ground truth
     * (floor-quantized cosine top-10 per query over the whole corpus):
@@ -2123,6 +2265,7 @@ object Similarity {
     "s25_nprobe_sweep" -> (s25NprobeSweep _),
     "s26_filtered_ivfpq" -> (s26FilteredIvfPq _),
     "s27_label_partitioned" -> (s27LabelPartitionedSearch _),
+    "s28_residual_pq" -> (s28ResidualPqSearch _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
@@ -2601,6 +2744,74 @@ object Similarity {
     * what the label-partitioned scan serves: candidates are probed-
     * cell members carrying label = [[LblTarget]]; the pool of 32 is
     * ranked within that set, then exact-refined to top-5. */
+  /** s28 oracle: the full residual-IVFADC build + serve replayed in
+    * SQL — the IVF chain (assignments + centroids), the unit
+    * centroids, the residual frame `nv − cu(cell)` materialized by
+    * component (the established `comp` expansion — no list_zip
+    * dependency), the SAME PQ model chain ([[pqModelCtes]]) pointed at
+    * the residual corpus with the LUTs built from the query's RAW
+    * subvectors, the per-(query, cell) coarse term, and the tail with
+    * `score = qc + Σ lut` — each stage the replay of its Spark twin. */
+  def s28Sql: String = pqCorpusCtes + ivfChainCte() +
+    s""", icu AS (
+       |  SELECT cell, list_transform(cv, x -> x / cnrm) AS cu FROM ic
+       |), iasg AS (
+       |  SELECT vec_id, cell FROM iranked WHERE cell_rank = 1
+       |), resd AS (
+       |  SELECT n.vec_id, t.j,
+       |    n.nv[CAST(t.j AS INT) + 1] - u.cu[CAST(t.j AS INT) + 1] AS rx
+       |  FROM nv n
+       |  JOIN iasg a ON a.vec_id = n.vec_id
+       |  JOIN icu u ON u.cell = a.cell
+       |  CROSS JOIN range(0, 64) t(j)
+       |), resv AS (
+       |  SELECT vec_id, list(rx ORDER BY j) AS nv FROM resd GROUP BY vec_id
+       |), ressub AS (
+       |  SELECT vec_id, t.m,
+       |    list_slice(nv, t.m * 8 + 1, t.m * 8 + 8) AS sv
+       |  FROM resv CROSS JOIN range(0, 8) t(m)
+       |)""".stripMargin +
+    pqModelCtes("", "s.vec_id % 4 = 0", "r", corpus = "resv",
+      subT = "ressub", lutSub = "sub") +
+    s""", rqc AS (
+       |  SELECT n.vec_id AS query_id, u.cell,
+       |    CAST(FLOOR(list_dot_product(n.nv, u.cu) * 1048576) AS BIGINT)
+       |      AS qc
+       |  FROM nv n CROSS JOIN icu u WHERE n.vec_id % 4 = 0
+       |), rprobes AS (
+       |  SELECT cell, vec_id AS query_id FROM iranked
+       |  WHERE cell_rank <= 3 AND vec_id % 4 = 0
+       |), rcand AS (
+       |  SELECT p.query_id, i.vec_id AS neighbor_id, i.cell
+       |  FROM rprobes p JOIN iasg i USING (cell)
+       |  WHERE p.query_id <> i.vec_id
+       |), rpool AS (
+       |  SELECT query_id, neighbor_id, ar AS adc_rank FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |        ORDER BY s.score + q.qc DESC, c.neighbor_id) AS ar
+       |    FROM rcand c
+       |    JOIN rsc s ON s.query_id = c.query_id
+       |      AND s.neighbor_id = c.neighbor_id
+       |    JOIN rqc q ON q.query_id = c.query_id AND q.cell = c.cell)
+       |  WHERE ar <= $RerankPool
+       |), rex AS (
+       |  SELECT p.query_id, p.neighbor_id, p.adc_rank,
+       |    CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+       |      AS score
+       |  FROM rpool p
+       |  JOIN nv q ON q.vec_id = p.query_id
+       |  JOIN nv c ON c.vec_id = p.neighbor_id
+       |), rrk AS (
+       |  SELECT query_id, neighbor_id, adc_rank, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rn
+       |  FROM rex
+       |)
+       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, score,
+       |  CAST(adc_rank AS INT) AS adc_rank
+       |FROM rrk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   def s27Sql: String = pqAdcCte + ivfChainCte() +
     s""", probes AS (
        |  SELECT cell, vec_id AS query_id FROM iranked
@@ -2710,7 +2921,8 @@ object Similarity {
     * incremental replay shape, [[s22Sql]]); `queryPred` picks the
     * LUT/query set. */
   private def pqModelCtes(trainAnd: String, queryPred: String,
-      p: String = ""): String = {
+      p: String = "", corpus: String = "nv", subT: String = "sub",
+      lutSub: String = "sub"): String = {
     val scoreTerms = (0 until PqM)
       .map(m => s"l.lut[$m * 16 + cd.codes[${m + 1}] + 1]")
       .mkString(" + ")
@@ -2720,7 +2932,7 @@ object Similarity {
        |    SELECT vec_id, nv,
        |      ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rk0,
        |      COUNT(*) OVER () AS cnt
-       |    FROM (SELECT * FROM nv$trainAnd ORDER BY vec_id LIMIT 16)
+       |    FROM (SELECT * FROM $corpus$trainAnd ORDER BY vec_id LIMIT 16)
        |  ) r CROSS JOIN LATERAL unnest(range(r.rk0, 16, r.cnt)) AS u(code)
        |), ${p}seedsub AS (
        |  SELECT t.m, code, list_slice(nv, t.m * 8 + 1, t.m * 8 + 8) AS cw
@@ -2731,7 +2943,7 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
        |        ORDER BY list_dot_product(c.cw, c.cw)
        |          - 2 * list_dot_product(s.sv, c.cw) ASC, c.code ASC) AS rk
-       |    FROM (SELECT * FROM sub$trainAnd) s JOIN ${p}seedsub c USING (m))
+       |    FROM (SELECT * FROM $subT$trainAnd) s JOIN ${p}seedsub c USING (m))
        |  WHERE rk = 1
        |), ${p}comp AS (
        |  SELECT m, code, t.j,
@@ -2753,7 +2965,7 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
        |        ORDER BY list_dot_product(c.cw, c.cw)
        |          - 2 * list_dot_product(s.sv, c.cw) ASC, c.code ASC) AS rk
-       |    FROM sub s JOIN ${p}trained c USING (m))
+       |    FROM $subT s JOIN ${p}trained c USING (m))
        |  WHERE rk = 1
        |), ${p}codes AS (
        |  SELECT vec_id, list(code ORDER BY m) AS codes FROM ${p}fc
@@ -2762,7 +2974,7 @@ object Similarity {
        |  SELECT s.vec_id AS query_id, s.m, c.code,
        |    CAST(FLOOR(list_dot_product(s.sv, c.cw) * 1048576) AS BIGINT)
        |      AS lv
-       |  FROM sub s JOIN ${p}trained c USING (m)
+       |  FROM $lutSub s JOIN ${p}trained c USING (m)
        |  WHERE $queryPred
        |), ${p}lut AS (
        |  SELECT query_id, list(lv ORDER BY m, code) AS lut FROM ${p}lutv
@@ -3072,6 +3284,7 @@ object Similarity {
     "s25_nprobe_sweep" -> s25Sql,
     "s26_filtered_ivfpq" -> s26Sql,
     "s27_label_partitioned" -> s27Sql,
+    "s28_residual_pq" -> s28Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

@@ -23,7 +23,7 @@ class TinyCorpusSpec extends AnyFunSuite {
     "s17_incremental_bm25", "s18_point_lookup", "s19_pq_rerank",
     "s20_ivfpq_search", "s21_pq_index_search", "s22_incremental_pq",
     "s23_recall_audit", "s24_recall_retrain", "s25_nprobe_sweep",
-    "s26_filtered_ivfpq", "s27_label_partitioned",
+    "s26_filtered_ivfpq", "s27_label_partitioned", "s28_residual_pq",
     "d11_semdedup", "d18_persisted_dedup_index",
     "d19_incremental_index_append",
     "g04_warm_pagerank", "g05_rolling_pagerank")

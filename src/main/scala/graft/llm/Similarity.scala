@@ -937,9 +937,17 @@ object Similarity {
     * generation ([[rtIndexBases]]), streaming bootstrap, gate retrain
     * and self-heal ([[graft.stream.IndexIngest]]). */
   private[graft] def pqBuildFrom(v: DataFrame, staging: String,
+      cells: DataFrame): Unit =
+    pqBuildFromNv(pqNvFrame(v), staging, cells)
+
+  /** The PQ build tail over an ALREADY-derived `(vec_id, nv)` frame —
+    * ONE body for both encodings: the raw build feeds unit vectors
+    * ([[pqBuildFrom]]), the residual build feeds `nv − cu(cell)`
+    * ([[pqResBuildInto]]). A codebook-layout or codes-write change
+    * lands exactly once. */
+  private[graft] def pqBuildFromNv(nv: DataFrame, staging: String,
       cells: DataFrame): Unit = {
-    val spark = v.sparkSession
-    val nv = pqNvFrame(v)
+    val spark = nv.sparkSession
     val sub = pqSub(nv)
     pqTrainCodebook(nv, sub).coalesce(1).write.mode("overwrite")
       .parquet(s"$staging/codebook")
@@ -947,6 +955,50 @@ object Similarity {
     graft.io.Store.writePartitionedParquet(
       pqEncode(sub, cb).join(cells, "vec_id"),
       s"$staging/codes", Seq("cell"), Seq("vec_id"))
+  }
+
+  /** The serving-side query LUT frame shared by every stored-code
+    * server (s21/s26/s27/s28): the `%4` query set's subvector slices
+    * against a STORED codebook. */
+  private def servingLuts(spark: SparkSession, dir: String,
+      cb: DataFrame): DataFrame =
+    pqLut(pqSub(pqNv(spark, dir)).filter(col("vec_id") % 4 === 0), cb)
+
+  /** The serving-side probe frame shared by every stored-code server:
+    * the `%4` query set ranked against the stored centroids, top-3
+    * cells each — `(cell, query_id)`. */
+  private def servingProbes(spark: SparkSession, dir: String): DataFrame =
+    ivfRanked(spark, dir)
+      .filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"))
+
+  /** The fused cell-keyed ADC pool every stored-code server shares
+    * (s21/s26/s27/s28): probes ⋈ stored codes on `cell` — candidacy
+    * and code fetch in ONE join, pairs already distinct because each
+    * vector lives in exactly one stored cell — broadcast LUTs, the
+    * codegen'd 8-lookup ADC sum, plus an optional broadcast
+    * `(query_id, cell, qc)` correction frame (s28's residual coarse
+    * term) added into the score; ranked per query, cut to
+    * [[RerankPool]]. Returns `(query_id, neighbor_id, adc_rank)` —
+    * one body, so a tie-break or pool-size change lands exactly once
+    * across the raw, filtered, label-partitioned and residual
+    * serving paths. */
+  private def adcPool(probes: DataFrame, storedCodes: DataFrame,
+      lut: DataFrame, correction: Option[DataFrame] = None): DataFrame = {
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val joined = probes.join(storedCodes, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), "query_id")
+    val scored = correction match {
+      case Some(qc) => joined
+        .join(broadcast(qc), Seq("query_id", "cell"))
+        .withColumn("score", col("qc") + expr(adcScoreExpr))
+      case None => joined.withColumn("score", expr(adcScoreExpr))
+    }
+    scored.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
   }
 
   /** [[pqBuildFrom]] over the whole corpus, cells joined from
@@ -989,23 +1041,8 @@ object Similarity {
     val storedCodes = spark.read.schema(pqCodesSchema)
       .parquet(s"$base/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
-    val lut = pqLut(
-      pqSub(pqNv(spark, dir)).filter(col("vec_id") % 4 === 0), cb)
-    val probes = ivfRanked(spark, dir)
-      .filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
-      .select(col("cell"), col("vec_id").as("query_id"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    // candidacy + code fetch in ONE cell-keyed join: each vector lives
-    // in exactly one stored cell, so (query, neighbor) pairs are
-    // already distinct
-    val pool = probes.join(storedCodes, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(lut), "query_id")
-      .withColumn("score", expr(adcScoreExpr))
-      .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= RerankPool)
-      .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
+    val pool = adcPool(servingProbes(spark, dir), storedCodes,
+      servingLuts(spark, dir, cb))
     exactRefine(pool, indexVectorFetch(spark, dir), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
@@ -1036,19 +1073,8 @@ object Similarity {
     val storedCodes = spark.read.schema(pqCodesSchema)
       .parquet(s"$pqBase/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
-    val lut = pqLut(
-      pqSub(pqNv(spark, dir)).filter(col("vec_id") % 4 === 0), cb)
-    val probes = ivfRanked(spark, dir)
-      .filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
-      .select(col("cell"), col("vec_id").as("query_id"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    val pool = probes.join(storedCodes, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(lut), "query_id")
-      .withColumn("score", expr(adcScoreExpr))
-      .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= RerankPool)
+    val pool = adcPool(servingProbes(spark, dir), storedCodes,
+      servingLuts(spark, dir, cb))
       .select(col("query_id"), col("neighbor_id"))
     val labels = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"))
@@ -1158,19 +1184,8 @@ object Similarity {
     val stored = spark.read.schema(lblCodesSchema).parquet(s"$base/codes")
       .filter(col("label") === LblTarget) // partition-column equality
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
-    val lut = pqLut(
-      pqSub(pqNv(spark, dir)).filter(col("vec_id") % 4 === 0), cb)
-    val probes = ivfRanked(spark, dir)
-      .filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
-      .select(col("cell"), col("vec_id").as("query_id"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    val pool = probes.join(stored, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(lut), "query_id")
-      .withColumn("score", expr(adcScoreExpr))
-      .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= RerankPool)
+    val pool = adcPool(servingProbes(spark, dir), stored,
+      servingLuts(spark, dir, cb))
       .select(col("query_id"), col("neighbor_id"))
     exactRefine(pool, indexVectorFetch(spark, dir), 5)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
@@ -1224,26 +1239,22 @@ object Similarity {
     }
 
   /** The residual-PQ build pipeline: unit-normalize the stored lists,
-    * subtract each vector's own unit centroid, train the codebook on
-    * the residual subvectors, encode every residual against the STORED
-    * codebook, write cell-major. Reads only the IVF artifact (lists +
-    * centroids) — the corpus table never appears in the build. */
+    * subtract each vector's own unit centroid (cell kept INLINE on the
+    * row — the only join is the 16-row broadcast centroids, no
+    * corpus-scale shuffle to recover the cell), then the shared PQ
+    * build tail ([[pqBuildFromNv]]) trains, encodes and writes
+    * cell-major. Reads only the IVF artifact (lists + centroids) —
+    * the corpus table never appears in the build. */
   private def pqResBuildInto(spark: SparkSession, dir: String,
       staging: String, listsBase: String): Unit = {
-    val lists = invertedListsAt(spark, listsBase)
-    val cells = lists.select(col("vec_id"), col("cell"))
-    val rv = pqNvFrame(lists)
-      .join(cells, "vec_id")
+    val rv = invertedListsAt(spark, listsBase)
       .join(broadcast(unitCentroids(spark, listsBase)), "cell")
-      .withColumn("rnv", expr("zip_with(nv, cu, (a, b) -> a - b)"))
-      .select(col("vec_id"), col("rnv").as("nv"))
-    val rsub = pqSub(rv)
-    pqTrainCodebook(rv, rsub).coalesce(1).write.mode("overwrite")
-      .parquet(s"$staging/codebook")
-    val cb = spark.read.parquet(s"$staging/codebook")
-    graft.io.Store.writePartitionedParquet(
-      pqEncode(rsub, cb).join(cells, "vec_id"),
-      s"$staging/codes", Seq("cell"), Seq("vec_id"))
+      .withColumn("uv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .withColumn("rnv", expr("zip_with(uv, cu, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("cell"), col("rnv").as("nv"))
+    pqBuildFromNv(rv.select(col("vec_id"), col("nv")), staging,
+      rv.select(col("vec_id"), col("cell")))
   }
 
   /** s28: residual-encoded IVF-PQ search (IVFADC with
@@ -1293,30 +1304,159 @@ object Similarity {
     val storedCodes = spark.read.schema(pqCodesSchema)
       .parquet(s"$base/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
-    val cu = unitCentroids(spark, ivfBase)
-    val nvq = pqNv(spark, dir).filter(col("vec_id") % 4 === 0)
-    val lut = pqLut(pqSub(nvq), cb)
-    val qc = nvq.join(broadcast(cu), lit(true))
+    val probes = servingProbes(spark, dir)
+    // the coarse term only exists where a probe does: qc is derived
+    // FROM the probe frame (nprobe·Q rows — the doc'd sizing), never
+    // a query × all-cells fan-out
+    val qc = probes
+      .join(pqNv(spark, dir).select(col("vec_id").as("query_id"),
+        col("nv")), "query_id")
+      .join(broadcast(unitCentroids(spark, ivfBase)), "cell")
       .withColumn("qc",
         floor(expr("vec_dot(nv, cu)") * lit(1048576.0)).cast(LongType))
-      .select(col("vec_id").as("query_id"), col("cell"), col("qc"))
-    val probes = ivfRanked(spark, dir)
-      .filter(col("cell_rank") <= 3 && col("vec_id") % 4 === 0)
-      .select(col("cell"), col("vec_id").as("query_id"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    val pool = probes.join(storedCodes, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(lut), "query_id")
-      .join(broadcast(qc), Seq("query_id", "cell"))
-      .withColumn("score", col("qc") + expr(adcScoreExpr))
-      .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= RerankPool)
-      .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
+      .select(col("query_id"), col("cell"), col("qc"))
+    val pool = adcPool(probes, storedCodes,
+      servingLuts(spark, dir, cb), Some(qc))
     exactRefine(pool, indexVectorFetch(spark, dir), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("adc_rank").cast("integer").as("adc_rank"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------- s29
+
+  private val sqCache = graft.io.ValidatedPathCache.single()
+  private[graft] val sqBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def sqForgetCachedPaths(): Unit = sqCache.clear()
+
+  /** Stored SQ8 codes read schema (declared — empty partition dirs). */
+  private[graft] val sqCodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", LongType),
+    org.apache.spark.sql.types.StructField("scodes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("cell", LongType)))
+
+  /** The SQ8 quantization code as a SQL CASE over `(x, vmn, vdiff)` —
+    * Faiss `ScalarQuantizer` QT_8bit: `round(255·(x − vmin)/vdiff)`
+    * clamped to [0, 255], code 0 for a constant dimension. Shared
+    * text between the build pipeline and the DuckDB oracle so the two
+    * engines floor/clamp identically. */
+  private[graft] val sqCodeExpr: String =
+    "CASE WHEN vdiff > 0 THEN LEAST(255, GREATEST(0, " +
+      "CAST(FLOOR((x - vmn) / vdiff * 255 + 0.5) AS INT))) ELSE 0 END"
+
+  /** The scalar-quantized index — Faiss `IndexIVFScalarQuantizer`
+    * (QT_8bit), the third index kind of the triad next to IVFFlat
+    * (s02/s15/s18) and IVFPQ (s21 raw / s28 residual): each dimension
+    * is quantized INDEPENDENTLY to 8 bits against trained per-dim
+    * `(vmin, vdiff)` ranges — 64 B/vector (4× compression) vs PQ's
+    * 8 B (32×) and the lists' 256 B full-precision floats, trading
+    * compression for per-dim fidelity with NO codebook training
+    * (min/max per dimension is the whole train step — one aggregate,
+    * no Lloyd round, and appends never retrain: new vectors encode
+    * against the frozen ranges exactly like s22's frozen codebook).
+    * Layout under one base: `params/` — ONE row `(vmin, vdiff)`
+    * (64-dim double arrays); `codes/` — `(vec_id, scodes)
+    * PARTITIONED BY cell`, sharded identically to the lists. Built
+    * reading only the IVF artifact. */
+  private[graft] def sqIndexBase(spark: SparkSession, dir: String): String =
+    sqCache.get(dir) {
+      val base = graft.io.ArtifactStore.artifactPath("sq-index", dir)
+      val fp = corpusFingerprint(spark, dir)
+      val built = graft.io.ArtifactStore.ensure(base, fp)(
+        sqBuildInto(spark, _, ivfIndexBase(spark, dir)))
+      if (built) sqBuildCount.incrementAndGet()
+      base
+    }
+
+  /** The SQ8 build: per-dim min/max over the unit-normalized stored
+    * lists (exact, order-free), then every vector encoded per dim
+    * against the trained ranges and written cell-major. */
+  private def sqBuildInto(spark: SparkSession,
+      staging: String, listsBase: String): Unit = {
+    val uv = invertedListsAt(spark, listsBase)
+      .withColumn("uv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .select(col("vec_id"), col("cell"), col("uv"))
+    val mm = uv.select(posexplode(col("uv")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(min(col("x")).as("vmn"), max(col("x")).as("vmx"))
+      .withColumn("vdiff", col("vmx") - col("vmn"))
+      .select(col("j"), col("vmn"), col("vdiff"))
+    mm.groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("j"), col("vmn")))),
+          s => s.getField("vmn")).as("vmin"),
+        transform(array_sort(collect_list(struct(col("j"), col("vdiff")))),
+          s => s.getField("vdiff")).as("vdiff"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/params")
+    // encode against the STORED ranges (the PQ-build posture: the
+    // artifact's own params are the single source of truth; doubles
+    // round-trip parquet bit-exactly so this is also value-identical
+    // to encoding against the live frame)
+    val pm = spark.read.parquet(s"$staging/params")
+      .select(posexplode(expr("arrays_zip(vmin, vdiff)")).as(Seq("j", "z")))
+      .select(col("j"), col("z.vmin").as("vmn"), col("z.vdiff").as("vdiff"))
+    val codes = uv
+      .select(col("vec_id"), posexplode(col("uv")).as(Seq("j", "x")))
+      .join(broadcast(pm), "j")
+      .withColumn("sc", expr(sqCodeExpr))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("sc")))),
+        s => s.getField("sc")).as("scodes"))
+    graft.io.Store.writePartitionedParquet(
+      codes.join(uv.select(col("vec_id"), col("cell")), "vec_id"),
+      s"$staging/codes", Seq("cell"), Seq("vec_id"))
+  }
+
+  /** s29: IVF-SQ8 search served from the persisted `sq-index` —
+    * same workload contract as s21/s28 (query set `vec_id % 4 = 0`,
+    * nprobe 3, [[RerankPool]]-32 pool, exact-refine top-10), with the
+    * coarse scoring stage decoding the 8-bit codes instead of ADC
+    * lookups: each stored code row reconstructs ONCE to
+    * `x̂_j = vmin_j + code_j·vdiff_j/255` (64 muls per candidate —
+    * Faiss's `ScalarQuantizer::decode` + inner product, elementwise
+    * and codegen-friendly), then scores against the query's unit
+    * vector with the established ⌊vec_dot·2²⁰⌋ BIGINT quantization.
+    * No per-query tables exist at all (SQ's serving advantage over
+    * PQ: nothing to broadcast but the 1-row params frame), the code
+    * table is read cell-major (3/16 partitions per probe batch), and
+    * the reconstruct column never leaves the probed candidates.
+    * 100 TB posture: 4× I/O cut vs full-precision lists with
+    * train-free builds and append-only growth — the index you pick
+    * when encode throughput and recall matter more than the last 8×
+    * of compression. */
+  def s29SqSearch(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val base = sqIndexBase(spark, dir)
+    val params = spark.read.parquet(s"$base/params")
+    val storedCodes = spark.read.schema(sqCodesSchema)
+      .parquet(s"$base/codes")
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("scodes"))
+    val recon = storedCodes.join(broadcast(params), lit(true))
+      .withColumn("rv", expr(
+        "transform(scodes, (c, j) -> element_at(vmin, j + 1) + " +
+          "(CAST(c AS DOUBLE) * element_at(vdiff, j + 1)) / 255.0)"))
+      .select(col("cell"), col("neighbor_id"), col("rv"))
+    val qv = pqNv(spark, dir).filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val wSq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val pool = servingProbes(spark, dir).join(recon, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(qv, "query_id")
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, rv)") * lit(1048576.0)).cast(LongType))
+      .withColumn("sq_rank", row_number().over(wSq))
+      .filter(col("sq_rank") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("sq_rank"))
+    exactRefine(pool, indexVectorFetch(spark, dir), 10)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"),
+        col("sq_rank").cast("integer").as("sq_rank"))
       .orderBy(col("query_id"), col("rn"))
   }
 
@@ -2266,6 +2406,7 @@ object Similarity {
     "s26_filtered_ivfpq" -> (s26FilteredIvfPq _),
     "s27_label_partitioned" -> (s27LabelPartitionedSearch _),
     "s28_residual_pq" -> (s28ResidualPqSearch _),
+    "s29_sq8_search" -> (s29SqSearch _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
@@ -2812,6 +2953,65 @@ object Similarity {
        |  CAST(adc_rank AS INT) AS adc_rank
        |FROM rrk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** s29 oracle: the full SQ8 build + serve replayed in SQL — per-dim
+    * min/max ranges over the unit corpus, the shared QT_8bit
+    * round-and-clamp code text ([[sqCodeExpr]]'s algebra), per-vector
+    * reconstruction as an ORDERED list (list_dot_product is a
+    * left-to-right double fold, matching `vec_dot` bit-for-bit), the
+    * probe-restricted candidate scoring, pool-[[RerankPool]], exact
+    * refine — each stage the replay of its Spark twin. */
+  def s29Sql: String = pqCorpusCtes + ivfChainCte() +
+    s""", smm AS (
+       |  SELECT t.j,
+       |    MIN(nv[CAST(t.j AS INT) + 1]) AS vmn,
+       |    MAX(nv[CAST(t.j AS INT) + 1]) AS vmx
+       |  FROM nv CROSS JOIN range(0, 64) t(j) GROUP BY t.j
+       |), sqq AS (
+       |  SELECT n.vec_id, s.j,
+       |    CASE WHEN s.vmx - s.vmn > 0 THEN LEAST(255, GREATEST(0,
+       |      CAST(FLOOR((n.nv[CAST(s.j AS INT) + 1] - s.vmn)
+       |        / (s.vmx - s.vmn) * 255 + 0.5) AS INT)))
+       |    ELSE 0 END AS sc,
+       |    s.vmn, s.vmx
+       |  FROM nv n CROSS JOIN smm s
+       |), srec AS (
+       |  SELECT vec_id,
+       |    list(vmn + (CAST(sc AS DOUBLE) * (vmx - vmn)) / 255.0
+       |      ORDER BY j) AS rv
+       |  FROM sqq GROUP BY vec_id
+       |), sprobes AS (
+       |  SELECT cell, vec_id AS query_id FROM iranked
+       |  WHERE cell_rank <= 3 AND vec_id % 4 = 0
+       |), sasg AS (
+       |  SELECT vec_id, cell FROM iranked WHERE cell_rank = 1
+       |), spool AS (
+       |  SELECT query_id, neighbor_id, sr AS sq_rank FROM (
+       |    SELECT p.query_id, i.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY CAST(FLOOR(list_dot_product(q.nv, r.rv) * 1048576)
+       |          AS BIGINT) DESC, i.vec_id) AS sr
+       |    FROM sprobes p JOIN sasg i USING (cell)
+       |    JOIN nv q ON q.vec_id = p.query_id
+       |    JOIN srec r ON r.vec_id = i.vec_id
+       |    WHERE p.query_id <> i.vec_id)
+       |  WHERE sr <= $RerankPool
+       |), sex AS (
+       |  SELECT p.query_id, p.neighbor_id, p.sq_rank,
+       |    CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+       |      AS score
+       |  FROM spool p
+       |  JOIN nv q ON q.vec_id = p.query_id
+       |  JOIN nv c ON c.vec_id = p.neighbor_id
+       |), sr2 AS (
+       |  SELECT query_id, neighbor_id, sq_rank, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rn
+       |  FROM sex
+       |)
+       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, score,
+       |  CAST(sq_rank AS INT) AS sq_rank
+       |FROM sr2 WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   def s27Sql: String = pqAdcCte + ivfChainCte() +
     s""", probes AS (
        |  SELECT cell, vec_id AS query_id FROM iranked
@@ -3285,6 +3485,7 @@ object Similarity {
     "s26_filtered_ivfpq" -> s26Sql,
     "s27_label_partitioned" -> s27Sql,
     "s28_residual_pq" -> s28Sql,
+    "s29_sq8_search" -> s29Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

@@ -981,6 +981,21 @@ class LlmOpsSpec extends AnyFunSuite {
       "recall 100% everywhere — the audit cannot be observing IVF-PQ loss")
   }
 
+  /** Exact top-10 neighbor sets for the `%4` query set (s01's
+    * brute-force list) — the shared truth of the s28/s29 recall A/Bs. */
+  private lazy val exactTruth10: Map[Long, Set[Long]] =
+    Similarity.s01BruteForceTopK(spark, sf).collect()
+      .filter(_.getAs[Long]("query_id") % 4 == 0)
+      .groupBy(_.getAs[Long]("query_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+
+  /** Total served∩truth hits for a served (query_id, rn, neighbor_id,
+    * …) result. */
+  private def recallHits(served: Array[Row]): Int = served
+    .groupBy(_.getLong(0)).toSeq.map { case (q, rs) =>
+      (exactTruth10.getOrElse(q, Set.empty) & rs.map(_.getLong(2)).toSet).size
+    }.sum
+
   test("s28 residual ADC: contract, build-once, recall vs raw-vector ADC") {
     val rows = Similarity.s28ResidualPqSearch(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -1015,20 +1030,40 @@ class LlmOpsSpec extends AnyFunSuite {
     // flip collapses the ADC ordering toward noise and lands far below
     // the 0.85×raw floor, while the correct decomposition tracks the raw
     // twin closely even on this worst-case-for-residual corpus.
-    val truth = Similarity.s01BruteForceTopK(spark, sf).collect()
-      .filter(_.getAs[Long]("query_id") % 4 == 0)
-      .groupBy(_.getAs[Long]("query_id")).view
-      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
-    def hits(served: Array[Row]): Int = served
-      .groupBy(_.getLong(0)).toSeq.map { case (q, rs) =>
-        (truth.getOrElse(q, Set.empty) & rs.map(_.getLong(2)).toSet).size
-      }.sum
-    val resHits = hits(rows)
-    val rawHits = hits(Similarity.s20IvfPqSearch(spark, sf).collect())
+    val resHits = recallHits(rows)
+    val rawHits = recallHits(Similarity.s20IvfPqSearch(spark, sf).collect())
     assert(resHits >= (rawHits * 85) / 100,
       s"residual ADC recall ($resHits) collapsed vs raw-vector ADC " +
         s"($rawHits) — the residual decomposition is broken, not merely " +
         "corpus-disadvantaged")
+  }
+
+  test("s29 SQ8: contract, build-once, 8-bit-per-dim codes beat PQ recall") {
+    val rows = Similarity.s29SqSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length),
+        s"query $q rn gap")
+      rs.foreach { r =>
+        val sr = r.getInt(4)
+        assert(sr >= 1 && sr <= Similarity.RerankPool, s"query $q sq_rank $sr")
+      }
+    }
+    // build-once: a fresh first-toucher reuses the stored params + codes
+    Similarity.sqForgetCachedPaths()
+    val b0 = Similarity.sqBuildCount.get()
+    Similarity.s29SqSearch(spark, sf).collect()
+    assert(Similarity.sqBuildCount.get() == b0,
+      "a matching fingerprint must reuse the stored SQ8 index")
+    // the compression/fidelity trade must be visible: SQ8 spends 64 B
+    // per vector (8 bits per dimension) where PQ spends 8 B (16
+    // codewords per 8-dim subspace) — on the same probes/pool/refine,
+    // the finer code cannot lose to the coarser one unless the
+    // quantize/reconstruct math is broken
+    val sqHits = recallHits(rows)
+    val pqHits = recallHits(Similarity.s21PqIndexSearch(spark, sf).collect())
+    assert(sqHits >= pqHits,
+      s"SQ8 recall ($sqHits) below PQ recall ($pqHits) at 8x the bytes")
   }
 
   test("ground-truth artifact: one build per corpus fingerprint, audits read the stored panel") {

@@ -1339,14 +1339,31 @@ object Similarity {
         org.apache.spark.sql.types.IntegerType)),
     org.apache.spark.sql.types.StructField("cell", LongType)))
 
-  /** The SQ8 quantization code as a SQL CASE over `(x, vmn, vdiff)` —
-    * Faiss `ScalarQuantizer` QT_8bit: `round(255·(x − vmin)/vdiff)`
-    * clamped to [0, 255], code 0 for a constant dimension. Shared
-    * text between the build pipeline and the DuckDB oracle so the two
-    * engines floor/clamp identically. */
-  private[graft] val sqCodeExpr: String =
-    "CASE WHEN vdiff > 0 THEN LEAST(255, GREATEST(0, " +
-      "CAST(FLOOR((x - vmn) / vdiff * 255 + 0.5) AS INT))) ELSE 0 END"
+  /** The SQ8 quantization code as a SQL CASE — Faiss `ScalarQuantizer`
+    * QT_8bit: `round(255·(x − vmin)/vdiff)` clamped to [0, 255], code 0
+    * for a constant dimension. Parameterized over the three operand
+    * texts so ONE algebra serves both the elementwise-transform encode
+    * ([[sqEncode]]) and the scalar form the DuckDB oracle replays
+    * ([[s29Sql]]) — the two engines floor/clamp identically. */
+  private[graft] def sqCode(x: String, vmn: String, vdiff: String): String =
+    s"CASE WHEN $vdiff > 0 THEN LEAST(255, GREATEST(0, " +
+      s"CAST(FLOOR(($x - $vmn) / $vdiff * 255 + 0.5) AS INT))) ELSE 0 END"
+
+  /** Elementwise QT_8bit encode: each row's unit vector `nv` against a
+    * stored ONE-row `(vmin, vdiff)` params frame — a broadcast of the
+    * single params row plus one codegen'd `transform`, so the encode is
+    * MAP-ONLY (contrast PQ's encode, which must explode subspaces and
+    * re-aggregate). Every other column rides the row untouched, which
+    * is how the build keeps `cell` without a corpus-scale join. Shared
+    * by the batch build ([[sqBuildFromNv]]) and the streaming append
+    * sink ([[graft.stream.IndexIngest]] `sqAppendSink` — appends never
+    * retrain: the frozen ranges are the whole model). */
+  private[graft] def sqEncode(nv: DataFrame, params: DataFrame): DataFrame =
+    nv.join(broadcast(params), lit(true))
+      .withColumn("scodes", expr("transform(nv, (x, j) -> " +
+        sqCode("x", "element_at(vmin, j + 1)",
+          "element_at(vdiff, j + 1)") + ")"))
+      .drop("nv", "vmin", "vdiff")
 
   /** The scalar-quantized index — Faiss `IndexIVFScalarQuantizer`
     * (QT_8bit), the third index kind of the triad next to IVFFlat
@@ -1372,21 +1389,31 @@ object Similarity {
       base
     }
 
-  /** The SQ8 build: per-dim min/max over the unit-normalized stored
-    * lists (exact, order-free), then every vector encoded per dim
-    * against the trained ranges and written cell-major. */
+  /** The SQ8 build over the stored inverted lists: unit-normalize with
+    * the cell kept inline, then the shared build tail. */
   private def sqBuildInto(spark: SparkSession,
-      staging: String, listsBase: String): Unit = {
-    val uv = invertedListsAt(spark, listsBase)
-      .withColumn("uv",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
-      .select(col("vec_id"), col("cell"), col("uv"))
-    val mm = uv.select(posexplode(col("uv")).as(Seq("j", "x")))
+      staging: String, listsBase: String): Unit =
+    sqBuildFromNv(
+      invertedListsAt(spark, listsBase)
+        .withColumn("nv",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+        .select(col("vec_id"), col("cell"), col("nv")),
+      staging)
+
+  /** The SQ8 build tail over an already-derived `(vec_id, cell, nv)`
+    * frame — ONE body for the batch build ([[sqBuildInto]]) and the
+    * streaming bootstrap: per-dim min/max over the unit vectors (one
+    * map-side-combined 64-group aggregate — the WHOLE train step),
+    * then every vector encoded elementwise against the trained ranges
+    * and written cell-major. The cell rides each row through the
+    * map-only encode, so the build has no corpus-scale join at all. */
+  private[graft] def sqBuildFromNv(nvc: DataFrame, staging: String): Unit = {
+    val spark = nvc.sparkSession
+    nvc.select(posexplode(col("nv")).as(Seq("j", "x")))
       .groupBy(col("j"))
       .agg(min(col("x")).as("vmn"), max(col("x")).as("vmx"))
       .withColumn("vdiff", col("vmx") - col("vmn"))
-      .select(col("j"), col("vmn"), col("vdiff"))
-    mm.groupBy()
+      .groupBy()
       .agg(
         transform(array_sort(collect_list(struct(col("j"), col("vmn")))),
           s => s.getField("vmn")).as("vmin"),
@@ -1397,18 +1424,8 @@ object Similarity {
     // artifact's own params are the single source of truth; doubles
     // round-trip parquet bit-exactly so this is also value-identical
     // to encoding against the live frame)
-    val pm = spark.read.parquet(s"$staging/params")
-      .select(posexplode(expr("arrays_zip(vmin, vdiff)")).as(Seq("j", "z")))
-      .select(col("j"), col("z.vmin").as("vmn"), col("z.vdiff").as("vdiff"))
-    val codes = uv
-      .select(col("vec_id"), posexplode(col("uv")).as(Seq("j", "x")))
-      .join(broadcast(pm), "j")
-      .withColumn("sc", expr(sqCodeExpr))
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("sc")))),
-        s => s.getField("sc")).as("scodes"))
     graft.io.Store.writePartitionedParquet(
-      codes.join(uv.select(col("vec_id"), col("cell")), "vec_id"),
+      sqEncode(nvc, spark.read.parquet(s"$staging/params")),
       s"$staging/codes", Seq("cell"), Seq("vec_id"))
   }
 
@@ -2955,7 +2972,7 @@ object Similarity {
 
   /** s29 oracle: the full SQ8 build + serve replayed in SQL — per-dim
     * min/max ranges over the unit corpus, the shared QT_8bit
-    * round-and-clamp code text ([[sqCodeExpr]]'s algebra), per-vector
+    * round-and-clamp code text ([[sqCode]]'s algebra), per-vector
     * reconstruction as an ORDERED list (list_dot_product is a
     * left-to-right double fold, matching `vec_dot` bit-for-bit), the
     * probe-restricted candidate scoring, pool-[[RerankPool]], exact

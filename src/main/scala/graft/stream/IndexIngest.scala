@@ -836,6 +836,84 @@ object IndexIngest {
     fragmentation(base, "codes") >= maxFilesPerCell &&
       compactPq(spark, base)
 
+  /** A normed batch as s29's `(vec_id, cell, nv)` build/encode frame:
+    * unit vectors with the cell from assignment to the IVF artifact's
+    * stored centroids riding each row (SQ's encode is elementwise, so
+    * unlike the PQ sink no vec_id re-join is ever needed). */
+  private def sqNvc(v: DataFrame, ivfBase: String): DataFrame =
+    Similarity.assignToCentroids(v,
+        v.sparkSession.read.parquet(s"$ivfBase/centroids"))
+      .withColumn("nv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .select(col("vec_id"), col("cell"), col("nv"))
+
+  /** One-time SQ8 bootstrap: train the per-dim `(vmin, vdiff)` ranges
+    * on the initial corpus and write the code table cell-major — cells
+    * by assignment to the already-bootstrapped IVF artifact's centroids
+    * at `ivfBase`, so the scalar code table and the vector lists shard
+    * identically from the first byte ([[pqBootstrap]]'s contract for
+    * the quantizer whose whole train step is one min/max aggregate). */
+  def sqBootstrap(base: String, ivfBase: String,
+      vectors: DataFrame): BootstrapStatus = {
+    val v = withNorm(vectors)
+    bootstrapOnce(base, Similarity.frameFingerprintParts(v)) {
+      Similarity.sqBuildFromNv(sqNvc(v, ivfBase), _)
+    }
+  }
+
+  /** The scalar-quantized twin of [[pqAppendSink]] — the SIXTH
+    * exactly-once sink (IVF vectors, BM25 segments, LSH postings, PQ
+    * codes, paired-generation sinks, now SQ8 codes), and the cheapest
+    * append path of the index triad: SQ8 has NO trained codebook to
+    * consult — each micro-batch encodes elementwise against the stored
+    * frozen `(vmin, vdiff)` ranges (a 1-row broadcast + one codegen'd
+    * `transform`; `ScalarQuantizer::compute_codes` at add time) and
+    * appends under its cells' partition dirs. Cells come from
+    * assignment to the IVF artifact's stored centroids, keeping the
+    * code table aligned with [[ivfAppendSink]]'s lists for the same
+    * feed regardless of sink commit order. Same replay contract as the
+    * siblings: the per-lineage high-water mark lives inside the
+    * artifact and commits in the same mutate as the rows. Note the
+    * frozen-range trade inherited from the batch posture (s22's frozen
+    * codebook): streamed vectors OUTSIDE the bootstrap corpus's
+    * per-dim envelope clamp to code 0/255 — the recall gate, not the
+    * sink, is where a drifted envelope fires a retrain. */
+  def sqAppendSink(base: String, ivfBase: String,
+      appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = withNorm(batch)
+    appendOnce(base, batchId,
+        Similarity.frameFingerprintParts(v), appId) { live =>
+      Similarity.sqEncode(sqNvc(v, ivfBase),
+          spark.read.parquet(s"$live/params"))
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$live/codes")
+    }
+  }
+
+  /** Compact the SQ8 code table after a run of appends: one sorted
+    * file per cell partition; the params frame is not staged, so the
+    * publish leaves it untouched and the fingerprint survives
+    * (layout-only change — [[compactIvf]]'s contract). */
+  def compactSq(spark: org.apache.spark.sql.SparkSession,
+      base: String): Boolean =
+    ArtifactStore.rewrite(base) { (live, staging) =>
+      val codes = spark.read.schema(Similarity.sqCodesSchema)
+        .parquet(s"$live/codes")
+      graft.io.Store.writePartitionedParquet(
+        codes.select(col("vec_id"), col("scodes"), col("cell")),
+        s"$staging/codes", Seq("cell"), Seq("vec_id"))
+    }
+
+  /** [[maybeCompactIvf]] for the SQ8 code table. */
+  def maybeCompactSq(spark: org.apache.spark.sql.SparkSession,
+      base: String, maxFilesPerCell: Int = 4): Boolean =
+    fragmentation(base, "codes") >= maxFilesPerCell &&
+      compactSq(spark, base)
+
   /** One-time LSH dedup-index bootstrap over the initial standing
     * corpus (digests + band postings through the atomic-publish path);
     * a no-op when the artifact is already current for these docs. */

@@ -1214,6 +1214,100 @@ class StreamingSpec extends AnyFunSuite {
       "the unstaged codebook must survive compaction")
   }
 
+  test("streaming SQ8 ingest: batch codes append against the frozen ranges exactly once") {
+    // the SIXTH exactly-once index sink, and the cheapest append of the
+    // triad: no codebook exists — micro-batches encode elementwise
+    // against the STORED frozen (vmin, vdiff) ranges and append
+    // cell-major; replays are no-ops, compaction is layout-only, and
+    // the final stored table must equal an encode of ALL vectors
+    // against the BOOTSTRAP params with bootstrap-centroid cells
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(13)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 110L).map(i => (i, vec()))
+    val b2 = (200L until 210L).map(i => (i, vec()))
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sq")
+    val ivfIdx = root.resolve("ivf").toString
+    val sqIdx = root.resolve("sq").toString
+    graft.stream.IndexIngest.bootstrap(
+      ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    graft.stream.IndexIngest.sqBootstrap(
+      sqIdx, ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    def storedCodes(): Map[Long, (Long, Seq[Int])] = spark.read
+      .schema(graft.llm.Similarity.sqCodesSchema)
+      .parquet(s"$sqIdx/codes")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getSeq[Int](1))).toMap
+    assert(storedCodes().size == 40)
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(
+        graft.stream.IndexIngest.sqAppendSink(sqIdx, ivfIdx) _)
+      .start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      assert(storedCodes().size == 50, "batch 1 codes must be appended")
+      src.addData(b2); q.processAllAvailable()
+      assert(storedCodes().size == 60, "batch 2 codes must be appended")
+    } finally q.stop()
+    // exactly-once: a replayed committed batch id is a wholesale no-op
+    graft.stream.IndexIngest.sqAppendSink(sqIdx, ivfIdx)(
+      b2.toDF("vec_id", "embedding"), 1L)
+    assert(storedCodes().size == 60, "replay must not double-ingest")
+    assert(graft.io.ArtifactStore.currentFingerprint(sqIdx).isDefined)
+    // frozen-range proof: stored table == elementwise encode of ALL
+    // vectors against the BOOTSTRAP params, cells from bootstrap
+    // centroids — streamed vectors outside the bootstrap envelope are
+    // expected to clamp, and the equality covers that too
+    val params = spark.read.parquet(s"$sqIdx/params")
+    val centroids = spark.read.parquet(s"$ivfIdx/centroids")
+    val all = (baseVecs ++ b1 ++ b2).toDF("vec_id", "embedding")
+      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .filter(col("norm") > 0)
+    val nvc = graft.llm.Similarity.assignToCentroids(all, centroids)
+      .withColumn("nv",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      .select(col("vec_id"), col("cell"), col("nv"))
+    val want = graft.llm.Similarity.sqEncode(nvc, params)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    assert(storedCodes() == want,
+      "stored codes must equal frozen-range encoding of all vectors")
+    // the clamp class is REAL in this fixture, not vacuous: at least
+    // one appended vector must have hit the 0/255 envelope boundary
+    // on some dimension (new random draws exceed a 40-vector min/max
+    // envelope with near-certainty)
+    val appended = (b1 ++ b2).map(_._1).toSet
+    assert(want.exists { case (id, (_, cs)) =>
+      appended(id) && cs.exists(c => c == 0 || c == 255) },
+      "fixture regression: no appended vector clamped to the envelope")
+    // compaction: one file per touched cell, fingerprint + rows + the
+    // (unstaged) params unchanged
+    def partFiles(): Map[String, Int] = {
+      val r = new java.io.File(s"$sqIdx/codes")
+      r.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.startsWith("part-"))
+      }.toMap
+    }
+    assert(partFiles().values.exists(_ > 1),
+      "appends should have left multi-file cells to make compaction real")
+    val fpBefore = graft.io.ArtifactStore.currentFingerprint(sqIdx)
+    assert(graft.stream.IndexIngest.maybeCompactSq(spark, sqIdx,
+      maxFilesPerCell = 2))
+    assert(partFiles().values.forall(_ == 1),
+      s"compaction must leave one file per cell, got ${partFiles()}")
+    assert(graft.io.ArtifactStore.currentFingerprint(sqIdx) == fpBefore,
+      "compaction is layout-only: the content fingerprint must not move")
+    assert(storedCodes() == want, "compaction must not change the rows")
+    assert(spark.read.parquet(s"$sqIdx/params").count() == 1,
+      "the unstaged 1-row params frame must survive compaction")
+  }
+
   test("streaming recall gate: SLO-violating appends retrain to a from-scratch-identical generation") {
     // s24's audit→decide→retrain loop at maintenance cadence: appends
     // against frozen models degrade recall; the gate measures it off

@@ -425,19 +425,41 @@ object IndexIngest {
     * is inside the same window, so probes never observe the
     * mixed-generation pair on the healthy path.
     *
+    * A co-maintained SQ8 code table ([[sqAppendSink]]) opts in via
+    * `sqBase`: it joins the heal (derivable from the IVF artifact like
+    * PQ), the skew deferral (its mark must agree too), and the retrain
+    * (an IVF retrain re-cells every dependent code table — the SQ
+    * ranges themselves are vector-set-pure and reproduce identically,
+    * but the cell partitioning must shard with the new lists). The
+    * audit signal stays the IVF-PQ pair's recall: one decision, all
+    * dependent tables move to the new generation together.
+    *
     * Returns `(queries, hits, fired, retrained)` — the audit report
     * the maintenance job logs either way; `fired && !retrained` means
     * the SLO is violated but the rebuild was deferred to an aligned
     * cycle. */
   def recallGateAndRetrain(spark: org.apache.spark.sql.SparkSession,
-      ivfBase: String, pqBase: String,
-      panelMod: Long = 4): (Int, Long, Boolean, Boolean) = {
-    healPair(spark, ivfBase, pqBase)
+      ivfBase: String, pqBase: String, panelMod: Long = 4,
+      sqBase: Option[String] = None): (Int, Long, Boolean, Boolean) = {
+    val ivfFp = healPair(spark, ivfBase, pqBase)
+    // a co-maintained SQ8 table ([[sqAppendSink]]) is equally derivable
+    // from the IVF artifact, so it gets the same heal
+    sqBase.foreach { sq =>
+      if (ArtifactStore.currentFingerprint(sq).isEmpty) {
+        ArtifactStore.restoreAside(sq)
+        if (ArtifactStore.currentFingerprint(sq).isEmpty)
+          rebuildSqFrom(spark, ivfBase, sq, ivfFp)
+      }
+    }
     def lists = invertedLists(spark, ivfBase)
     val (queries, truthRows, hits) =
       auditRecall(spark, ivfBase, pqBase, panelMod)
     val fired = Similarity.retrainDecision(truthRows, hits)
-    val retrained = fired && readState(ivfBase) == readState(pqBase)
+    // skew deferral covers every co-retrained table: an IVF retrain
+    // re-cells the SQ codes too, so folding an SQ-uncommitted batch in
+    // (or dropping a committed one) has exactly the PQ failure mode
+    val retrained = fired && readState(ivfBase) == readState(pqBase) &&
+      sqBase.forall(readState(_) == readState(ivfBase))
     if (retrained) {
       val ivfOk = ArtifactStore.rewrite(ivfBase) { (live, staging) =>
         Similarity.ivfBuildFrom(
@@ -455,9 +477,25 @@ object IndexIngest {
           staging, lists.select(col("vec_id"), col("cell")))
       }
       require(pqOk, s"no valid PQ artifact to retrain at $pqBase")
+      // the SQ ranges are vector-set-pure (the retrain reproduces them
+      // bit-identically), but the code table's CELL partitioning must
+      // shard with the new lists — skipping this rewrite would leave
+      // every SQ probe reading the old generation's cell layout
+      sqBase.foreach { sq =>
+        val sqOk = ArtifactStore.rewrite(sq) { (_, staging) =>
+          Similarity.sqBuildFromNv(sqNvFromLists(lists), staging)
+        }
+        require(sqOk, s"no valid SQ artifact to retrain at $sq")
+      }
     }
     (queries, hits, fired, retrained)
   }
+
+  /** Stored inverted lists as s29's `(vec_id, cell, nv)` frame. */
+  private def sqNvFromLists(lists: DataFrame): DataFrame = lists
+    .withColumn("nv",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+    .select(col("vec_id"), col("cell"), col("nv"))
 
   /** The gate's heal preamble, shared by both retrain postures: roll
     * back a crashed publish first (old generation split between the
@@ -550,6 +588,18 @@ object IndexIngest {
       java.nio.file.Paths.get(root, gen, "pq").toString)
   }
 
+  /** The optional SQ8 member of a generation (see [[bootstrapPair]]'s
+    * `withSq`). Presence is self-describing: a generation that has an
+    * `sq` dir carries the table through every retrain; one that never
+    * did stays a pure IVF-PQ pair. */
+  private def sqGenPath(pairBase: String, gen: String): String =
+    java.nio.file.Paths.get(localBase(pairBase), gen, "sq").toString
+
+  private def sqGenIfPresent(pairBase: String, gen: String): Option[String] = {
+    val p = sqGenPath(pairBase, gen)
+    if (new java.io.File(p).isDirectory) Some(p) else None
+  }
+
   /** The serving generation named by the pointer, e.g. `"g3"`; None
     * before [[bootstrapPair]] completes. */
   def currentGen(pairBase: String): Option[String] = {
@@ -571,6 +621,12 @@ object IndexIngest {
     genPaths(pairBase, gen)
   }
 
+  /** The CURRENT generation's SQ8 base, when the pair was bootstrapped
+    * `withSq` — same consistency rule as [[resolvePair]]: resolve once,
+    * use the returned path for the whole probe. */
+  def resolveSq(pairBase: String): Option[String] =
+    sqGenIfPresent(pairBase, requireGen(pairBase))
+
   private def swapCurrent(pairBase: String, gen: String): Unit = {
     val root = java.nio.file.Paths.get(localBase(pairBase))
     java.nio.file.Files.createDirectories(root)
@@ -587,17 +643,20 @@ object IndexIngest {
     * pointer write re-runs both bootstraps (valid artifacts no-op)
     * and just writes the pointer; an existing pointer delegates to
     * the per-artifact initialize-only semantics. */
-  def bootstrapPair(pairBase: String, vectors: DataFrame): BootstrapStatus =
+  def bootstrapPair(pairBase: String, vectors: DataFrame,
+      withSq: Boolean = false): BootstrapStatus =
     currentGen(pairBase) match {
       case Some(gen) =>
         val (ivfBase, pqBase) = genPaths(pairBase, gen)
         val s = bootstrap(ivfBase, vectors)
         pqBootstrap(pqBase, ivfBase, vectors)
+        if (withSq) sqBootstrap(sqGenPath(pairBase, gen), ivfBase, vectors)
         s
       case None =>
         val (ivfBase, pqBase) = genPaths(pairBase, "g0")
         bootstrap(ivfBase, vectors)
         pqBootstrap(pqBase, ivfBase, vectors)
+        if (withSq) sqBootstrap(sqGenPath(pairBase, "g0"), ivfBase, vectors)
         swapCurrent(pairBase, "g0")
         BootstrapStatus.Built
     }
@@ -630,6 +689,16 @@ object IndexIngest {
     requireGenUnmoved(pairBase, gen, batchId)
   }
 
+  /** [[ivfAppendSinkPaired]]'s SQ8 twin (a generation bootstrapped
+    * `withSq`). */
+  def sqAppendSinkPaired(pairBase: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val gen = requireGen(pairBase)
+    sqAppendSink(sqGenPath(pairBase, gen), genPaths(pairBase, gen)._1,
+      appId)(batch, batchId)
+    requireGenUnmoved(pairBase, gen, batchId)
+  }
+
   private def requireGen(pairBase: String): String =
     currentGen(pairBase).getOrElse(throw new IllegalStateException(
       s"no CURRENT generation at $pairBase — bootstrapPair first"))
@@ -657,6 +726,12 @@ object IndexIngest {
     * before the swap and are still scanning — the same reason Lucene
     * keeps the previous commit point until the next one).
     *
+    * A generation bootstrapped `withSq` carries its SQ8 table through
+    * the same machinery: healed from the IVF sibling, its replay mark
+    * part of the skew deferral and the pre-swap re-check, rebuilt
+    * against the new generation's cells before the pointer moves — so
+    * the never-mixed guarantee covers all THREE artifacts.
+    *
     * `midBuild` is a test seam invoked between the two artifact
     * builds — the widest point of the old mixed window. */
   def recallGateAndRetrainPaired(spark: org.apache.spark.sql.SparkSession,
@@ -666,11 +741,24 @@ object IndexIngest {
       s"no CURRENT generation at $pairBase — bootstrapPair first"))
     val (ivfBase, pqBase) = genPaths(pairBase, gen)
     val ivfFp = healPair(spark, ivfBase, pqBase)
+    // an SQ8 generation member joins the heal, the skew deferral, the
+    // build and the swap-race re-check — presence is the gen dir, not
+    // the marker, so a crashed SQ publish heals instead of silently
+    // dropping the table from the next generation
+    val sqCur = sqGenIfPresent(pairBase, gen)
+    sqCur.foreach { sq =>
+      if (ArtifactStore.currentFingerprint(sq).isEmpty) {
+        ArtifactStore.restoreAside(sq)
+        if (ArtifactStore.currentFingerprint(sq).isEmpty)
+          rebuildSqFrom(spark, ivfBase, sq, ivfFp)
+      }
+    }
     val (queries, truthRows, hits) =
       auditRecall(spark, ivfBase, pqBase, panelMod)
     val fired = Similarity.retrainDecision(truthRows, hits)
     val marksBefore = readState(ivfBase)
-    var retrained = fired && marksBefore == readState(pqBase)
+    var retrained = fired && marksBefore == readState(pqBase) &&
+      sqCur.forall(readState(_) == marksBefore)
     if (retrained) {
       val next = s"g${gen.stripPrefix("g").toLong + 1}"
       val (ivfNew, pqNew) = genPaths(pairBase, next)
@@ -696,6 +784,12 @@ object IndexIngest {
           staging, newLists.select(col("vec_id"), col("cell")))
         copyStateInto(pqBase, staging)
       }
+      sqCur.foreach { sq =>
+        ArtifactStore.ensure(sqGenPath(pairBase, next), ivfFp) { staging =>
+          Similarity.sqBuildFromNv(sqNvFromLists(newLists), staging)
+          copyStateInto(sq, staging)
+        }
+      }
       // swap-race guard: a sink that committed to g<N> DURING the
       // builds put rows (and marks) there that g<N+1> does not carry —
       // swapping would silently drop them. Abandon the swap instead
@@ -704,7 +798,8 @@ object IndexIngest {
       // Together with the sinks' post-commit pointer re-check this
       // leaves no commit unaccounted for (review-caught r12).
       if (readState(ivfBase) != marksBefore ||
-          readState(pqBase) != marksBefore) {
+          readState(pqBase) != marksBefore ||
+          sqCur.exists(readState(_) != marksBefore)) {
         retrained = false
       } else swapCurrent(pairBase, next)
       // retention (only after a real swap): keep the just-replaced
@@ -790,6 +885,23 @@ object IndexIngest {
       // the replay mark is STAGED with the data (a post-publish copy
       // would be an unmanifested extra file — the artifact would fail
       // its own manifest validation and read as absent)
+      val ivfState = java.nio.file.Paths.get(localBase(ivfBase), "stream_state")
+      if (java.nio.file.Files.isRegularFile(ivfState))
+        java.nio.file.Files.copy(ivfState,
+          java.nio.file.Paths.get(staging, "stream_state"))
+    }
+    ()
+  }
+
+  /** [[rebuildPqFrom]] for the SQ8 artifact: equally derivable from
+    * the IVF artifact (the ranges are vector-set-pure and reproduce
+    * bit-identically; the cells come from the lists), fingerprint set
+    * to the IVF artifact's, replay mark copied the same staged way. */
+  private def rebuildSqFrom(spark: org.apache.spark.sql.SparkSession,
+      ivfBase: String, sqBase: String, fp: String): Unit = {
+    ArtifactStore.ensure(sqBase, fp) { staging =>
+      Similarity.sqBuildFromNv(
+        sqNvFromLists(invertedLists(spark, ivfBase)), staging)
       val ivfState = java.nio.file.Paths.get(localBase(ivfBase), "stream_state")
       if (java.nio.file.Files.isRegularFile(ivfState))
         java.nio.file.Files.copy(ivfState,

@@ -1308,6 +1308,103 @@ class StreamingSpec extends AnyFunSuite {
       "the unstaged 1-row params frame must survive compaction")
   }
 
+  test("recall gate with a co-maintained SQ8 table: heals, defers on SQ skew, retrains all three together") {
+    // sqBase opts the SQ8 code table into the gate: an IVF retrain
+    // re-cells every dependent table, so the SQ table must move to the
+    // new generation in the same decision — and its replay mark must
+    // join the skew deferral (a retrain folding an SQ-uncommitted
+    // batch in would double-ingest on that batch's replay)
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 120L).map(i => (i, vec()))
+    val bSkew = (300L until 305L).map(i => (i, vec()))
+    val all = baseVecs ++ b1 ++ bSkew
+    val root = java.nio.file.Files.createTempDirectory("graft-gate-sq")
+    val ivfIdx = root.resolve("ivf").toString
+    val pqIdx = root.resolve("pq").toString
+    val sqIdx = root.resolve("sq").toString
+    graft.stream.IndexIngest.bootstrap(
+      ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    graft.stream.IndexIngest.pqBootstrap(
+      pqIdx, ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    graft.stream.IndexIngest.sqBootstrap(
+      sqIdx, ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    for ((b, id) <- Seq((b1, 0L), (bSkew, 1L))) {
+      graft.stream.IndexIngest.ivfAppendSink(ivfIdx)(
+        b.toDF("vec_id", "embedding"), id)
+      graft.stream.IndexIngest.pqAppendSink(pqIdx, ivfIdx)(
+        b.toDF("vec_id", "embedding"), id)
+    }
+    // the SQ sink is one batch BEHIND: ivf/pq marks agree with each
+    // other, so only the sq-mark check can defer this cycle
+    graft.stream.IndexIngest.sqAppendSink(sqIdx, ivfIdx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    def sqCodeRows(base: String) = spark.read
+      .schema(graft.llm.Similarity.sqCodesSchema)
+      .parquet(s"$base/codes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getSeq[Int](1))).toMap
+    val sqBefore = sqCodeRows(sqIdx)
+    val (_, _, firedSkew, retrainedSkew) =
+      graft.stream.IndexIngest.recallGateAndRetrain(
+        spark, ivfIdx, pqIdx, sqBase = Some(sqIdx))
+    assert(firedSkew && !retrainedSkew,
+      "an SQ-skewed cycle must defer the retrain")
+    assert(sqCodeRows(sqIdx) == sqBefore,
+      "a deferred cycle must not touch the SQ table")
+    // drain the skew — the next cycle retrains ALL THREE
+    graft.stream.IndexIngest.sqAppendSink(sqIdx, ivfIdx)(
+      bSkew.toDF("vec_id", "embedding"), 1L)
+    val (_, _, fired, retrained) =
+      graft.stream.IndexIngest.recallGateAndRetrain(
+        spark, ivfIdx, pqIdx, sqBase = Some(sqIdx))
+    assert(fired && retrained,
+      "aligned marks + fired SLO must retrain the triple")
+    // the retrained SQ table == a from-scratch bootstrap over all
+    // vectors (ranges are vector-set-pure, cells from the new lists)
+    val cleanIvf = root.resolve("clean-ivf").toString
+    val cleanSq = root.resolve("clean-sq").toString
+    graft.stream.IndexIngest.bootstrap(
+      cleanIvf, all.toDF("vec_id", "embedding"))
+    graft.stream.IndexIngest.sqBootstrap(
+      cleanSq, cleanIvf, all.toDF("vec_id", "embedding"))
+    assert(sqCodeRows(sqIdx) == sqCodeRows(cleanSq),
+      "retrained SQ codes must equal a from-scratch build on all vectors")
+    def paramRows(base: String) = spark.read
+      .parquet(s"$base/params").collect()
+      .map(r => (r.getSeq[Double](0), r.getSeq[Double](1))).toSeq
+    assert(paramRows(sqIdx) == paramRows(cleanSq),
+      "retrained ranges must reproduce bit-identically (vector-set-pure)")
+    assert(graft.io.ArtifactStore.currentFingerprint(sqIdx) ==
+      graft.io.ArtifactStore.currentFingerprint(cleanSq),
+      "the rewrite must keep the chained fingerprint (same vector set)")
+    // replay protection survived the co-retrain
+    graft.stream.IndexIngest.sqAppendSink(sqIdx, ivfIdx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(sqCodeRows(sqIdx) == sqCodeRows(cleanSq),
+      "replay after the co-retrain must not double-ingest")
+    // SELF-HEAL: a crashed SQ rewrite (marker gone, data intact) heals
+    // from the IVF artifact — fingerprint adopted, replay mark copied
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(sqIdx, "_FINGERPRINT"))
+    assert(graft.io.ArtifactStore.currentFingerprint(sqIdx).isEmpty)
+    val (q3, h3, _, _) =
+      graft.stream.IndexIngest.recallGateAndRetrain(
+        spark, ivfIdx, pqIdx, sqBase = Some(sqIdx))
+    assert(q3 > 0 && h3 >= 0)
+    assert(graft.io.ArtifactStore.currentFingerprint(sqIdx)
+      == graft.io.ArtifactStore.currentFingerprint(ivfIdx),
+      "the healed SQ artifact must carry the IVF artifact's fingerprint")
+    assert(sqCodeRows(sqIdx) == sqCodeRows(cleanSq),
+      "the healed SQ table must rebuild to the same rows")
+    graft.stream.IndexIngest.sqAppendSink(sqIdx, ivfIdx)(
+      bSkew.toDF("vec_id", "embedding"), 1L)
+    assert(sqCodeRows(sqIdx) == sqCodeRows(cleanSq),
+      "the healed mark must still block replays of committed batches")
+  }
+
   test("streaming recall gate: SLO-violating appends retrain to a from-scratch-identical generation") {
     // s24's audit→decide→retrain loop at maintenance cadence: appends
     // against frozen models degrade recall; the gate measures it off
@@ -1630,6 +1727,101 @@ class StreamingSpec extends AnyFunSuite {
     IndexIngest.ivfAppendSinkPaired(pairBase)(
       b2.toDF("vec_id", "embedding"), 1L)
     assert(listRows() == 65)
+  }
+
+  test("paired retrain withSq: the SQ8 table rides the generation swap, never mixed") {
+    // a generation bootstrapped withSq carries the SQ8 table through
+    // the pointer machinery: mid-build readers still resolve the
+    // complete OLD triple, the swap lands all three artifacts at once,
+    // and an SQ-only commit during the build defers the swap (the new
+    // generation would carry neither its rows nor its mark)
+    import spark.implicits._
+    import graft.stream.IndexIngest
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(15)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 120L).map(i => (i, vec()))
+    val b2 = (200L until 220L).map(i => (i, vec()))
+    val b3 = (300L until 305L).map(i => (i, vec()))
+    val pairBase = java.nio.file.Files.createTempDirectory("graft-pairsq")
+      .resolve("trio").toString
+    IndexIngest.bootstrapPair(pairBase, baseVecs.toDF("vec_id", "embedding"),
+      withSq = true)
+    assert(IndexIngest.resolveSq(pairBase).isDefined,
+      "a withSq bootstrap must expose the generation's SQ base")
+    def appendAll(b: Seq[(Long, Seq[Float])], id: Long): Unit = {
+      IndexIngest.ivfAppendSinkPaired(pairBase)(
+        b.toDF("vec_id", "embedding"), id)
+      IndexIngest.pqAppendSinkPaired(pairBase)(
+        b.toDF("vec_id", "embedding"), id)
+      IndexIngest.sqAppendSinkPaired(pairBase)(
+        b.toDF("vec_id", "embedding"), id)
+    }
+    appendAll(b1, 0L)
+    def sqRows(base: String) = spark.read
+      .schema(graft.llm.Similarity.sqCodesSchema)
+      .parquet(s"$base/codes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getSeq[Int](1))).toMap
+    // mid-build, a reader must still resolve the complete OLD triple
+    var midGen: Option[String] = None
+    var midSqServes = false
+    val (_, h1, fired1, retrained1) =
+      IndexIngest.recallGateAndRetrainPaired(spark, pairBase, 4, () => {
+        midGen = IndexIngest.currentGen(pairBase)
+        midSqServes = IndexIngest.resolveSq(pairBase).exists(p =>
+          graft.io.ArtifactStore.currentFingerprint(p).isDefined)
+      })
+    assert(fired1, s"recall should have fired (hits $h1)")
+    assert(retrained1, "aligned marks + fired SLO must swap the triple")
+    assert(midGen.contains("g0") && midSqServes,
+      "mid-build readers must resolve the complete old generation")
+    assert(IndexIngest.currentGen(pairBase).contains("g1"))
+    val g1Sq = IndexIngest.resolveSq(pairBase).get
+    // the swapped-in SQ table == a from-scratch build over all vectors
+    val all = baseVecs ++ b1
+    val root2 = java.nio.file.Files.createTempDirectory("graft-pairsq-clean")
+    val cleanIvf = root2.resolve("ivf").toString
+    val cleanSq = root2.resolve("sq").toString
+    IndexIngest.bootstrap(cleanIvf, all.toDF("vec_id", "embedding"))
+    IndexIngest.sqBootstrap(cleanSq, cleanIvf, all.toDF("vec_id", "embedding"))
+    assert(sqRows(g1Sq) == sqRows(cleanSq),
+      "the new generation's SQ table must equal a from-scratch build")
+    // replay through the paired sink lands on g1's mark map — no-op
+    IndexIngest.sqAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(sqRows(g1Sq) == sqRows(cleanSq),
+      "replay after the swap must not double-ingest")
+    // SQ-ONLY mid-build commit: the new generation would miss its rows
+    // and mark — the gate must observe the moved SQ mark and defer
+    appendAll(b2, 1L)
+    val (_, h2, fired2, retrained2) =
+      IndexIngest.recallGateAndRetrainPaired(spark, pairBase, 4, () => {
+        IndexIngest.sqAppendSinkPaired(pairBase)(
+          b3.toDF("vec_id", "embedding"), 2L)
+      })
+    assert(fired2, s"recall should have fired again (hits $h2)")
+    assert(!retrained2, "an SQ commit mid-build must defer the swap")
+    assert(IndexIngest.currentGen(pairBase).contains("g1"),
+      "the pointer must not move when the swap is deferred")
+    // drain: the feed delivers b3 to the other sinks; the next aligned
+    // cycle completes the swap with the racing batch carried
+    IndexIngest.ivfAppendSinkPaired(pairBase)(
+      b3.toDF("vec_id", "embedding"), 2L)
+    IndexIngest.pqAppendSinkPaired(pairBase)(
+      b3.toDF("vec_id", "embedding"), 2L)
+    val (_, _, fired3, retrained3) =
+      IndexIngest.recallGateAndRetrainPaired(spark, pairBase)
+    assert(fired3 && retrained3, "the aligned cycle must complete the swap")
+    assert(IndexIngest.currentGen(pairBase).contains("g2"))
+    val g2Sq = IndexIngest.resolveSq(pairBase).get
+    assert(sqRows(g2Sq).keySet ==
+      (all ++ b2 ++ b3).map(_._1).toSet,
+      "the final generation must carry the racing batch's codes")
+    // and the racing batch's replay is a no-op against g2
+    IndexIngest.sqAppendSinkPaired(pairBase)(
+      b3.toDF("vec_id", "embedding"), 2L)
+    assert(sqRows(g2Sq).keySet == (all ++ b2 ++ b3).map(_._1).toSet)
   }
 
   test("(appId, batchId) replay marks: two query lineages interleave without aliasing") {

@@ -630,9 +630,15 @@ object Similarity {
   /** Unit-normalized vectors `(vec_id, nv)` from any `(vec_id,
     * embedding, norm)` frame — the PQ chain's input builder, shared
     * with the streaming ingest sink ([[graft.stream.IndexIngest]]). */
+  /** The unit-normalization lambda — the exact CAST/division order
+    * both engines' bit-parity depends on; every site that derives a
+    * unit vector from `(embedding, norm)` must use this one string. */
+  private[graft] val UnitNvExpr: String =
+    "transform(embedding, x -> CAST(x AS DOUBLE) / norm)"
+
   private[graft] def pqNvFrame(v: DataFrame): DataFrame = v
     .withColumn("nv",
-      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      expr(UnitNvExpr))
     .select(col("vec_id"), col("nv"))
 
   /** Unit-normalized corpus vectors `(vec_id, nv)` — the PQ chain's
@@ -780,7 +786,7 @@ object Similarity {
   private[graft] def indexVectorFetch(spark: SparkSession, dir: String): DataFrame =
     ivfInvertedLists(spark, dir)
       .withColumn("nv",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+        expr(UnitNvExpr))
       .select(col("vec_id"), col("nv"))
 
   /** s19 candidate-pool width: ADC keeps this many candidates per
@@ -1250,7 +1256,7 @@ object Similarity {
     val rv = invertedListsAt(spark, listsBase)
       .join(broadcast(unitCentroids(spark, listsBase)), "cell")
       .withColumn("uv",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+        expr(UnitNvExpr))
       .withColumn("rnv", expr("zip_with(uv, cu, (a, b) -> a - b)"))
       .select(col("vec_id"), col("cell"), col("rnv").as("nv"))
     pqBuildFromNv(rv.select(col("vec_id"), col("nv")), staging,
@@ -1304,18 +1310,18 @@ object Similarity {
     val storedCodes = spark.read.schema(pqCodesSchema)
       .parquet(s"$base/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
-    val probes = servingProbes(spark, dir)
-    // the coarse term only exists where a probe does: qc is derived
-    // FROM the probe frame (nprobe·Q rows — the doc'd sizing), never
-    // a query × all-cells fan-out
-    val qc = probes
-      .join(pqNv(spark, dir).select(col("vec_id").as("query_id"),
-        col("nv")), "query_id")
-      .join(broadcast(unitCentroids(spark, ivfBase)), "cell")
+    // the coarse term is a query-frame × 16-centroid fan-out (16·Q
+    // rows in the broadcast — tiny); deriving it from the probe frame
+    // would plant a SECOND corpus-scale ivfRanked window subtree in the
+    // same plan (DataFrames are not cached across the two uses).
+    // adcPool's inner (query_id, cell) join restricts it to the probed
+    // cells, so the scored rows are identical either way.
+    val qc = pqNv(spark, dir).filter(col("vec_id") % 4 === 0)
+      .join(broadcast(unitCentroids(spark, ivfBase)), lit(true))
       .withColumn("qc",
         floor(expr("vec_dot(nv, cu)") * lit(1048576.0)).cast(LongType))
-      .select(col("query_id"), col("cell"), col("qc"))
-    val pool = adcPool(probes, storedCodes,
+      .select(col("vec_id").as("query_id"), col("cell"), col("qc"))
+    val pool = adcPool(servingProbes(spark, dir), storedCodes,
       servingLuts(spark, dir, cb), Some(qc))
     exactRefine(pool, indexVectorFetch(spark, dir), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
@@ -1396,7 +1402,7 @@ object Similarity {
     sqBuildFromNv(
       invertedListsAt(spark, listsBase)
         .withColumn("nv",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+          expr(UnitNvExpr))
         .select(col("vec_id"), col("cell"), col("nv")),
       staging)
 
@@ -1930,7 +1936,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
     val fetched = invertedListsAt(spark, ivfBase)
       .withColumn("nv",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+        expr(UnitNvExpr))
       .select(col("vec_id"), col("nv"))
     exactRefine(pool, fetched, 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
@@ -1964,7 +1970,7 @@ object Similarity {
     VectorExpressions.register(spark)
     val nv = normed(spark, dir)
       .withColumn("nv",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+        expr(UnitNvExpr))
       .select(col("vec_id"), expr("vec_id div 8").as("did"),
         (col("vec_id") % 8).as("tok"), col("nv"))
     val cent = nv
@@ -2031,7 +2037,7 @@ object Similarity {
     VectorExpressions.register(spark)
     val nv = normed(spark, dir)
       .withColumn("nv",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+        expr(UnitNvExpr))
       .select(col("vec_id"), col("nv"))
     val src = nv.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("x"), col("nv").as("xv"))

@@ -444,13 +444,7 @@ object IndexIngest {
     val ivfFp = healPair(spark, ivfBase, pqBase)
     // a co-maintained SQ8 table ([[sqAppendSink]]) is equally derivable
     // from the IVF artifact, so it gets the same heal
-    sqBase.foreach { sq =>
-      if (ArtifactStore.currentFingerprint(sq).isEmpty) {
-        ArtifactStore.restoreAside(sq)
-        if (ArtifactStore.currentFingerprint(sq).isEmpty)
-          rebuildSqFrom(spark, ivfBase, sq, ivfFp)
-      }
-    }
+    sqBase.foreach(healSqAgainst(spark, ivfBase, _, ivfFp))
     def lists = invertedLists(spark, ivfBase)
     val (queries, truthRows, hits) =
       auditRecall(spark, ivfBase, pqBase, panelMod)
@@ -494,7 +488,7 @@ object IndexIngest {
   /** Stored inverted lists as s29's `(vec_id, cell, nv)` frame. */
   private def sqNvFromLists(lists: DataFrame): DataFrame = lists
     .withColumn("nv",
-      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      expr(Similarity.UnitNvExpr))
     .select(col("vec_id"), col("cell"), col("nv"))
 
   /** The gate's heal preamble, shared by both retrain postures: roll
@@ -544,7 +538,7 @@ object IndexIngest {
       .storedIvfPqServeFrom(spark, panel, ivfBase, pqBase)
       .select(col("query_id"), col("neighbor_id"))
     val nvAll = lists.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)")
+      expr(Similarity.UnitNvExpr)
         .as("nv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -650,16 +644,35 @@ object IndexIngest {
         val (ivfBase, pqBase) = genPaths(pairBase, gen)
         val s = bootstrap(ivfBase, vectors)
         pqBootstrap(pqBase, ivfBase, vectors)
-        if (withSq) sqBootstrap(sqGenPath(pairBase, gen), ivfBase, vectors)
+        if (withSq) adoptSq(vectors.sparkSession, pairBase, gen, ivfBase)
         s
       case None =>
         val (ivfBase, pqBase) = genPaths(pairBase, "g0")
         bootstrap(ivfBase, vectors)
         pqBootstrap(pqBase, ivfBase, vectors)
-        if (withSq) sqBootstrap(sqGenPath(pairBase, "g0"), ivfBase, vectors)
+        if (withSq) adoptSq(vectors.sparkSession, pairBase, "g0", ivfBase)
         swapCurrent(pairBase, "g0")
         BootstrapStatus.Built
     }
+
+  /** Add (or heal) a generation's SQ8 member. LATE adoption — `withSq`
+    * on a pair that has already streamed appends — must NOT build from
+    * the offered bootstrap corpus: that table would silently miss
+    * every appended vector and, carrying an empty mark map, defer
+    * every future retrain forever (checkpointed sources never replay
+    * the committed batches that would fast-forward it). The IVF
+    * sibling is the one source that is always complete, so adoption IS
+    * the heal: build from the lists, adopt the IVF fingerprint, copy
+    * the IVF marks. An existing valid member is kept untouched
+    * (initialize-only, like every bootstrap). On a fresh generation
+    * this is content-identical to encoding the offered corpus — the
+    * lists ARE its assignment. */
+  private def adoptSq(spark: org.apache.spark.sql.SparkSession,
+      pairBase: String, gen: String, ivfBase: String): Unit =
+    healSqAgainst(spark, ivfBase, sqGenPath(pairBase, gen),
+      ArtifactStore.currentFingerprint(ivfBase).getOrElse(
+        throw new IllegalStateException(
+          s"no valid IVF artifact at $ivfBase — bootstrap failed?")))
 
   /** The paired-generation sinks: each micro-batch resolves the
     * CURRENT generation once and appends to that pair. Same replay
@@ -746,13 +759,7 @@ object IndexIngest {
     // the marker, so a crashed SQ publish heals instead of silently
     // dropping the table from the next generation
     val sqCur = sqGenIfPresent(pairBase, gen)
-    sqCur.foreach { sq =>
-      if (ArtifactStore.currentFingerprint(sq).isEmpty) {
-        ArtifactStore.restoreAside(sq)
-        if (ArtifactStore.currentFingerprint(sq).isEmpty)
-          rebuildSqFrom(spark, ivfBase, sq, ivfFp)
-      }
-    }
+    sqCur.foreach(healSqAgainst(spark, ivfBase, _, ivfFp))
     val (queries, truthRows, hits) =
       auditRecall(spark, ivfBase, pqBase, panelMod)
     val fired = Similarity.retrainDecision(truthRows, hits)
@@ -885,10 +892,7 @@ object IndexIngest {
       // the replay mark is STAGED with the data (a post-publish copy
       // would be an unmanifested extra file — the artifact would fail
       // its own manifest validation and read as absent)
-      val ivfState = java.nio.file.Paths.get(localBase(ivfBase), "stream_state")
-      if (java.nio.file.Files.isRegularFile(ivfState))
-        java.nio.file.Files.copy(ivfState,
-          java.nio.file.Paths.get(staging, "stream_state"))
+      copyStateInto(ivfBase, staging)
     }
     ()
   }
@@ -902,13 +906,22 @@ object IndexIngest {
     ArtifactStore.ensure(sqBase, fp) { staging =>
       Similarity.sqBuildFromNv(
         sqNvFromLists(invertedLists(spark, ivfBase)), staging)
-      val ivfState = java.nio.file.Paths.get(localBase(ivfBase), "stream_state")
-      if (java.nio.file.Files.isRegularFile(ivfState))
-        java.nio.file.Files.copy(ivfState,
-          java.nio.file.Paths.get(staging, "stream_state"))
+      copyStateInto(ivfBase, staging)
     }
     ()
   }
+
+  /** The SQ heal shared by both gate postures and [[bootstrapPair]]'s
+    * adoption path: roll back a crashed publish first, then rebuild a
+    * still-invalid (or absent) member from the IVF sibling. A valid
+    * member is untouched. */
+  private def healSqAgainst(spark: org.apache.spark.sql.SparkSession,
+      ivfBase: String, sqBase: String, ivfFp: String): Unit =
+    if (ArtifactStore.currentFingerprint(sqBase).isEmpty) {
+      ArtifactStore.restoreAside(sqBase)
+      if (ArtifactStore.currentFingerprint(sqBase).isEmpty)
+        rebuildSqFrom(spark, ivfBase, sqBase, ivfFp)
+    }
 
   /** Per-partition-dir fragmentation of a cell-major table: the
     * MAXIMUM part-file count across the `cell=*` dirs under
@@ -956,7 +969,7 @@ object IndexIngest {
     Similarity.assignToCentroids(v,
         v.sparkSession.read.parquet(s"$ivfBase/centroids"))
       .withColumn("nv",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+        expr(Similarity.UnitNvExpr))
       .select(col("vec_id"), col("cell"), col("nv"))
 
   /** One-time SQ8 bootstrap: train the per-dim `(vmin, vdiff)` ranges

@@ -1187,7 +1187,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s25_nprobe_sweep", // s21's centroid fan-out + the same exact-truth audit pass
       "s26_filtered_ivfpq", // s21's centroid fan-out; labels join at pool scale
       "s27_label_partitioned", // same centroid fan-out; the label filter prunes partitions (own pin)
-      "s28_residual_pq", // s21's centroid fan-out; the qc frame is probe-derived (nprobe·Q)
+      "s28_residual_pq", // s21's centroid fan-out + the 16-cell qc broadcast (16·Q, not n²)
       "s29_sq8_search", // s21's centroid fan-out + the 1-row params broadcast, like t05
       // (s24_recall_retrain needs no entry: its returned frame is the
       // 2-row audit report — the serving/truth chains execute inside

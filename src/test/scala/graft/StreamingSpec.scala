@@ -1824,6 +1824,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(sqRows(g2Sq).keySet == (all ++ b2 ++ b3).map(_._1).toSet)
   }
 
+  test("late withSq adoption builds the SQ member from the IVF sibling, not the offered corpus") {
+    // a pair that streamed appends BEFORE the operator turned on
+    // withSq: building the new member from the offered bootstrap
+    // corpus would silently miss every appended vector and, with an
+    // empty mark map, defer every future retrain forever — adoption
+    // must build from the IVF lists and carry the IVF marks
+    import spark.implicits._
+    import graft.stream.IndexIngest
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(16)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 120L).map(i => (i, vec()))
+    val pairBase = java.nio.file.Files.createTempDirectory("graft-adopt")
+      .resolve("trio").toString
+    IndexIngest.bootstrapPair(pairBase, baseVecs.toDF("vec_id", "embedding"))
+    assert(IndexIngest.resolveSq(pairBase).isEmpty,
+      "withSq=false must not create an SQ member")
+    IndexIngest.ivfAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    IndexIngest.pqAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    // late adoption, offered the ORIGINAL bootstrap corpus
+    IndexIngest.bootstrapPair(pairBase, baseVecs.toDF("vec_id", "embedding"),
+      withSq = true)
+    val sq = IndexIngest.resolveSq(pairBase).get
+    def sqIds() = spark.read
+      .schema(graft.llm.Similarity.sqCodesSchema)
+      .parquet(s"$sq/codes").collect().map(_.getLong(0)).toSet
+    assert(sqIds() == (baseVecs ++ b1).map(_._1).toSet,
+      "the adopted table must carry the appended vectors, not just the corpus")
+    // the IVF marks came with it: the committed batch replays as a no-op
+    IndexIngest.sqAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(sqIds() == (baseVecs ++ b1).map(_._1).toSet,
+      "the adopted mark map must block replays of committed batches")
+    // and the gate is NOT wedged: aligned marks + fired SLO swap the triple
+    val (_, h, fired, retrained) =
+      IndexIngest.recallGateAndRetrainPaired(spark, pairBase)
+    assert(fired, s"frozen-model appends should violate the SLO (hits $h)")
+    assert(retrained,
+      "adoption must leave the marks aligned — the gate was wedged")
+    assert(IndexIngest.currentGen(pairBase).contains("g1"))
+    assert(IndexIngest.resolveSq(pairBase).isDefined,
+      "the adopted member must ride the swap")
+  }
+
   test("(appId, batchId) replay marks: two query lineages interleave without aliasing") {
     // two distinct streaming queries feeding ONE artifact each number
     // their batches from 0 — with a single high-water mark, lineage

@@ -1483,6 +1483,113 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- s30
+
+  private val bqCache = graft.io.ValidatedPathCache.single()
+  private[graft] val bqBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def bqForgetCachedPaths(): Unit = bqCache.clear()
+
+  /** Stored sign-bit codes read schema (declared — empty partition
+    * dirs). The 64 sign bits pack into TWO 32-bit halves rather than
+    * one 64-bit word: `1 << 63` overflows a signed BIGINT in the
+    * oracle engine (a hard error there, silent wrap in the JVM), and
+    * two sub-2³² sums are integer-exact on both. */
+  private[graft] val bqCodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", LongType),
+    org.apache.spark.sql.types.StructField("bits_lo", LongType),
+    org.apache.spark.sql.types.StructField("bits_hi", LongType),
+    org.apache.spark.sql.types.StructField("cell", LongType)))
+
+  /** One 32-dim half of the sign-bit pack: bit `j` set iff unit
+    * component `lo + j` is strictly positive — SimHash with the 64
+    * axis-aligned planes, the binarization every binary index applies
+    * when no learned rotation is configured. Per-VECTOR aggregate HOF
+    * (64 iterations at encode time, never in per-pair scoring — the
+    * s05 lesson). */
+  private def bqPackExpr(lo: Int): String =
+    "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+      s"IF(element_at(nv, j + ${lo + 1}) > CAST(0 AS DOUBLE), " +
+      "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+
+  /** Sign-bit encode of a `(…, nv)` frame; non-`nv` columns ride the
+    * row (the [[sqEncode]] posture — no corpus-scale join at build
+    * time). */
+  private[graft] def bqBits(nv: DataFrame): DataFrame = nv
+    .withColumn("bits_lo", expr(bqPackExpr(0)))
+    .withColumn("bits_hi", expr(bqPackExpr(32)))
+    .drop("nv")
+
+  /** The binary index — Faiss `IndexBinaryIVF` posture, the FOURTH
+    * index kind (Flat / PQ raw+residual / SQ8 / now binary): one sign
+    * bit per dimension, 8 B/vector — 32× compression with the
+    * cheapest possible encode (64 comparisons, no training of any
+    * kind, not even SQ's min/max pass) and the cheapest possible
+    * scoring (Hamming distance = two XOR+POPCNT ops per candidate,
+    * the reason binary indexes win when memory bandwidth is the
+    * bottleneck). Layout: `codes/` — `(vec_id, bits_lo, bits_hi)`
+    * partitioned by cell, sharded identically to the lists. Built
+    * reading only the IVF artifact; appends are trivially frozen-model
+    * (sign bits depend on nothing trained). */
+  private[graft] def bqIndexBase(spark: SparkSession, dir: String): String =
+    bqCache.get(dir) {
+      val base = graft.io.ArtifactStore.artifactPath("bq-index", dir)
+      val fp = corpusFingerprint(spark, dir)
+      val built = graft.io.ArtifactStore.ensure(base, fp)(
+        bqBuildInto(spark, _, ivfIndexBase(spark, dir)))
+      if (built) bqBuildCount.incrementAndGet()
+      base
+    }
+
+  private def bqBuildInto(spark: SparkSession,
+      staging: String, listsBase: String): Unit =
+    graft.io.Store.writePartitionedParquet(
+      bqBits(invertedListsAt(spark, listsBase)
+        .withColumn("nv", expr(UnitNvExpr))
+        .select(col("vec_id"), col("cell"), col("nv"))),
+      s"$staging/codes", Seq("cell"), Seq("vec_id"))
+
+  /** s30: IVF binary-quantization search served from the persisted
+    * `bq-index` — the same workload contract as s21/s28/s29 (query set
+    * `vec_id % 4 = 0`, nprobe 3, [[RerankPool]]-32 pool, exact-refine
+    * top-10) with the coarse stage ranking candidates by HAMMING
+    * distance on the stored sign bits: `bit_count(q ^ c)` over the two
+    * packed halves — a codegen'd two-instruction kernel per candidate,
+    * no reconstruction (s29), no lookup tables (s21), nothing
+    * broadcast but the Q-row query-bits frame (16 B each). Hamming on
+    * sign bits estimates the angle (SimHash: E[hamming] ∝ θ), so the
+    * oversampled pool + exact refine recovers cosine ordering exactly
+    * as the other compressed servers do. 100 TB posture: 32× I/O cut,
+    * train-free builds, append-only growth, and the coarse scan is
+    * pure integer ALU — the index you pick when the corpus is too big
+    * for SQ8's 4× and PQ's training cadence is operationally
+    * unaffordable. */
+  def s30BqSearch(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val base = bqIndexBase(spark, dir)
+    val stored = spark.read.schema(bqCodesSchema).parquet(s"$base/codes")
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("bits_lo").as("clo"), col("bits_hi").as("chi"))
+    val qbits = bqBits(pqNv(spark, dir).filter(col("vec_id") % 4 === 0))
+      .select(col("vec_id").as("query_id"),
+        col("bits_lo").as("qlo"), col("bits_hi").as("qhi"))
+    val wBq = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val pool = servingProbes(spark, dir).join(stored, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qbits), "query_id")
+      .withColumn("hamming",
+        expr("bit_count(qlo ^ clo) + bit_count(qhi ^ chi)"))
+      .withColumn("bq_rank", row_number().over(wBq))
+      .filter(col("bq_rank") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("bq_rank"))
+    exactRefine(pool, indexVectorFetch(spark, dir), 10)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"),
+        col("bq_rank").cast("integer").as("bq_rank"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** s23: recall@10 audit — the served IVF-PQ list (s20's full chain,
     * off the persisted artifacts) scored against EXACT ground truth
     * (floor-quantized cosine top-10 per query over the whole corpus):
@@ -2430,6 +2537,7 @@ object Similarity {
     "s27_label_partitioned" -> (s27LabelPartitionedSearch _),
     "s28_residual_pq" -> (s28ResidualPqSearch _),
     "s29_sq8_search" -> (s29SqSearch _),
+    "s30_bq_search" -> (s30BqSearch _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
@@ -3035,6 +3143,54 @@ object Similarity {
        |  CAST(sq_rank AS INT) AS sq_rank
        |FROM sr2 WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** s30 oracle: the sign-bit build + Hamming serve replayed in SQL —
+    * the two 32-bit pack halves as integer-exact CASE sums (bit 63
+    * would overflow a signed BIGINT shift, hence the halves —
+    * [[bqCodesSchema]]), XOR+POPCNT candidate ranking restricted to
+    * the probes, pool-[[RerankPool]], exact refine. */
+  def s30Sql: String = pqCorpusCtes + ivfChainCte() +
+    s""", bq AS (
+       |  SELECT n.vec_id,
+       |    CAST(SUM(CASE WHEN n.nv[CAST(t.j AS INT) + 1] > 0
+       |      THEN (1::BIGINT << CAST(t.j AS INT)) ELSE 0 END) AS BIGINT)
+       |      AS blo,
+       |    CAST(SUM(CASE WHEN n.nv[CAST(t.j AS INT) + 33] > 0
+       |      THEN (1::BIGINT << CAST(t.j AS INT)) ELSE 0 END) AS BIGINT)
+       |      AS bhi
+       |  FROM nv n CROSS JOIN range(0, 32) t(j) GROUP BY n.vec_id
+       |), bprobes AS (
+       |  SELECT cell, vec_id AS query_id FROM iranked
+       |  WHERE cell_rank <= 3 AND vec_id % 4 = 0
+       |), basg AS (
+       |  SELECT vec_id, cell FROM iranked WHERE cell_rank = 1
+       |), bpool AS (
+       |  SELECT query_id, neighbor_id, br AS bq_rank FROM (
+       |    SELECT p.query_id, i.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY bit_count(xor(q.blo, c.blo))
+       |          + bit_count(xor(q.bhi, c.bhi)), i.vec_id) AS br
+       |    FROM bprobes p JOIN basg i USING (cell)
+       |    JOIN bq q ON q.vec_id = p.query_id
+       |    JOIN bq c ON c.vec_id = i.vec_id
+       |    WHERE p.query_id <> i.vec_id)
+       |  WHERE br <= $RerankPool
+       |), bex AS (
+       |  SELECT p.query_id, p.neighbor_id, p.bq_rank,
+       |    CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+       |      AS score
+       |  FROM bpool p
+       |  JOIN nv q ON q.vec_id = p.query_id
+       |  JOIN nv c ON c.vec_id = p.neighbor_id
+       |), br2 AS (
+       |  SELECT query_id, neighbor_id, bq_rank, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rn
+       |  FROM bex
+       |)
+       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, score,
+       |  CAST(bq_rank AS INT) AS bq_rank
+       |FROM br2 WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   def s27Sql: String = pqAdcCte + ivfChainCte() +
     s""", probes AS (
        |  SELECT cell, vec_id AS query_id FROM iranked
@@ -3509,6 +3665,7 @@ object Similarity {
     "s27_label_partitioned" -> s27Sql,
     "s28_residual_pq" -> s28Sql,
     "s29_sq8_search" -> s29Sql,
+    "s30_bq_search" -> s30Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

@@ -1066,6 +1066,36 @@ class LlmOpsSpec extends AnyFunSuite {
       s"SQ8 recall ($sqHits) below PQ recall ($pqHits) at 8x the bytes")
   }
 
+  test("s30 BQ: contract, build-once, Hamming coarse stage recovers real recall") {
+    val rows = Similarity.s30BqSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length),
+        s"query $q rn gap")
+      rs.foreach { r =>
+        val br = r.getInt(4)
+        assert(br >= 1 && br <= Similarity.RerankPool, s"query $q bq_rank $br")
+      }
+    }
+    // build-once: a fresh first-toucher reuses the stored codes
+    Similarity.bqForgetCachedPaths()
+    val b0 = Similarity.bqBuildCount.get()
+    Similarity.s30BqSearch(spark, sf).collect()
+    assert(Similarity.bqBuildCount.get() == b0,
+      "a matching fingerprint must reuse the stored sign-bit index")
+    // measured on this fixture: bq=481 / pq=487 / sq=561 hits — at the
+    // 32-candidate pool the exact refine recovers nearly all of PQ's
+    // recall from 1-bit codes (SimHash angle estimation is unbiased on
+    // near-isotropic unit vectors). The floor is set where only a
+    // sign/xor/pack bug can land (those collapse toward the ~random
+    // pool floor), not where fixture drift could.
+    val bqHits = recallHits(rows)
+    val pqHits = recallHits(Similarity.s21PqIndexSearch(spark, sf).collect())
+    assert(bqHits >= (pqHits * 85) / 100,
+      s"sign-bit Hamming recall ($bqHits) collapsed vs PQ ($pqHits) — " +
+        "a sign/xor/pack bug, not quantization loss")
+  }
+
   test("ground-truth artifact: one build per corpus fingerprint, audits read the stored panel") {
     Similarity.s23RecallAudit(spark, sf).collect() // materialize the artifact
     // a fresh first-toucher (path cache forgotten = the next audit

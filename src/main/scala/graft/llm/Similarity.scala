@@ -1543,11 +1543,19 @@ object Similarity {
 
   private def bqBuildInto(spark: SparkSession,
       staging: String, listsBase: String): Unit =
-    graft.io.Store.writePartitionedParquet(
-      bqBits(invertedListsAt(spark, listsBase)
+    bqBuildFromNv(
+      invertedListsAt(spark, listsBase)
         .withColumn("nv", expr(UnitNvExpr))
-        .select(col("vec_id"), col("cell"), col("nv"))),
-      s"$staging/codes", Seq("cell"), Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("nv")),
+      staging)
+
+  /** The BQ build tail over an already-derived `(vec_id, cell, nv)`
+    * frame — ONE body for the batch build and the streaming bootstrap
+    * ([[sqBuildFromNv]]'s contract for the sign-bit table; there is no
+    * params step at all). */
+  private[graft] def bqBuildFromNv(nvc: DataFrame, staging: String): Unit =
+    graft.io.Store.writePartitionedParquet(
+      bqBits(nvc), s"$staging/codes", Seq("cell"), Seq("vec_id"))
 
   /** s30: IVF binary-quantization search served from the persisted
     * `bq-index` — the same workload contract as s21/s28/s29 (query set

@@ -440,20 +440,26 @@ object IndexIngest {
     * cycle. */
   def recallGateAndRetrain(spark: org.apache.spark.sql.SparkSession,
       ivfBase: String, pqBase: String, panelMod: Long = 4,
-      sqBase: Option[String] = None): (Int, Long, Boolean, Boolean) = {
+      sqBase: Option[String] = None,
+      bqBase: Option[String] = None): (Int, Long, Boolean, Boolean) = {
     val ivfFp = healPair(spark, ivfBase, pqBase)
-    // a co-maintained SQ8 table ([[sqAppendSink]]) is equally derivable
-    // from the IVF artifact, so it gets the same heal
-    sqBase.foreach(healSqAgainst(spark, ivfBase, _, ivfFp))
+    // co-maintained derived tables ([[sqAppendSink]]/[[bqAppendSink]])
+    // are equally derivable from the IVF artifact — same heal
+    val derived: Seq[(String, (DataFrame, String) => Unit)] =
+      sqBase.map(_ -> (Similarity.sqBuildFromNv _)).toSeq ++
+        bqBase.map(_ -> (Similarity.bqBuildFromNv _)).toSeq
+    derived.foreach { case (b, build) =>
+      healDerivedAgainst(spark, ivfBase, b, ivfFp)(build)
+    }
     def lists = invertedLists(spark, ivfBase)
     val (queries, truthRows, hits) =
       auditRecall(spark, ivfBase, pqBase, panelMod)
     val fired = Similarity.retrainDecision(truthRows, hits)
     // skew deferral covers every co-retrained table: an IVF retrain
-    // re-cells the SQ codes too, so folding an SQ-uncommitted batch in
-    // (or dropping a committed one) has exactly the PQ failure mode
+    // re-cells the derived codes too, so folding an uncommitted batch
+    // in (or dropping a committed one) has exactly the PQ failure mode
     val retrained = fired && readState(ivfBase) == readState(pqBase) &&
-      sqBase.forall(readState(_) == readState(ivfBase))
+      derived.forall { case (b, _) => readState(b) == readState(ivfBase) }
     if (retrained) {
       val ivfOk = ArtifactStore.rewrite(ivfBase) { (live, staging) =>
         Similarity.ivfBuildFrom(
@@ -471,21 +477,22 @@ object IndexIngest {
           staging, lists.select(col("vec_id"), col("cell")))
       }
       require(pqOk, s"no valid PQ artifact to retrain at $pqBase")
-      // the SQ ranges are vector-set-pure (the retrain reproduces them
-      // bit-identically), but the code table's CELL partitioning must
-      // shard with the new lists — skipping this rewrite would leave
-      // every SQ probe reading the old generation's cell layout
-      sqBase.foreach { sq =>
-        val sqOk = ArtifactStore.rewrite(sq) { (_, staging) =>
-          Similarity.sqBuildFromNv(sqNvFromLists(lists), staging)
+      // the derived models are vector-set-pure (SQ ranges reproduce
+      // bit-identically; BQ has no model at all), but each code table's
+      // CELL partitioning must shard with the new lists — skipping a
+      // rewrite would leave that probe path on the old cell layout
+      derived.foreach { case (b, build) =>
+        val ok = ArtifactStore.rewrite(b) { (_, staging) =>
+          build(sqNvFromLists(lists), staging)
         }
-        require(sqOk, s"no valid SQ artifact to retrain at $sq")
+        require(ok, s"no valid derived artifact to retrain at $b")
       }
     }
     (queries, hits, fired, retrained)
   }
 
-  /** Stored inverted lists as s29's `(vec_id, cell, nv)` frame. */
+  /** Stored inverted lists as the derived builds' `(vec_id, cell, nv)`
+    * frame. */
   private def sqNvFromLists(lists: DataFrame): DataFrame = lists
     .withColumn("nv",
       expr(Similarity.UnitNvExpr))
@@ -582,17 +589,31 @@ object IndexIngest {
       java.nio.file.Paths.get(root, gen, "pq").toString)
   }
 
-  /** The optional SQ8 member of a generation (see [[bootstrapPair]]'s
-    * `withSq`). Presence is self-describing: a generation that has an
-    * `sq` dir carries the table through every retrain; one that never
-    * did stays a pure IVF-PQ pair. */
-  private def sqGenPath(pairBase: String, gen: String): String =
-    java.nio.file.Paths.get(localBase(pairBase), gen, "sq").toString
+  /** The derived generation members the pair machinery can carry
+    * beyond the core IVF-PQ pair (see [[bootstrapPair]]'s
+    * `withSq`/`withBq`): kind name → the build tail over the
+    * `(vec_id, cell, nv)` lists frame. Every kind here must be fully
+    * derivable from the IVF artifact — that is what makes the heal,
+    * the adoption and the co-retrain mechanical. Presence is
+    * self-describing: a generation that has a member's dir carries the
+    * table through every retrain; one that never did stays a pure
+    * IVF-PQ pair. */
+  private val DerivedKinds: Seq[(String, (DataFrame, String) => Unit)] =
+    Seq("sq" -> (Similarity.sqBuildFromNv _),
+      "bq" -> (Similarity.bqBuildFromNv _))
 
-  private def sqGenIfPresent(pairBase: String, gen: String): Option[String] = {
-    val p = sqGenPath(pairBase, gen)
+  private def memberGenPath(pairBase: String, gen: String,
+      kind: String): String =
+    java.nio.file.Paths.get(localBase(pairBase), gen, kind).toString
+
+  private def memberIfPresent(pairBase: String, gen: String,
+      kind: String): Option[String] = {
+    val p = memberGenPath(pairBase, gen, kind)
     if (new java.io.File(p).isDirectory) Some(p) else None
   }
+
+  private def sqGenPath(pairBase: String, gen: String): String =
+    memberGenPath(pairBase, gen, "sq")
 
   /** The serving generation named by the pointer, e.g. `"g3"`; None
     * before [[bootstrapPair]] completes. */
@@ -619,7 +640,11 @@ object IndexIngest {
     * `withSq` — same consistency rule as [[resolvePair]]: resolve once,
     * use the returned path for the whole probe. */
   def resolveSq(pairBase: String): Option[String] =
-    sqGenIfPresent(pairBase, requireGen(pairBase))
+    memberIfPresent(pairBase, requireGen(pairBase), "sq")
+
+  /** [[resolveSq]] for the binary member (`withBq`). */
+  def resolveBq(pairBase: String): Option[String] =
+    memberIfPresent(pairBase, requireGen(pairBase), "bq")
 
   private def swapCurrent(pairBase: String, gen: String): Unit = {
     val root = java.nio.file.Paths.get(localBase(pairBase))
@@ -638,41 +663,49 @@ object IndexIngest {
     * and just writes the pointer; an existing pointer delegates to
     * the per-artifact initialize-only semantics. */
   def bootstrapPair(pairBase: String, vectors: DataFrame,
-      withSq: Boolean = false): BootstrapStatus =
+      withSq: Boolean = false,
+      withBq: Boolean = false): BootstrapStatus = {
+    def members(gen: String, ivfBase: String): Unit = {
+      val spark = vectors.sparkSession
+      if (withSq) adoptMember(spark, pairBase, gen, ivfBase, "sq")
+      if (withBq) adoptMember(spark, pairBase, gen, ivfBase, "bq")
+    }
     currentGen(pairBase) match {
       case Some(gen) =>
         val (ivfBase, pqBase) = genPaths(pairBase, gen)
         val s = bootstrap(ivfBase, vectors)
         pqBootstrap(pqBase, ivfBase, vectors)
-        if (withSq) adoptSq(vectors.sparkSession, pairBase, gen, ivfBase)
+        members(gen, ivfBase)
         s
       case None =>
         val (ivfBase, pqBase) = genPaths(pairBase, "g0")
         bootstrap(ivfBase, vectors)
         pqBootstrap(pqBase, ivfBase, vectors)
-        if (withSq) adoptSq(vectors.sparkSession, pairBase, "g0", ivfBase)
+        members("g0", ivfBase)
         swapCurrent(pairBase, "g0")
         BootstrapStatus.Built
     }
+  }
 
-  /** Add (or heal) a generation's SQ8 member. LATE adoption — `withSq`
-    * on a pair that has already streamed appends — must NOT build from
-    * the offered bootstrap corpus: that table would silently miss
-    * every appended vector and, carrying an empty mark map, defer
-    * every future retrain forever (checkpointed sources never replay
-    * the committed batches that would fast-forward it). The IVF
-    * sibling is the one source that is always complete, so adoption IS
-    * the heal: build from the lists, adopt the IVF fingerprint, copy
-    * the IVF marks. An existing valid member is kept untouched
-    * (initialize-only, like every bootstrap). On a fresh generation
-    * this is content-identical to encoding the offered corpus — the
-    * lists ARE its assignment. */
-  private def adoptSq(spark: org.apache.spark.sql.SparkSession,
-      pairBase: String, gen: String, ivfBase: String): Unit =
-    healSqAgainst(spark, ivfBase, sqGenPath(pairBase, gen),
+  /** Add (or heal) a generation's derived member. LATE adoption —
+    * `withSq`/`withBq` on a pair that has already streamed appends —
+    * must NOT build from the offered bootstrap corpus: that table
+    * would silently miss every appended vector and, carrying an empty
+    * mark map, defer every future retrain forever (checkpointed
+    * sources never replay the committed batches that would
+    * fast-forward it). The IVF sibling is the one source that is
+    * always complete, so adoption IS the heal: build from the lists,
+    * adopt the IVF fingerprint, copy the IVF marks. An existing valid
+    * member is kept untouched (initialize-only, like every bootstrap).
+    * On a fresh generation this is content-identical to encoding the
+    * offered corpus — the lists ARE its assignment. */
+  private def adoptMember(spark: org.apache.spark.sql.SparkSession,
+      pairBase: String, gen: String, ivfBase: String, kind: String): Unit =
+    healDerivedAgainst(spark, ivfBase, memberGenPath(pairBase, gen, kind),
       ArtifactStore.currentFingerprint(ivfBase).getOrElse(
         throw new IllegalStateException(
-          s"no valid IVF artifact at $ivfBase — bootstrap failed?")))
+          s"no valid IVF artifact at $ivfBase — bootstrap failed?")))(
+      DerivedKinds.toMap.apply(kind))
 
   /** The paired-generation sinks: each micro-batch resolves the
     * CURRENT generation once and appends to that pair. Same replay
@@ -709,6 +742,16 @@ object IndexIngest {
     val gen = requireGen(pairBase)
     sqAppendSink(sqGenPath(pairBase, gen), genPaths(pairBase, gen)._1,
       appId)(batch, batchId)
+    requireGenUnmoved(pairBase, gen, batchId)
+  }
+
+  /** [[ivfAppendSinkPaired]]'s binary twin (a generation bootstrapped
+    * `withBq`). */
+  def bqAppendSinkPaired(pairBase: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val gen = requireGen(pairBase)
+    bqAppendSink(memberGenPath(pairBase, gen, "bq"),
+      genPaths(pairBase, gen)._1, appId)(batch, batchId)
     requireGenUnmoved(pairBase, gen, batchId)
   }
 
@@ -754,18 +797,23 @@ object IndexIngest {
       s"no CURRENT generation at $pairBase — bootstrapPair first"))
     val (ivfBase, pqBase) = genPaths(pairBase, gen)
     val ivfFp = healPair(spark, ivfBase, pqBase)
-    // an SQ8 generation member joins the heal, the skew deferral, the
+    // derived generation members join the heal, the skew deferral, the
     // build and the swap-race re-check — presence is the gen dir, not
-    // the marker, so a crashed SQ publish heals instead of silently
+    // the marker, so a crashed member publish heals instead of silently
     // dropping the table from the next generation
-    val sqCur = sqGenIfPresent(pairBase, gen)
-    sqCur.foreach(healSqAgainst(spark, ivfBase, _, ivfFp))
+    val derivedCur: Seq[(String, String, (DataFrame, String) => Unit)] =
+      DerivedKinds.flatMap { case (kind, build) =>
+        memberIfPresent(pairBase, gen, kind).map((kind, _, build))
+      }
+    derivedCur.foreach { case (_, p, build) =>
+      healDerivedAgainst(spark, ivfBase, p, ivfFp)(build)
+    }
     val (queries, truthRows, hits) =
       auditRecall(spark, ivfBase, pqBase, panelMod)
     val fired = Similarity.retrainDecision(truthRows, hits)
     val marksBefore = readState(ivfBase)
     var retrained = fired && marksBefore == readState(pqBase) &&
-      sqCur.forall(readState(_) == marksBefore)
+      derivedCur.forall { case (_, p, _) => readState(p) == marksBefore }
     if (retrained) {
       val next = s"g${gen.stripPrefix("g").toLong + 1}"
       val (ivfNew, pqNew) = genPaths(pairBase, next)
@@ -791,10 +839,11 @@ object IndexIngest {
           staging, newLists.select(col("vec_id"), col("cell")))
         copyStateInto(pqBase, staging)
       }
-      sqCur.foreach { sq =>
-        ArtifactStore.ensure(sqGenPath(pairBase, next), ivfFp) { staging =>
-          Similarity.sqBuildFromNv(sqNvFromLists(newLists), staging)
-          copyStateInto(sq, staging)
+      derivedCur.foreach { case (kind, p, build) =>
+        ArtifactStore.ensure(memberGenPath(pairBase, next, kind),
+            ivfFp) { staging =>
+          build(sqNvFromLists(newLists), staging)
+          copyStateInto(p, staging)
         }
       }
       // swap-race guard: a sink that committed to g<N> DURING the
@@ -806,7 +855,8 @@ object IndexIngest {
       // leaves no commit unaccounted for (review-caught r12).
       if (readState(ivfBase) != marksBefore ||
           readState(pqBase) != marksBefore ||
-          sqCur.exists(readState(_) != marksBefore)) {
+          derivedCur.exists { case (_, p, _) =>
+            readState(p) != marksBefore }) {
         retrained = false
       } else swapCurrent(pairBase, next)
       // retention (only after a real swap): keep the just-replaced
@@ -897,30 +947,32 @@ object IndexIngest {
     ()
   }
 
-  /** [[rebuildPqFrom]] for the SQ8 artifact: equally derivable from
-    * the IVF artifact (the ranges are vector-set-pure and reproduce
-    * bit-identically; the cells come from the lists), fingerprint set
-    * to the IVF artifact's, replay mark copied the same staged way. */
-  private def rebuildSqFrom(spark: org.apache.spark.sql.SparkSession,
-      ivfBase: String, sqBase: String, fp: String): Unit = {
-    ArtifactStore.ensure(sqBase, fp) { staging =>
-      Similarity.sqBuildFromNv(
-        sqNvFromLists(invertedLists(spark, ivfBase)), staging)
+  /** [[rebuildPqFrom]] for a derived code table (SQ8/BQ): equally
+    * derivable from the IVF artifact (the models are vector-set-pure
+    * and reproduce bit-identically — or do not exist; the cells come
+    * from the lists), fingerprint set to the IVF artifact's, replay
+    * mark copied the same staged way. */
+  private def rebuildDerivedFrom(spark: org.apache.spark.sql.SparkSession,
+      ivfBase: String, base: String, fp: String)(
+      build: (DataFrame, String) => Unit): Unit = {
+    ArtifactStore.ensure(base, fp) { staging =>
+      build(sqNvFromLists(invertedLists(spark, ivfBase)), staging)
       copyStateInto(ivfBase, staging)
     }
     ()
   }
 
-  /** The SQ heal shared by both gate postures and [[bootstrapPair]]'s
-    * adoption path: roll back a crashed publish first, then rebuild a
-    * still-invalid (or absent) member from the IVF sibling. A valid
-    * member is untouched. */
-  private def healSqAgainst(spark: org.apache.spark.sql.SparkSession,
-      ivfBase: String, sqBase: String, ivfFp: String): Unit =
-    if (ArtifactStore.currentFingerprint(sqBase).isEmpty) {
-      ArtifactStore.restoreAside(sqBase)
-      if (ArtifactStore.currentFingerprint(sqBase).isEmpty)
-        rebuildSqFrom(spark, ivfBase, sqBase, ivfFp)
+  /** The derived-member heal shared by both gate postures and
+    * [[bootstrapPair]]'s adoption path: roll back a crashed publish
+    * first, then rebuild a still-invalid (or absent) member from the
+    * IVF sibling. A valid member is untouched. */
+  private def healDerivedAgainst(spark: org.apache.spark.sql.SparkSession,
+      ivfBase: String, base: String, ivfFp: String)(
+      build: (DataFrame, String) => Unit): Unit =
+    if (ArtifactStore.currentFingerprint(base).isEmpty) {
+      ArtifactStore.restoreAside(base)
+      if (ArtifactStore.currentFingerprint(base).isEmpty)
+        rebuildDerivedFrom(spark, ivfBase, base, ivfFp)(build)
     }
 
   /** Per-partition-dir fragmentation of a cell-major table: the
@@ -1038,6 +1090,60 @@ object IndexIngest {
       base: String, maxFilesPerCell: Int = 4): Boolean =
     fragmentation(base, "codes") >= maxFilesPerCell &&
       compactSq(spark, base)
+
+  /** One-time BQ bootstrap: sign-bit-encode the initial corpus and
+    * write the code table cell-major — the degenerate end of the
+    * bootstrap spectrum: there is NO train step at all (not even SQ8's
+    * min/max pass), so the whole build is one map-only encode. Cells
+    * by assignment to the already-bootstrapped IVF artifact at
+    * `ivfBase`, the siblings' contract. */
+  def bqBootstrap(base: String, ivfBase: String,
+      vectors: DataFrame): BootstrapStatus = {
+    val v = withNorm(vectors)
+    bootstrapOnce(base, Similarity.frameFingerprintParts(v)) {
+      Similarity.bqBuildFromNv(sqNvc(v, ivfBase), _)
+    }
+  }
+
+  /** [[sqAppendSink]]'s binary twin — the SEVENTH exactly-once sink,
+    * and the simplest possible one: sign bits depend on nothing
+    * trained, so the append IS the encode (64 comparisons per vector,
+    * map-only) plus the shared replay contract. There is no frozen
+    * model to drift from — a BQ table never needs an encode-side
+    * retrain, only the cell re-layout when the gate retrains the IVF
+    * generation (which is why it registers in [[DerivedKinds]]). */
+  def bqAppendSink(base: String, ivfBase: String,
+      appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val v = withNorm(batch)
+    appendOnce(base, batchId,
+        Similarity.frameFingerprintParts(v), appId) { live =>
+      Similarity.bqBits(sqNvc(v, ivfBase))
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$live/codes")
+    }
+  }
+
+  /** [[compactSq]] for the BQ code table (one `codes/` child; nothing
+    * else under the base, so the rewrite stages everything). */
+  def compactBq(spark: org.apache.spark.sql.SparkSession,
+      base: String): Boolean =
+    ArtifactStore.rewrite(base) { (live, staging) =>
+      val codes = spark.read.schema(Similarity.bqCodesSchema)
+        .parquet(s"$live/codes")
+      graft.io.Store.writePartitionedParquet(
+        codes.select(col("vec_id"), col("bits_lo"), col("bits_hi"),
+          col("cell")),
+        s"$staging/codes", Seq("cell"), Seq("vec_id"))
+    }
+
+  /** [[maybeCompactIvf]] for the BQ code table. */
+  def maybeCompactBq(spark: org.apache.spark.sql.SparkSession,
+      base: String, maxFilesPerCell: Int = 4): Boolean =
+    fragmentation(base, "codes") >= maxFilesPerCell &&
+      compactBq(spark, base)
 
   /** One-time LSH dedup-index bootstrap over the initial standing
     * corpus (digests + band postings through the atomic-publish path);

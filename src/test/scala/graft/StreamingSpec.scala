@@ -1308,6 +1308,125 @@ class StreamingSpec extends AnyFunSuite {
       "the unstaged 1-row params frame must survive compaction")
   }
 
+  test("streaming BQ ingest and gate co-retrain: the train-free sink and the derived-member machinery") {
+    // the SEVENTH exactly-once sink (sign bits — nothing trained, the
+    // append IS the encode) plus the generalized derived-member gate:
+    // bqBase joins the heal and the co-retrain exactly as sqBase does
+    import spark.implicits._
+    import graft.stream.IndexIngest
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(17)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 120L).map(i => (i, vec()))
+    val all = baseVecs ++ b1
+    val root = java.nio.file.Files.createTempDirectory("graft-bq")
+    val ivfIdx = root.resolve("ivf").toString
+    val pqIdx = root.resolve("pq").toString
+    val bqIdx = root.resolve("bq").toString
+    IndexIngest.bootstrap(ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    IndexIngest.pqBootstrap(pqIdx, ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    IndexIngest.bqBootstrap(bqIdx, ivfIdx, baseVecs.toDF("vec_id", "embedding"))
+    def bqRows(base: String) = spark.read
+      .schema(graft.llm.Similarity.bqCodesSchema)
+      .parquet(s"$base/codes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(bqRows(bqIdx).size == 40)
+    // aligned appends through all three sinks
+    IndexIngest.ivfAppendSink(ivfIdx)(b1.toDF("vec_id", "embedding"), 0L)
+    IndexIngest.pqAppendSink(pqIdx, ivfIdx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    IndexIngest.bqAppendSink(bqIdx, ivfIdx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(bqRows(bqIdx).size == 60, "the batch's codes must be appended")
+    // replay is a wholesale no-op
+    IndexIngest.bqAppendSink(bqIdx, ivfIdx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(bqRows(bqIdx).size == 60, "replay must not double-ingest")
+    // the gate co-retrains the BQ table through the derived machinery
+    val (_, h, fired, retrained) = IndexIngest.recallGateAndRetrain(
+      spark, ivfIdx, pqIdx, bqBase = Some(bqIdx))
+    assert(fired && retrained,
+      s"frozen-model appends should fire and retrain here (hits $h)")
+    val cleanIvf = root.resolve("clean-ivf").toString
+    val cleanBq = root.resolve("clean-bq").toString
+    IndexIngest.bootstrap(cleanIvf, all.toDF("vec_id", "embedding"))
+    IndexIngest.bqBootstrap(cleanBq, cleanIvf, all.toDF("vec_id", "embedding"))
+    assert(bqRows(bqIdx) == bqRows(cleanBq),
+      "retrained BQ codes must equal a from-scratch build on all vectors")
+    // marks survived the retrain
+    IndexIngest.bqAppendSink(bqIdx, ivfIdx)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(bqRows(bqIdx) == bqRows(cleanBq),
+      "replay after the co-retrain must not double-ingest")
+    // self-heal: marker-less BQ rebuilds from the IVF sibling
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(bqIdx, "_FINGERPRINT"))
+    IndexIngest.recallGateAndRetrain(spark, ivfIdx, pqIdx,
+      bqBase = Some(bqIdx))
+    assert(graft.io.ArtifactStore.currentFingerprint(bqIdx)
+      == graft.io.ArtifactStore.currentFingerprint(ivfIdx),
+      "the healed BQ artifact must carry the IVF artifact's fingerprint")
+    assert(bqRows(bqIdx) == bqRows(cleanBq),
+      "the healed BQ table must rebuild to the same rows")
+    // compaction policy: layout-only, threshold-gated
+    // (appends above left multi-file cells only pre-retrain; force one)
+    IndexIngest.bqAppendSink(bqIdx, ivfIdx)(
+      (300L until 305L).map(i => (i, vec())).toDF("vec_id", "embedding"), 1L)
+    val fpBefore = graft.io.ArtifactStore.currentFingerprint(bqIdx)
+    assert(IndexIngest.maybeCompactBq(spark, bqIdx, maxFilesPerCell = 2))
+    assert(graft.io.ArtifactStore.currentFingerprint(bqIdx) == fpBefore,
+      "compaction is layout-only: the content fingerprint must not move")
+  }
+
+  test("paired generation withBq: the binary member rides the machinery end-to-end") {
+    import spark.implicits._
+    import graft.stream.IndexIngest
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(18)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 120L).map(i => (i, vec()))
+    val pairBase = java.nio.file.Files.createTempDirectory("graft-pairbq")
+      .resolve("trio").toString
+    IndexIngest.bootstrapPair(pairBase, baseVecs.toDF("vec_id", "embedding"),
+      withSq = true, withBq = true)
+    assert(IndexIngest.resolveSq(pairBase).isDefined
+      && IndexIngest.resolveBq(pairBase).isDefined,
+      "withSq + withBq must create BOTH derived members")
+    for (sink <- Seq(IndexIngest.ivfAppendSinkPaired(pairBase) _,
+        IndexIngest.pqAppendSinkPaired(pairBase) _,
+        IndexIngest.sqAppendSinkPaired(pairBase) _,
+        IndexIngest.bqAppendSinkPaired(pairBase) _))
+      sink(b1.toDF("vec_id", "embedding"), 0L)
+    val (_, h, fired, retrained) =
+      IndexIngest.recallGateAndRetrainPaired(spark, pairBase)
+    assert(fired && retrained,
+      s"aligned marks + fired SLO must swap the quad (hits $h)")
+    assert(IndexIngest.currentGen(pairBase).contains("g1"))
+    val g1Bq = IndexIngest.resolveBq(pairBase).get
+    val root2 = java.nio.file.Files.createTempDirectory("graft-pairbq-clean")
+    val cleanIvf = root2.resolve("ivf").toString
+    val cleanBq = root2.resolve("bq").toString
+    IndexIngest.bootstrap(cleanIvf,
+      (baseVecs ++ b1).toDF("vec_id", "embedding"))
+    IndexIngest.bqBootstrap(cleanBq, cleanIvf,
+      (baseVecs ++ b1).toDF("vec_id", "embedding"))
+    def bqRows(base: String) = spark.read
+      .schema(graft.llm.Similarity.bqCodesSchema)
+      .parquet(s"$base/codes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(bqRows(g1Bq) == bqRows(cleanBq),
+      "the swapped-in BQ member must equal a from-scratch build")
+    // replay through the paired sink lands on g1's carried marks
+    IndexIngest.bqAppendSinkPaired(pairBase)(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(bqRows(g1Bq) == bqRows(cleanBq),
+      "replay after the swap must not double-ingest")
+  }
+
   test("recall gate with a co-maintained SQ8 table: heals, defers on SQ skew, retrains all three together") {
     // sqBase opts the SQ8 code table into the gate: an IVF retrain
     // re-cells every dependent table, so the SQ table must move to the

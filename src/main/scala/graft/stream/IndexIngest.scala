@@ -350,19 +350,27 @@ object IndexIngest {
     }
   }
 
-  /** Compact the PQ code table after a run of appends: one sorted file
-    * per cell partition; the codebook is not staged, so the publish
-    * leaves it untouched, and the fingerprint survives (layout-only
-    * change — [[compactIvf]]'s contract). */
-  def compactPq(spark: org.apache.spark.sql.SparkSession,
-      base: String): Boolean =
+  /** The one compaction body every `codes/`-shaped table shares
+    * (PQ/SQ/BQ): re-sort each cell partition into one file, leaving
+    * everything else under the base (codebook, params, stream_state)
+    * unstaged — so the publish swaps layout only and the fingerprint
+    * survives ([[compactIvf]]'s contract). */
+  private def compactCodesTable(spark: org.apache.spark.sql.SparkSession,
+      base: String, schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): Boolean =
     ArtifactStore.rewrite(base) { (live, staging) =>
-      val codes = spark.read.schema(Similarity.pqCodesSchema)
-        .parquet(s"$live/codes")
       graft.io.Store.writePartitionedParquet(
-        codes.select(col("vec_id"), col("codes"), col("cell")),
+        spark.read.schema(schema).parquet(s"$live/codes")
+          .select(cols.map(col): _*),
         s"$staging/codes", Seq("cell"), Seq("vec_id"))
     }
+
+  /** Compact the PQ code table after a run of appends: one sorted file
+    * per cell partition; the unstaged codebook survives. */
+  def compactPq(spark: org.apache.spark.sql.SparkSession,
+      base: String): Boolean =
+    compactCodesTable(spark, base, Similarity.pqCodesSchema,
+      Seq("vec_id", "codes", "cell"))
 
   /** The streaming RECALL GATE — s24's audit→decide→retrain loop at
     * index-maintenance cadence, for a streaming-maintained IVF-PQ pair
@@ -445,9 +453,10 @@ object IndexIngest {
     val ivfFp = healPair(spark, ivfBase, pqBase)
     // co-maintained derived tables ([[sqAppendSink]]/[[bqAppendSink]])
     // are equally derivable from the IVF artifact — same heal
+    val kinds = DerivedKinds.toMap
     val derived: Seq[(String, (DataFrame, String) => Unit)] =
-      sqBase.map(_ -> (Similarity.sqBuildFromNv _)).toSeq ++
-        bqBase.map(_ -> (Similarity.bqBuildFromNv _)).toSeq
+      sqBase.map(_ -> kinds("sq")).toSeq ++
+        bqBase.map(_ -> kinds("bq")).toSeq
     derived.foreach { case (b, build) =>
       healDerivedAgainst(spark, ivfBase, b, ivfFp)(build)
     }
@@ -612,8 +621,6 @@ object IndexIngest {
     if (new java.io.File(p).isDirectory) Some(p) else None
   }
 
-  private def sqGenPath(pairBase: String, gen: String): String =
-    memberGenPath(pairBase, gen, "sq")
 
   /** The serving generation named by the pointer, e.g. `"g3"`; None
     * before [[bootstrapPair]] completes. */
@@ -740,8 +747,8 @@ object IndexIngest {
   def sqAppendSinkPaired(pairBase: String, appId: String = DefaultApp)(
       batch: DataFrame, batchId: Long): Unit = {
     val gen = requireGen(pairBase)
-    sqAppendSink(sqGenPath(pairBase, gen), genPaths(pairBase, gen)._1,
-      appId)(batch, batchId)
+    sqAppendSink(memberGenPath(pairBase, gen, "sq"),
+      genPaths(pairBase, gen)._1, appId)(batch, batchId)
     requireGenUnmoved(pairBase, gen, batchId)
   }
 
@@ -1071,19 +1078,12 @@ object IndexIngest {
     }
   }
 
-  /** Compact the SQ8 code table after a run of appends: one sorted
-    * file per cell partition; the params frame is not staged, so the
-    * publish leaves it untouched and the fingerprint survives
-    * (layout-only change — [[compactIvf]]'s contract). */
+  /** [[compactPq]] for the SQ8 code table; the unstaged 1-row params
+    * frame survives. */
   def compactSq(spark: org.apache.spark.sql.SparkSession,
       base: String): Boolean =
-    ArtifactStore.rewrite(base) { (live, staging) =>
-      val codes = spark.read.schema(Similarity.sqCodesSchema)
-        .parquet(s"$live/codes")
-      graft.io.Store.writePartitionedParquet(
-        codes.select(col("vec_id"), col("scodes"), col("cell")),
-        s"$staging/codes", Seq("cell"), Seq("vec_id"))
-    }
+    compactCodesTable(spark, base, Similarity.sqCodesSchema,
+      Seq("vec_id", "scodes", "cell"))
 
   /** [[maybeCompactIvf]] for the SQ8 code table. */
   def maybeCompactSq(spark: org.apache.spark.sql.SparkSession,
@@ -1126,18 +1126,12 @@ object IndexIngest {
     }
   }
 
-  /** [[compactSq]] for the BQ code table (one `codes/` child; nothing
+  /** [[compactPq]] for the BQ code table (one `codes/` child; nothing
     * else under the base, so the rewrite stages everything). */
   def compactBq(spark: org.apache.spark.sql.SparkSession,
       base: String): Boolean =
-    ArtifactStore.rewrite(base) { (live, staging) =>
-      val codes = spark.read.schema(Similarity.bqCodesSchema)
-        .parquet(s"$live/codes")
-      graft.io.Store.writePartitionedParquet(
-        codes.select(col("vec_id"), col("bits_lo"), col("bits_hi"),
-          col("cell")),
-        s"$staging/codes", Seq("cell"), Seq("vec_id"))
-    }
+    compactCodesTable(spark, base, Similarity.bqCodesSchema,
+      Seq("vec_id", "bits_lo", "bits_hi", "cell"))
 
   /** [[maybeCompactIvf]] for the BQ code table. */
   def maybeCompactBq(spark: org.apache.spark.sql.SparkSession,

@@ -1598,6 +1598,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- s31
+
+  /** s31's radius in ⌊cosine·2²⁰⌋ units: 0.18 ≈ 1.5σ of the cosine
+    * distribution on 64-dim near-isotropic unit vectors — selective
+    * but non-degenerate on the fixtures. Shared with the oracle. */
+  val RangeRadius: Long = 188743L // floor(0.18 * 1048576)
+
+  /** s31: RANGE search on the persisted IVF index — Faiss
+    * `range_search`, the other query contract every vector store
+    * serves beside top-k: return EVERY neighbor whose similarity
+    * clears a radius, not the k best (the shape dedup pipelines and
+    * near-match audits actually want — SemDeDup's epsilon balls, d06's
+    * threshold semantics — where k is unknowable a priori). Served
+    * IVFFlat-style from the stored artifact: probes fan out into the
+    * top-3 cells (approximate exactly as Faiss's IVF range_search is —
+    * candidates outside probed cells are not seen), the stored
+    * full-precision lists score with the exact floor-quantized cosine,
+    * and the radius predicate is the ONLY cut. The plan's
+    * distinguishing property: NO top-k window anywhere — no
+    * row_number, no per-query sort — a pure filter after one
+    * cell-keyed equi-join, the best possible shape at scale (the
+    * per-query result is unbounded, so any windowed form would
+    * materialize and sort what the filter discards). Each vector lives
+    * in exactly one cell, so (query, neighbor) pairs are distinct by
+    * construction — no dedup stage either. */
+  def s31RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val lists = ivfInvertedLists(spark, dir)
+      .withColumn("cnv", expr(UnitNvExpr))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("cnv"))
+    val qv = pqNv(spark, dir).filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    servingProbes(spark, dir).join(lists, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qv), "query_id")
+      .withColumn("score",
+        floor(expr("vec_dot(qnv, cnv)") * lit(1048576.0)).cast(LongType))
+      .filter(col("score") >= lit(RangeRadius))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** s23: recall@10 audit — the served IVF-PQ list (s20's full chain,
     * off the persisted artifacts) scored against EXACT ground truth
     * (floor-quantized cosine top-10 per query over the whole corpus):
@@ -2546,6 +2588,7 @@ object Similarity {
     "s28_residual_pq" -> (s28ResidualPqSearch _),
     "s29_sq8_search" -> (s29SqSearch _),
     "s30_bq_search" -> (s30BqSearch _),
+    "s31_range_search" -> (s31RangeSearch _),
     "s19_pq_rerank" -> (s19PqRerank _),
     "s11_maxsim_topk" -> (s11MaxSimTopK _),
     "s12_bitext_margin" -> (s12BitextMargin _),
@@ -3199,6 +3242,27 @@ object Similarity {
        |  CAST(bq_rank AS INT) AS bq_rank
        |FROM br2 WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** s31 oracle: the range contract replayed — probes, exact
+    * floor-quantized scoring over the assigned lists, the radius
+    * predicate as the only cut. */
+  def s31Sql: String = pqCorpusCtes + ivfChainCte() +
+    s""", rprobes AS (
+       |  SELECT cell, vec_id AS query_id FROM iranked
+       |  WHERE cell_rank <= 3 AND vec_id % 4 = 0
+       |), rasg AS (
+       |  SELECT vec_id, cell FROM iranked WHERE cell_rank = 1
+       |)
+       |SELECT p.query_id, i.vec_id AS neighbor_id,
+       |  CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+       |    AS score
+       |FROM rprobes p JOIN rasg i USING (cell)
+       |JOIN nv q ON q.vec_id = p.query_id
+       |JOIN nv c ON c.vec_id = i.vec_id
+       |WHERE p.query_id <> i.vec_id
+       |  AND CAST(FLOOR(list_dot_product(q.nv, c.nv) * 1048576) AS BIGINT)
+       |    >= $RangeRadius
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   def s27Sql: String = pqAdcCte + ivfChainCte() +
     s""", probes AS (
        |  SELECT cell, vec_id AS query_id FROM iranked
@@ -3674,6 +3738,7 @@ object Similarity {
     "s28_residual_pq" -> s28Sql,
     "s29_sq8_search" -> s29Sql,
     "s30_bq_search" -> s30Sql,
+    "s31_range_search" -> s31Sql,
     "s19_pq_rerank" -> s19Sql,
     "s11_maxsim_topk" -> s11Sql,
     "s12_bitext_margin" -> s12Sql,

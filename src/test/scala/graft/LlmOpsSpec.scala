@@ -1096,6 +1096,44 @@ class LlmOpsSpec extends AnyFunSuite {
         "a sign/xor/pack bug, not quantization loss")
   }
 
+  test("s31 range search: radius semantics, exact scores, windowless plan") {
+    val df = Similarity.s31RangeSearch(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= Similarity.RangeRadius,
+      s"pair (${r.getLong(0)}, ${r.getLong(1)}) below the radius"))
+    // the contract difference from every top-k server: the per-query
+    // result is unbounded, so candidates pass a pure filter — no
+    // window may rank them by score (the probe derivation's
+    // centroid-rank window is the only one allowed in the plan)
+    val windowLines = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.forall(l => !l.contains("score")),
+      s"range search must not rank candidates per query:\n" +
+        windowLines.mkString("\n"))
+    // pairs are distinct by construction (one cell per vector)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length
+      == rows.length, "duplicate (query, neighbor) pairs")
+    // scores are the exact floor-quantized cosine: recompute a sample
+    // from raw floats entirely in Scala
+    val ids = rows.take(50).flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val nv = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id").isin(ids.toSeq: _*))
+      .collect().map { r =>
+        val e = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+        val n = math.sqrt(e.map(x => x * x).sum)
+        r.getLong(r.fieldIndex("vec_id")) -> e.map(_ / n)
+      }.toMap
+    rows.take(50).foreach { r =>
+      val (q, c) = (nv(r.getLong(0)), nv(r.getLong(1)))
+      val want = math.floor(
+        q.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+          * 1048576.0).toLong
+      assert(r.getLong(2) == want,
+        s"score mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("ground-truth artifact: one build per corpus fingerprint, audits read the stored panel") {
     Similarity.s23RecallAudit(spark, sf).collect() // materialize the artifact
     // a fresh first-toucher (path cache forgotten = the next audit

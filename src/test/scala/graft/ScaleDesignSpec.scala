@@ -1190,6 +1190,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s28_residual_pq", // s21's centroid fan-out + the 16-cell qc broadcast (16·Q, not n²)
       "s29_sq8_search", // s21's centroid fan-out + the 1-row params broadcast, like t05
       "s30_bq_search", // s21's centroid fan-out + the Q-row query-bits broadcast
+      "s31_range_search", // same fan-out; the radius cut is a pure filter (no window)
       // (s24_recall_retrain needs no entry: its returned frame is the
       // 2-row audit report — the serving/truth chains execute inside
       // storedIvfPqServe/exactTruth10, already covered above)

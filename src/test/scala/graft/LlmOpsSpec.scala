@@ -1106,17 +1106,25 @@ class LlmOpsSpec extends AnyFunSuite {
     // result is unbounded, so candidates pass a pure filter — no
     // window may rank them by score (the probe derivation's
     // centroid-rank window is the only one allowed in the plan)
+    // positive form: EVERY window in the plan must be the probe
+    // derivation's centroid ranking (ordered by csim) — a candidate
+    // ranking under any column name would fail this, where a
+    // no-"score"-substring check could be dodged by a rename
     val windowLines = df.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windowLines.forall(l => !l.contains("score")),
+    assert(windowLines.forall(_.contains("csim")),
       s"range search must not rank candidates per query:\n" +
         windowLines.mkString("\n"))
     // pairs are distinct by construction (one cell per vector)
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length
       == rows.length, "duplicate (query, neighbor) pairs")
     // scores are the exact floor-quantized cosine: recompute a sample
-    // from raw floats entirely in Scala
-    val ids = rows.take(50).flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    // from raw floats entirely in Scala — strided across the WHOLE
+    // result so every query/cell region is represented, not just the
+    // lowest query_ids the (query_id, neighbor_id) ordering fronts
+    val sample = rows.indices.by(math.max(1, rows.length / 50))
+      .map(rows).toArray
+    val ids = sample.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     val nv = Tables(spark, sf, "embeddings")
       .filter(col("vec_id").isin(ids.toSeq: _*))
       .collect().map { r =>
@@ -1124,7 +1132,7 @@ class LlmOpsSpec extends AnyFunSuite {
         val n = math.sqrt(e.map(x => x * x).sum)
         r.getLong(r.fieldIndex("vec_id")) -> e.map(_ / n)
       }.toMap
-    rows.take(50).foreach { r =>
+    sample.foreach { r =>
       val (q, c) = (nv(r.getLong(0)), nv(r.getLong(1)))
       val want = math.floor(
         q.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x * y }

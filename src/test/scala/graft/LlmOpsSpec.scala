@@ -1142,6 +1142,62 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizer kernel contracts: SQ8 reconstruction bound, BQ pack/unpack bijectivity") {
+    // hash parity proves engine == oracle; these pin the KERNELS'
+    // mathematical contracts, which both engines could violate
+    // together. Run through the real SQL expression texts.
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 200L)
+      .map(i => (i, Seq.fill(64)((rnd.nextDouble() - 0.5) * 2.0)))
+    val nv = vecs.toDF("vec_id", "nv")
+    // train ranges exactly as sqBuildFromNv does (via the aggregate
+    // shape), then encode with the real sqEncode and decode with the
+    // serving reconstruction lambda
+    val mm = nv.select(posexplode(col("nv")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(min(col("x")).as("vmn"), max(col("x")).as("vmx"))
+      .withColumn("vdiff", col("vmx") - col("vmn"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("j"), col("vmn")))),
+          s => s.getField("vmn")).as("vmin"),
+        transform(array_sort(collect_list(struct(col("j"), col("vdiff")))),
+          s => s.getField("vdiff")).as("vdiff"))
+    val recon = Similarity.sqEncode(nv, mm)
+      .join(broadcast(mm), lit(true))
+      .withColumn("rv", expr(
+        "transform(scodes, (c, j) -> element_at(vmin, j + 1) + " +
+          "(CAST(c AS DOUBLE) * element_at(vdiff, j + 1)) / 255.0)"))
+      .select(col("vec_id"), col("rv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ranges = mm.collect().head
+    val vdiffs = ranges.getSeq[Double](1)
+    vecs.foreach { case (id, xs) =>
+      xs.indices.foreach { j =>
+        // QT_8bit round-to-nearest: |x − x̂| ≤ vdiff/510 (+ float slop)
+        val bound = vdiffs(j) / 510.0 + 1e-12
+        val err = math.abs(xs(j) - recon(id)(j))
+        assert(err <= bound,
+          s"vec $id dim $j: reconstruction error $err exceeds $bound")
+      }
+    }
+    // BQ: unpacking the two packed halves recovers exactly the sign
+    // predicate per dimension (bijective on the sign pattern)
+    val bits = Similarity.bqBits(nv).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    vecs.foreach { case (id, xs) =>
+      val (lo, hi) = bits(id)
+      xs.indices.foreach { j =>
+        val bit =
+          if (j < 32) (lo >> j) & 1L else (hi >> (j - 32)) & 1L
+        assert((bit == 1L) == (xs(j) > 0.0),
+          s"vec $id dim $j: sign bit $bit for value ${xs(j)}")
+      }
+    }
+  }
+
   test("ground-truth artifact: one build per corpus fingerprint, audits read the stored panel") {
     Similarity.s23RecallAudit(spark, sf).collect() // materialize the artifact
     // a fresh first-toucher (path cache forgotten = the next audit

@@ -1608,6 +1608,39 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"s21 scans embeddings ${embScans.length}x — corpus reads must be query-side only")
   }
 
+  test("stored-code servers: dynamic partition pruning fires on every codes scan") {
+    // the scale contract of the cell-major layout: the probes⋈codes
+    // equi-join must plant a dynamicpruning PartitionFilter on the
+    // code-table scan, so a 3-cell probe reads ~3/16 of the table's
+    // partitions at runtime — for ALL THREE stored-code kinds (PQ raw,
+    // SQ8, BQ), not just the one that was hand-checked when the shared
+    // adcPool/servingProbes tail was extracted. Without this, a probe
+    // scans the whole code table and the compression's I/O story is
+    // fiction at 100 TB.
+    for ((name, df) <- Seq(
+        "s21" -> llm.Similarity.s21PqIndexSearch(spark, sf),
+        "s29" -> llm.Similarity.s29SqSearch(spark, sf),
+        "s30" -> llm.Similarity.s30BqSearch(spark, sf))) {
+      assert(df.collect().nonEmpty)
+      // sparkPlan (pre-AQE), plain collect — the DPP subquery is still
+      // logical here and collectWithSubqueries would class-cast
+      val codeScans = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(p =>
+            p.toString.contains("-index")) &&
+            f.relation.location.rootPaths.exists(p =>
+              p.toString.endsWith("codes")) => f
+      }
+      assert(codeScans.nonEmpty, s"$name must read a stored code table")
+      codeScans.foreach { f =>
+        assert(f.partitionFilters.exists(
+          _.toString.contains("dynamicpruning")),
+          s"$name codes scan lost dynamic partition pruning: " +
+            f.partitionFilters.mkString("; "))
+      }
+    }
+  }
+
   test("s27 label partitions: the target-label equality prunes the code-table scan") {
     // the layout contract of the label-partitioned PQ artifact: the
     // metadata filter lands on a PARTITION column, so the serving

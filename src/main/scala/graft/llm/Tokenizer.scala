@@ -1,0 +1,226 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Tokenizer induction + application over the `documents` fixture:
+  * distributed BPE merge learning (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") and the
+  * matching corpus encoder — the training-data pipeline step the
+  * token-counting family (t01's chars/4 estimate) only approximates.
+  * The reference repo has no tokenizer surface (its text handling stops
+  * at CSV cells, `R/DataFrameOperationR.R:241`), so like the rest of the
+  * `llm` package this is a capability extension, not a parity port.
+  *
+  * Scale shape — the reason BPE training distributes at all: the corpus
+  * is touched by exactly ONE scan (explode words → weighted vocabulary
+  * via a map-side-combining groupBy). Every merge round after that runs
+  * on the vocabulary table, whose row count tracks token TYPES, not
+  * corpus size — the same table a 100 TB corpus reduces to, which is
+  * why production BPE trainers (SentencePiece's distributed ports,
+  * HuggingFace tokenizers' word-count entry point) all take a word
+  * frequency table as their working set. Rounds localCheckpoint the
+  * vocabulary frame (the g01 Pregel posture: without it the lazy plan
+  * doubles per round — each round references the previous frame twice,
+  * once for pair counts and once for the rewrite). Encoding (t20) is
+  * the same trade on the apply side: segment the TYPES once, then one
+  * broadcast type→token-count join over the exploded corpus — never a
+  * per-row re-tokenization.
+  *
+  * Merge contract (shared bit-for-bit with the DuckDB oracle):
+  *  - words = whitespace tokens with length >= 2 (single-char words
+  *    carry no adjacent pair and can never be rewritten; the encoder
+  *    counts them as one token directly);
+  *  - a word's symbol string is its characters joined by single spaces
+  *    with one leading and one trailing sentinel space (" h e l l o ");
+  *  - pair counts sum word frequencies over ADJACENT symbol pairs
+  *    (overlapping occurrences each count, the classic BPE statistic);
+  *  - the winning pair is (max count, then lexicographically least
+  *    pair) — an integer-exact, total order both engines share;
+  *  - the rewrite applies `replace(sym, " a b ", " ab ")` FOUR times.
+  *    One `replace` pass merges the leftmost available occurrences but
+  *    resumes scanning after each replacement, so within a run like
+  *    "a b a b" the consumed boundary space hides every other match;
+  *    each extra pass at least halves the survivors, so four passes
+  *    reach the no-remaining-occurrence fixpoint for any run of up to
+  *    31 pending matches (words of 62+ repeating characters do not
+  *    occur in natural-language corpora; if one ever did, both engines
+  *    still agree — the pass count IS the contract, fixpoint-ness is
+  *    not). This pass semantics can segment a long uniform run
+  *    differently from strict left-to-right BPE (" a a a a a " may
+  *    yield "aa a aa" rather than "aa aa a") — which of several
+  *    equal-count occurrences merge differs, never how many merges the
+  *    pair won, and the procedure is deterministic in both engines.
+  */
+object Tokenizer {
+
+  /** Merge rounds learned / applied. */
+  val BpeMerges = 8
+
+  /** Replace passes per round — see the merge contract above. */
+  val BpePasses = 4
+
+  private def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Run the [[BpeMerges]] rounds; returns (merge table, final
+    * vocabulary). The final rewrite (after the last winner) only
+    * matters to the encoder, so the trainer skips it — `finalVocab`
+    * decides, and with it off the second tuple slot is the
+    * last-checkpointed (K−1-rewritten) frame, which t19 ignores. */
+  private def bpeRounds(spark: SparkSession, dir: String,
+      finalVocab: Boolean): (DataFrame, DataFrame) = {
+    // " a b " sentinel form of each word's character sequence, the
+    // original word carried alongside for the encoder's join-back.
+    // Built from an explicit index transform, NOT `split(w, "")`:
+    // Spark's regex split keeps a trailing zero-width field under
+    // limit -1, which would fabricate an empty symbol.
+    var cur = wordFreq(spark, dir)
+      .select(col("w"),
+        concat(lit(" "),
+          array_join(
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            " "),
+          lit(" ")).as("sym"),
+        col("freq"))
+      .localCheckpoint(true)
+
+    var merges: DataFrame = null
+    for (i <- 1 to BpeMerges) {
+      // adjacent-pair statistics over the (vocab-sized) symbol table
+      val pairs = cur
+        .select(col("freq"), split(trim(col("sym")), " ").as("l"))
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .select(lit(i).as("merge_rank"), col("pair"),
+          regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
+        .localCheckpoint(true)
+      merges = if (merges == null) best else merges.union(best)
+      if (i < BpeMerges || finalVocab) {
+        // rewrite every word under the winning merge (see pass contract)
+        val pat = concat(lit(" "), col("pair"), lit(" "))
+        val rep = concat(lit(" "), col("merged"), lit(" "))
+        val rewritten = (1 to BpePasses)
+          .foldLeft(col("sym"): Column)((s, _) => replace(s, pat, rep))
+        cur = cur
+          .crossJoin(broadcast(best.select(col("pair"), col("merged"))))
+          .select(col("w"), rewritten.as("sym"), col("freq"))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.orderBy(col("merge_rank")), cur)
+  }
+
+  /** t19: learn the first [[BpeMerges]] BPE merges over the corpus.
+    * Output: one row per learned merge — (merge_rank, pair, merged,
+    * cnt), K rows on any corpus rich enough to feed them (fewer only
+    * when the vocabulary runs out of adjacent pairs; an empty corpus
+    * yields an empty merge table — EmptyInputSpec exercises that). */
+  def t19BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeRounds(spark, dir, finalVocab = false)._1
+
+  /** t20: encode the corpus under the learned merges — per document,
+    * the whitespace word count and the exact BPE token count (the
+    * number every shard-packing / token-budget decision actually
+    * wants; t01's chars/4 was the estimate). Single-char words are one
+    * token by definition; empty fields (split artifacts) are zero. */
+  def t20BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeRounds(spark, dir, finalVocab = true)._2
+    val typeTokens = vocab.select(col("w"),
+      size(split(trim(col("sym")), " ")).cast(LongType).as("n"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(typeTokens), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(when(length(col("w")) >= 1, lit(1))).as("n_words"),
+        sum(when(length(col("w")) >= 2, col("n"))
+          .when(length(col("w")) === 1, lit(1L))
+          .otherwise(lit(0L))).as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
+  // oracle SQL — generated by the same loop bounds as the engine so the
+  // two can never drift on K or the pass count
+  // -------------------------------------------------------------------
+
+  /** The shared CTE chain: w0 is the weighted character-symbol
+    * vocabulary (word carried), then per round i: p_i pair counts, b_i
+    * the (count desc, pair asc) winner, w_i the four-pass rewrite.
+    * `finalVocab` mirrors the engine flag: whether round K rewrites. */
+  private def bpeCtes(finalVocab: Boolean): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT w, ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+        |      i -> substr(w, CAST(i AS INTEGER), 1)), ' ') || ' ' AS sym, freq
+        |  FROM (SELECT w, COUNT(*) AS freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |        WHERE length(w) >= 2 GROUP BY w)
+        |)""".stripMargin
+    val rounds = (1 to BpeMerges).map { i =>
+      val p =
+        s"""p$i AS (
+           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, unnest(list_transform(range(1, len(l)),
+           |          j -> l[CAST(j AS INTEGER)] || ' ' || l[CAST(j + 1 AS INTEGER)])) AS pair
+           |        FROM (SELECT freq, string_split(trim(sym), ' ') AS l FROM w${i - 1}))
+           |  GROUP BY pair
+           |)""".stripMargin
+      val b =
+        s"""b$i AS (
+           |  SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, cnt
+           |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1
+           |)""".stripMargin
+      if (i == BpeMerges && !finalVocab) s"$p,\n$b"
+      else {
+        val rewritten = (1 to BpePasses).foldLeft("sym")((s, _) =>
+          s"replace($s, ' ' || b.pair || ' ', ' ' || b.merged || ' ')")
+        s"$p,\n$b,\nw$i AS (\n  SELECT w, $rewritten AS sym, freq FROM w${i - 1}, b$i b\n)"
+      }
+    }
+    s"WITH $w0,\n${rounds.mkString(",\n")}"
+  }
+
+  val t19Sql: String = {
+    val union = (1 to BpeMerges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    bpeCtes(finalVocab = false) +
+      s"\nSELECT merge_rank, pair, merged, cnt FROM ($union) ORDER BY merge_rank"
+  }
+
+  val t20Sql: String =
+    bpeCtes(finalVocab = true) +
+      s""",
+         |cnt AS (
+         |  SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n
+         |  FROM w$BpeMerges
+         |),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT t.doc_id,
+         |  COUNT(CASE WHEN length(t.w) >= 1 THEN 1 END) AS n_words,
+         |  CAST(SUM(CASE WHEN length(t.w) >= 2 THEN c.n
+         |            WHEN length(t.w) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bpe
+         |FROM tok t LEFT JOIN cnt c ON c.w = t.w
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_bpe_merges" -> (t19BpeMerges _),
+    "t20_bpe_encode" -> (t20BpeEncode _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t19_bpe_merges" -> t19Sql,
+    "t20_bpe_encode" -> t20Sql,
+  )
+}

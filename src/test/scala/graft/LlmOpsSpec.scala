@@ -1859,4 +1859,90 @@ class LlmOpsSpec extends AnyFunSuite {
     // importance scores actually spread (bigram mixes differ per doc)
     assert(rows.map(_._2).distinct.length > 10)
   }
+
+  /** Independent reference for t19/t20: the documented BPE contract
+    * (weighted char vocabulary -> per round argmax adjacent pair, ties
+    * to the least pair -> four resume-after-replacement passes),
+    * replayed in plain Scala — no Spark, no SQL. The fixture is
+    * ASCII-only, so JVM UTF-16, Spark UTF-8 and DuckDB orderings
+    * coincide; java String.replace shares the leftmost/resume
+    * semantics of both engines' replace. Returns the merge table and
+    * each word type's final token count. */
+  private def replayBpe(texts: Seq[String])
+      : (Seq[(Int, String, String, Long)], Map[String, Long]) = {
+    import graft.llm.Tokenizer
+    val freq: Map[String, Long] = texts
+      .flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    var sym: Map[String, String] =
+      freq.keysIterator.map(w => w -> (" " + w.mkString(" ") + " ")).toMap
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    for (i <- 1 to Tokenizer.BpeMerges) {
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, s) <- sym) {
+        val l = s.trim.split(" ")
+        for (j <- 0 until l.length - 1) {
+          val p = l(j) + " " + l(j + 1)
+          cnt(p) = cnt.getOrElse(p, 0L) + freq(w)
+        }
+      }
+      if (cnt.nonEmpty) {
+        val maxC = cnt.values.max
+        val bp = cnt.collect { case (p, c) if c == maxC => p }.min
+        val bm = bp.replace(" ", "")
+        merges += ((i, bp, bm, maxC))
+        val (pat, rep) = (" " + bp + " ", " " + bm + " ")
+        sym = sym.map { case (w, s0) =>
+          var s = s0
+          for (_ <- 1 to Tokenizer.BpePasses) s = s.replace(pat, rep)
+          w -> s
+        }
+      }
+    }
+    (merges.toSeq,
+      sym.map { case (w, s) => w -> s.trim.split(" ").length.toLong })
+  }
+
+  test("t19 BPE merges: equals an independent in-memory replay of the contract") {
+    import graft.llm.Tokenizer
+    val texts = Tables(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val (expected, _) = replayBpe(texts)
+    val got = Tokenizer.t19BpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // the fixture is rich enough to exercise all rounds, and at least
+    // one learned merge builds ON an earlier merge (a pair token longer
+    // than one char) — the property that separates BPE from a plain
+    // bigram count
+    assert(got.length == Tokenizer.BpeMerges)
+    assert(got.exists(_._2.split(" ").exists(_.length > 1)),
+      s"no compound merge learned: ${got.mkString(", ")}")
+  }
+
+  test("t20 BPE encode: per-doc token counts equal the replayed segmentation") {
+    import graft.llm.Tokenizer
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val (_, typeTokens) = replayBpe(docs.map(_._2))
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split(" ")
+      val nWords = ws.count(_.nonEmpty).toLong
+      val nBpe = ws.iterator.map { w =>
+        if (w.length >= 2) typeTokens(w) else if (w.length == 1) 1L else 0L
+      }.sum
+      (id, nWords, nBpe)
+    }.sortBy(_._1)
+    val got = Tokenizer.t20BpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // merging strictly compresses: token counts sit between the word
+    // count and the raw character count, and the 8 merges actually bite
+    // on the fixture (total tokens < total chars)
+    val totChars = docs.map(_._2.count(_ != ' ').toLong).sum
+    assert(got.map(_._3).sum < totChars)
+    assert(got.forall(t => t._3 >= t._2))
+  }
 }

@@ -440,6 +440,27 @@ class ScaleDesignSpec extends AnyFunSuite {
         s"${exchanges.length}:\n$plan")
   }
 
+  test("t19 BPE merges: rounds run on the checkpointed vocabulary, not the corpus") {
+    // the corpus is scanned exactly once, into the weighted-vocabulary
+    // localCheckpoint; every merge round (pair count, argmax, rewrite)
+    // must run on that checkpoint — the g01 Pregel posture. The merge
+    // table the caller gets back is the union of the eight checkpointed
+    // 1-row winners, so no file scan (and no join at all) may survive
+    // into it; without the per-round checkpoints the lazy plan doubles
+    // per round (each round references the previous vocabulary twice).
+    val df = llm.Tokenizer.t19BpeMerges(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(!plan.toString.contains("FileSourceScan"),
+      s"merge rounds must reuse the checkpointed vocabulary:\n$plan")
+    assert(!plan.toString.contains("Join"),
+      s"the served merge table re-derives round work:\n$plan")
+  }
+
   test("q68 incremental merge: co-partitioned, and the delta is the only recomputed part") {
     // the full-outer merge of the two partial aggregates must reuse
     // their hash partitioning on o_custkey — a third exchange before

@@ -108,14 +108,23 @@ object Tokenizer {
         .localCheckpoint(true)
       merges = if (merges == null) best else merges.union(best)
       if (i < BpeMerges || finalVocab) {
-        // rewrite every word under the winning merge (see pass contract)
+        // rewrite every word under the winning merge (see pass contract).
+        // LEFT join + coalesce, NOT crossJoin: on a corpus whose pair
+        // table runs dry mid-run (tiny/degenerate vocabularies — every
+        // word already one symbol) the winner frame is EMPTY, and a
+        // cross join would zero the vocabulary — silently erasing every
+        // type from the encoder's map. The oracle replays the same
+        // left-join form, so the two could only agree on the wrong
+        // answer otherwise (a hash-gate-blind class).
         val pat = concat(lit(" "), col("pair"), lit(" "))
         val rep = concat(lit(" "), col("merged"), lit(" "))
         val rewritten = (1 to BpePasses)
           .foldLeft(col("sym"): Column)((s, _) => replace(s, pat, rep))
         cur = cur
-          .crossJoin(broadcast(best.select(col("pair"), col("merged"))))
-          .select(col("w"), rewritten.as("sym"), col("freq"))
+          .join(broadcast(best.select(col("pair"), col("merged"))),
+            lit(true), "left")
+          .select(col("w"), coalesce(rewritten, col("sym")).as("sym"),
+            col("freq"))
           .localCheckpoint(true)
       }
     }
@@ -185,9 +194,13 @@ object Tokenizer {
            |)""".stripMargin
       if (i == BpeMerges && !finalVocab) s"$p,\n$b"
       else {
+        // LEFT JOIN ON TRUE + COALESCE mirrors the engine's empty-winner
+        // guard: a dry pair table leaves the vocabulary unchanged
+        // (replace against a NULL pattern is NULL -> coalesce keeps sym)
         val rewritten = (1 to BpePasses).foldLeft("sym")((s, _) =>
           s"replace($s, ' ' || b.pair || ' ', ' ' || b.merged || ' ')")
-        s"$p,\n$b,\nw$i AS (\n  SELECT w, $rewritten AS sym, freq FROM w${i - 1}, b$i b\n)"
+        s"$p,\n$b,\nw$i AS (\n  SELECT w, COALESCE($rewritten, sym) AS sym, freq\n" +
+          s"  FROM w${i - 1} LEFT JOIN b$i b ON TRUE\n)"
       }
     }
     s"WITH $w0,\n${rounds.mkString(",\n")}"

@@ -1945,4 +1945,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.map(_._3).sum < totChars)
     assert(got.forall(t => t._3 >= t._2))
   }
+
+  test("t19/t20 degenerate corpus: a dry pair table keeps the vocabulary") {
+    import spark.implicits._
+    import graft.llm.Tokenizer
+    // one repeated two-char word: round 1 merges (a,b), every later
+    // round's pair table is EMPTY. The rewrite must keep the vocabulary
+    // (left join + coalesce) — the cross-join form zeroed it, and the
+    // oracle replayed the same zero, so only this direct pin can catch
+    // the class (hash-gate blind).
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_tiny")
+      .toString
+    Seq((0L, "ab ab ab"), (1L, "ab x"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = Tokenizer.t19BpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1, "a b", "ab", 4L)))
+    val enc = Tokenizer.t20BpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "ab" is ONE token after the merge (not zero — the erased-vocab
+    // failure mode), "x" is one by the single-char rule
+    assert(enc.toSeq == Seq((0L, 3L, 3L), (1L, 2L, 2L)))
+  }
 }

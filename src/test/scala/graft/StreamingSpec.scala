@@ -2274,4 +2274,87 @@ class StreamingSpec extends AnyFunSuite {
         .orderBy(col("query_id"), col("rn")))
     assert(gotMerged == want, "the merged index must still equal s10")
   }
+
+  test("bounded-horizon dedup (transformWithState): in-horizon drops, " +
+    "horizon expiry re-admits, late rows filtered") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.stream.BoundedDedup
+    val srcDir = Files.createTempDirectory("bdedup-src").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def stage(rows: Seq[(String, Long, java.sql.Timestamp)], tag: String): Unit = {
+      val tmp = Files.createTempDirectory("bdedup-half").toString
+      rows.toDF("digest", "docId", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, s"$tag.parquet"))
+    }
+    // b1: two arrivals of digest A in one batch (tie broken by event
+    // time then doc id) plus a first B
+    stage(Seq(("A", 1L, ts(1000)), ("A", 2L, ts(1001)),
+      ("B", 3L, ts(1002))), "b1")
+    val schema = Seq(("A", 1L, ts(0)))
+      .toDF("digest", "docId", "ts").schema
+    // the v2 state API executes on the RocksDB provider only — scope it
+    // to this query and restore whatever the session had
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .withWatermark("ts", "10 seconds")
+        .as[BoundedDedup.DedupIn]
+      // horizon H = 100 s of event time
+      val out = BoundedDedup.dedupBounded(in.groupByKey(_.digest),
+        horizonMs = 100000L)
+      val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("bounded_dedup").start()
+      def rows(): Set[(Long, String, String)] =
+        spark.table("bounded_dedup").collect().toSet
+          .map((r: org.apache.spark.sql.Row) =>
+            (r.getLong(0), r.getString(1), r.getString(2)))
+      try {
+        q.processAllAvailable()
+        assert(rows() == Set(
+          (1L, "A", BoundedDedup.Admitted),
+          (2L, "A", BoundedDedup.DupInHorizon),
+          (3L, "B", BoundedDedup.Admitted)), s"b1 dispositions: ${rows()}")
+        // b2: re-arrival of A inside the horizon (1010 < 1000+100)
+        stage(Seq(("A", 4L, ts(1010))), "b2")
+        q.processAllAvailable()
+        assert(rows().contains((4L, "A", BoundedDedup.DupInHorizon)))
+        // b3 drags the max event time far past A's horizon close
+        // (1100); b4's watermark (2000-10) then fires the expiry timers
+        // AFTER b4's own input — so E still admits normally in b4
+        stage(Seq(("D", 5L, ts(2000))), "b3")
+        q.processAllAvailable()
+        stage(Seq(("E", 6L, ts(2001))), "b4")
+        q.processAllAvailable()
+        // b5: A re-arrives past its horizon — state was cleared by the
+        // timer, so it RE-ADMITS: the bounded-retention trade, proven
+        stage(Seq(("A", 7L, ts(2050))), "b5")
+        q.processAllAvailable()
+        val afterReadmit = rows()
+        assert(afterReadmit.contains((7L, "A", BoundedDedup.Admitted)),
+          s"past-horizon re-arrival must re-admit: $afterReadmit")
+        assert(afterReadmit.map(_._1) ==
+          Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+        // b6: a row below the watermark (1980 < 2050-10) is dropped by
+        // the standard pre-operator late filter — no disposition at all
+        stage(Seq(("B", 8L, ts(1980))), "b6")
+        q.processAllAvailable()
+        assert(rows() == afterReadmit,
+          s"beyond-watermark row must drop: ${rows().diff(afterReadmit)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
 }

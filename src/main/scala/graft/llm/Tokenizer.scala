@@ -49,11 +49,15 @@ import graft.Tables
   *    31 pending matches (words of 62+ repeating characters do not
   *    occur in natural-language corpora; if one ever did, both engines
   *    still agree — the pass count IS the contract, fixpoint-ness is
-  *    not). This pass semantics can segment a long uniform run
-  *    differently from strict left-to-right BPE (" a a a a a " may
-  *    yield "aa a aa" rather than "aa aa a") — which of several
-  *    equal-count occurrences merge differs, never how many merges the
-  *    pair won, and the procedure is deterministic in both engines.
+  *    not). For pairs of two DISTINCT symbols this equals strict
+  *    left-to-right BPE (their occurrences are disjoint and the passes
+  *    merge all of them); a SAME-symbol run may both segment
+  *    differently AND merge fewer times in its round than strict BPE
+  *    (" a a a a a a a a " four-passes to "aa a aa a aa", 3 merges,
+  *    where left-to-right gives "aa aa aa aa", 4), the remainder
+  *    falling to later rounds if the pair wins again. The procedure —
+  *    not any particular library's BPE — is the contract, and it is
+  *    deterministic and shared bit-for-bit by both engines.
   */
 object Tokenizer {
 
@@ -72,8 +76,14 @@ object Tokenizer {
   /** Run the [[BpeMerges]] rounds; returns (merge table, final
     * vocabulary). The final rewrite (after the last winner) only
     * matters to the encoder, so the trainer skips it — `finalVocab`
-    * decides, and with it off the second tuple slot is the
-    * last-checkpointed (K−1-rewritten) frame, which t19 ignores. */
+    * decides, and with it off the vocabulary slot is RELEASED before
+    * returning (t19's merge table references only the checkpointed
+    * 1-row winners, never the vocabulary frames). Superseded vocabulary
+    * checkpoints are released as each round's successor materializes —
+    * the repo's iterative-loop convention ([[graft.Checkpoints]];
+    * leaking one vocab-scale checkpoint per round is the d07 storage
+    * regression class). The eight 1-row winner frames stay pinned for
+    * the caller's lifetime by design: for t19 they ARE the result. */
   private def bpeRounds(spark: SparkSession, dir: String,
       finalVocab: Boolean): (DataFrame, DataFrame) = {
     // " a b " sentinel form of each word's character sequence, the
@@ -120,14 +130,19 @@ object Tokenizer {
         val rep = concat(lit(" "), col("merged"), lit(" "))
         val rewritten = (1 to BpePasses)
           .foldLeft(col("sym"): Column)((s, _) => replace(s, pat, rep))
-        cur = cur
+        val next = cur
           .join(broadcast(best.select(col("pair"), col("merged"))),
             lit(true), "left")
           .select(col("w"), coalesce(rewritten, col("sym")).as("sym"),
             col("freq"))
           .localCheckpoint(true)
+        // best_i and next are both materialized — the previous round's
+        // vocabulary blocks are dead; free them now (Checkpoints doc)
+        graft.Checkpoints.release(cur)
+        cur = next
       }
     }
+    if (!finalVocab) graft.Checkpoints.release(cur)
     (merges.orderBy(col("merge_rank")), cur)
   }
 
@@ -140,10 +155,11 @@ object Tokenizer {
     bpeRounds(spark, dir, finalVocab = false)._1
 
   /** t20: encode the corpus under the learned merges — per document,
-    * the whitespace word count and the exact BPE token count (the
-    * number every shard-packing / token-budget decision actually
-    * wants; t01's chars/4 was the estimate). Single-char words are one
-    * token by definition; empty fields (split artifacts) are zero. */
+    * the whitespace word count and the exact token count under the
+    * learned merge table and the pass contract above (the number every
+    * shard-packing / token-budget decision actually wants; t01's
+    * chars/4 was the estimate). Single-char words are one token by
+    * definition; empty fields (split artifacts) are zero. */
   def t20BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val vocab = bpeRounds(spark, dir, finalVocab = true)._2
     val typeTokens = vocab.select(col("w"),

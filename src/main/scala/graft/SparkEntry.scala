@@ -22,6 +22,7 @@ object SparkEntry {
       ops.Relational5.queries ++ ops.Relational6.queries ++ ops.Relational7.queries ++
       ops.Relational8.queries ++ ops.AsOf.queries ++
       llm.Dedup.queries ++ llm.DupClusters.queries ++ llm.Similarity.queries ++
+      llm.IndexDelete.queries ++
       llm.TextStats.queries ++ llm.TextClean.queries ++ llm.Tokenizer.queries ++
       llm.Multimodal.queries ++
       llm.Pipeline.queries ++ llm.Authority.queries ++ llm.Retrieval.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       ops.Relational5.oracle ++ ops.Relational6.oracle ++ ops.Relational7.oracle ++
       ops.Relational8.oracle ++ ops.AsOf.oracle ++
       llm.Dedup.oracle ++ llm.DupClusters.oracle ++ llm.Similarity.oracle ++
+      llm.IndexDelete.oracle ++
       llm.TextStats.oracle ++ llm.TextClean.oracle ++ llm.Tokenizer.oracle ++
       llm.Multimodal.oracle ++
       llm.Pipeline.oracle ++ llm.Authority.oracle ++ llm.Retrieval.oracle ++

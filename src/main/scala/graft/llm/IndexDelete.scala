@@ -1,0 +1,272 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import org.apache.spark.sql.expressions.Window
+
+/** Deletion on the persisted vector index — the lifecycle verb the
+  * index families had been missing. Create (`ensure`), append (the
+  * streaming sinks), compact, retrain and audit all exist; a real
+  * 100 TB corpus also takes REMOVALS (takedown requests, license
+  * revocations, dedup-driven pruning), and rewriting a 100 TB
+  * cell-major table per delete request is not an option. This module
+  * implements the production posture every mutable index/lakehouse
+  * system converges on — Lucene's deleted-docs bitmap, Delta/Iceberg
+  * deletion vectors, Faiss `remove_ids` over `IDSelector`:
+  *
+  *  - **delete = tombstone append**: O(deletes) — the removed ids are
+  *    appended to a `tombstones/` child of the index base; no data
+  *    file is touched. The artifact's content fingerprint moves to
+  *    the POST-delete membership by xor-composition (xor is its own
+  *    inverse, so removal composes exactly like [[Similarity]]'s
+  *    incremental append: `fp(A ∖ D) = (nA − nD, xA ⊕ xD)` for
+  *    D ⊆ A) — the standing corpus is never rescanned.
+  *  - **serve = anti-join the tombstone set**: tombstones are
+  *    per-index tiny (they exist to be compacted away) and broadcast;
+  *    candidate generation, partition pruning and ranking plans are
+  *    unchanged. Centroids/codebooks are NOT retrained on delete —
+  *    exactly Faiss `remove_ids` semantics (the coarse quantizer keeps
+  *    serving; quality drift is the recall gate's job, not delete's).
+  *  - **compact = physical removal**: the existing layout-rewrite
+  *    maintenance job additionally drops tombstoned rows and resets
+  *    the tombstone set — fingerprint unchanged, because the LOGICAL
+  *    membership already moved at delete time.
+  *
+  * Contract notes: delete requests for ids not (or no longer) in the
+  * index are ignored (Faiss returns `n_removed`, so do we); a repeated
+  * delete of the same id is a no-op (the xor-out happens exactly once —
+  * double-removal would RE-ADD the row's hash). Re-APPENDING a
+  * previously tombstoned vec_id is out of contract until a compaction
+  * has cleared the tombstone (ids are external and unique upstream;
+  * the append sinks do not consult tombstones — documented, not
+  * silently half-supported).
+  *
+  * The reference repo persists node outputs but has no removal verb at
+  * all (`R/DataFrameOperationR.R` only ever writes whole outputs); like
+  * the rest of the `llm` package this is a capability extension.
+  */
+object IndexDelete {
+
+  /** s32's deterministic delete set: `vec_id % 17 == 3` (~6% of the
+    * corpus), replayable exactly in SQL. */
+  val DeleteMod = 17L
+  val DeleteRes = 3L
+
+  private[graft] val tombstoneSchema =
+    StructType(Seq(StructField("vec_id", LongType)))
+
+  /** The tombstone set of an index base — empty when the index has
+    * never seen a delete (bootstrap does not create the dir). The id
+    * column is the index family's member key (`vec_id` for the vector
+    * indexes, `doc_id` for the lexical one). */
+  /** The base's tombstone dir as a decoded local path — every
+    * java.nio existence probe of artifact-internal files must decode
+    * `file:` URI bases the way the store itself does, or a URI-form
+    * base silently reads as "never deleted" (the IndexIngest
+    * localBase lesson). */
+  private[graft] def tombstoneDir(base: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      graft.io.ArtifactStore.requireLocalRoot(base), "tombstones")
+
+  private[graft] def tombstonesAt(spark: SparkSession, base: String,
+      idCol: String = "vec_id"): DataFrame = {
+    val schema = StructType(Seq(StructField(idCol, LongType)))
+    val dir = tombstoneDir(base)
+    if (java.nio.file.Files.isDirectory(dir))
+      spark.read.schema(schema).parquet(dir.toString).select(col(idCol))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The index's LIVE inverted lists: stored members minus tombstones.
+    * The tombstone side broadcasts (it is kept small by compaction);
+    * an index that has never seen a delete has no tombstone dir and
+    * gets the plain stored scan — the branch resolves driver-side at
+    * plan time, so the whole undeleted fleet pays zero plan overhead
+    * (spec-pinned). */
+  private[graft] def liveListsAt(spark: SparkSession, base: String): DataFrame = {
+    val stored = Similarity.invertedListsAt(spark, base)
+    if (!java.nio.file.Files.isDirectory(tombstoneDir(base))) stored
+    else stored
+      .join(broadcast(tombstonesAt(spark, base)), Seq("vec_id"), "left_anti")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
+  }
+
+  /** Read-side plan of one remove_ids call against the CURRENT
+    * artifact: the ids actually being removed (present in the lists,
+    * not already tombstoned — deduplicated) and their fingerprint
+    * parts. Everything is computed BEFORE any mutation; the caller's
+    * `mutate` re-validates the expected fingerprint under the lock, so
+    * a racing writer turns this into a clean retry, never a torn
+    * apply. */
+  private[graft] def removalPlan(spark: SparkSession, base: String,
+      ids: DataFrame): (DataFrame, (Long, Long)) = {
+    val requested = ids.select(col("vec_id").cast(LongType)).distinct()
+    val removed = Similarity.invertedListsAt(spark, base)
+      .join(broadcast(requested), Seq("vec_id"), "left_semi")
+      .join(broadcast(tombstonesAt(spark, base)), Seq("vec_id"), "left_anti")
+    val parts = Similarity.frameFingerprintParts(
+      removed.select(col("vec_id"), col("embedding")))
+    (removed.select(col("vec_id")), parts)
+  }
+
+  /** Append the removal's tombstones into the LIVE base — the body a
+    * caller runs inside [[graft.io.ArtifactStore.mutate]]. */
+  private[graft] def writeTombstones(live: String, removedIds: DataFrame): Unit =
+    removedIds
+      .coalesce(1).sortWithinPartitions(col(removedIds.columns.head))
+      .write.mode("append").parquet(s"$live/tombstones")
+
+  /** The family-generic batch `remove_ids` protocol: take a removal
+    * plan (the ids actually being removed + their fingerprint parts,
+    * computed against the current artifact by the family-specific
+    * planner — [[removalPlan]] for the vector index,
+    * [[Retrieval.bm25RemovalPlan]] for the lexical one), and apply it
+    * as one fingerprint-checked mutation. Returns the number of
+    * members actually removed (0 when every id was absent or already
+    * tombstoned — the mark still moves for streaming callers, see
+    * [[graft.stream.IndexIngest.ivfDeleteSink]]). Idempotent by
+    * fingerprint: a concurrent applier losing the mutate race
+    * re-checks whether the winner already landed the same removal. */
+  private[graft] def applyRemoval(base: String,
+      plan: (DataFrame, (Long, Long))): Long = {
+    val (removedIds, (dn, dx)) = plan
+    if (dn == 0) return 0L
+    val cur = graft.io.ArtifactStore.currentFingerprint(base).getOrElse(
+      throw new IllegalStateException(
+        s"no valid index artifact at $base — build first"))
+    val Array(cn, cx) = cur.split("_")
+    val next = graft.io.ArtifactStore.fingerprint(cn.toLong - dn,
+      java.lang.Long.parseUnsignedLong(cx) ^ dx)
+    val ok = graft.io.ArtifactStore.mutate(base, cur, next)(
+      writeTombstones(_, removedIds))
+    if (!ok && !graft.io.ArtifactStore.currentFingerprint(base).contains(next))
+      throw new IllegalStateException(
+        s"index at $base changed under remove_ids — retry")
+    dn
+  }
+
+  /** Batch `remove_ids` on the persisted IVF index. */
+  def applyDeletes(spark: SparkSession, base: String, ids: DataFrame): Long =
+    applyRemoval(base, removalPlan(spark, base, ids))
+
+  // -------------------------------------------------------------------
+  // s32 — tombstone-aware serving on a persisted-and-mutated index
+  // -------------------------------------------------------------------
+
+  private val tombIndexCache = graft.io.ValidatedPathCache.single()
+  private[graft] def tombForgetCachedPaths(): Unit = tombIndexCache.clear()
+
+  /** s32's index artifact: the full-corpus IVF index built through the
+    * normal staged-publish path, then `remove_ids(vec_id % 17 == 3)`
+    * applied as a REAL fingerprint-checked mutation (not baked into
+    * the build — the artifact on disk goes through the same two states
+    * a production index does). State machine per JVM touch, memoized
+    * against the marker like every serving path:
+    *
+    *   at post-delete fp → serve; at full-corpus fp (crash between
+    *   build and delete, or a fresh build) → apply the deletes;
+    *   anything else → build at the full fp, then apply.
+    */
+  private[graft] def tombIndexBase(spark: SparkSession, dir: String): String =
+    tombIndexCache.get(dir) {
+      val base = graft.io.ArtifactStore.artifactPath("ivf-tomb", dir)
+      val v = Similarity.normed(spark, dir)
+      val (n, x) = Similarity.frameFingerprintParts(v)
+      val del = v.filter(pmod(col("vec_id"), lit(DeleteMod)) === DeleteRes)
+      val (dn, dx) = Similarity.frameFingerprintParts(del)
+      val fpFull = graft.io.ArtifactStore.fingerprint(n, x)
+      val fpLive = graft.io.ArtifactStore.fingerprint(n - dn, x ^ dx)
+      if (!graft.io.ArtifactStore.isCurrent(base, fpLive)) {
+        graft.io.ArtifactStore.ensure(base, fpFull)(
+          Similarity.ivfBuildFrom(v, _))
+        if (fpLive != fpFull)
+          applyDeletes(spark, base, del.select(col("vec_id")))
+      }
+      base
+    }
+
+  /** s32: the s15 serving contract on an index that has taken
+    * deletions — probe the STORED centroids (trained before the
+    * deletes, unchanged by them: Faiss `remove_ids` semantics), fan
+    * out into 3 cells of the stored inverted lists, and rank top-5
+    * among LIVE members only. Deleted vectors still issue queries
+    * (removal un-indexes a document; it does not revoke anyone's
+    * ability to search), but never appear as neighbors. */
+  def s32TombstoneSearch(spark: SparkSession, dir: String): DataFrame = {
+    val base = tombIndexBase(spark, dir)
+    val centroids = spark.read.parquet(s"$base/centroids")
+    val q = Similarity.normed(spark, dir)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"),
+        reverse(col("embedding")).as("qv"), col("norm").as("qn"))
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("csim",
+        expr("vec_dot(qv, centroid)") / (col("qn") * col("cnorm")))
+      .withColumn("cell_rank", row_number().over(byQ))
+      .filter(col("cell_rank") <= 3)
+      .select(col("cell"), col("query_id"), col("qv"), col("qn"))
+    val index = liveListsAt(spark, base)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(index, "cell")
+      .withColumn("cosine", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** s32 oracle: the s15 chain (independent replay of what the
+    * artifact stores — training over the FULL corpus, which is what
+    * the stored centroids hold after a train-then-delete lifecycle)
+    * with the index members restricted to the live set. The delete
+    * predicate restricts `cell_rank = 1` ROWS only: deleted vectors
+    * keep participating as queries. */
+  val s32Sql: String = Similarity.ivfRankedCte +
+    s""", q AS (
+      |  SELECT vec_id AS query_id, list_reverse(v) AS qv, nrm AS qn
+      |  FROM nn WHERE vec_id % 5 = 0
+      |), qs AS (
+      |  SELECT query_id, qv, qn, c.cell,
+      |    list_dot_product(qv, c.cv) / (qn * c.cnrm) AS csim
+      |  FROM q CROSS JOIN c
+      |), qp AS (
+      |  SELECT cell, query_id, qv, qn FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY csim DESC, cell) AS rk FROM qs)
+      |  WHERE rk <= 3
+      |), idx AS (
+      |  SELECT cell, vec_id AS neighbor_id, v AS iv, nrm AS inrm
+      |  FROM ranked
+      |  WHERE cell_rank = 1 AND vec_id % $DeleteMod <> $DeleteRes
+      |), sc AS (
+      |  SELECT DISTINCT query_id, neighbor_id,
+      |    list_dot_product(qv, iv) / (qn * inrm) AS cosine
+      |  FROM qp JOIN idx USING (cell)
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cosine
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_tombstone_search" -> (s32TombstoneSearch _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s32_tombstone_search" -> s32Sql,
+  )
+}

@@ -25,7 +25,7 @@ import graft.functions.VectorExpressions
   */
 object Similarity {
 
-  private def normed(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def normed(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     Tables(spark, dir, "embeddings")
       .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
@@ -2091,7 +2091,12 @@ object Similarity {
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= RerankPool)
       .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
-    val fetched = invertedListsAt(spark, ivfBase)
+    // LIVE members only: a tombstoned id ([[IndexDelete]]) may still
+    // have code rows until compaction, but the inner-join fetch here
+    // drops it from every refined result — deletes are effective at
+    // the next query, not the next maintenance window. An undeleted
+    // index has no tombstone dir and this is the plain stored scan.
+    val fetched = IndexDelete.liveListsAt(spark, ivfBase)
       .withColumn("nv",
         expr(UnitNvExpr))
       .select(col("vec_id"), col("nv"))

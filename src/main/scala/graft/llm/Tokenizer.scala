@@ -176,6 +176,50 @@ object Tokenizer {
       .orderBy(col("doc_id"))
   }
 
+  /** t21: per-language tokenizer audit under the learned merges — the
+    * acceptance report every tokenizer-training run ends with (is the
+    * vocabulary fair across languages, or does one language pay 2× the
+    * tokens per character?). Per `lang`: document/word/char/token
+    * totals plus the two ratios the decision actually reads, in
+    * integer-exact permille so both engines agree bit-for-bit:
+    *
+    *  - `chars_per_token_e3` — compression (word chars per BPE token;
+    *    higher = the vocabulary compresses this language better);
+    *  - `fertility_e3` — tokens per whitespace word (the multilingual-
+    *    fairness metric of the NLLB/BLOOM tokenizer reports; lower is
+    *    better, 1000 = every word is one token).
+    *
+    * Char totals sum WORD characters (whitespace excluded) — the
+    * numerator tokenization actually sees, not the raw `n_chars`
+    * column. Plan shape: the vocabulary chain reduces to a broadcast
+    * type→token map (t20's trade), then ONE corpus scan explodes to
+    * words and ONE lang-key aggregate carries the four sums — no
+    * corpus-scale join or second exchange; `NULLIF` guards the ratio
+    * denominators (a language whose every document is empty text has
+    * zero words/tokens — divide-by-zero class, EmptyInputSpec). */
+  def t21BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeRounds(spark, dir, finalVocab = true)._2
+    val typeTokens = vocab.select(col("w"),
+      size(split(trim(col("sym")), " ")).cast(LongType).as("n"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(typeTokens), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(when(length(col("w")) >= 1, lit(1))).as("n_words"),
+        sum(length(col("w")).cast(LongType)).as("n_chars"),
+        sum(when(length(col("w")) >= 2, col("n"))
+          .when(length(col("w")) === 1, lit(1L))
+          .otherwise(lit(0L))).as("n_tokens"))
+      .withColumn("chars_per_token_e3",
+        expr("(1000 * n_chars) div nullif(n_tokens, 0)"))
+      .withColumn("fertility_e3",
+        expr("(1000 * n_tokens) div nullif(n_words, 0)"))
+      .orderBy(col("lang"))
+  }
+
   // -------------------------------------------------------------------
   // oracle SQL — generated by the same loop bounds as the engine so the
   // two can never drift on K or the pass count
@@ -243,13 +287,40 @@ object Tokenizer {
          |FROM tok t LEFT JOIN cnt c ON c.w = t.w
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  val t21Sql: String =
+    bpeCtes(finalVocab = true) +
+      s""",
+         |cnt AS (
+         |  SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n
+         |  FROM w$BpeMerges
+         |),
+         |tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents),
+         |agg AS (
+         |  SELECT t.lang,
+         |    CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+         |    COUNT(CASE WHEN length(t.w) >= 1 THEN 1 END) AS n_words,
+         |    CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(CASE WHEN length(t.w) >= 2 THEN c.n
+         |              WHEN length(t.w) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_tokens
+         |  FROM tok t LEFT JOIN cnt c ON c.w = t.w
+         |  GROUP BY t.lang
+         |)
+         |SELECT lang, n_docs, n_words, n_chars, n_tokens,
+         |  (1000 * n_chars) // NULLIF(n_tokens, 0) AS chars_per_token_e3,
+         |  (1000 * n_tokens) // NULLIF(n_words, 0) AS fertility_e3
+         |FROM agg ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t19_bpe_merges" -> (t19BpeMerges _),
     "t20_bpe_encode" -> (t20BpeEncode _),
+    "t21_bpe_fertility" -> (t21BpeFertility _),
   )
 
   val oracle: Map[String, String] = Map(
     "t19_bpe_merges" -> t19Sql,
     "t20_bpe_encode" -> t20Sql,
+    "t21_bpe_fertility" -> t21Sql,
   )
 }

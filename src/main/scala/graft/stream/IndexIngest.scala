@@ -138,22 +138,41 @@ object IndexIngest {
   /** Compact the inverted lists after a run of appends: every cell's
     * accumulation of small per-batch files is rewritten into one
     * sorted file per cell partition, under the same publish lock and
-    * with the SAME fingerprint (rows identical, only layout changes) —
-    * the maintenance job a streaming-maintained index schedules
-    * periodically, exactly as Lucene merges segments. Readers either
-    * see the pre- or post-compaction file set (marker-swap), and the
-    * probe plans are unchanged: cell-major, partition-prunable.
-    * Returns false when there is no valid artifact to compact. */
+    * with the SAME fingerprint — the maintenance job a streaming-
+    * maintained index schedules periodically, exactly as Lucene merges
+    * segments. Compaction is also where DELETES become physical
+    * (Lucene's merge dropping deleted docs): tombstoned rows
+    * ([[ivfDeleteSink]]) are omitted from the rewritten lists and the
+    * tombstone set is reset to empty. The fingerprint is still REUSED —
+    * the LOGICAL membership already moved at delete time (the sink
+    * xor-composed the removals out), so "stored rows minus tombstones"
+    * is what the current fingerprint has covered all along. Readers
+    * either see the pre- or post-compaction file set (marker-swap),
+    * and the probe plans are unchanged: cell-major, partition-
+    * prunable. Returns false when there is no valid artifact to
+    * compact. */
   def compactIvf(spark: org.apache.spark.sql.SparkSession,
       base: String): Boolean =
     ArtifactStore.rewrite(base) { (live, staging) =>
-      val lists = spark.read.schema(Similarity.invertedListSchema)
-        .parquet(s"$live/assignments")
+      val lists = graft.llm.IndexDelete.liveListsAt(spark, live)
       graft.io.Store.writePartitionedParquet(
         lists.select(col("vec_id"), col("embedding"), col("norm"),
           col("cell")),
         s"$staging/assignments", Seq("cell"), Seq("vec_id"))
+      clearTombstonesInto(live, staging)
     }
+
+  /** Stage an EMPTY tombstone set over a live one — the compaction/
+    * retrain epilogue once tombstoned rows have been physically
+    * dropped from the rewritten table (the publish swaps only staged
+    * children, so an un-staged tombstone dir would survive with stale
+    * ids — harmless against rows that no longer exist, but it would
+    * break the "a compaction clears the tombstones" re-append
+    * contract). No-op when the live artifact has no tombstones. */
+  private def clearTombstonesInto(live: String, staging: String): Unit =
+    if (new java.io.File(localBase(live), "tombstones").isDirectory)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(staging, "tombstones"))
 
   /** The shared exactly-once append step both sinks ride: skip a
     * batch id at or below the artifact's high-water mark, chain the
@@ -232,6 +251,31 @@ object IndexIngest {
         .sortWithinPartitions(col("cell"), col("vec_id"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"$live/assignments")
+    }
+  }
+
+  /** The EIGHTH exactly-once sink — streaming DELETES: fold one
+    * micro-batch of `(vec_id)` removal requests into the index at
+    * `base` as a tombstone append ([[graft.llm.IndexDelete]] — the
+    * Lucene deleted-docs / Delta deletion-vector posture: O(batch)
+    * work, no data file touched; [[compactIvf]] makes the removals
+    * physical later). Rides the same [[appendOnce]] machinery as every
+    * other sink — per-lineage replay marks, fingerprint-checked mutate
+    * — with the batch's fingerprint parts NEGATED: xor is its own
+    * inverse, so the artifact's content fingerprint moves to the
+    * post-delete membership exactly as appends move it forward, and a
+    * gate retrain or self-heal recomputing the fingerprint from the
+    * live rows reproduces it. Requests for absent or already-
+    * tombstoned ids are ignored (Faiss `remove_ids` semantics); the
+    * mark still advances, so the batch never replays. */
+  def ivfDeleteSink(base: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batchId <= readMark(base, appId)) return
+    val (removedIds, (dn, dx)) =
+      graft.llm.IndexDelete.removalPlan(spark, base, batch)
+    appendOnce(base, batchId, (-dn, dx), appId) { live =>
+      if (dn > 0) graft.llm.IndexDelete.writeTombstones(live, removedIds)
     }
   }
 
@@ -471,11 +515,15 @@ object IndexIngest {
       derived.forall { case (b, _) => readState(b) == readState(ivfBase) }
     if (retrained) {
       val ivfOk = ArtifactStore.rewrite(ivfBase) { (live, staging) =>
+        // retrain from the LIVE members: tombstoned rows drop out of
+        // the rewritten lists here (same physicalization as
+        // [[compactIvf]]) and the tombstone set resets — the preserved
+        // fingerprint already covers exactly this membership
         Similarity.ivfBuildFrom(
-          spark.read.schema(Similarity.invertedListSchema)
-            .parquet(s"$live/assignments")
+          graft.llm.IndexDelete.liveListsAt(spark, live)
             .select(col("vec_id"), col("embedding"), col("norm")),
           staging)
+        clearTombstonesInto(live, staging)
       }
       require(ivfOk, s"no valid IVF artifact to retrain at $ivfBase")
       val pqOk = ArtifactStore.rewrite(pqBase) { (_, staging) =>
@@ -535,11 +583,17 @@ object IndexIngest {
     ivfFp
   }
 
+  /** The IVF artifact's LIVE members — stored lists minus tombstones
+    * ([[ivfDeleteSink]]). Every maintenance read (audit truth, gate
+    * retrains, derived-table rebuilds) goes through here, so deletes
+    * propagate to every member artifact at the next maintenance touch
+    * and a rebuilt/retrained artifact's content always matches the
+    * fingerprint the delete sink left behind. An index that never saw
+    * a delete has no tombstone dir and this IS the plain stored scan
+    * (plan-identical — the conditional is resolved driver-side). */
   private def invertedLists(spark: org.apache.spark.sql.SparkSession,
       ivfBase: String): DataFrame =
-    spark.read.schema(Similarity.invertedListSchema)
-      .parquet(s"$ivfBase/assignments")
-      .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
+    graft.llm.IndexDelete.liveListsAt(spark, ivfBase)
 
   /** The recall audit entirely off the artifacts (the s24 posture):
     * exact top-10 truth over the stored vectors vs what the compressed
@@ -762,6 +816,21 @@ object IndexIngest {
     requireGenUnmoved(pairBase, gen, batchId)
   }
 
+  /** [[ivfAppendSinkPaired]]'s DELETE twin ([[ivfDeleteSink]]):
+    * tombstones land on the current generation's IVF base — the
+    * pair's single membership truth. The compressed members' code
+    * tables keep the deleted ids' codes until maintenance (the serve
+    * path's exact refine already drops them — it inner-joins the live
+    * lists — at worst costing a few diluted rerank-pool slots, the
+    * s26 post-filter class); the next compaction or gate retrain
+    * physicalizes the removal everywhere. */
+  def ivfDeleteSinkPaired(pairBase: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val gen = requireGen(pairBase)
+    ivfDeleteSink(genPaths(pairBase, gen)._1, appId)(batch, batchId)
+    requireGenUnmoved(pairBase, gen, batchId)
+  }
+
   private def requireGen(pairBase: String): String =
     currentGen(pairBase).getOrElse(throw new IllegalStateException(
       s"no CURRENT generation at $pairBase — bootstrapPair first"))
@@ -915,8 +984,14 @@ object IndexIngest {
     * (Review-caught: the PQ side had a heal, the IVF side did not.) */
   private def rebuildIvfFromSelf(spark: org.apache.spark.sql.SparkSession,
       ivfBase: String): Unit = {
-    val v = spark.read.schema(Similarity.invertedListSchema)
-      .parquet(s"$ivfBase/assignments")
+    // LIVE rows only: the chained marker this heal reproduces always
+    // covered "stored rows minus tombstones" (the delete sink xor'd
+    // removals out as it tombstoned them), so re-marking from the raw
+    // rows would resurrect deleted members under a diverged
+    // fingerprint. The rebuild physicalizes the deletes as a side
+    // effect (ensure sweeps the stale tombstone dir with the other
+    // old children).
+    val v = graft.llm.IndexDelete.liveListsAt(spark, ivfBase)
       .select(col("vec_id"), col("embedding"), col("norm"))
     val (n, x) = Similarity.frameFingerprintParts(v)
     ArtifactStore.ensure(ivfBase, fpStr(n, x)) { staging =>
@@ -940,8 +1015,7 @@ object IndexIngest {
   private def rebuildPqFrom(spark: org.apache.spark.sql.SparkSession,
       ivfBase: String, pqBase: String, fp: String): Unit = {
     ArtifactStore.ensure(pqBase, fp) { staging =>
-      val v = spark.read.schema(Similarity.invertedListSchema)
-        .parquet(s"$ivfBase/assignments")
+      val v = graft.llm.IndexDelete.liveListsAt(spark, ivfBase)
         .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
       Similarity.pqBuildFrom(
         v.select(col("vec_id"), col("embedding"), col("norm")),
@@ -1011,8 +1085,21 @@ object IndexIngest {
     * true iff a compaction actually ran. */
   def maybeCompactIvf(spark: org.apache.spark.sql.SparkSession,
       base: String, maxFilesPerCell: Int = 4): Boolean =
-    fragmentation(base, "assignments") >= maxFilesPerCell &&
+    (fragmentation(base, "assignments") >= maxFilesPerCell ||
+      tombstoneFiles(base) >= maxFilesPerCell) &&
       compactIvf(spark, base)
+
+  /** Accumulated tombstone part-file count — [[maybeCompactIvf]]'s
+    * second trigger: each [[ivfDeleteSink]] batch appends one file, so
+    * this is "delete batches since the last compaction" (the cheap
+    * driver-side proxy for Lucene's deleted-docs-ratio merge trigger;
+    * an exact ratio would read parquet row counts per policy check). */
+  def tombstoneFiles(base: String): Int = {
+    val dir = new java.io.File(localBase(base), "tombstones")
+    if (!dir.isDirectory) 0
+    else Option(dir.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith("part-"))
+  }
 
   /** [[maybeCompactIvf]] for the PQ code table. */
   def maybeCompactPq(spark: org.apache.spark.sql.SparkSession,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Dedup, IndexDelete, Multimodal, Similarity, TextStats}
 
 class LlmOpsSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -1140,6 +1140,60 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) == want,
         s"score mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
     }
+  }
+
+  test("s32 remove_ids: deleted ids never serve, removal is idempotent, " +
+      "a wiped artifact rebuilds through the same two-state machine") {
+    val df = IndexDelete.s32TombstoneSearch(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the delete contract: no tombstoned id is ever a neighbor...
+    rows.foreach { r =>
+      val n = r.getAs[Long]("neighbor_id")
+      assert(n % IndexDelete.DeleteMod != IndexDelete.DeleteRes,
+        s"deleted id $n served as a neighbor")
+    }
+    // ...but deletion does not revoke anyone's right to QUERY
+    assert(rows.exists(r =>
+      r.getAs[Long]("query_id") % IndexDelete.DeleteMod
+        == IndexDelete.DeleteRes),
+      "deleted vectors must still issue queries (fixture has %5∩%17 ids)")
+    // the delete set actually bit: s15 (same chain, undeleted index)
+    // must differ — otherwise the fixture never put a deleted id in
+    // any top-5 and the test proves nothing
+    val s15 = Similarity.s15IndexProbe(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val s32 = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    assert(s32 != s15, "delete set never appeared in any s15 top-5")
+
+    // batch remove_ids semantics on the mutated artifact
+    val base = IndexDelete.tombIndexBase(spark, sf)
+    import SparkTestSession.spark.implicits._
+    // already-tombstoned and absent ids remove nothing
+    assert(IndexDelete.applyDeletes(spark, base,
+      Seq(IndexDelete.DeleteRes, -1L).toDF("vec_id")) == 0L,
+      "re-delete + absent id must be a no-op")
+    // fingerprint == a fresh fingerprint of the live membership
+    val v = Similarity.normed(spark, sf)
+    val (ln, lx) = Similarity.frameFingerprintParts(
+      v.filter(col("vec_id") % IndexDelete.DeleteMod
+        =!= IndexDelete.DeleteRes))
+    assert(graft.io.ArtifactStore.currentFingerprint(base)
+      .contains(graft.io.ArtifactStore.fingerprint(ln, lx)),
+      "artifact fingerprint must equal the survivors' fingerprint")
+
+    // wipe + forget: the state machine rebuilds (full build at the
+    // full-corpus fingerprint, then the delete mutation) to the same
+    // serving state — the crash-between-states recovery path is the
+    // second touch of the same machine
+    graft.io.ArtifactStore.deleteTree(java.nio.file.Paths.get(base))
+    IndexDelete.tombForgetCachedPaths()
+    val rows2 = IndexDelete.s32TombstoneSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(rows2 == s32, "rebuilt artifact must serve identically")
   }
 
   test("quantizer kernel contracts: SQ8 reconstruction bound, BQ pack/unpack bijectivity") {

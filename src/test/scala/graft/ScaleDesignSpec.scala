@@ -1212,6 +1212,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "s29_sq8_search", // s21's centroid fan-out + the 1-row params broadcast, like t05
       "s30_bq_search", // s21's centroid fan-out + the Q-row query-bits broadcast
       "s31_range_search", // same fan-out; the radius cut is a pure filter (no window)
+      "s32_tombstone_search", // s15's loaded-centroid fan-out (q·K); the tombstone cut is a broadcast anti-join (own pin)
       // (s24_recall_retrain needs no entry: its returned frame is the
       // 2-row audit report — the serving/truth chains execute inside
       // storedIvfPqServe/exactTruth10, already covered above)
@@ -1702,6 +1703,32 @@ class ScaleDesignSpec extends AnyFunSuite {
         col("neighbor_id") === col("vec_id"))
     assert(served.filter(col("label") =!= llm.Similarity.LblTarget).count()
       == 0, "every served neighbor must carry the target label")
+  }
+
+  test("s32 tombstones: the delete cut is one broadcast anti-join; an undeleted index plans none") {
+    // the serve-side cost contract of remove_ids: exclusion is ONE
+    // BroadcastHashJoin(LeftAnti) against the (compaction-bounded)
+    // tombstone set — never a shuffle, never a rewrite of the lists —
+    // and an index that has never seen a delete pays NOTHING: its
+    // plan has no anti-join at all (the conditional resolves
+    // driver-side on the tombstone dir's existence)
+    val s32 = SparkEntry.queries("s32_tombstone_search")(spark, sf)
+    assert(s32.collect().nonEmpty)
+    def antiJoins(plan: org.apache.spark.sql.execution.SparkPlan) =
+      plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+    assert(antiJoins(s32.queryExecution.sparkPlan).size == 1,
+      "the tombstone cut must be exactly one broadcast anti-join")
+    // no shuffle was added for it: the anti-join's streamed side is
+    // the stored-list scan subtree, exchange-free below the join
+    // (probe-side exchanges belong to the ranking, not the cut)
+    // — and the UNDELETED serving paths stay plan-identical:
+    val clean = llm.IndexDelete.liveListsAt(spark,
+      llm.Similarity.ivfIndexBase(spark, sf))
+    assert(antiJoins(clean.queryExecution.sparkPlan).isEmpty,
+      "an index with no tombstone dir must plan a bare stored scan")
   }
 
   test("BM25 postings: a literal term bucket prunes to 1/64 partitions") {

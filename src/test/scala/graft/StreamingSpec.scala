@@ -2357,4 +2357,96 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming deletes: tombstone sink is exactly-once, serving excludes " +
+      "immediately, compaction physicalizes, fingerprint tracks membership") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextFloat() - 0.5f)
+    val baseVecs = (0L until 40L).map(i => (i, vec()))
+    val idx = java.nio.file.Files.createTempDirectory("graft-stream-del")
+      .resolve("idx").toString
+    graft.stream.IndexIngest.bootstrap(
+      idx, baseVecs.toDF("vec_id", "embedding"))
+    def storedIds(): Set[Long] = spark.read
+      .schema(graft.llm.Similarity.invertedListSchema)
+      .parquet(s"$idx/assignments")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def liveIds(): Set[Long] = graft.llm.IndexDelete
+      .liveListsAt(spark, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def fp(): String =
+      graft.io.ArtifactStore.currentFingerprint(idx).get
+    // the membership fingerprint a fresh build over `ids` would carry
+    def fpOf(ids: Set[Long]): String = {
+      val (n, x) = graft.llm.Similarity.frameFingerprintParts(
+        baseVecs.filter(v => ids(v._1)).toDF("vec_id", "embedding"))
+      graft.io.ArtifactStore.fingerprint(n, x)
+    }
+    assert(liveIds() == (0L until 40L).toSet)
+    assert(fp() == fpOf((0L until 40L).toSet))
+
+    // two delete batches through a real streaming query: batch 0 also
+    // carries an ABSENT id (999 — ignored, Faiss remove_ids semantics)
+    val src = MemoryStream[Long]
+    val q = src.toDS().toDF("vec_id")
+      .writeStream
+      .foreachBatch(graft.stream.IndexIngest.ivfDeleteSink(idx) _)
+      .start()
+    try {
+      src.addData(3L, 7L, 999L); q.processAllAvailable()
+      assert(liveIds() == (0L until 40L).toSet -- Set(3L, 7L),
+        "deletes must be live immediately")
+      assert(storedIds() == (0L until 40L).toSet,
+        "delete is a tombstone append — no data file rewritten")
+      assert(fp() == fpOf((0L until 40L).toSet -- Set(3L, 7L)),
+        "fingerprint must move to the post-delete membership")
+      // batch 1: one already-tombstoned id (3 — must NOT xor back in)
+      // and one new id
+      src.addData(3L, 11L); q.processAllAvailable()
+      assert(liveIds() == (0L until 40L).toSet -- Set(3L, 7L, 11L))
+      assert(fp() == fpOf((0L until 40L).toSet -- Set(3L, 7L, 11L)),
+        "re-deleting a tombstoned id must be a no-op in the fingerprint")
+    } finally q.stop()
+    val fpAfter = fp()
+
+    // exactly-once: replaying a committed delete batch is a no-op
+    graft.stream.IndexIngest.ivfDeleteSink(idx)(
+      Seq(3L, 11L).toDF("vec_id"), 1L)
+    assert(fp() == fpAfter, "replay must not re-apply")
+    assert(liveIds() == (0L until 40L).toSet -- Set(3L, 7L, 11L))
+
+    // an all-absent batch still advances the mark (and nothing else)
+    graft.stream.IndexIngest.ivfDeleteSink(idx)(
+      Seq(998L).toDF("vec_id"), 2L)
+    assert(fp() == fpAfter)
+
+    // the serve path drops tombstoned ids even while their code rows
+    // linger: exact-refine inner-joins the live lists
+    // (storedIvfPqServeFrom is exercised by the gate tests; here the
+    // probe contract via liveListsAt is what s32 serves from)
+
+    // deletes alone trigger the compaction policy (tombstone files)
+    assert(graft.stream.IndexIngest.tombstoneFiles(idx) >= 2)
+    assert(graft.stream.IndexIngest.maybeCompactIvf(spark, idx,
+      maxFilesPerCell = 2), "tombstone accumulation must trigger")
+    assert(storedIds() == (0L until 40L).toSet -- Set(3L, 7L, 11L),
+      "compaction must physically drop tombstoned rows")
+    assert(graft.stream.IndexIngest.tombstoneFiles(idx) == 0,
+      "compaction must clear the tombstone set")
+    assert(fp() == fpAfter,
+      "physicalizing already-logical deletes must not move the fingerprint")
+    assert(liveIds() == (0L until 40L).toSet -- Set(3L, 7L, 11L),
+      "reader-visible membership is unchanged by compaction")
+    assert(graft.io.ArtifactStore.currentFingerprint(idx).isDefined,
+      "artifact must stay marker-valid after the delete lifecycle")
+
+    // a LATER append continues from the same chain (delete then add)
+    graft.stream.IndexIngest.ivfAppendSink(idx)(
+      Seq((100L, vec())).toDF("vec_id", "embedding"), 3L)
+    assert(liveIds() == (0L until 40L).toSet -- Set(3L, 7L, 11L) + 100L)
+  }
 }

@@ -967,12 +967,28 @@ object Dedup {
     * bootstrap ([[d19IncrementalIndexAppend]]) and the streaming
     * sink's bootstrap ([[graft.stream.IndexIngest.lshBootstrap]]). */
   private[graft] def writeDedupIndexInto(docs: DataFrame, staging: String): Unit = {
-    docs.select(md5(col("text")).as("h")).distinct()
+    digestRows(docs)
       .coalesce(4).write.mode("overwrite").parquet(s"$staging/digests")
     graft.io.Store.writePartitionedParquet(
       bandedDocs(docs), s"$staging/bands",
       Seq("band"), Seq("bucket", "doc_id"))
   }
+
+  /** One digest row PER DOCUMENT — `(doc_id, h, h64)`, where `h64` is
+    * exactly the [[docsFingerprintParts]] row hash. The per-doc grain
+    * (rather than the old distinct-`h` set) is what the DELETE verb
+    * requires twice over: removing doc D must not remove a digest
+    * another live doc still carries (multiplicity — Lucene's live-docs
+    * is per doc, not per term), and moving the artifact fingerprint
+    * needs the removed docs' stored row hashes (a delete request
+    * carries only a doc_id). Probes are unchanged: the exact-dup arm
+    * is a set-semantics semi-join on `h`. Readers remain compatible
+    * with pre-upgrade artifacts (doc_id/h64 read as null through the
+    * declared schema); DELETES on those fail loud in
+    * [[lshRemovalPlan]]. */
+  private[graft] def digestRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("h"),
+      xxhash64(col("doc_id"), col("text")).as("h64")).distinct()
 
   /** Append ONE batch's digests + band postings into the LIVE index —
     * touches only new files under the 16 existing band partition dirs
@@ -983,7 +999,7 @@ object Dedup {
     * set-semantics). Runs inside [[graft.io.ArtifactStore.mutate]]'s
     * marker-off window via the callers. */
   private[graft] def appendDedupIndexInto(batch: DataFrame, live: String): Unit = {
-    batch.select(md5(col("text")).as("h")).distinct()
+    digestRows(batch)
       .coalesce(1).write.mode("append").parquet(s"$live/digests")
     bandedDocs(batch)
       .repartition(col("band"))
@@ -1020,8 +1036,10 @@ object Dedup {
     }
 
   private[graft] val digestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", LongType),
     org.apache.spark.sql.types.StructField("h",
-      org.apache.spark.sql.types.StringType)))
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("h64", LongType)))
   private[graft] val bandIdxSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", LongType),
     org.apache.spark.sql.types.StructField("bucket", LongType),
@@ -1059,13 +1077,26 @@ object Dedup {
     val docs = Tables(spark, dir, "documents")
     val isNew = col("doc_id") % 3 === 0
     val newDocs = docs.filter(isNew)
-    val oldDigests = spark.read.schema(digestSchema)
-      .parquet(s"$base/digests")
+    // takedown awareness ([[d20IndexTakedown]] / the streaming delete
+    // sink): a tombstoned doc suppresses nothing — its digest row and
+    // band postings are cut before either arm. Per-doc digest rows
+    // make the multiplicity exact: a live doc sharing a removed doc's
+    // text still carries its own digest row, so the exact arm still
+    // fires for it. An index that never saw a delete has no tombstone
+    // dir and keeps the bare scans (driver-side branch).
+    val hasTomb = java.nio.file.Files.isDirectory(
+      IndexDelete.tombstoneDir(base))
+    def liveByDocId(df: DataFrame): DataFrame =
+      if (!hasTomb) df
+      else df.join(broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
+        Seq("doc_id"), "left_anti")
+    val oldDigests = liveByDocId(spark.read.schema(digestSchema)
+      .parquet(s"$base/digests"))
     val exact = newDocs.withColumn("h", md5(col("text")))
-      .join(oldDigests, Seq("h"), "left_semi")
+      .join(oldDigests.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"))
-    val oldBands = spark.read.schema(bandIdxSchema)
-      .parquet(s"$base/bands")
+    val oldBands = liveByDocId(spark.read.schema(bandIdxSchema)
+      .parquet(s"$base/bands"))
     val newBands = bandedDocs(newDocs)
       .withColumnRenamed("doc_id", "new_id")
     val candidates = oldBands
@@ -1150,6 +1181,102 @@ object Dedup {
     * the append is [[graft.stream.IndexIngest.lshAppendSink]]. */
   def d19IncrementalIndexAppend(spark: SparkSession, dir: String): DataFrame =
     probeDedupIndex(spark, dir, dedupIncIndexBase(spark, dir))
+
+  // ---------------------------------------------------------------- d20
+
+  /** d20's deterministic takedown set: standing docs with
+    * `doc_id % 11 == 2`. (The request stream also carries new-batch
+    * ids matching the predicate — never indexed, so the plan ignores
+    * them: the Faiss remove_ids contract, exercised on purpose.) */
+  val TakedownMod = 11L
+  val TakedownRem = 2L
+
+  private val dedupTombCache = graft.io.ValidatedPathCache.single()
+  private[graft] def dedupTombForgetCachedPaths(): Unit =
+    dedupTombCache.clear()
+
+  /** [[IndexDelete.removalPlan]] for the LSH dedup index: victims
+    * resolved through the per-doc digest rows (id present, not already
+    * tombstoned), fingerprint parts from the stored `h64` row hashes —
+    * the corpus is never re-read. Fails loud on a pre-upgrade artifact
+    * whose digest rows carry no ids. */
+  private[graft] def lshRemovalPlan(spark: SparkSession, base: String,
+      ids: DataFrame): (DataFrame, (Long, Long)) = {
+    val requested = ids.select(col("doc_id").cast(LongType)).distinct()
+    val victims = spark.read.schema(digestSchema)
+      .parquet(s"$base/digests")
+      .join(broadcast(requested), Seq("doc_id"), "left_semi")
+      .join(broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
+        Seq("doc_id"), "left_anti")
+    val r = victims
+      .agg(count(lit(1)).as("n"), count(col("h64")).as("nh"),
+        expr("bit_xor(h64)").as("x")).collect()(0)
+    require(r.getLong(0) == r.getLong(1),
+      s"dedup index at $base predates delete support (digest rows " +
+        "without doc identity) — rebuild it before applying takedowns")
+    (victims.select(col("doc_id")),
+      (r.getLong(0), if (r.isNullAt(2)) 0L else r.getLong(2)))
+  }
+
+  /** Batch takedown on a persisted dedup index. */
+  def lshApplyDeletes(spark: SparkSession, base: String,
+      ids: DataFrame): Long =
+    IndexDelete.applyRemoval(base, lshRemovalPlan(spark, base, ids))
+
+  /** d20's index artifact: the standing-corpus LSH index built through
+    * the staged-publish path, then the takedown applied as a real
+    * fingerprint-checked mutation — the same two-state machine as the
+    * vector and lexical delete artifacts. */
+  private def dedupTombIndexBase(spark: SparkSession, dir: String): String =
+    dedupTombCache.get(dir) {
+      val base = graft.io.ArtifactStore.artifactPath("dedup-tomb", dir)
+      val old = Tables(spark, dir, "documents")
+        .filter(col("doc_id") % 3 =!= 0)
+      val delPred = col("doc_id") % TakedownMod === TakedownRem
+      val (n, x) = docsFingerprintParts(old)
+      val (dn, dx) = docsFingerprintParts(old.filter(delPred))
+      val fpFull = fpString(n, x)
+      val fpLive = fpString(n - dn, x ^ dx)
+      if (!graft.io.ArtifactStore.isCurrent(base, fpLive)) {
+        graft.io.ArtifactStore.ensure(base, fpFull) {
+          writeDedupIndexInto(old, _)
+        }
+        if (fpLive != fpFull)
+          lshApplyDeletes(spark, base, Tables(spark, dir, "documents")
+            .filter(delPred).select(col("doc_id")))
+      }
+      base
+    }
+
+  /** d20: the takedown verb on the dedup state — d18's incremental
+    * dedup against a standing index that has taken REMOVALS (license
+    * revocations, right-to-be-forgotten requests: the removed document
+    * must stop suppressing future arrivals as "duplicates of something
+    * we no longer hold"). Tombstoned docs are cut from both arms
+    * before any candidate forms (digest rows AND band postings —
+    * per-doc digest grain keeps shared-text multiplicity exact), so a
+    * new doc whose only match was a removed doc now classifies
+    * `unique` and ENTERS the corpus — the semantically-required
+    * re-admission the bounded-horizon streaming dedup documents as a
+    * trade, here exact. Oracle: d10's SQL with the standing side
+    * restricted to live docs, generated from the same text. */
+  def d20IndexTakedown(spark: SparkSession, dir: String): DataFrame =
+    probeDedupIndex(spark, dir, dedupTombIndexBase(spark, dir))
+
+  /** d20 oracle: d10's chain with the OLD side live-restricted in both
+    * arms; the probe side (`doc_id % 3 = 0`) is untouched. */
+  val d20Sql: String = {
+    val exactAnchor = "WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0"
+    val nearA = "WHERE doc_a % 3 = 0 AND doc_b % 3 <> 0"
+    val nearB = "SELECT doc_b FROM jp WHERE doc_b % 3 = 0 AND doc_a % 3 <> 0"
+    require(d10Sql.contains(exactAnchor) && d10Sql.contains(nearA) &&
+      d10Sql.contains(nearB))
+    d10Sql
+      .replace(exactAnchor,
+        s"$exactAnchor AND o.doc_id % $TakedownMod <> $TakedownRem")
+      .replace(nearA, s"$nearA AND doc_b % $TakedownMod <> $TakedownRem")
+      .replace(nearB, s"$nearB AND doc_a % $TakedownMod <> $TakedownRem")
+  }
 
   /** d17: benchmark-decontamination audit — for every (train doc, eval
     * doc) pair sharing a verbatim passage, the merged contaminated
@@ -1243,6 +1370,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d19_incremental_index_append" -> (d19IncrementalIndexAppend _),
+    "d20_index_takedown" -> (d20IndexTakedown _),
     "d18_persisted_dedup_index" -> (d18PersistedDedupIndex _),
     "d17_decontamination" -> (d17Decontamination _),
     "d16_shared_span_pairs" -> (d16SharedSpanPairs _),
@@ -1396,6 +1524,7 @@ object Dedup {
     // half, append half, same standing corpus)
     "d18_persisted_dedup_index" -> d10Sql,
     "d19_incremental_index_append" -> d10Sql,
+    "d20_index_takedown" -> d20Sql,
     "d17_decontamination" -> d17Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_hash_dedup" -> d02Sql,

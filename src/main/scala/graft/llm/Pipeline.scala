@@ -662,6 +662,68 @@ object Pipeline {
        |  MIN(doc_id) AS first_doc
        |FROM sh GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
 
+  /** p22: shard packing by EXACT tokenizer counts — p12's
+    * content-hash packing with the fill measured in the learned BPE
+    * vocabulary's tokens ([[Tokenizer.perDocBpeTokens]]) instead of
+    * whitespace words. This closes the loop t20's scaladoc promises:
+    * the token number every shard-packing / token-budget decision
+    * actually wants is the TOKENIZER's, and estimates misplace pack
+    * boundaries (a doc whose BPE fertility is 1.4 spills its pack ~40%
+    * early) — the spec pins that the boundaries really move vs p12.
+    * Plan shape: the vocabulary chain reduces to a broadcast map, the
+    * corpus pays one explode + one doc_id aggregate for the counts,
+    * then ONE doc_id-keyed join onto the fingerprint frame and p12's
+    * shard-window prefix sum — no new corpus-scale shuffle class. */
+  def p22BpePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    graft.functions.VectorExpressions.register(spark)
+    val enc = Tokenizer.perDocBpeTokens(spark, dir)
+      .select(col("doc_id"), col("n_bpe").as("n_tokens"))
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("rolling_min_hash(text)").as("fingerprint"))
+      .withColumn("shard", pmod(col("fingerprint"), lit(8L)))
+      .join(enc, "doc_id")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("fingerprint"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) DIV $PackTokens"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  /** p22 oracle: the tokenizer chain's per-doc counts
+    * ([[Tokenizer.bpeDocTokenCtes]]) spliced with the fingerprint CTE
+    * and p12's packing algebra — three already-certified CTE texts
+    * composed into one statement, so none of the arithmetic can
+    * drift. */
+  val p22Sql: String =
+    Tokenizer.bpeDocTokenCtes + ",\n" +
+      TextStats.fpWithCte.stripPrefix("WITH ") +
+      s""",
+         |psh AS (
+         |  SELECT f.doc_id, f.fingerprint,
+         |    ((f.fingerprint % 8) + 8) % 8 AS shard, d.n_bpe AS n_tokens,
+         |    SUM(d.n_bpe) OVER (
+         |      PARTITION BY ((f.fingerprint % 8) + 8) % 8
+         |      ORDER BY f.fingerprint, f.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_tokens
+         |  FROM fp f JOIN doc_bpe d USING (doc_id)
+         |)
+         |SELECT shard,
+         |  CAST((cum_tokens - n_tokens) // $PackTokens AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+         |  MIN(doc_id) AS first_doc
+         |FROM psh GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
+
   /** p11: corpus snapshot diff — the dataset-versioning audit run
     * between two crawls/releases: which documents were added, removed,
     * or changed. Comparison is by content digest (like d02's hash
@@ -1421,6 +1483,7 @@ object Pipeline {
     "p14_corpus_card" -> (p14CorpusCard _),
     "p13_incremental_update" -> (p13IncrementalUpdate _),
     "p12_shard_packing" -> (p12ShardPacking _),
+    "p22_bpe_packing" -> (p22BpePacking _),
     "p11_snapshot_diff" -> (p11SnapshotDiff _),
     "p01_dedup_pipeline" -> (p01DedupPipeline _),
     "p07_corpus_prep" -> (p07CorpusPrep _),
@@ -1444,6 +1507,7 @@ object Pipeline {
     "p14_corpus_card" -> p14Sql,
     "p13_incremental_update" -> p13Sql,
     "p12_shard_packing" -> p12Sql,
+    "p22_bpe_packing" -> p22Sql,
     "p11_snapshot_diff" -> p11Sql,
     "p01_dedup_pipeline" -> p01Sql,
     "p07_corpus_prep" -> p07Sql,

@@ -400,9 +400,19 @@ object Retrieval {
     val dfTotal = cand0.select(col("term"), col("seg"), col("df"))
       .distinct()
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val cand = cand0.filter(col("doc_id") =!= col("query_id"))
+    val cand1 = cand0.filter(col("doc_id") =!= col("query_id"))
       .drop("df", "seg")
       .join(broadcast(dfTotal), "term")
+    // pre-merge delete semantics on a tombstone-bearing index
+    // ([[graft.stream.IndexIngest.bm25DeleteSink]]): deleted docs are
+    // cut from the CANDIDATES only — df/totals keep counting them
+    // until the merge (the s33 Lucene contract); an undeleted index
+    // has no tombstone dir and keeps the bare plan
+    val cand = if (!java.nio.file.Files.isDirectory(
+        IndexDelete.tombstoneDir(base))) cand1
+      else cand1.join(
+        broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
+        Seq("doc_id"), "left_anti")
     okapiRank(cand, totals)
   }
 
@@ -556,10 +566,150 @@ object Retrieval {
        |) WHERE rn <= $TopK
        |ORDER BY query_id, rn""".stripMargin
 
+  // --------------------------------------------------------------- s33
+
+  /** s33's deterministic delete set: `doc_id % 13 == 5` (~8% of the
+    * corpus; a different modulus than s32's so the two delete suites
+    * can never mask each other). */
+  val DelMod = 13L
+  val DelRem = 5L
+
+  private val bm25TombCache = graft.io.ValidatedPathCache.single()
+  private[graft] def bm25TombForgetCachedPaths(): Unit =
+    bm25TombCache.clear()
+
+  /** The per-doc identity sidecar the lexical DELETE verb requires:
+    * `(doc_id, h, dl)` — one row per indexed document. A delete
+    * request carries only a doc_id (Lucene's deleteDocuments(Term)),
+    * but moving the artifact's content fingerprint needs the removed
+    * documents' HASHES (xor-out) and rebuilding the totals after a
+    * merge needs their LENGTHS (a docs-without-terms row has no
+    * posting to recover `dl` from) — so the index stores both at
+    * ingest time, the way Lucene's live-docs bitmap hangs off a
+    * per-segment doc identity. Index-sized metadata: 24 bytes/doc. */
+  private[graft] def docHashFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      xxhash64(col("doc_id"), col("text")).as("h"),
+      size(split(col("text"), " ")).cast(LongType).as("dl"))
+
+  private[graft] val docHashSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", LongType),
+    org.apache.spark.sql.types.StructField("h", LongType),
+    org.apache.spark.sql.types.StructField("dl", LongType)))
+
+  private[graft] def docHashAt(spark: SparkSession, base: String): DataFrame = {
+    // decoded local path, like IndexDelete.tombstoneDir (file: bases)
+    val dir = java.nio.file.Paths.get(
+      graft.io.ArtifactStore.requireLocalRoot(base), "dochash")
+    if (!java.nio.file.Files.isDirectory(dir))
+      throw new IllegalStateException(
+        s"BM25 index at $base predates delete support (no dochash " +
+          "sidecar) — rebuild it before applying deletes")
+    spark.read.schema(docHashSchema).parquet(dir.toString)
+  }
+
+  /** [[IndexDelete.removalPlan]]'s lexical twin: the doc_ids actually
+    * being removed (indexed, not already tombstoned) and their
+    * fingerprint parts, resolved through the dochash sidecar — the
+    * corpus is never re-read. */
+  private[graft] def bm25RemovalPlan(spark: SparkSession, base: String,
+      ids: DataFrame): (DataFrame, (Long, Long)) = {
+    val requested = ids.select(col("doc_id").cast(LongType)).distinct()
+    val victims = docHashAt(spark, base)
+      .join(broadcast(requested), Seq("doc_id"), "left_semi")
+      .join(broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
+        Seq("doc_id"), "left_anti")
+    val r = victims
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).collect()(0)
+    (victims.select(col("doc_id")),
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+  }
+
+  /** Batch delete-by-doc-id on a persisted BM25 index. */
+  def bm25ApplyDeletes(spark: SparkSession, base: String,
+      ids: DataFrame): Long =
+    IndexDelete.applyRemoval(base, bm25RemovalPlan(spark, base, ids))
+
+  /** s33's index artifact: the full-corpus BM25 index (with the
+    * dochash sidecar) built through the staged-publish path, then
+    * `delete(doc_id % 13 == 5)` applied as a real fingerprint-checked
+    * mutation — the same two-state machine as
+    * [[IndexDelete.tombIndexBase]]. */
+  private[graft] def bm25TombIndexBase(spark: SparkSession, dir: String): String =
+    bm25TombCache.get(dir) {
+      val base = graft.io.ArtifactStore.artifactPath("bm25-tomb", dir)
+      val delPred = pmod(col("doc_id"), lit(DelMod)) === lit(DelRem)
+      val (n, x) = docsFingerprintParts(spark, dir, lit(true))
+      val (dn, dx) = docsFingerprintParts(spark, dir, delPred)
+      val fpFull = fpStr(n, x)
+      val fpLive = fpStr(n - dn, x ^ dx)
+      if (!graft.io.ArtifactStore.isCurrent(base, fpLive)) {
+        graft.io.ArtifactStore.ensure(base, fpFull) { staging =>
+          val d = Tables(spark, dir, "documents")
+          val (p, t) = segmentPostingsFrame(d, "base")
+          graft.io.Store.writePartitionedParquet(
+            p, s"$staging/postings", Seq("tbucket"), Seq("term", "doc_id"))
+          t.coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+          docHashFrame(d).coalesce(1).sortWithinPartitions(col("doc_id"))
+            .write.mode("overwrite").parquet(s"$staging/dochash")
+        }
+        if (fpLive != fpFull)
+          bm25ApplyDeletes(spark, base, Tables(spark, dir, "documents")
+            .filter(delPred).select(col("doc_id")))
+      }
+      base
+    }
+
+  /** s33: BM25 search over an index that has taken deletions, in the
+    * state Lucene actually serves between a delete and the next
+    * segment merge — deleted documents are excluded from every result
+    * (one broadcast anti-join against the compaction-bounded tombstone
+    * set), while `df` and the corpus totals remain AS STORED, i.e.
+    * still counting the deleted documents. That stats drift is not a
+    * shortcut, it is the documented contract of every inverted-index
+    * engine (Lucene scores against maxDoc/docFreq including deletes
+    * until merge; Elasticsearch exposes it as the
+    * deleted-docs-affect-scoring caveat): recomputing df at delete
+    * time would mean rewriting posting lists — the O(index) work the
+    * tombstone design exists to defer to the merge. The post-merge
+    * state (stats fully recounted) is pinned by the streaming spec's
+    * compaction equality instead. */
+  def s33Bm25Delete(spark: SparkSession, dir: String): DataFrame = {
+    val base = bm25TombIndexBase(spark, dir)
+    val postings = spark.read.schema(segPostingsSchema)
+      .parquet(s"$base/postings")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("df"))
+    val live = postings.join(
+      broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
+      Seq("doc_id"), "left_anti")
+    val totals = spark.read.parquet(s"$base/totals")
+      .select(col("n_docs"), col("t_tokens"))
+    val cand = live
+      .join(broadcast(queryTerms(spark, dir)), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+    okapiRank(cand, totals).orderBy(col("query_id"), col("rn"))
+  }
+
+  /** s33 oracle: s10's chain with the SCORED candidates restricted to
+    * live documents while `dfreq`/`tot` stay full-corpus — the exact
+    * pre-merge Lucene semantics the engine serves. Generated from
+    * [[bm25Cte]] so the scoring algebra can never drift. */
+  val s33Sql: String = {
+    val anchor = "WHERE f.doc_id <> q.query_id"
+    require(bm25Cte.contains(anchor))
+    bm25Cte.replace(anchor,
+      s"$anchor AND f.doc_id % $DelMod <> $DelRem") +
+      s"""
+         |SELECT query_id, CAST(rn AS INT) AS rn, doc_id, score
+         |FROM ranked WHERE rn <= $TopK
+         |ORDER BY query_id, rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_bm25_topk" -> (s10Bm25TopK _),
     "s13_hybrid_rrf" -> (s13HybridRrf _),
     "s17_incremental_bm25" -> (s17IncrementalBm25 _),
+    "s33_bm25_delete" -> (s33Bm25Delete _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -568,5 +718,6 @@ object Retrieval {
     // the segmented incremental index provably equals the from-scratch
     // index, so the oracle IS the full-corpus derivation
     "s17_incremental_bm25" -> s10Sql,
+    "s33_bm25_delete" -> s33Sql,
   )
 }

@@ -74,18 +74,17 @@ object Tokenizer {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
   /** Run the [[BpeMerges]] rounds; returns (merge table, final
-    * vocabulary). The final rewrite (after the last winner) only
-    * matters to the encoder, so the trainer skips it — `finalVocab`
-    * decides, and with it off the vocabulary slot is RELEASED before
-    * returning (t19's merge table references only the checkpointed
-    * 1-row winners, never the vocabulary frames). Superseded vocabulary
+    * vocabulary). Runs exactly once per corpus, inside
+    * [[bpeVocabBase]]'s artifact build — the trained tokenizer is a
+    * shipped model, never a per-query subtree. Superseded vocabulary
     * checkpoints are released as each round's successor materializes —
     * the repo's iterative-loop convention ([[graft.Checkpoints]];
     * leaking one vocab-scale checkpoint per round is the d07 storage
-    * regression class). The eight 1-row winner frames stay pinned for
-    * the caller's lifetime by design: for t19 they ARE the result. */
-  private def bpeRounds(spark: SparkSession, dir: String,
-      finalVocab: Boolean): (DataFrame, DataFrame) = {
+    * regression class); the build releases the final vocabulary too
+    * once both tables are persisted. The eight 1-row winner frames
+    * behind the merge union are the one accepted leak, once per
+    * TRAINING (they are 1-row each). */
+  private def bpeRounds(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // " a b " sentinel form of each word's character sequence, the
     // original word carried alongside for the encoder's join-back.
     // Built from an explicit index transform, NOT `split(w, "")`:
@@ -117,7 +116,7 @@ object Tokenizer {
           regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
         .localCheckpoint(true)
       merges = if (merges == null) best else merges.union(best)
-      if (i < BpeMerges || finalVocab) {
+      locally {
         // rewrite every word under the winning merge (see pass contract).
         // LEFT join + coalesce, NOT crossJoin: on a corpus whose pair
         // table runs dry mid-run (tiny/degenerate vocabularies — every
@@ -142,17 +141,88 @@ object Tokenizer {
         cur = next
       }
     }
-    if (!finalVocab) graft.Checkpoints.release(cur)
     (merges.orderBy(col("merge_rank")), cur)
   }
+
+  // ------------------------------------------------------------------
+  // the persisted vocabulary — tokenizers are trained once and SHIPPED
+  // ------------------------------------------------------------------
+
+  private val vocabCache = graft.io.ValidatedPathCache.single()
+  private[graft] val bpeTrainCount =
+    new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def bpeForgetCachedPaths(): Unit = vocabCache.clear()
+
+  /** Declared read schemas (empty-corpus artifacts write file-less
+    * dirs; and an artifact reader knows its format). */
+  private[graft] val mergesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("merge_rank",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("pair",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("merged",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("cnt", LongType)))
+  private[graft] val vocabSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("sym",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("freq", LongType)))
+
+  /** The persisted tokenizer artifact — train once, SHIP, apply many:
+    * exactly how production tokenizers live (a trained SentencePiece /
+    * HF tokenizers model is a distributed file every pipeline stage
+    * loads, never retrained per job). Layout under one
+    * [[graft.io.ArtifactStore]] base, fingerprinted over the training
+    * corpus:
+    *
+    *  - `merges/` — the learned merge table (merge_rank, pair, merged,
+    *    cnt): the model every BPE implementation serializes;
+    *  - `vocab/` — the segmented TYPES table (w, sym, freq): the
+    *    apply-side map, materialized so encoders pay a broadcast read
+    *    instead of replaying the eight merge rounds.
+    *
+    * The whole tokenizer family (t19 merges, t20 encode, t21 fertility
+    * audit, p22 exact-token packing) serves from this one artifact —
+    * training runs at most once per corpus per deployment (counter
+    * spec-pinned), and the training chain's determinism + parquet's
+    * exact string/long round-trip keep every oracle (which replays
+    * training in SQL) hash-identical. */
+  private[graft] def bpeVocabBase(spark: SparkSession, dir: String): String =
+    vocabCache.get(dir) {
+      val base = graft.io.ArtifactStore.artifactPath("bpe-vocab", dir)
+      val (n, x) = Retrieval.frameDocsFingerprintParts(
+        Tables(spark, dir, "documents"))
+      val built = graft.io.ArtifactStore.ensure(base,
+          graft.io.ArtifactStore.fingerprint(n, x)) { staging =>
+        val (merges, vocab) = bpeRounds(spark, dir)
+        merges.coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/merges")
+        vocab.coalesce(1).sortWithinPartitions(col("w"))
+          .write.mode("overwrite").parquet(s"$staging/vocab")
+        // both tables are on disk: the vocabulary checkpoint (and the
+        // winners the merge union references) are dead — free them
+        // instead of leaking one vocab-scale block set per training
+        // (the d07 storage-regression class)
+        graft.Checkpoints.release(vocab)
+      }
+      if (built) bpeTrainCount.incrementAndGet()
+      base
+    }
 
   /** t19: learn the first [[BpeMerges]] BPE merges over the corpus.
     * Output: one row per learned merge — (merge_rank, pair, merged,
     * cnt), K rows on any corpus rich enough to feed them (fewer only
     * when the vocabulary runs out of adjacent pairs; an empty corpus
-    * yields an empty merge table — EmptyInputSpec exercises that). */
+    * yields an empty merge table — EmptyInputSpec exercises that).
+    * Served FROM the persisted artifact: the training chain runs at
+    * most once per corpus ([[bpeVocabBase]]); the query itself is one
+    * artifact scan. */
   def t19BpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeRounds(spark, dir, finalVocab = false)._1
+    spark.read.schema(mergesSchema)
+      .parquet(s"${bpeVocabBase(spark, dir)}/merges")
+      .orderBy(col("merge_rank"))
 
   /** t20: encode the corpus under the learned merges — per document,
     * the whitespace word count and the exact token count under the
@@ -160,10 +230,25 @@ object Tokenizer {
     * shard-packing / token-budget decision actually wants; t01's
     * chars/4 was the estimate). Single-char words are one token by
     * definition; empty fields (split artifacts) are zero. */
-  def t20BpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = bpeRounds(spark, dir, finalVocab = true)._2
-    val typeTokens = vocab.select(col("w"),
-      size(split(trim(col("sym")), " ")).cast(LongType).as("n"))
+  def t20BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    perDocBpeTokens(spark, dir).orderBy(col("doc_id"))
+
+  /** The apply-side type→token-count map, read from the SHIPPED
+    * vocabulary artifact ([[bpeVocabBase]]) — the broadcast every
+    * encoder pays instead of a training pass. */
+  private def storedTypeTokens(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(vocabSchema)
+      .parquet(s"${bpeVocabBase(spark, dir)}/vocab")
+      .select(col("w"),
+        size(split(trim(col("sym")), " ")).cast(LongType).as("n"))
+
+  /** Per-document exact encoding stats `(doc_id, n_words, n_bpe)` —
+    * t20's core without the presentation sort, shared with the
+    * packing consumer ([[Pipeline.p22BpePacking]]): the learned-vocab
+    * chain reduces to one broadcast map; consumers pay one corpus
+    * explode + one doc_id aggregate. */
+  private[llm] def perDocBpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val typeTokens = storedTypeTokens(spark, dir)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .join(broadcast(typeTokens), Seq("w"), "left")
@@ -173,7 +258,6 @@ object Tokenizer {
         sum(when(length(col("w")) >= 2, col("n"))
           .when(length(col("w")) === 1, lit(1L))
           .otherwise(lit(0L))).as("n_bpe"))
-      .orderBy(col("doc_id"))
   }
 
   /** t21: per-language tokenizer audit under the learned merges — the
@@ -198,9 +282,7 @@ object Tokenizer {
     * denominators (a language whose every document is empty text has
     * zero words/tokens — divide-by-zero class, EmptyInputSpec). */
   def t21BpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = bpeRounds(spark, dir, finalVocab = true)._2
-    val typeTokens = vocab.select(col("w"),
-      size(split(trim(col("sym")), " ")).cast(LongType).as("n"))
+    val typeTokens = storedTypeTokens(spark, dir)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
@@ -272,20 +354,36 @@ object Tokenizer {
       s"\nSELECT merge_rank, pair, merged, cnt FROM ($union) ORDER BY merge_rank"
   }
 
+  /** The per-doc encode CTEs shared by t20 and p22's packing oracle:
+    * appends `cnt`/`btok`/`doc_bpe` to [[bpeCtes]]'s chain, ending
+    * with `doc_bpe(doc_id, n_words, n_bpe)`. */
+  private[llm] val perDocBpeCtes: String =
+    s""",
+       |cnt AS (
+       |  SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n
+       |  FROM w$BpeMerges
+       |),
+       |btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |         FROM documents),
+       |doc_bpe AS (
+       |  SELECT t.doc_id,
+       |    COUNT(CASE WHEN length(t.w) >= 1 THEN 1 END) AS n_words,
+       |    CAST(SUM(CASE WHEN length(t.w) >= 2 THEN c.n
+       |              WHEN length(t.w) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_bpe
+       |  FROM btok t LEFT JOIN cnt c ON c.w = t.w
+       |  GROUP BY t.doc_id
+       |)""".stripMargin
+
+  /** [[bpeCtes]] + [[perDocBpeCtes]], exposed for oracle composition
+    * (p22 splices its packing CTEs onto this chain). */
+  private[llm] def bpeDocTokenCtes: String =
+    bpeCtes(finalVocab = true) + perDocBpeCtes
+
   val t20Sql: String =
-    bpeCtes(finalVocab = true) +
-      s""",
-         |cnt AS (
-         |  SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n
-         |  FROM w$BpeMerges
-         |),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-         |SELECT t.doc_id,
-         |  COUNT(CASE WHEN length(t.w) >= 1 THEN 1 END) AS n_words,
-         |  CAST(SUM(CASE WHEN length(t.w) >= 2 THEN c.n
-         |            WHEN length(t.w) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bpe
-         |FROM tok t LEFT JOIN cnt c ON c.w = t.w
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    bpeDocTokenCtes +
+      """
+        |SELECT doc_id, n_words, n_bpe FROM doc_bpe ORDER BY doc_id""".stripMargin
 
   val t21Sql: String =
     bpeCtes(finalVocab = true) +

@@ -281,7 +281,11 @@ object IndexIngest {
 
   /** One-time BM25 bootstrap: the initial corpus becomes the index's
     * `base` segment (postings with segment-local df, term-hash
-    * bucketed, + its 1-row totals). */
+    * bucketed, + its 1-row totals), plus the per-doc `dochash`
+    * identity sidecar the delete verb resolves through
+    * ([[bm25DeleteSink]] — a delete request carries only a doc_id;
+    * the stored hash moves the fingerprint, the stored dl rebuilds
+    * the totals at merge time). */
   def bm25Bootstrap(base: String, docs: DataFrame): BootstrapStatus =
     bootstrapOnce(base, Retrieval.frameDocsFingerprintParts(docs)) {
       staging =>
@@ -289,6 +293,9 @@ object IndexIngest {
         graft.io.Store.writePartitionedParquet(
           p, s"$staging/postings", Seq("tbucket"), Seq("term", "doc_id"))
         t.coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+        Retrieval.docHashFrame(docs)
+          .coalesce(1).sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$staging/dochash")
     }
 
   /** Merge the BM25 index's accumulated segments into one — the real
@@ -305,8 +312,23 @@ object IndexIngest {
   def compactBm25(spark: org.apache.spark.sql.SparkSession,
       base: String): Boolean =
     ArtifactStore.rewrite(base) { (live, staging) =>
-      val p = spark.read.schema(Retrieval.segPostingsSchema)
+      // the merge is also where lexical DELETES become physical
+      // (exactly Lucene: a merge drops deleted docs and the merged
+      // segment's stats no longer count them): tombstoned docs are
+      // omitted, df recounted over the surviving rows, totals rebuilt
+      // from the live dochash sidecar (postings cannot rebuild totals
+      // — a doc whose text has no terms has no posting row), and the
+      // tombstone set resets. The fingerprint is REUSED: the delete
+      // sink already moved the logical membership when it tombstoned.
+      val tomb = graft.llm.IndexDelete.tombstonesAt(spark, live, "doc_id")
+      val hasTomb = java.nio.file.Files.isDirectory(
+        graft.llm.IndexDelete.tombstoneDir(live))
+      val hasDochash = java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(localBase(live), "dochash"))
+      val p0 = spark.read.schema(Retrieval.segPostingsSchema)
         .parquet(s"$live/postings")
+      val p = if (hasTomb)
+        p0.join(broadcast(tomb), Seq("doc_id"), "left_anti") else p0
       val merged = p
         .select(col("doc_id"), col("dl"), col("term"), col("tf"))
         .withColumn("df", count(lit(1)).over(
@@ -317,11 +339,27 @@ object IndexIngest {
       graft.io.Store.writePartitionedParquet(
         merged, s"$staging/postings", Seq("tbucket"),
         Seq("term", "doc_id"))
-      spark.read.parquet(s"$live/totals")
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("t_tokens")).as("t_tokens"))
-        .withColumn("seg", lit("base"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+      if (hasDochash) {
+        val liveDocs0 = Retrieval.docHashAt(spark, live)
+        val liveDocs = if (hasTomb)
+          liveDocs0.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          else liveDocs0
+        // the sidecar is the totals' authority: one row per LIVE doc
+        liveDocs.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("t_tokens"))
+          .withColumn("seg", lit("base"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+        liveDocs.coalesce(1).sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$staging/dochash")
+      } else {
+        // pre-dochash artifact (no deletes possible): segment-sum path
+        spark.read.parquet(s"$live/totals")
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("t_tokens")).as("t_tokens"))
+          .withColumn("seg", lit("base"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+      }
+      clearTombstonesInto(live, staging)
     }
 
   /** The lexical twin of [[ivfAppendSink]]: each micro-batch of
@@ -342,6 +380,28 @@ object IndexIngest {
         .write.mode("append").partitionBy("tbucket")
         .parquet(s"$live/postings")
       t.coalesce(1).write.mode("append").parquet(s"$live/totals")
+      Retrieval.docHashFrame(batch)
+        .coalesce(1).sortWithinPartitions(col("doc_id"))
+        .write.mode("append").parquet(s"$live/dochash")
+    }
+  }
+
+  /** [[ivfDeleteSink]]'s lexical twin — the NINTH exactly-once sink:
+    * fold one micro-batch of `(doc_id)` delete requests into the BM25
+    * index as a tombstone append, resolved through the dochash
+    * sidecar ([[graft.llm.Retrieval.bm25RemovalPlan]] — the corpus is
+    * never re-read). Pre-merge serving excludes tombstoned docs while
+    * df/totals stay as stored (the Lucene deleted-docs contract);
+    * [[compactBm25]] physicalizes and recounts. Absent or already-
+    * tombstoned ids are ignored; the mark still advances. */
+  def bm25DeleteSink(base: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batchId <= readMark(base, appId)) return
+    val (removedIds, (dn, dx)) =
+      Retrieval.bm25RemovalPlan(spark, base, batch)
+    appendOnce(base, batchId, (-dn, dx), appId) { live =>
+      if (dn > 0) graft.llm.IndexDelete.writeTombstones(live, removedIds)
     }
   }
 
@@ -1262,13 +1322,45 @@ object IndexIngest {
   def compactLsh(spark: org.apache.spark.sql.SparkSession,
       base: String): Boolean =
     ArtifactStore.rewrite(base) { (live, staging) =>
-      val bands = spark.read.schema(Dedup.bandIdxSchema)
-        .parquet(s"$live/bands")
+      // the compaction also physicalizes takedowns ([[lshDeleteSink]]):
+      // tombstoned docs' band postings and digest rows drop out of the
+      // rewritten tables, and the tombstone set resets — fingerprint
+      // unchanged (the delete sink already moved the logical
+      // membership when it tombstoned)
+      val tomb = graft.llm.IndexDelete.tombstonesAt(spark, live, "doc_id")
+      val hasTomb = java.nio.file.Files.isDirectory(
+        graft.llm.IndexDelete.tombstoneDir(live))
+      def liveByDocId(df: DataFrame): DataFrame =
+        if (!hasTomb) df
+        else df.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      val bands = liveByDocId(spark.read.schema(Dedup.bandIdxSchema)
+        .parquet(s"$live/bands"))
       graft.io.Store.writePartitionedParquet(
         bands.select(col("doc_id"), col("bucket"), col("band")),
         s"$staging/bands", Seq("band"), Seq("bucket", "doc_id"))
-      spark.read.schema(Dedup.digestSchema).parquet(s"$live/digests")
+      liveByDocId(spark.read.schema(Dedup.digestSchema)
+          .parquet(s"$live/digests"))
         .distinct()
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/digests")
+      clearTombstonesInto(live, staging)
     }
+
+  /** [[ivfDeleteSink]]'s dedup twin — the TENTH exactly-once sink:
+    * fold one micro-batch of `(doc_id)` takedown requests into the
+    * standing LSH index as a tombstone append, resolved through the
+    * per-doc digest rows ([[graft.llm.Dedup.lshRemovalPlan]]). A
+    * tombstoned doc immediately stops suppressing arrivals as
+    * duplicates (the probe cuts it from both arms); [[compactLsh]]
+    * physicalizes. Absent or already-tombstoned ids are ignored; the
+    * mark still advances. */
+  def lshDeleteSink(base: String, appId: String = DefaultApp)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batchId <= readMark(base, appId)) return
+    val (removedIds, (dn, dx)) =
+      graft.llm.Dedup.lshRemovalPlan(spark, base, batch)
+    appendOnce(base, batchId, (-dn, dx), appId) { live =>
+      if (dn > 0) graft.llm.IndexDelete.writeTombstones(live, removedIds)
+    }
+  }
 }

@@ -1196,6 +1196,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows2 == s32, "rebuilt artifact must serve identically")
   }
 
+  test("p22 exact-token packing: totals conserved, boundaries really move vs p12") {
+    import graft.llm.{Pipeline, Tokenizer}
+    val p22 = Pipeline.p22BpePacking(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("pack_tokens")))
+    assert(p22.nonEmpty)
+    // conservation: every BPE token of every doc lands in exactly one pack
+    val totalBpe = Tokenizer.t20BpeEncode(spark, sf)
+      .agg(sum(col("n_bpe"))).collect()(0).getLong(0)
+    assert(p22.map(_._4).sum == totalBpe,
+      "packs must partition the corpus' exact token mass")
+    val totalDocs = Tables(spark, sf, "documents").count()
+    assert(p22.map(_._3).sum == totalDocs)
+    // the exact counts MOVE pack boundaries (not just relabel token
+    // sums): some pack holds a different number of docs than p12's
+    // whitespace-estimate packing of the same shard order
+    val p12 = Pipeline.p12ShardPacking(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("n_docs")))
+    assert(p22.map(t => (t._1, t._2, t._3)).toSet != p12.toSet,
+      "estimate-based and exact-token packing coincided — p22 proves nothing")
+  }
+
   test("quantizer kernel contracts: SQ8 reconstruction bound, BQ pack/unpack bijectivity") {
     // hash parity proves engine == oracle; these pin the KERNELS'
     // mathematical contracts, which both engines could violate
@@ -1474,6 +1497,50 @@ class LlmOpsSpec extends AnyFunSuite {
     Dedup.d18PersistedDedupIndex(spark, sf).collect()
     assert(Dedup.dedupIdxBuildCount.get() == b0,
       "a matching fingerprint must reuse the stored dedup index")
+  }
+
+  test("d20 takedown: removed docs stop suppressing arrivals; removal idempotent") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = rows(Dedup.d20IndexTakedown(spark, sf))
+    val d18 = rows(Dedup.d18PersistedDedupIndex(spark, sf))
+    assert(got.nonEmpty)
+    // no doc may become MORE duplicated by removing index rows; the
+    // re-admission FLIP (a doc whose only duplicate was removed turns
+    // unique) depends on where the fixture's dup pairs land — it fires
+    // at sf0.01 (observed: docs 87/120 near→unique, and the DuckDB
+    // oracle hashes the flipped result), while this spec's sf0.001
+    // asserts the invariants that must hold at every SF
+    val rank = Map("unique" -> 0, "near" -> 1, "exact" -> 2)
+    got.zip(d18).foreach { case ((id, s20), (id18, s18)) =>
+      assert(id == id18)
+      assert(rank(s20) <= rank(s18),
+        s"doc $id became MORE duplicated after a takedown: $s18 -> $s20")
+    }
+    // exact-arm differential (the arm whose multiplicity the per-doc
+    // digest grain protects): a probe doc is 'exact' iff some LIVE
+    // standing doc carries identical text — recomputed driver-side
+    // from the raw fixture, no index
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val liveTexts = docs.collect { case (id, t)
+      if id % 3 != 0 && id % Dedup.TakedownMod != Dedup.TakedownRem => t
+    }.toSet
+    got.foreach { case (id, status) =>
+      val hasExact = liveTexts.contains(docs.find(_._1 == id).get._2)
+      assert((status == "exact") == hasExact,
+        s"doc $id exact-arm mismatch vs raw recompute (got $status)")
+    }
+    // idempotency through the per-doc digest resolution
+    val base = graft.io.ArtifactStore.artifactPath("dedup-tomb", sf)
+    import SparkTestSession.spark.implicits._
+    assert(Dedup.lshApplyDeletes(spark, base,
+      Seq(2L, 13L, -1L).toDF("doc_id")) == 0L,
+      "re-delete (2, 13 ∈ takedown set) + unknown id must remove nothing")
+    // and the takedown really landed as index state
+    assert(graft.llm.IndexDelete.tombstonesAt(spark, base, "doc_id")
+      .count() > 0, "the artifact must carry the tombstone set")
   }
 
   test("d19 append-then-probe equals from-scratch d18; build and append run once") {

@@ -15,7 +15,11 @@ import graft.llm.Retrieval
 class RetrievalSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def naive(): Seq[(Long, Int, Long, Long)] = {
+  /** `liveDoc` restricts the CANDIDATES only — corpus statistics (n,
+    * t, df) stay full, which is exactly the pre-merge deleted-docs
+    * state s33 serves. The default keeps the original s10 model. */
+  private def naive(
+      liveDoc: Long => Boolean = _ => true): Seq[(Long, Int, Long, Long)] = {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
@@ -31,7 +35,8 @@ class RetrievalSpec extends AnyFunSuite {
     val queries = docs.filter { case (id, _) =>
       id % Retrieval.QueryMod == Retrieval.QueryRem }
     queries.flatMap { case (qid, qws) =>
-      val scores = docs.filter(_._1 != qid).flatMap { case (did, _) =>
+      val scores = docs.filter(d => d._1 != qid && liveDoc(d._1))
+        .flatMap { case (did, _) =>
         val qdistinct = qws.distinct
         val s = qdistinct.map { term =>
           tf.get((did, term)).fold(0L) { f =>
@@ -119,6 +124,34 @@ class RetrievalSpec extends AnyFunSuite {
       "repeat touch must not rebuild the base segment")
     assert(Retrieval.bm25IncAppendCount.get() == a0,
       "repeat touch must not re-append the delta segment")
+  }
+
+  test("s33 pre-merge delete semantics match the naive live-candidate model exactly") {
+    val got = Retrieval.s33Bm25Delete(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    assert(got.nonEmpty)
+    // the spec model: candidates restricted to live docs, stats FULL
+    // (the Lucene deleted-docs contract) — scores must match to the bit
+    val want = naive(d => d % Retrieval.DelMod != Retrieval.DelRem)
+    assert(got == want)
+    // no deleted doc ever serves...
+    got.foreach { case (_, _, did, _) =>
+      assert(did % Retrieval.DelMod != Retrieval.DelRem,
+        s"deleted doc $did served")
+    }
+    // ...and the delete set actually bit: s10 over the same corpus
+    // must rank at least one deleted doc somewhere in its top-5
+    val s10 = Retrieval.s10Bm25TopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    assert(s10 != got, "delete set never appeared in any s10 top-5")
+    // batch deletes are idempotent through the dochash resolution
+    val base = Retrieval.bm25TombIndexBase(spark, sf)
+    import SparkTestSession.spark.implicits._
+    assert(Retrieval.bm25ApplyDeletes(spark, base,
+      Seq(Retrieval.DelRem, -5L).toDF("doc_id")) == 0L,
+      "re-delete + unknown doc must remove nothing")
   }
 
   test("s10 results never include the query document and respect k") {

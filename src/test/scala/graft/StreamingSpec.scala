@@ -2214,6 +2214,66 @@ class StreamingSpec extends AnyFunSuite {
       "the compacted index must still answer exactly")
   }
 
+  test("streaming LSH takedowns: tombstone sink exactly-once, probe re-admits, " +
+      "compaction physicalizes with the fingerprint intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, sf, "documents")
+    val standing = docs.filter(col("doc_id") % 3 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-stream-lshdel")
+      .resolve("idx").toString
+    graft.stream.IndexIngest.lshBootstrap(idx,
+      standing.select(col("doc_id"), col("text")))
+    val delPred = col("doc_id") % graft.llm.Dedup.TakedownMod ===
+      graft.llm.Dedup.TakedownRem
+    // the request stream carries EVERY %11==2 id, including new-batch
+    // ids that were never indexed — the plan must ignore those
+    val delIds = docs.filter(delPred)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    val (half1, half2) = delIds.partition(_ % 2 == 0)
+    val src = MemoryStream[Long]
+    val q = src.toDS().toDF("doc_id")
+      .writeStream
+      .foreachBatch(graft.stream.IndexIngest.lshDeleteSink(idx) _)
+      .start()
+    try {
+      src.addData(half1: _*); q.processAllAvailable()
+      src.addData(half2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // fingerprint == a fresh fingerprint of the live standing docs
+    val (ln, lx) = graft.llm.Dedup.docsFingerprintParts(
+      standing.filter(!delPred))
+    assert(graft.io.ArtifactStore.currentFingerprint(idx)
+      .contains(graft.io.ArtifactStore.fingerprint(ln, lx)),
+      "fingerprint must equal the live standing docs' fingerprint")
+    val fpAfter = graft.io.ArtifactStore.currentFingerprint(idx)
+    // replay of a committed delete batch is a no-op
+    graft.stream.IndexIngest.lshDeleteSink(idx)(half2.toDF("doc_id"), 1L)
+    assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpAfter)
+    // the tombstone-bearing streamed index must classify exactly like
+    // d20's batch artifact (same standing corpus, same takedown set)
+    def probeRows(base: String) =
+      graft.llm.Dedup.probeDedupIndex(spark, sf, base).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = graft.llm.Dedup.d20IndexTakedown(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(probeRows(idx) == want,
+      "streamed takedowns must serve the d20 contract")
+    // compaction physicalizes: digest rows and band postings of the
+    // tombstoned docs drop, tombstones clear, fingerprint unchanged
+    assert(graft.stream.IndexIngest.compactLsh(spark, idx))
+    assert(graft.stream.IndexIngest.tombstoneFiles(idx) == 0)
+    assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpAfter)
+    val storedIds = spark.read.schema(graft.llm.Dedup.digestSchema)
+      .parquet(s"$idx/digests").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(delIds.forall(!storedIds.contains(_)),
+      "compacted digests must not contain tombstoned docs")
+    assert(probeRows(idx) == want,
+      "the physicalized index must still serve the d20 contract")
+  }
+
   test("streaming BM25 ingest: segment-per-batch index equals from-scratch s10") {
     // the lexical twin of the streaming IVF ingest: every micro-batch
     // of documents becomes one delta SEGMENT with segment-local
@@ -2273,6 +2333,84 @@ class StreamingSpec extends AnyFunSuite {
       graft.llm.Retrieval.segmentedBm25Ranked(spark, sf, idx)
         .orderBy(col("query_id"), col("rn")))
     assert(gotMerged == want, "the merged index must still equal s10")
+  }
+
+  test("streaming BM25 deletes: tombstone sink exactly-once, pre-merge " +
+      "Lucene stats, merge recounts to the live-corpus index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, sf, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft-stream-bm25del")
+      .resolve("idx").toString
+    graft.stream.IndexIngest.bm25Bootstrap(idx,
+      docs.select(col("doc_id"), col("text")))
+    val delPred = col("doc_id") % graft.llm.Retrieval.DelMod ===
+      graft.llm.Retrieval.DelRem
+    val delIds = docs.filter(delPred)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(delIds.nonEmpty)
+    // two delete batches through a real streaming query, plus an
+    // absent id in the first (ignored, mark advances)
+    val (half1, half2) = delIds.partition(_ % 2 == 0)
+    val src = MemoryStream[Long]
+    val q = src.toDS().toDF("doc_id")
+      .writeStream
+      .foreachBatch(graft.stream.IndexIngest.bm25DeleteSink(idx) _)
+      .start()
+    try {
+      src.addData(half1 :+ 99999L: _*); q.processAllAvailable()
+      src.addData(half2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // exactly-once: replaying a committed delete batch is a no-op
+    val fpAfter = graft.io.ArtifactStore.currentFingerprint(idx)
+    graft.stream.IndexIngest.bm25DeleteSink(idx)(half2.toDF("doc_id"), 1L)
+    assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpAfter)
+    // the fingerprint moved to the LIVE membership: equal to a fresh
+    // fingerprint over the surviving documents
+    val (ln, lx) = graft.llm.Retrieval.frameDocsFingerprintParts(
+      docs.filter(!delPred))
+    assert(fpAfter.contains(graft.io.ArtifactStore.fingerprint(ln, lx)),
+      "fingerprint must equal the live documents' fingerprint")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("query_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // PRE-MERGE serving: tombstoned docs cut from candidates, stats
+    // still counting them — must equal s33's batch operator (same
+    // corpus, same delete set, independent artifact) row for row
+    val preMerge = rows(
+      graft.llm.Retrieval.segmentedBm25Ranked(spark, sf, idx))
+    val s33 = rows(graft.llm.Retrieval.s33Bm25Delete(spark, sf))
+    assert(preMerge.nonEmpty)
+    assert(preMerge == s33,
+      "streamed pre-merge serving must equal the s33 contract")
+    // MERGE: deletes become physical, df/totals recount over the
+    // live corpus, tombstones + dochash shrink; fingerprint unchanged
+    assert(graft.stream.IndexIngest.compactBm25(spark, idx))
+    assert(graft.io.ArtifactStore.currentFingerprint(idx) == fpAfter,
+      "physicalizing logical deletes must not move the fingerprint")
+    assert(graft.stream.IndexIngest.tombstoneFiles(idx) == 0,
+      "the merge must clear the tombstone set")
+    val storedDocs = spark.read.parquet(s"$idx/postings")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(delIds.forall(!storedDocs.contains(_)),
+      "merged postings must not contain deleted docs")
+    val totals = spark.read.parquet(s"$idx/totals").collect()(0)
+    assert(totals.getAs[Long]("n_docs") ==
+      docs.filter(!delPred).count(),
+      "merged totals must count live docs only")
+    // the merged index answers exactly like a from-scratch index
+    // bootstrapped over the LIVE corpus — stats drift fully repaired
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft-stream-bm25del-clean")
+      .resolve("idx").toString
+    graft.stream.IndexIngest.bm25Bootstrap(idx2,
+      docs.filter(!delPred).select(col("doc_id"), col("text")))
+    assert(rows(graft.llm.Retrieval.segmentedBm25Ranked(spark, sf, idx)) ==
+      rows(graft.llm.Retrieval.segmentedBm25Ranked(spark, sf, idx2)),
+      "post-merge scores must equal the from-scratch live-corpus index")
   }
 
   test("bounded-horizon dedup (transformWithState): in-horizon drops, " +

@@ -25,9 +25,9 @@ class TinyCorpusSpec extends AnyFunSuite {
     "s23_recall_audit", "s24_recall_retrain", "s25_nprobe_sweep",
     "s26_filtered_ivfpq", "s27_label_partitioned", "s28_residual_pq",
     "s29_sq8_search", "s30_bq_search", "s31_range_search",
-    "s32_tombstone_search",
+    "s32_tombstone_search", "s33_bm25_delete",
     "d11_semdedup", "d18_persisted_dedup_index",
-    "d19_incremental_index_append",
+    "d19_incremental_index_append", "d20_index_takedown",
     "g04_warm_pagerank", "g05_rolling_pagerank")
 
   /** Stage a corpus dir with all four tables: the given embeddings,

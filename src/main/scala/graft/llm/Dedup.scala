@@ -1082,21 +1082,15 @@ object Dedup {
     // band postings are cut before either arm. Per-doc digest rows
     // make the multiplicity exact: a live doc sharing a removed doc's
     // text still carries its own digest row, so the exact arm still
-    // fires for it. An index that never saw a delete has no tombstone
-    // dir and keeps the bare scans (driver-side branch).
-    val hasTomb = java.nio.file.Files.isDirectory(
-      IndexDelete.tombstoneDir(base))
-    def liveByDocId(df: DataFrame): DataFrame =
-      if (!hasTomb) df
-      else df.join(broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
-        Seq("doc_id"), "left_anti")
-    val oldDigests = liveByDocId(spark.read.schema(digestSchema)
-      .parquet(s"$base/digests"))
+    // fires for it. An index with no live tombstones keeps the bare
+    // scans ([[IndexDelete.liveById]]'s driver-side branch).
+    val oldDigests = IndexDelete.liveById(spark, base,
+      spark.read.schema(digestSchema).parquet(s"$base/digests"), "doc_id")
     val exact = newDocs.withColumn("h", md5(col("text")))
       .join(oldDigests.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"))
-    val oldBands = liveByDocId(spark.read.schema(bandIdxSchema)
-      .parquet(s"$base/bands"))
+    val oldBands = IndexDelete.liveById(spark, base,
+      spark.read.schema(bandIdxSchema).parquet(s"$base/bands"), "doc_id")
     val newBands = bandedDocs(newDocs)
       .withColumnRenamed("doc_id", "new_id")
     val candidates = oldBands
@@ -1202,6 +1196,25 @@ object Dedup {
     * whose digest rows carry no ids. */
   private[graft] def lshRemovalPlan(spark: SparkSession, base: String,
       ids: DataFrame): (DataFrame, (Long, Long)) = {
+    // pre-upgrade guard on the FILES' OWN schema: md5-only digest rows
+    // read as null doc_id through the declared schema, so they would
+    // fall out of the semi-join and turn a legally-required takedown
+    // into a silent no-op (with the replay mark still advancing — the
+    // request consumed and lost). A count-based check downstream is
+    // structurally dead for the same reason (null ids never reach it),
+    // hence this loud, footer-level detection (review-caught).
+    val digestsDir = java.nio.file.Paths.get(
+      graft.io.ArtifactStore.requireLocalRoot(base), "digests")
+    val hasFiles = java.nio.file.Files.isDirectory(digestsDir) &&
+      Option(digestsDir.toFile.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.startsWith("part-"))
+    if (hasFiles) {
+      val stored = spark.read.parquet(digestsDir.toString).schema
+      require(stored.fieldNames.contains("doc_id") &&
+        stored.fieldNames.contains("h64"),
+        s"dedup index at $base predates delete support (digest rows " +
+          "without doc identity) — rebuild it before applying takedowns")
+    }
     val requested = ids.select(col("doc_id").cast(LongType)).distinct()
     val victims = spark.read.schema(digestSchema)
       .parquet(s"$base/digests")
@@ -1209,19 +1222,15 @@ object Dedup {
       .join(broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
         Seq("doc_id"), "left_anti")
     val r = victims
-      .agg(count(lit(1)).as("n"), count(col("h64")).as("nh"),
-        expr("bit_xor(h64)").as("x")).collect()(0)
-    require(r.getLong(0) == r.getLong(1),
-      s"dedup index at $base predates delete support (digest rows " +
-        "without doc identity) — rebuild it before applying takedowns")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h64)").as("x")).collect()(0)
     (victims.select(col("doc_id")),
-      (r.getLong(0), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
   }
 
   /** Batch takedown on a persisted dedup index. */
   def lshApplyDeletes(spark: SparkSession, base: String,
       ids: DataFrame): Long =
-    IndexDelete.applyRemoval(base, lshRemovalPlan(spark, base, ids))
+    IndexDelete.applyRemoval(base)(lshRemovalPlan(spark, base, ids))
 
   /** d20's index artifact: the standing-corpus LSH index built through
     * the staged-publish path, then the takedown applied as a real
@@ -1233,19 +1242,12 @@ object Dedup {
       val old = Tables(spark, dir, "documents")
         .filter(col("doc_id") % 3 =!= 0)
       val delPred = col("doc_id") % TakedownMod === TakedownRem
-      val (n, x) = docsFingerprintParts(old)
-      val (dn, dx) = docsFingerprintParts(old.filter(delPred))
-      val fpFull = fpString(n, x)
-      val fpLive = fpString(n - dn, x ^ dx)
-      if (!graft.io.ArtifactStore.isCurrent(base, fpLive)) {
-        graft.io.ArtifactStore.ensure(base, fpFull) {
-          writeDedupIndexInto(old, _)
-        }
-        if (fpLive != fpFull)
-          lshApplyDeletes(spark, base, Tables(spark, dir, "documents")
-            .filter(delPred).select(col("doc_id")))
-      }
-      base
+      IndexDelete.buildThenDelete(base,
+        docsFingerprintParts(old),
+        docsFingerprintParts(old.filter(delPred)))(
+        writeDedupIndexInto(old, _))(
+        lshApplyDeletes(spark, base, Tables(spark, dir, "documents")
+          .filter(delPred).select(col("doc_id"))))
     }
 
   /** d20: the takedown verb on the dedup state — d18's incremental

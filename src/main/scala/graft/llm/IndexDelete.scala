@@ -70,6 +70,31 @@ object IndexDelete {
     java.nio.file.Paths.get(
       graft.io.ArtifactStore.requireLocalRoot(base), "tombstones")
 
+  /** Whether `base` carries any LIVE tombstones — the driver-side
+    * branch every serving/maintenance read takes. Tests for part
+    * FILES, not bare directory existence: compaction stages an EMPTY
+    * tombstone dir over the old one (the publish swaps staged
+    * children; it cannot remove a live child), so an existence check
+    * would leave the anti-join branch on forever after the first
+    * compaction — the bare-scan fast path must RE-ARM once the
+    * tombstones are physicalized away (review-caught). */
+  private[graft] def hasTombstones(base: String): Boolean = {
+    val d = tombstoneDir(base)
+    java.nio.file.Files.isDirectory(d) &&
+      Option(d.toFile.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.startsWith("part-"))
+  }
+
+  /** `df` restricted to live members of `base`: the one live-filter
+    * branch every consumer shares (vector lists, BM25 candidates,
+    * dedup digest/band arms, compaction reads). No tombstones → `df`
+    * unchanged, zero plan overhead. */
+  private[graft] def liveById(spark: SparkSession, base: String,
+      df: DataFrame, idCol: String): DataFrame =
+    if (!hasTombstones(base)) df
+    else df.join(broadcast(tombstonesAt(spark, base, idCol)),
+      Seq(idCol), "left_anti")
+
   private[graft] def tombstonesAt(spark: SparkSession, base: String,
       idCol: String = "vec_id"): DataFrame = {
     val schema = StructType(Seq(StructField(idCol, LongType)))
@@ -87,13 +112,9 @@ object IndexDelete {
     * gets the plain stored scan — the branch resolves driver-side at
     * plan time, so the whole undeleted fleet pays zero plan overhead
     * (spec-pinned). */
-  private[graft] def liveListsAt(spark: SparkSession, base: String): DataFrame = {
-    val stored = Similarity.invertedListsAt(spark, base)
-    if (!java.nio.file.Files.isDirectory(tombstoneDir(base))) stored
-    else stored
-      .join(broadcast(tombstonesAt(spark, base)), Seq("vec_id"), "left_anti")
+  private[graft] def liveListsAt(spark: SparkSession, base: String): DataFrame =
+    liveById(spark, base, Similarity.invertedListsAt(spark, base), "vec_id")
       .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
-  }
 
   /** Read-side plan of one remove_ids call against the CURRENT
     * artifact: the ids actually being removed (present in the lists,
@@ -131,18 +152,26 @@ object IndexDelete {
     * [[graft.stream.IndexIngest.ivfDeleteSink]]). Idempotent by
     * fingerprint: a concurrent applier losing the mutate race
     * re-checks whether the winner already landed the same removal. */
-  private[graft] def applyRemoval(base: String,
-      plan: (DataFrame, (Long, Long))): Long = {
-    val (removedIds, (dn, dx)) = plan
-    if (dn == 0) return 0L
+  private[graft] def applyRemoval(base: String)(
+      plan: => (DataFrame, (Long, Long))): Long = {
+    // the expected fingerprint is captured BEFORE the plan reads any
+    // artifact state: a writer landing after this point flips the
+    // mutate below to false (clean retry). The reversed order would
+    // let a racing remover's plan validate against the POST-race
+    // fingerprint and xor an already-removed row's hash back in —
+    // silently corrupting the membership fingerprint (review-caught).
     val cur = graft.io.ArtifactStore.currentFingerprint(base).getOrElse(
       throw new IllegalStateException(
         s"no valid index artifact at $base — build first"))
+    val (removedIds, (dn, dx)) = plan
+    if (dn == 0) return 0L
     val Array(cn, cx) = cur.split("_")
     val next = graft.io.ArtifactStore.fingerprint(cn.toLong - dn,
       java.lang.Long.parseUnsignedLong(cx) ^ dx)
     val ok = graft.io.ArtifactStore.mutate(base, cur, next)(
       writeTombstones(_, removedIds))
+    // tolerate exactly one race: a concurrent applier landed the SAME
+    // removal from the same starting fingerprint (idempotent outcome)
     if (!ok && !graft.io.ArtifactStore.currentFingerprint(base).contains(next))
       throw new IllegalStateException(
         s"index at $base changed under remove_ids — retry")
@@ -151,7 +180,7 @@ object IndexDelete {
 
   /** Batch `remove_ids` on the persisted IVF index. */
   def applyDeletes(spark: SparkSession, base: String, ids: DataFrame): Long =
-    applyRemoval(base, removalPlan(spark, base, ids))
+    applyRemoval(base)(removalPlan(spark, base, ids))
 
   // -------------------------------------------------------------------
   // s32 — tombstone-aware serving on a persisted-and-mutated index
@@ -159,6 +188,31 @@ object IndexDelete {
 
   private val tombIndexCache = graft.io.ValidatedPathCache.single()
   private[graft] def tombForgetCachedPaths(): Unit = tombIndexCache.clear()
+
+  /** THE build-then-delete two-state machine, shared by all three
+    * batch delete artifacts (vector [[tombIndexBase]], lexical
+    * [[Retrieval.bm25TombIndexBase]], dedup
+    * [[Dedup.dedupTombIndexBase]]): at the post-delete fingerprint →
+    * serve; at the full-corpus fingerprint (a fresh build, or a crash
+    * between build and delete) → apply the deletes; anything else →
+    * build at the full fingerprint, then apply. One definition holds
+    * the crash-recovery reasoning. `fullParts`/`delParts` are the
+    * corpus' and the delete set's fingerprint components; `applyDel`
+    * runs the family's delete (idempotent via [[applyRemoval]]'s
+    * fingerprint check, so a lost race here self-resolves). */
+  private[graft] def buildThenDelete(base: String,
+      fullParts: (Long, Long), delParts: (Long, Long))(
+      build: String => Unit)(applyDel: => Long): String = {
+    val (n, x) = fullParts
+    val (dn, dx) = delParts
+    val fpFull = graft.io.ArtifactStore.fingerprint(n, x)
+    val fpLive = graft.io.ArtifactStore.fingerprint(n - dn, x ^ dx)
+    if (!graft.io.ArtifactStore.isCurrent(base, fpLive)) {
+      graft.io.ArtifactStore.ensure(base, fpFull)(build)
+      if (fpLive != fpFull) applyDel
+    }
+    base
+  }
 
   /** s32's index artifact: the full-corpus IVF index built through the
     * normal staged-publish path, then `remove_ids(vec_id % 17 == 3)`
@@ -175,18 +229,12 @@ object IndexDelete {
     tombIndexCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("ivf-tomb", dir)
       val v = Similarity.normed(spark, dir)
-      val (n, x) = Similarity.frameFingerprintParts(v)
       val del = v.filter(pmod(col("vec_id"), lit(DeleteMod)) === DeleteRes)
-      val (dn, dx) = Similarity.frameFingerprintParts(del)
-      val fpFull = graft.io.ArtifactStore.fingerprint(n, x)
-      val fpLive = graft.io.ArtifactStore.fingerprint(n - dn, x ^ dx)
-      if (!graft.io.ArtifactStore.isCurrent(base, fpLive)) {
-        graft.io.ArtifactStore.ensure(base, fpFull)(
-          Similarity.ivfBuildFrom(v, _))
-        if (fpLive != fpFull)
-          applyDeletes(spark, base, del.select(col("vec_id")))
-      }
-      base
+      buildThenDelete(base,
+        Similarity.frameFingerprintParts(v),
+        Similarity.frameFingerprintParts(del))(
+        Similarity.ivfBuildFrom(v, _))(
+        applyDeletes(spark, base, del.select(col("vec_id"))))
     }
 
   /** s32: the s15 serving contract on an index that has taken

@@ -615,14 +615,25 @@ object Pipeline {
     * same partitioning. Pack sizes concentrate around PackTokens
     * (boundary docs overflow by at most one doc's tokens). */
   def p12ShardPacking(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
     graft.functions.VectorExpressions.register(spark)
-    val base = Tables(spark, dir, "documents")
+    packByTokens(Tables(spark, dir, "documents")
       .select(col("doc_id"),
         expr("rolling_min_hash(text)").as("fingerprint"),
-        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-      .withColumn("shard", pmod(col("fingerprint"), lit(8L)))
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens")))
+  }
+
+  /** THE packing algebra, shared by p12 (whitespace-estimate tokens)
+    * and p22 (exact BPE tokens): content-hash shard, deterministic
+    * (fingerprint, doc_id) fill order, fill-start integer division
+    * into packs, pack-grain aggregate. One definition — the packing
+    * contract (budget semantics, tie-break, boundary math) cannot
+    * drift between the estimate and exact variants. Input:
+    * `(doc_id, fingerprint, n_tokens)`. */
+  private def packByTokens(base0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val base = base0.withColumn("shard", pmod(col("fingerprint"), lit(8L)))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("fingerprint"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -675,28 +686,13 @@ object Pipeline {
     * then ONE doc_id-keyed join onto the fingerprint frame and p12's
     * shard-window prefix sum — no new corpus-scale shuffle class. */
   def p22BpePacking(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.LongType
     graft.functions.VectorExpressions.register(spark)
     val enc = Tokenizer.perDocBpeTokens(spark, dir)
       .select(col("doc_id"), col("n_bpe").as("n_tokens"))
-    val base = Tables(spark, dir, "documents")
+    packByTokens(Tables(spark, dir, "documents")
       .select(col("doc_id"),
         expr("rolling_min_hash(text)").as("fingerprint"))
-      .withColumn("shard", pmod(col("fingerprint"), lit(8L)))
-      .join(enc, "doc_id")
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("fingerprint"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
-      .withColumn("pack_id",
-        expr(s"(cum_tokens - n_tokens) DIV $PackTokens"))
-      .groupBy(col("shard"), col("pack_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).cast(LongType).as("pack_tokens"),
-        min(col("doc_id")).as("first_doc"))
-      .orderBy(col("shard"), col("pack_id"))
+      .join(enc, "doc_id"))
   }
 
   /** p22 oracle: the tokenizer chain's per-doc counts

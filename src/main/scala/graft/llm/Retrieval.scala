@@ -407,13 +407,8 @@ object Retrieval {
     // ([[graft.stream.IndexIngest.bm25DeleteSink]]): deleted docs are
     // cut from the CANDIDATES only — df/totals keep counting them
     // until the merge (the s33 Lucene contract); an undeleted index
-    // has no tombstone dir and keeps the bare plan
-    val cand = if (!java.nio.file.Files.isDirectory(
-        IndexDelete.tombstoneDir(base))) cand1
-      else cand1.join(
-        broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
-        Seq("doc_id"), "left_anti")
-    okapiRank(cand, totals)
+    // keeps the bare plan
+    okapiRank(IndexDelete.liveById(spark, base, cand1, "doc_id"), totals)
   }
 
   /** Oracle CTE chain shared by s10 and s13: the same postings/df/totals
@@ -628,7 +623,7 @@ object Retrieval {
   /** Batch delete-by-doc-id on a persisted BM25 index. */
   def bm25ApplyDeletes(spark: SparkSession, base: String,
       ids: DataFrame): Long =
-    IndexDelete.applyRemoval(base, bm25RemovalPlan(spark, base, ids))
+    IndexDelete.applyRemoval(base)(bm25RemovalPlan(spark, base, ids))
 
   /** s33's index artifact: the full-corpus BM25 index (with the
     * dochash sidecar) built through the staged-publish path, then
@@ -639,25 +634,18 @@ object Retrieval {
     bm25TombCache.get(dir) {
       val base = graft.io.ArtifactStore.artifactPath("bm25-tomb", dir)
       val delPred = pmod(col("doc_id"), lit(DelMod)) === lit(DelRem)
-      val (n, x) = docsFingerprintParts(spark, dir, lit(true))
-      val (dn, dx) = docsFingerprintParts(spark, dir, delPred)
-      val fpFull = fpStr(n, x)
-      val fpLive = fpStr(n - dn, x ^ dx)
-      if (!graft.io.ArtifactStore.isCurrent(base, fpLive)) {
-        graft.io.ArtifactStore.ensure(base, fpFull) { staging =>
-          val d = Tables(spark, dir, "documents")
-          val (p, t) = segmentPostingsFrame(d, "base")
-          graft.io.Store.writePartitionedParquet(
-            p, s"$staging/postings", Seq("tbucket"), Seq("term", "doc_id"))
-          t.coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
-          docHashFrame(d).coalesce(1).sortWithinPartitions(col("doc_id"))
-            .write.mode("overwrite").parquet(s"$staging/dochash")
-        }
-        if (fpLive != fpFull)
-          bm25ApplyDeletes(spark, base, Tables(spark, dir, "documents")
-            .filter(delPred).select(col("doc_id")))
-      }
-      base
+      IndexDelete.buildThenDelete(base,
+        docsFingerprintParts(spark, dir, lit(true)),
+        docsFingerprintParts(spark, dir, delPred)) { staging =>
+        val d = Tables(spark, dir, "documents")
+        val (p, t) = segmentPostingsFrame(d, "base")
+        graft.io.Store.writePartitionedParquet(
+          p, s"$staging/postings", Seq("tbucket"), Seq("term", "doc_id"))
+        t.coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+        docHashFrame(d).coalesce(1).sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$staging/dochash")
+      }(bm25ApplyDeletes(spark, base, Tables(spark, dir, "documents")
+        .filter(delPred).select(col("doc_id"))))
     }
 
   /** s33: BM25 search over an index that has taken deletions, in the

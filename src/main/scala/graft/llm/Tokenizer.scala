@@ -244,19 +244,54 @@ object Tokenizer {
 
   /** Per-document exact encoding stats `(doc_id, n_words, n_bpe)` —
     * t20's core without the presentation sort, shared with the
-    * packing consumer ([[Pipeline.p22BpePacking]]): the learned-vocab
-    * chain reduces to one broadcast map; consumers pay one corpus
-    * explode + one doc_id aggregate. */
-  private[llm] def perDocBpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    * packing consumer ([[Pipeline.p22BpePacking]]). */
+  private[llm] def perDocBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    encodeDocs(Tables(spark, dir, "documents"), dir)
+
+  /** Encode ANY `(doc_id, text)` frame under the corpus `dir`'s
+    * shipped tokenizer — the apply side a streaming ingest runs per
+    * micro-batch. Two tiers, both exact under the merge contract:
+    *
+    *  - words the shipped type map covers resolve through the
+    *    broadcast `vocab/` lookup (the fast path — at train time the
+    *    map covers the whole corpus, so batch consumers never leave
+    *    it);
+    *  - OUT-OF-VOCABULARY words (streaming arrivals the training
+    *    corpus never saw) segment by REPLAYING the shipped merge
+    *    table on the fly: the 8-row `merges/` table collects to the
+    *    driver and unrolls into the same four-pass sentinel-space
+    *    replace chain the trainer ran — a pure codegen'd column
+    *    expression (32 string replaces), evaluated only on lookup
+    *    misses. This is real BPE open-vocabulary behavior: an unseen
+    *    word still takes every learned merge that applies, it is
+    *    never just character-split.
+    */
+  private[graft] def encodeDocs(docs: DataFrame, dir: String): DataFrame = {
+    val spark = docs.sparkSession
     val typeTokens = storedTypeTokens(spark, dir)
-    Tables(spark, dir, "documents")
+    val merges = spark.read.schema(mergesSchema)
+      .parquet(s"${bpeVocabBase(spark, dir)}/merges")
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val symCol = concat(lit(" "),
+      array_join(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        " "),
+      lit(" "))
+    val rewritten = merges.foldLeft(symCol: Column) {
+      case (s, (pair, merged)) =>
+        (1 to BpePasses).foldLeft(s)((t, _) =>
+          replace(t, lit(s" $pair "), lit(s" $merged ")))
+    }
+    val oovN = size(split(trim(rewritten), " ")).cast(LongType)
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .join(broadcast(typeTokens), Seq("w"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(when(length(col("w")) >= 1, lit(1))).as("n_words"),
-        sum(when(length(col("w")) >= 2, col("n"))
-          .when(length(col("w")) === 1, lit(1L))
+        sum(when(length(col("w")) === 1, lit(1L))
+          .when(length(col("w")) >= 2, coalesce(col("n"), oovN))
           .otherwise(lit(0L))).as("n_bpe"))
   }
 

@@ -269,14 +269,56 @@ object IndexIngest {
     * tombstoned ids are ignored (Faiss `remove_ids` semantics); the
     * mark still advances, so the batch never replays. */
   def ivfDeleteSink(base: String, appId: String = DefaultApp)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    if (batchId <= readMark(base, appId)) return
-    val (removedIds, (dn, dx)) =
-      graft.llm.IndexDelete.removalPlan(spark, base, batch)
-    appendOnce(base, batchId, (-dn, dx), appId) { live =>
+      batch: DataFrame, batchId: Long): Unit =
+    removeOnce(base, batchId, appId)(
+      graft.llm.IndexDelete.removalPlan(batch.sparkSession, base, batch))
+
+  /** Delete lineages mark under a NAMESPACED key (`del:<appId>`), so
+    * the recall gates' append-skew comparisons can see exactly the
+    * marks that have code-table counterparts: a delete batch never
+    * reaches the PQ/SQ/BQ sinks, so its mark existing only on the IVF
+    * base is the steady state, not skew — comparing full maps would
+    * leave the retrain deferred FOREVER after the first streamed
+    * delete (review-caught). */
+  private[graft] val DeleteMarkPrefix = "del:"
+
+  /** The append-lineage marks of `base` — the delete lineages
+    * stripped; what cross-artifact skew checks compare. */
+  private def appendMarks(base: String): Map[String, Long] =
+    readState(base).filterNot(_._1.startsWith(DeleteMarkPrefix))
+
+  private def appendMarksOf(state: Map[String, Long]): Map[String, Long] =
+    state.filterNot(_._1.startsWith(DeleteMarkPrefix))
+
+  /** [[appendOnce]]'s removal twin, shared by the three delete sinks:
+    * the expected fingerprint is read BEFORE the family's removal plan
+    * materializes (the plan reads artifact state, so the reversed
+    * order would let a racing writer's plan validate against the
+    * post-race fingerprint and xor a hash back in — the
+    * [[graft.llm.IndexDelete.applyRemoval]] race, review-caught), the
+    * batch's parts are SUBTRACTED, and the replay mark commits under
+    * the delete-namespaced key inside the same mutate. */
+  private def removeOnce(base: String, batchId: Long, appId: String)(
+      plan: => (DataFrame, (Long, Long))): Unit = {
+    require(!appId.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"appId must not contain tab/newline: '$appId'")
+    val key = DeleteMarkPrefix + appId
+    val stateFile = java.nio.file.Paths.get(localBase(base), "stream_state")
+    if (batchId <= readState(base).getOrElse(key, -1L))
+      return // replay of a committed delete batch OF THIS LINEAGE
+    val cur = ArtifactStore.currentFingerprint(base).getOrElse(
+      throw new IllegalStateException(
+        s"no valid index artifact at $base — bootstrap first"))
+    val (removedIds, (dn, dx)) = plan
+    val Array(cn, cx) = cur.split("_")
+    val next = fpStr(cn.toLong - dn,
+      java.lang.Long.parseUnsignedLong(cx) ^ dx)
+    val ok = ArtifactStore.mutate(base, cur, next) { live =>
       if (dn > 0) graft.llm.IndexDelete.writeTombstones(live, removedIds)
+      writeStateAtomic(stateFile, readState(base) + (key -> batchId))
     }
+    if (!ok) throw new IllegalStateException(
+      s"index at $base changed under delete batch $batchId — replay")
   }
 
   /** One-time BM25 bootstrap: the initial corpus becomes the index's
@@ -320,15 +362,11 @@ object IndexIngest {
       // — a doc whose text has no terms has no posting row), and the
       // tombstone set resets. The fingerprint is REUSED: the delete
       // sink already moved the logical membership when it tombstoned.
-      val tomb = graft.llm.IndexDelete.tombstonesAt(spark, live, "doc_id")
-      val hasTomb = java.nio.file.Files.isDirectory(
-        graft.llm.IndexDelete.tombstoneDir(live))
       val hasDochash = java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(localBase(live), "dochash"))
-      val p0 = spark.read.schema(Retrieval.segPostingsSchema)
-        .parquet(s"$live/postings")
-      val p = if (hasTomb)
-        p0.join(broadcast(tomb), Seq("doc_id"), "left_anti") else p0
+      val p = graft.llm.IndexDelete.liveById(spark, live,
+        spark.read.schema(Retrieval.segPostingsSchema)
+          .parquet(s"$live/postings"), "doc_id")
       val merged = p
         .select(col("doc_id"), col("dl"), col("term"), col("tf"))
         .withColumn("df", count(lit(1)).over(
@@ -340,10 +378,8 @@ object IndexIngest {
         merged, s"$staging/postings", Seq("tbucket"),
         Seq("term", "doc_id"))
       if (hasDochash) {
-        val liveDocs0 = Retrieval.docHashAt(spark, live)
-        val liveDocs = if (hasTomb)
-          liveDocs0.join(broadcast(tomb), Seq("doc_id"), "left_anti")
-          else liveDocs0
+        val liveDocs = graft.llm.IndexDelete.liveById(spark, live,
+          Retrieval.docHashAt(spark, live), "doc_id")
         // the sidecar is the totals' authority: one row per LIVE doc
         liveDocs.agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col("dl")), lit(0L)).as("t_tokens"))
@@ -395,15 +431,9 @@ object IndexIngest {
     * [[compactBm25]] physicalizes and recounts. Absent or already-
     * tombstoned ids are ignored; the mark still advances. */
   def bm25DeleteSink(base: String, appId: String = DefaultApp)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    if (batchId <= readMark(base, appId)) return
-    val (removedIds, (dn, dx)) =
-      Retrieval.bm25RemovalPlan(spark, base, batch)
-    appendOnce(base, batchId, (-dn, dx), appId) { live =>
-      if (dn > 0) graft.llm.IndexDelete.writeTombstones(live, removedIds)
-    }
-  }
+      batch: DataFrame, batchId: Long): Unit =
+    removeOnce(base, batchId, appId)(
+      Retrieval.bm25RemovalPlan(batch.sparkSession, base, batch))
 
   /** One-time PQ bootstrap: train the codebook on the initial corpus,
     * encode it against the STAGED (stored) codebook, and write the
@@ -570,9 +600,16 @@ object IndexIngest {
     val fired = Similarity.retrainDecision(truthRows, hits)
     // skew deferral covers every co-retrained table: an IVF retrain
     // re-cells the derived codes too, so folding an uncommitted batch
-    // in (or dropping a committed one) has exactly the PQ failure mode
-    val retrained = fired && readState(ivfBase) == readState(pqBase) &&
-      derived.forall { case (b, _) => readState(b) == readState(ivfBase) }
+    // in (or dropping a committed one) has exactly the PQ failure mode.
+    // Compared on APPEND lineages only: a delete batch never reaches
+    // the code-table sinks, so its del:-namespaced mark lives on the
+    // IVF base alone by design — full-map equality would defer the
+    // retrain forever after the first streamed delete (review-caught);
+    // the retrain itself reads the live lists, so removals are always
+    // consistently reflected on every rebuilt table
+    val retrained = fired && appendMarks(ivfBase) == appendMarks(pqBase) &&
+      derived.forall { case (b, _) =>
+        appendMarks(b) == appendMarks(ivfBase) }
     if (retrained) {
       val ivfOk = ArtifactStore.rewrite(ivfBase) { (live, staging) =>
         // retrain from the LIVE members: tombstoned rows drop out of
@@ -947,9 +984,16 @@ object IndexIngest {
     val (queries, truthRows, hits) =
       auditRecall(spark, ivfBase, pqBase, panelMod)
     val fired = Similarity.retrainDecision(truthRows, hits)
+    // full IVF state snapshot (delete marks included — the swap-race
+    // re-check must catch a delete racing the builds: the new
+    // generation was built from lists read BEFORE that delete, so
+    // swapping would silently UNDO it); cross-artifact skew compares
+    // append lineages only, as in the fixed-base gate
     val marksBefore = readState(ivfBase)
-    var retrained = fired && marksBefore == readState(pqBase) &&
-      derivedCur.forall { case (_, p, _) => readState(p) == marksBefore }
+    val appendsBefore = appendMarksOf(marksBefore)
+    var retrained = fired && appendsBefore == appendMarks(pqBase) &&
+      derivedCur.forall { case (_, p, _) =>
+        appendMarks(p) == appendsBefore }
     if (retrained) {
       val next = s"g${gen.stripPrefix("g").toLong + 1}"
       val (ivfNew, pqNew) = genPaths(pairBase, next)
@@ -990,9 +1034,9 @@ object IndexIngest {
       // Together with the sinks' post-commit pointer re-check this
       // leaves no commit unaccounted for (review-caught r12).
       if (readState(ivfBase) != marksBefore ||
-          readState(pqBase) != marksBefore ||
+          appendMarks(pqBase) != appendsBefore ||
           derivedCur.exists { case (_, p, _) =>
-            readState(p) != marksBefore }) {
+            appendMarks(p) != appendsBefore }) {
         retrained = false
       } else swapCurrent(pairBase, next)
       // retention (only after a real swap): keep the just-replaced
@@ -1327,19 +1371,15 @@ object IndexIngest {
       // rewritten tables, and the tombstone set resets — fingerprint
       // unchanged (the delete sink already moved the logical
       // membership when it tombstoned)
-      val tomb = graft.llm.IndexDelete.tombstonesAt(spark, live, "doc_id")
-      val hasTomb = java.nio.file.Files.isDirectory(
-        graft.llm.IndexDelete.tombstoneDir(live))
-      def liveByDocId(df: DataFrame): DataFrame =
-        if (!hasTomb) df
-        else df.join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      val bands = liveByDocId(spark.read.schema(Dedup.bandIdxSchema)
-        .parquet(s"$live/bands"))
+      val bands = graft.llm.IndexDelete.liveById(spark, live,
+        spark.read.schema(Dedup.bandIdxSchema).parquet(s"$live/bands"),
+        "doc_id")
       graft.io.Store.writePartitionedParquet(
         bands.select(col("doc_id"), col("bucket"), col("band")),
         s"$staging/bands", Seq("band"), Seq("bucket", "doc_id"))
-      liveByDocId(spark.read.schema(Dedup.digestSchema)
-          .parquet(s"$live/digests"))
+      graft.llm.IndexDelete.liveById(spark, live,
+          spark.read.schema(Dedup.digestSchema).parquet(s"$live/digests"),
+          "doc_id")
         .distinct()
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/digests")
       clearTombstonesInto(live, staging)
@@ -1354,13 +1394,7 @@ object IndexIngest {
     * physicalizes. Absent or already-tombstoned ids are ignored; the
     * mark still advances. */
   def lshDeleteSink(base: String, appId: String = DefaultApp)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    if (batchId <= readMark(base, appId)) return
-    val (removedIds, (dn, dx)) =
-      graft.llm.Dedup.lshRemovalPlan(spark, base, batch)
-    appendOnce(base, batchId, (-dn, dx), appId) { live =>
-      if (dn > 0) graft.llm.IndexDelete.writeTombstones(live, removedIds)
-    }
-  }
+      batch: DataFrame, batchId: Long): Unit =
+    removeOnce(base, batchId, appId)(
+      graft.llm.Dedup.lshRemovalPlan(batch.sparkSession, base, batch))
 }

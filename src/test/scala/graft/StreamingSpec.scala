@@ -1569,21 +1569,34 @@ class StreamingSpec extends AnyFunSuite {
       bSkew.toDF("vec_id", "embedding"), 1L)
     assert(graft.io.ArtifactStore.currentFingerprint(pqIdx).isDefined,
       "pq must be valid after the drain append")
+    // a streamed DELETE lands before the retrain cycle. Its replay
+    // mark lives on the IVF base alone under a del: lineage key —
+    // there IS no PQ counterpart to skew against, so the gate must
+    // not read it as skew and defer forever (review-caught); the
+    // retrain must then physicalize the removal on every rebuilt
+    // table. (Non-panel ids, so the audit panel stays 17.)
+    val deleted = Set(102L, 303L)
+    graft.stream.IndexIngest.ivfDeleteSink(ivfIdx)(
+      deleted.toSeq.toDF("vec_id"), 0L)
+    val live = all.filterNot(v => deleted(v._1))
     val (q, h, fired, retrained) =
       graft.stream.IndexIngest.recallGateAndRetrain(spark, ivfIdx, pqIdx)
     assert(q == 17, s"audit panel should be the 17 vec%4==0 ids, got $q")
     assert(h >= 0 && h <= 10L * q)
     assert(fired,
       s"frozen-model appends should violate the 0.9 SLO here (hits $h)")
-    assert(retrained, "aligned marks + fired SLO must retrain")
-    // the retrained generation == a from-scratch bootstrap of ALL
-    // vectors (training is deterministic in the vector set)
+    assert(retrained,
+      "aligned append marks + fired SLO must retrain — a delete " +
+        "lineage must never read as skew")
+    // the retrained generation == a from-scratch bootstrap of the
+    // LIVE vectors (training is deterministic in the vector set, and
+    // the retrain physicalizes the streamed delete)
     val cleanIvf = root.resolve("clean-ivf").toString
     val cleanPq = root.resolve("clean-pq").toString
     graft.stream.IndexIngest.bootstrap(
-      cleanIvf, all.toDF("vec_id", "embedding"))
+      cleanIvf, live.toDF("vec_id", "embedding"))
     graft.stream.IndexIngest.pqBootstrap(
-      cleanPq, cleanIvf, all.toDF("vec_id", "embedding"))
+      cleanPq, cleanIvf, live.toDF("vec_id", "embedding"))
     def centroidRows(base: String) = spark.read
       .parquet(s"$base/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
@@ -2411,6 +2424,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(graft.llm.Retrieval.segmentedBm25Ranked(spark, sf, idx)) ==
       rows(graft.llm.Retrieval.segmentedBm25Ranked(spark, sf, idx2)),
       "post-merge scores must equal the from-scratch live-corpus index")
+  }
+
+  test("streaming encode with the shipped tokenizer: batches equal t20, " +
+      "OOV words take the learned merges, zero training on the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // prime the shipped artifact (train-at-most-once), then stream
+    graft.llm.Tokenizer.t19BpeMerges(spark, sf).collect()
+    val t0 = graft.llm.Tokenizer.bpeTrainCount.get()
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.llm.Tokenizer.encodeDocs(batch, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }
+      .start()
+    val novel = "zzq zzq quux " + docs.head._2.split(" ").take(2).mkString(" ")
+    try {
+      src.addData(docs.filter(_._1 % 2 == 0)); q.processAllAvailable()
+      src.addData(docs.filter(_._1 % 2 == 1)); q.processAllAvailable()
+      // a third batch of NEVER-SEEN docs: OOV words must segment by
+      // replaying the shipped merges, not by a lookup miss
+      src.addData(Seq((900001L, novel))); q.processAllAvailable()
+    } finally q.stop()
+    // the streamed corpus batches answer exactly like batch t20
+    val want = graft.llm.Tokenizer.t20BpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.filter(_._1 < 900000L).toSet == want,
+      "streamed per-batch encode must equal the batch operator")
+    // the OOV doc: replay the contract driver-side on the SHIPPED
+    // merge table (sentinel sym form, four replace passes per merge)
+    val merges = graft.llm.Tokenizer.t19BpeMerges(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
+    def tokensOf(w: String): Long =
+      if (w.isEmpty) 0L
+      else if (w.length == 1) 1L
+      else {
+        var sym = w.map(c => s" $c").mkString("") + " "
+        sym = " " + sym.trim + " "
+        for ((p, m) <- merges; _ <- 1 to graft.llm.Tokenizer.BpePasses)
+          sym = sym.replace(s" $p ", s" $m ")
+        sym.trim.split(" ").length.toLong
+      }
+    val expectedBpe = novel.split(" ", -1).map(tokensOf).sum
+    val novelRow = got.find(_._1 == 900001L).get
+    assert(novelRow._2 == novel.split(" ", -1).count(_.nonEmpty))
+    assert(novelRow._3 == expectedBpe,
+      s"OOV encode must replay the merge contract: got ${novelRow._3}, " +
+        s"want $expectedBpe")
+    // and no micro-batch ever trained: the tokenizer stayed shipped
+    assert(graft.llm.Tokenizer.bpeTrainCount.get() == t0,
+      "streaming encode must never retrain the vocabulary")
   }
 
   test("bounded-horizon dedup (transformWithState): in-horizon drops, " +

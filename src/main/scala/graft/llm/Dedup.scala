@@ -1196,28 +1196,27 @@ object Dedup {
     * whose digest rows carry no ids. */
   private[graft] def lshRemovalPlan(spark: SparkSession, base: String,
       ids: DataFrame): (DataFrame, (Long, Long)) = {
-    // pre-upgrade guard on the FILES' OWN schema: md5-only digest rows
-    // read as null doc_id through the declared schema, so they would
-    // fall out of the semi-join and turn a legally-required takedown
-    // into a silent no-op (with the replay mark still advancing — the
-    // request consumed and lost). A count-based check downstream is
-    // structurally dead for the same reason (null ids never reach it),
-    // hence this loud, footer-level detection (review-caught).
-    val digestsDir = java.nio.file.Paths.get(
-      graft.io.ArtifactStore.requireLocalRoot(base), "digests")
-    val hasFiles = java.nio.file.Files.isDirectory(digestsDir) &&
-      Option(digestsDir.toFile.listFiles()).getOrElse(Array.empty)
-        .exists(_.getName.startsWith("part-"))
-    if (hasFiles) {
-      val stored = spark.read.parquet(digestsDir.toString).schema
-      require(stored.fieldNames.contains("doc_id") &&
-        stored.fieldNames.contains("h64"),
-        s"dedup index at $base predates delete support (digest rows " +
-          "without doc identity) — rebuild it before applying takedowns")
-    }
+    // pre-upgrade guard over EVERY stored row: md5-only digest rows
+    // read as null doc_id/h64 through the declared schema, so they
+    // would fall out of the semi-join and turn a legally-required
+    // takedown into a silent no-op (with the replay mark still
+    // advancing — the request consumed and lost). Checked UPSTREAM of
+    // the semi-join as a row-complete aggregate, not a file-footer
+    // peek: a mixed dir (pre-upgrade base rows + post-upgrade appended
+    // rows) has new-format footers but still carries id-less rows
+    // (review-caught, twice). Runs once per removal plan — index-sized
+    // counts, the right price for a compliance verb.
+    val raw = spark.read.schema(digestSchema).parquet(s"$base/digests")
+    val chk = raw.agg(count(lit(1)).as("n"),
+      count(col("doc_id")).as("nid"), count(col("h64")).as("nh"))
+      .collect()(0)
+    require(chk.getLong(0) == chk.getLong(1) &&
+      chk.getLong(0) == chk.getLong(2),
+      s"dedup index at $base carries digest rows without doc identity " +
+        "(pre-upgrade layout; identity cannot be recovered from the " +
+        "index) — rebuild from the corpus before applying takedowns")
     val requested = ids.select(col("doc_id").cast(LongType)).distinct()
-    val victims = spark.read.schema(digestSchema)
-      .parquet(s"$base/digests")
+    val victims = raw
       .join(broadcast(requested), Seq("doc_id"), "left_semi")
       .join(broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
         Seq("doc_id"), "left_anti")

@@ -266,13 +266,34 @@ object Tokenizer {
     *    word still takes every learned merge that applies, it is
     *    never just character-split.
     */
+  /** Per-JVM memo of the COLLECTED 8-row merge list, keyed by artifact
+    * base and validated against the marker fingerprint on every read
+    * (the ValidatedPathCache discipline, inlined for a non-path
+    * value): a streaming ingest calls [[encodeDocs]] per micro-batch,
+    * and re-collecting an immutable shipped model per batch is a
+    * needless driver-side job on the hot path (review-caught); a
+    * retrained artifact moves its fingerprint and drops the memo. */
+  private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(String, String)])]()
+
+  private def shippedMerges(spark: SparkSession,
+      base: String): Seq[(String, String)] = {
+    val fp = graft.io.ArtifactStore.currentFingerprint(base)
+    val cur = mergeMemo.get(base)
+    if (cur != null && fp.contains(cur._1)) cur._2
+    else {
+      val m = spark.read.schema(mergesSchema).parquet(s"$base/merges")
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      fp.foreach(f => mergeMemo.put(base, (f, m)))
+      m
+    }
+  }
+
   private[graft] def encodeDocs(docs: DataFrame, dir: String): DataFrame = {
     val spark = docs.sparkSession
     val typeTokens = storedTypeTokens(spark, dir)
-    val merges = spark.read.schema(mergesSchema)
-      .parquet(s"${bpeVocabBase(spark, dir)}/merges")
-      .orderBy(col("merge_rank")).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    val merges = shippedMerges(spark, bpeVocabBase(spark, dir))
     val symCol = concat(lit(" "),
       array_join(
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),

@@ -174,32 +174,49 @@ object IndexIngest {
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(staging, "tombstones"))
 
-  /** The shared exactly-once append step both sinks ride: skip a
-    * batch id at or below the artifact's high-water mark, chain the
-    * batch's fingerprint parts onto the current fingerprint by
-    * xor-composition, and run `append` + the mark write inside ONE
-    * [[graft.io.ArtifactStore.mutate]] so a crash between them can
-    * never leave a marked-but-double-ingestable state. */
-  private def appendOnce(base: String, batchId: Long,
-      parts: (Long, Long), appId: String = DefaultApp)(
-      append: String => Unit): Unit = {
-    require(!appId.exists(c => c == '\t' || c == '\n' || c == '\r'),
-      s"appId must not contain tab/newline: '$appId'")
+  /** THE exactly-once commit core every streaming sink (append AND
+    * delete) rides: skip a batch id at or below this lineage's
+    * high-water mark, chain the batch's SIGNED fingerprint parts onto
+    * the current fingerprint by xor-composition (appends pass +count,
+    * removals −count — xor is its own inverse), and run `body` + the
+    * mark write inside ONE [[graft.io.ArtifactStore.mutate]] so a
+    * crash between them can never leave a marked-but-double-
+    * ingestable state. `parts` is BY-NAME and evaluated only after
+    * the expected fingerprint is captured: a removal plan reads
+    * artifact state, and the reversed order would let a racing
+    * writer's plan validate against the post-race fingerprint
+    * (the applyRemoval race class). One body holds the exactly-once
+    * reasoning for all ten sinks (review-caught duplication). */
+  private def commitOnce(base: String, batchId: Long, markKey: String,
+      parts: => (Long, Long))(body: String => Unit): Unit = {
     val stateFile = java.nio.file.Paths.get(localBase(base), "stream_state")
-    if (batchId <= readMark(base, appId))
+    if (batchId <= readState(base).getOrElse(markKey, -1L))
       return // replay of a committed batch OF THIS LINEAGE
     val cur = ArtifactStore.currentFingerprint(base).getOrElse(
       throw new IllegalStateException(
         s"no valid index artifact at $base — bootstrap first"))
+    val (pn, px) = parts
     val Array(cn, cx) = cur.split("_")
-    val next = fpStr(cn.toLong + parts._1,
-      java.lang.Long.parseUnsignedLong(cx) ^ parts._2)
+    val next = fpStr(cn.toLong + pn,
+      java.lang.Long.parseUnsignedLong(cx) ^ px)
     val ok = ArtifactStore.mutate(base, cur, next) { live =>
-      append(live)
-      writeStateAtomic(stateFile, readState(base) + (appId -> batchId))
+      body(live)
+      writeStateAtomic(stateFile, readState(base) + (markKey -> batchId))
     }
     if (!ok) throw new IllegalStateException(
       s"index at $base changed under batch $batchId — replay")
+  }
+
+  private def requireAppId(appId: String): Unit =
+    require(!appId.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"appId must not contain tab/newline: '$appId'")
+
+  /** [[commitOnce]] keyed by the plain append lineage. */
+  private def appendOnce(base: String, batchId: Long,
+      parts: (Long, Long), appId: String = DefaultApp)(
+      append: String => Unit): Unit = {
+    requireAppId(appId)
+    commitOnce(base, batchId, appId, parts)(append)
   }
 
   /** The lineage a sink belongs to when the caller does not name one.
@@ -279,7 +296,11 @@ object IndexIngest {
     * reaches the PQ/SQ/BQ sinks, so its mark existing only on the IVF
     * base is the steady state, not skew — comparing full maps would
     * leave the retrain deferred FOREVER after the first streamed
-    * delete (review-caught). */
+    * delete (review-caught). Marks written by the one pre-namespace
+    * dev revision (plain appId key) would read as append skew; no
+    * shipped artifact carries one, so there is no migration path —
+    * a hand-built artifact in that state needs a one-time key strip
+    * in its stream_state. */
   private[graft] val DeleteMarkPrefix = "del:"
 
   /** The append-lineage marks of `base` — the delete lineages
@@ -290,35 +311,24 @@ object IndexIngest {
   private def appendMarksOf(state: Map[String, Long]): Map[String, Long] =
     state.filterNot(_._1.startsWith(DeleteMarkPrefix))
 
-  /** [[appendOnce]]'s removal twin, shared by the three delete sinks:
-    * the expected fingerprint is read BEFORE the family's removal plan
-    * materializes (the plan reads artifact state, so the reversed
-    * order would let a racing writer's plan validate against the
-    * post-race fingerprint and xor a hash back in — the
-    * [[graft.llm.IndexDelete.applyRemoval]] race, review-caught), the
-    * batch's parts are SUBTRACTED, and the replay mark commits under
-    * the delete-namespaced key inside the same mutate. */
+  /** [[commitOnce]] keyed by the delete-namespaced lineage, parts
+    * negated, tombstones written when anything was actually removed.
+    * The removal plan evaluates inside commitOnce's by-name `parts`
+    * (after the expected fingerprint is captured); the ids it yields
+    * ride to the body through the local stash. */
   private def removeOnce(base: String, batchId: Long, appId: String)(
       plan: => (DataFrame, (Long, Long))): Unit = {
-    require(!appId.exists(c => c == '\t' || c == '\n' || c == '\r'),
-      s"appId must not contain tab/newline: '$appId'")
-    val key = DeleteMarkPrefix + appId
-    val stateFile = java.nio.file.Paths.get(localBase(base), "stream_state")
-    if (batchId <= readState(base).getOrElse(key, -1L))
-      return // replay of a committed delete batch OF THIS LINEAGE
-    val cur = ArtifactStore.currentFingerprint(base).getOrElse(
-      throw new IllegalStateException(
-        s"no valid index artifact at $base — bootstrap first"))
-    val (removedIds, (dn, dx)) = plan
-    val Array(cn, cx) = cur.split("_")
-    val next = fpStr(cn.toLong - dn,
-      java.lang.Long.parseUnsignedLong(cx) ^ dx)
-    val ok = ArtifactStore.mutate(base, cur, next) { live =>
-      if (dn > 0) graft.llm.IndexDelete.writeTombstones(live, removedIds)
-      writeStateAtomic(stateFile, readState(base) + (key -> batchId))
+    requireAppId(appId)
+    var removed: Option[(DataFrame, Long)] = None
+    commitOnce(base, batchId, DeleteMarkPrefix + appId, {
+      val (ids, (dn, dx)) = plan
+      removed = Some((ids, dn))
+      (-dn, dx)
+    }) { live =>
+      removed.foreach { case (ids, dn) =>
+        if (dn > 0) graft.llm.IndexDelete.writeTombstones(live, ids)
+      }
     }
-    if (!ok) throw new IllegalStateException(
-      s"index at $base changed under delete batch $batchId — replay")
   }
 
   /** One-time BM25 bootstrap: the initial corpus becomes the index's

@@ -813,8 +813,13 @@ object TextStats {
     val vocab = tok.groupBy(col("w"))
       .agg(expr("(1000000 * count(CASE WHEN hi THEN 1 END)) DIV count(1)")
         .as("w_e6"))
+    // NULLIF guards the GLOBAL aggregate: unlike the grouped vocab frame
+    // (groups always carry >=1 row), an empty corpus yields count(1)=0
+    // here and ANSI division throws. Today's green empty-input sweep only
+    // survives because AQE's empty-relation propagation discards the
+    // failing stage first — a plan-shape accident, not a guarantee.
     val prior = tok.agg(
-      expr("(1000000 * count(CASE WHEN hi THEN 1 END)) DIV count(1)")
+      expr("(1000000 * count(CASE WHEN hi THEN 1 END)) DIV nullif(count(1), 0)")
         .as("p_e6"))
     val scores = tok.join(broadcast(vocab), "w")
       .groupBy(col("doc_id"))
@@ -845,8 +850,8 @@ object TextStats {
        |    (1000000 * COUNT(CASE WHEN hi THEN 1 END)) // COUNT(*) AS w_e6
        |  FROM tok GROUP BY w
        |), prior AS (
-       |  SELECT (1000000 * COUNT(CASE WHEN hi THEN 1 END)) // COUNT(*)
-       |    AS p_e6
+       |  SELECT (1000000 * COUNT(CASE WHEN hi THEN 1 END))
+       |    // NULLIF(COUNT(*), 0) AS p_e6
        |  FROM tok
        |), scores AS (
        |  SELECT t.doc_id,

@@ -46,4 +46,19 @@ class EmptyInputSpec extends AnyFunSuite {
       s"${failures.size} queries crash on empty inputs:\n" +
         failures.mkString("\n"))
   }
+
+  test("t18's global prior survives an empty corpus without AQE cover") {
+    // With AQE on, empty-relation propagation can discard a failing
+    // stage before its DIVIDE_BY_ZERO surfaces, so the sweep above can
+    // go green by plan-shape accident. Pin the NULLIF guard directly:
+    // the global aggregate must evaluate (to NULL) even when every
+    // stage actually executes.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rows = SparkEntry.queries("t18_quality_distill")(spark, emptyDir)
+        .collect()
+      assert(rows.isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

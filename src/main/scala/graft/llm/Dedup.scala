@@ -1194,6 +1194,37 @@ object Dedup {
     * tombstoned), fingerprint parts from the stored `h64` row hashes —
     * the corpus is never re-read. Fails loud on a pre-upgrade artifact
     * whose digest rows carry no ids. */
+  /** Digest-table signatures that already passed the pre-upgrade
+    * row-completeness check, per base. The guard is an index-sized
+    * aggregate, and the streaming delete sink plans a removal per
+    * micro-batch — re-running it every batch is O(index)
+    * driver-blocking work on the hot path, at odds with the
+    * delete-is-O(deletes) posture (the Tokenizer.shippedMerges memo
+    * pattern; ADVICE r12). Completeness is a property of the DIGEST
+    * FILES, not the artifact fingerprint: a delete moves the
+    * fingerprint but only appends tombstones (digest dir untouched →
+    * memo hit, which is exactly the hot path), while an append or
+    * compaction changes the digest file set → signature miss →
+    * conservative re-check (a mixed pre/post-upgrade dir is precisely
+    * an append-shaped change). Correctness never depends on the memo,
+    * only the hot path's cost does. */
+  private val lshLayoutOk =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def lshLayoutForget(): Unit = lshLayoutOk.clear()
+
+  /** Cheap driver-side identity of a digest dir: sorted
+    * `name:length` of its part files. Mtimes are excluded on purpose —
+    * parquet files are immutable once closed; a same-name-same-length
+    * rewrite goes through a staging swap that changes names. */
+  private def digestDirSignature(base: String): String = {
+    val d = new java.io.File(
+      graft.io.ArtifactStore.requireLocalRoot(base), "digests")
+    if (!d.isDirectory) ""
+    else Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => s"${f.getName}:${f.length}").sorted.mkString(",")
+  }
+
   private[graft] def lshRemovalPlan(spark: SparkSession, base: String,
       ids: DataFrame): (DataFrame, (Long, Long)) = {
     // pre-upgrade guard over EVERY stored row: md5-only digest rows
@@ -1204,17 +1235,23 @@ object Dedup {
     // the semi-join as a row-complete aggregate, not a file-footer
     // peek: a mixed dir (pre-upgrade base rows + post-upgrade appended
     // rows) has new-format footers but still carries id-less rows
-    // (review-caught, twice). Runs once per removal plan — index-sized
-    // counts, the right price for a compliance verb.
+    // (review-caught, twice). Memoized per digest-dir signature — see
+    // [[lshLayoutOk]] — so a streaming delete lineage pays the
+    // index-sized count once per digest-table generation, not per
+    // batch (deletes never touch the digest files).
     val raw = spark.read.schema(digestSchema).parquet(s"$base/digests")
-    val chk = raw.agg(count(lit(1)).as("n"),
-      count(col("doc_id")).as("nid"), count(col("h64")).as("nh"))
-      .collect()(0)
-    require(chk.getLong(0) == chk.getLong(1) &&
-      chk.getLong(0) == chk.getLong(2),
-      s"dedup index at $base carries digest rows without doc identity " +
-        "(pre-upgrade layout; identity cannot be recovered from the " +
-        "index) — rebuild from the corpus before applying takedowns")
+    val sig = digestDirSignature(base)
+    if (sig.isEmpty || lshLayoutOk.get(base) != sig) {
+      val chk = raw.agg(count(lit(1)).as("n"),
+        count(col("doc_id")).as("nid"), count(col("h64")).as("nh"))
+        .collect()(0)
+      require(chk.getLong(0) == chk.getLong(1) &&
+        chk.getLong(0) == chk.getLong(2),
+        s"dedup index at $base carries digest rows without doc identity " +
+          "(pre-upgrade layout; identity cannot be recovered from the " +
+          "index) — rebuild from the corpus before applying takedowns")
+      if (sig.nonEmpty) lshLayoutOk.put(base, sig)
+    }
     val requested = ids.select(col("doc_id").cast(LongType)).distinct()
     val victims = raw
       .join(broadcast(requested), Seq("doc_id"), "left_semi")
@@ -1222,7 +1259,7 @@ object Dedup {
         Seq("doc_id"), "left_anti")
     val r = victims
       .agg(count(lit(1)).as("n"), expr("bit_xor(h64)").as("x")).collect()(0)
-    (victims.select(col("doc_id")),
+    (IndexDelete.pinIds(victims.select(col("doc_id")), "doc_id"),
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
   }
 

@@ -95,6 +95,22 @@ object IndexDelete {
     else df.join(broadcast(tombstonesAt(spark, base, idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[liveById]] with the member id under a CONSUMER-side column name
+    * (the serving pools carry it as `neighbor_id`); the stored
+    * tombstone column stays the family key and the rename happens on
+    * the broadcast side. This is the pre-pool cut of the compressed
+    * serving chains: tombstoned ids must not occupy [[Similarity.RerankPool]]
+    * slots (a heavily-deleted index would starve the refine below k —
+    * the s26 starvation class, on the delete path), so the anti-join
+    * runs at CANDIDATE scale before any rank window. Same driver-side
+    * branch: an undeleted index plans the bare scan. */
+  private[graft] def liveByMember(spark: SparkSession, base: String,
+      df: DataFrame, idCol: String,
+      storedCol: String = "vec_id"): DataFrame =
+    if (!hasTombstones(base)) df
+    else df.join(broadcast(tombstonesAt(spark, base, storedCol)
+      .withColumnRenamed(storedCol, idCol)), Seq(idCol), "left_anti")
+
   private[graft] def tombstonesAt(spark: SparkSession, base: String,
       idCol: String = "vec_id"): DataFrame = {
     val schema = StructType(Seq(StructField(idCol, LongType)))
@@ -116,12 +132,31 @@ object IndexDelete {
     liveById(spark, base, Similarity.invertedListsAt(spark, base), "vec_id")
       .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
 
+  /** Pin a victim-id frame to its CURRENT value as a driver-local
+    * relation (O(deletes)-small by design — the same scale bound the
+    * broadcast anti-joins rely on). Every removal plan must return a
+    * PINNED frame, never a lazy one: the plan is otherwise re-executed
+    * inside the mutate body AFTER the marker is dropped, and a
+    * concurrent same-fingerprint rewrite (compaction swaps the
+    * underlying part files without moving the fingerprint) between
+    * plan evaluation and mutate makes the stale file listing fail
+    * mid-write — leaving the artifact marker-less until the next
+    * heal. A local relation carries no file references at all, so the
+    * commit window writes a value, not a plan (ADVICE r12). */
+  private[graft] def pinIds(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val vals = ids.collect().map(_.getLong(0)).sorted.toIndexedSeq
+    import spark.implicits._
+    vals.toDF(idCol)
+  }
+
   /** Read-side plan of one remove_ids call against the CURRENT
     * artifact: the ids actually being removed (present in the lists,
     * not already tombstoned — deduplicated) and their fingerprint
-    * parts. Everything is computed BEFORE any mutation; the caller's
-    * `mutate` re-validates the expected fingerprint under the lock, so
-    * a racing writer turns this into a clean retry, never a torn
+    * parts. Everything is computed — and the id set PINNED
+    * ([[pinIds]]) — BEFORE any mutation; the caller's `mutate`
+    * re-validates the expected fingerprint under the lock, so a
+    * racing writer turns this into a clean retry, never a torn
     * apply. */
   private[graft] def removalPlan(spark: SparkSession, base: String,
       ids: DataFrame): (DataFrame, (Long, Long)) = {
@@ -131,7 +166,7 @@ object IndexDelete {
       .join(broadcast(tombstonesAt(spark, base)), Seq("vec_id"), "left_anti")
     val parts = Similarity.frameFingerprintParts(
       removed.select(col("vec_id"), col("embedding")))
-    (removed.select(col("vec_id")), parts)
+    (pinIds(removed.select(col("vec_id")), "vec_id"), parts)
   }
 
   /** Append the removal's tombstones into the LIVE base — the body a
@@ -147,11 +182,14 @@ object IndexDelete {
     * planner — [[removalPlan]] for the vector index,
     * [[Retrieval.bm25RemovalPlan]] for the lexical one), and apply it
     * as one fingerprint-checked mutation. Returns the number of
-    * members actually removed (0 when every id was absent or already
-    * tombstoned — the mark still moves for streaming callers, see
-    * [[graft.stream.IndexIngest.ivfDeleteSink]]). Idempotent by
-    * fingerprint: a concurrent applier losing the mutate race
-    * re-checks whether the winner already landed the same removal. */
+    * members removed BY THIS CALL — Faiss `n_removed` semantics: 0
+    * when every id was absent or already tombstoned (the mark still
+    * moves for streaming callers, see
+    * [[graft.stream.IndexIngest.ivfDeleteSink]]), and ALSO 0 when a
+    * concurrent applier won the mutate race and landed the same
+    * removal first (the outcome is idempotent, but each removal is
+    * reported exactly once — two racers summing `dn` each would
+    * double-count, ADVICE r12). */
   private[graft] def applyRemoval(base: String)(
       plan: => (DataFrame, (Long, Long))): Long = {
     // the expected fingerprint is captured BEFORE the plan reads any
@@ -171,11 +209,12 @@ object IndexDelete {
     val ok = graft.io.ArtifactStore.mutate(base, cur, next)(
       writeTombstones(_, removedIds))
     // tolerate exactly one race: a concurrent applier landed the SAME
-    // removal from the same starting fingerprint (idempotent outcome)
+    // removal from the same starting fingerprint (idempotent outcome —
+    // but the WINNER reported those removals; this call removed none)
     if (!ok && !graft.io.ArtifactStore.currentFingerprint(base).contains(next))
       throw new IllegalStateException(
         s"index at $base changed under remove_ids — retry")
-    dn
+    if (ok) dn else 0L
   }
 
   /** Batch `remove_ids` on the persisted IVF index. */

@@ -616,7 +616,7 @@ object Retrieval {
         Seq("doc_id"), "left_anti")
     val r = victims
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).collect()(0)
-    (victims.select(col("doc_id")),
+    (IndexDelete.pinIds(victims.select(col("doc_id")), "doc_id"),
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
   }
 

@@ -784,10 +784,40 @@ object Similarity {
     * corpus table never appears in the refine subtree — a plan the
     * spec pins. */
   private[graft] def indexVectorFetch(spark: SparkSession, dir: String): DataFrame =
-    ivfInvertedLists(spark, dir)
+    liveVectorFetchAt(spark, ivfIndexBase(spark, dir))
+
+  /** The refine stage's LIVE full-precision source at a given IVF
+    * base: stored lists minus tombstones, re-normalized to unit
+    * doubles — the one fetch body every artifact server shares
+    * (tombstoned ids drop from every refined result; an undeleted
+    * index plans the bare stored scan). */
+  private[graft] def liveVectorFetchAt(spark: SparkSession,
+      ivfBase: String): DataFrame =
+    IndexDelete.liveListsAt(spark, ivfBase)
       .withColumn("nv",
         expr(UnitNvExpr))
       .select(col("vec_id"), col("nv"))
+
+  /** Query probes against a STORED generation's centroids, from an
+    * explicit `(vec_id, embedding, norm)` query frame: top-3 cells per
+    * query — `(cell, query_id)`. The from-frame twin of
+    * [[servingProbes]] (same expressions, same tie-break), shared by
+    * the IVF-PQ serving chain and the SQ/BQ from-frame servers. */
+  private def storedProbes(spark: SparkSession, queries: DataFrame,
+      ivfBase: String): DataFrame = {
+    val centroids = spark.read.parquet(s"$ivfBase/centroids")
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"))
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    q.join(broadcast(centroids), lit(true))
+      .withColumn("csim",
+        expr("vec_dot(qv, centroid)") / (col("qn") * col("cnorm")))
+      .withColumn("cell_rank", row_number().over(byQ))
+      .filter(col("cell_rank") <= 3)
+      .select(col("cell"), col("query_id"))
+  }
 
   /** s19 candidate-pool width: ADC keeps this many candidates per
     * query before the exact re-rank — the recall/cost knob of every
@@ -988,14 +1018,21 @@ object Similarity {
     * [[RerankPool]]. Returns `(query_id, neighbor_id, adc_rank)` —
     * one body, so a tie-break or pool-size change lands exactly once
     * across the raw, filtered, label-partitioned and residual
-    * serving paths. */
+    * serving paths. `liveBase` is the membership-authority IVF base
+    * whose tombstones cut the candidates BEFORE the pool window
+    * ([[IndexDelete.liveByMember]]): tombstoned ids must not occupy
+    * pool slots, or a heavily-deleted index starves the refine below
+    * k. An undeleted base keeps the bare plan (driver-side branch). */
   private def adcPool(probes: DataFrame, storedCodes: DataFrame,
-      lut: DataFrame, correction: Option[DataFrame] = None): DataFrame = {
+      lut: DataFrame, correction: Option[DataFrame] = None,
+      liveBase: Option[String] = None): DataFrame = {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    val joined = probes.join(storedCodes, "cell")
+    val cand = probes.join(storedCodes, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(lut), "query_id")
+    val live = liveBase.fold(cand)(b =>
+      IndexDelete.liveByMember(cand.sparkSession, b, cand, "neighbor_id"))
+    val joined = live.join(broadcast(lut), "query_id")
     val scored = correction match {
       case Some(qc) => joined
         .join(broadcast(qc), Seq("query_id", "cell"))
@@ -1048,7 +1085,8 @@ object Similarity {
       .parquet(s"$base/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
     val pool = adcPool(servingProbes(spark, dir), storedCodes,
-      servingLuts(spark, dir, cb))
+      servingLuts(spark, dir, cb),
+      liveBase = Some(ivfIndexBase(spark, dir)))
     exactRefine(pool, indexVectorFetch(spark, dir), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
@@ -1080,7 +1118,8 @@ object Similarity {
       .parquet(s"$pqBase/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
     val pool = adcPool(servingProbes(spark, dir), storedCodes,
-      servingLuts(spark, dir, cb))
+      servingLuts(spark, dir, cb),
+      liveBase = Some(ivfIndexBase(spark, dir)))
       .select(col("query_id"), col("neighbor_id"))
     val labels = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"))
@@ -1191,7 +1230,8 @@ object Similarity {
       .filter(col("label") === LblTarget) // partition-column equality
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
     val pool = adcPool(servingProbes(spark, dir), stored,
-      servingLuts(spark, dir, cb))
+      servingLuts(spark, dir, cb),
+      liveBase = Some(ivfIndexBase(spark, dir)))
       .select(col("query_id"), col("neighbor_id"))
     exactRefine(pool, indexVectorFetch(spark, dir), 5)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
@@ -1322,7 +1362,7 @@ object Similarity {
         floor(expr("vec_dot(nv, cu)") * lit(1048576.0)).cast(LongType))
       .select(col("vec_id").as("query_id"), col("cell"), col("qc"))
     val pool = adcPool(servingProbes(spark, dir), storedCodes,
-      servingLuts(spark, dir, cb), Some(qc))
+      servingLuts(spark, dir, cb), Some(qc), liveBase = Some(ivfBase))
     exactRefine(pool, indexVectorFetch(spark, dir), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
@@ -1454,29 +1494,67 @@ object Similarity {
     * of compression. */
   def s29SqSearch(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
-    val base = sqIndexBase(spark, dir)
-    val params = spark.read.parquet(s"$base/params")
-    val storedCodes = spark.read.schema(sqCodesSchema)
-      .parquet(s"$base/codes")
+    val qv = pqNv(spark, dir).filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val pool = sqPool(servingProbes(spark, dir),
+      sqRecon(spark, sqIndexBase(spark, dir)), qv,
+      ivfIndexBase(spark, dir))
+    exactRefine(pool, indexVectorFetch(spark, dir), 10)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"),
+        col("sq_rank").cast("integer").as("sq_rank"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** SQ8 code reconstruction at a stored base: `(cell, neighbor_id,
+    * rv)` with `rv_j = vmin_j + code_j·vdiff_j/255` (Faiss
+    * `ScalarQuantizer::decode`). One body for s29 and
+    * [[sqServeFrom]]. */
+  private def sqRecon(spark: SparkSession, sqBase: String): DataFrame =
+    spark.read.schema(sqCodesSchema).parquet(s"$sqBase/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("scodes"))
-    val recon = storedCodes.join(broadcast(params), lit(true))
+      .join(broadcast(spark.read.parquet(s"$sqBase/params")), lit(true))
       .withColumn("rv", expr(
         "transform(scodes, (c, j) -> element_at(vmin, j + 1) + " +
           "(CAST(c AS DOUBLE) * element_at(vdiff, j + 1)) / 255.0)"))
       .select(col("cell"), col("neighbor_id"), col("rv"))
-    val qv = pqNv(spark, dir).filter(col("vec_id") % 4 === 0)
-      .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+
+  /** The SQ candidate pool — probes ⋈ reconstructed codes on cell,
+    * tombstone-cut at candidate scale BEFORE the rank window
+    * ([[adcPool]]'s liveBase contract: deleted members must not
+    * occupy [[RerankPool]] slots), codegen'd `vec_dot` score, top
+    * pool per query. One body for the corpus-panel server (s29) and
+    * the from-frame serving twin. */
+  private def sqPool(probes: DataFrame, recon: DataFrame, qv: DataFrame,
+      ivfBase: String): DataFrame = {
     val wSq = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    val pool = servingProbes(spark, dir).join(recon, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
+    IndexDelete.liveByMember(probes.sparkSession, ivfBase,
+        probes.join(recon, "cell")
+          .filter(col("query_id") =!= col("neighbor_id")), "neighbor_id")
       .join(qv, "query_id")
       .withColumn("score",
         floor(expr("vec_dot(qnv, rv)") * lit(1048576.0)).cast(LongType))
       .withColumn("sq_rank", row_number().over(wSq))
       .filter(col("sq_rank") <= RerankPool)
       .select(col("query_id"), col("neighbor_id"), col("sq_rank"))
-    exactRefine(pool, indexVectorFetch(spark, dir), 10)
+  }
+
+  /** [[storedIvfPqServeFrom]]'s SQ8 twin: serve an explicit
+    * `(vec_id, embedding, norm)` query frame from a stored
+    * (ivf, sq) artifact pair — the form a streaming maintenance loop
+    * needs (the panel comes out of the stored lists), and the
+    * delete-propagation surface that proves the SQ pool's tombstone
+    * cut. Same chain as s29: stored-centroid probes, reconstruct-and-
+    * score pool, exact refine from the LIVE stored lists. */
+  private[graft] def sqServeFrom(spark: SparkSession, queries: DataFrame,
+      ivfBase: String, sqBase: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val qv = pqNvFrame(queries)
+      .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val pool = sqPool(storedProbes(spark, queries, ivfBase),
+      sqRecon(spark, sqBase), qv, ivfBase)
+    exactRefine(pool, liveVectorFetchAt(spark, ivfBase), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("sq_rank").cast("integer").as("sq_rank"))
@@ -1574,24 +1652,60 @@ object Similarity {
     * unaffordable. */
   def s30BqSearch(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
-    val base = bqIndexBase(spark, dir)
-    val stored = spark.read.schema(bqCodesSchema).parquet(s"$base/codes")
-      .select(col("cell"), col("vec_id").as("neighbor_id"),
-        col("bits_lo").as("clo"), col("bits_hi").as("chi"))
     val qbits = bqBits(pqNv(spark, dir).filter(col("vec_id") % 4 === 0))
       .select(col("vec_id").as("query_id"),
         col("bits_lo").as("qlo"), col("bits_hi").as("qhi"))
+    val pool = bqPool(servingProbes(spark, dir),
+      bqStored(spark, bqIndexBase(spark, dir)), qbits,
+      ivfIndexBase(spark, dir))
+    exactRefine(pool, indexVectorFetch(spark, dir), 10)
+      .select(col("query_id"), col("rn").cast("integer").as("rn"),
+        col("neighbor_id"), col("score"),
+        col("bq_rank").cast("integer").as("bq_rank"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** The stored sign-bit table at a base, candidate-shaped. One body
+    * for s30 and [[bqServeFrom]]. */
+  private def bqStored(spark: SparkSession, bqBase: String): DataFrame =
+    spark.read.schema(bqCodesSchema).parquet(s"$bqBase/codes")
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("bits_lo").as("clo"), col("bits_hi").as("chi"))
+
+  /** The BQ candidate pool — probes ⋈ stored sign bits on cell,
+    * tombstone-cut at candidate scale BEFORE the rank window
+    * ([[adcPool]]'s liveBase contract), two-popcount Hamming score,
+    * top pool per query. One body for the corpus-panel server (s30)
+    * and the from-frame serving twin. */
+  private def bqPool(probes: DataFrame, stored: DataFrame,
+      qbits: DataFrame, ivfBase: String): DataFrame = {
     val wBq = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
-    val pool = servingProbes(spark, dir).join(stored, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
+    IndexDelete.liveByMember(probes.sparkSession, ivfBase,
+        probes.join(stored, "cell")
+          .filter(col("query_id") =!= col("neighbor_id")), "neighbor_id")
       .join(broadcast(qbits), "query_id")
       .withColumn("hamming",
         expr("bit_count(qlo ^ clo) + bit_count(qhi ^ chi)"))
       .withColumn("bq_rank", row_number().over(wBq))
       .filter(col("bq_rank") <= RerankPool)
       .select(col("query_id"), col("neighbor_id"), col("bq_rank"))
-    exactRefine(pool, indexVectorFetch(spark, dir), 10)
+  }
+
+  /** [[storedIvfPqServeFrom]]'s binary twin: serve an explicit
+    * `(vec_id, embedding, norm)` query frame from a stored (ivf, bq)
+    * artifact pair — the streaming-posture form, and the
+    * delete-propagation surface that proves the BQ pool's tombstone
+    * cut. */
+  private[graft] def bqServeFrom(spark: SparkSession, queries: DataFrame,
+      ivfBase: String, bqBase: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val qbits = bqBits(pqNvFrame(queries))
+      .select(col("vec_id").as("query_id"),
+        col("bits_lo").as("qlo"), col("bits_hi").as("qhi"))
+    val pool = bqPool(storedProbes(spark, queries, ivfBase),
+      bqStored(spark, bqBase), qbits, ivfBase)
+    exactRefine(pool, liveVectorFetchAt(spark, ivfBase), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("bq_rank").cast("integer").as("bq_rank"))
@@ -2070,37 +2184,15 @@ object Similarity {
       .parquet(s"$pqBase/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
     val lut = pqLut(pqSub(pqNvFrame(queries)), cb)
-    val centroids = spark.read.parquet(s"$ivfBase/centroids")
-    val q = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("norm").as("qn"))
-    val byQ = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cell").asc)
-    val probes = q.join(broadcast(centroids), lit(true))
-      .withColumn("csim",
-        expr("vec_dot(qv, centroid)") / (col("qn") * col("cnorm")))
-      .withColumn("cell_rank", row_number().over(byQ))
-      .filter(col("cell_rank") <= 3)
-      .select(col("cell"), col("query_id"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    val pool = probes.join(storedCodes, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(lut), "query_id")
-      .withColumn("score", expr(adcScoreExpr))
-      .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= RerankPool)
-      .select(col("query_id"), col("neighbor_id"), col("adc_rank"))
-    // LIVE members only: a tombstoned id ([[IndexDelete]]) may still
-    // have code rows until compaction, but the inner-join fetch here
-    // drops it from every refined result — deletes are effective at
-    // the next query, not the next maintenance window. An undeleted
-    // index has no tombstone dir and this is the plain stored scan.
-    val fetched = IndexDelete.liveListsAt(spark, ivfBase)
-      .withColumn("nv",
-        expr(UnitNvExpr))
-      .select(col("vec_id"), col("nv"))
-    exactRefine(pool, fetched, 10)
+    // the shared pool body, tombstone-cut at candidate scale BEFORE
+    // the rank window (liveBase): a tombstoned id must not occupy a
+    // RerankPool slot, or a heavily-deleted index starves the refine
+    // below k. Deletes are effective at the next query, not the next
+    // maintenance window; an undeleted index has no tombstone dir and
+    // this plans the plain stored scan.
+    val pool = adcPool(storedProbes(spark, queries, ivfBase), storedCodes,
+      lut, liveBase = Some(ivfBase))
+    exactRefine(pool, liveVectorFetchAt(spark, ivfBase), 10)
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("adc_rank").cast("integer").as("adc_rank"))

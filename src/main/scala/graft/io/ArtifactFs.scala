@@ -1,0 +1,283 @@
+package graft.io
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+/** The filesystem primitives [[ArtifactStore]]'s publish protocol is
+  * written against — ONE protocol core (lock → stage → aside-rename →
+  * marker-last), two bindings:
+  *
+  *  - [[PosixFs]]: java.nio + advisory `FileChannel` locks + atomic
+  *    same-volume rename. The local default; what every bare or
+  *    `file:`-scheme base resolves to.
+  *  - [[HadoopFs]]: `org.apache.hadoop.fs.FileSystem` — HDFS-class
+  *    stores, where the data actually lives at 100 TB. HDFS rename is
+  *    an atomic namenode metadata operation, so the staged publish
+  *    carries over unchanged; the cross-process mutex (advisory file
+  *    locks do not exist there) becomes an exclusive-create lock file
+  *    with stale-expiry — the standard HDFS mutex (create with
+  *    `overwrite = false` is atomic against the namenode).
+  *
+  * NOT a binding for eventual-rename object stores: on S3 proper,
+  * "rename" is copy+delete — non-atomic and O(data). The S3 variant
+  * of this protocol keeps data files immutable-once-written under
+  * unique names (which the staged layout already guarantees) and
+  * replaces the marker rename with a CONDITIONAL PUT on the marker
+  * object (`If-None-Match`/ETag compare-and-swap, the primitive Delta
+  * and Iceberg commit services use); the lock file is then redundant
+  * — the marker CAS is the mutex. That is a third [[ArtifactFs]]
+  * binding (the two atomicity contracts below move onto the marker
+  * object alone), not a config value on this one.
+  *
+  * The operations are deliberately few and strongly specified: every
+  * crash-safety argument in [[ArtifactStore]] reduces to the two
+  * atomicity contracts here — [[ArtifactFs.rename]] (all-or-nothing
+  * move, destination absent) and [[ArtifactFs.writeAtomic]] (readers
+  * see the whole old file, absence, or the whole new file). A binding
+  * that cannot honor them cannot host the store.
+  */
+private[graft] trait ArtifactFs {
+  /** Join with the backend's separator. */
+  def join(p: String, child: String): String
+  def mkdirs(p: String): Unit
+  def exists(p: String): Boolean
+  def isFile(p: String): Boolean
+  def isDir(p: String): Boolean
+  /** Immediate child NAMES of a directory (empty when absent). */
+  def childNames(p: String): Seq[String]
+  /** Every regular file under `p`, recursively:
+    * `(relpath-with-'/', size, mtimeMillis)`. Empty when absent. */
+  def filesUnder(p: String): Seq[(String, Long, Long)]
+  def read(p: String): String
+  /** Publish a small file atomically: a reader sees the whole old
+    * content, absence, or the whole new content — never a torn line.
+    * The destination must be absent (the protocol clears it first). */
+  def writeAtomic(p: String, body: String): Unit
+  /** Atomic rename; `dst` must not exist. (Checked: Hadoop's rename
+    * into an existing directory would silently nest src INSIDE dst.) */
+  def rename(src: String, dst: String): Unit
+  /** Recursive delete; no-op when absent. */
+  def delete(p: String): Unit
+  /** Cross-process + cross-thread mutex on an artifact base. */
+  def lock[A](base: String)(body: => A): A
+
+  /** Last path segment. */
+  final def nameOf(p: String): String =
+    p.substring(p.stripSuffix("/").lastIndexOf('/') + 1)
+}
+
+/** java.nio binding — local POSIX filesystems. Mutual exclusion is a
+  * per-JVM monitor (file locks are held per-JVM; a second thread
+  * would hit `OverlappingFileLockException`) around an advisory
+  * `FileChannel` lock on `base/.lock` (cross-process). */
+private[graft] object PosixFs extends ArtifactFs {
+  private val LockName = ".lock"
+
+  /** Monitors keyed by canonical base path: threads of this JVM
+    * serialize here before taking the cross-process file lock. */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def path(p: String): Path = Paths.get(p)
+
+  def join(p: String, child: String): String =
+    path(p).resolve(child).toString
+  def mkdirs(p: String): Unit = { Files.createDirectories(path(p)); () }
+  def exists(p: String): Boolean = Files.exists(path(p))
+  def isFile(p: String): Boolean = Files.isRegularFile(path(p))
+  def isDir(p: String): Boolean = Files.isDirectory(path(p))
+
+  def childNames(p: String): Seq[String] =
+    if (!isDir(p)) Seq.empty
+    else {
+      val s = Files.list(path(p))
+      try s.iterator.asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+
+  def filesUnder(p: String): Seq[(String, Long, Long)] = {
+    val base = path(p)
+    if (!Files.exists(base)) Seq.empty
+    else {
+      val s = Files.walk(base)
+      try s.iterator.asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => (base.relativize(f).toString, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis))
+        .toSeq
+      finally s.close()
+    }
+  }
+
+  def read(p: String): String =
+    new String(Files.readAllBytes(path(p)), UTF_8)
+
+  def writeAtomic(p: String, body: String): Unit = {
+    val target = path(p)
+    val tmp = target.resolveSibling(
+      s".tmp-marker-${java.util.UUID.randomUUID}")
+    Files.write(tmp, body.getBytes(UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def rename(src: String, dst: String): Unit = {
+    Files.move(path(src), path(dst), StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  def delete(p: String): Unit = {
+    val t = path(p)
+    if (Files.exists(t)) {
+      val s = Files.walk(t)
+      try s.sorted(Comparator.reverseOrder[Path]())
+        .iterator.asScala.foreach(Files.delete)
+      finally s.close()
+    }
+  }
+
+  def lock[A](base: String)(body: => A): A = {
+    mkdirs(base)
+    val monitor = monitors.computeIfAbsent(
+      path(base).toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      val raf = new RandomAccessFile(
+        path(base).resolve(LockName).toFile, "rw")
+      try {
+        val lock = raf.getChannel.lock() // blocks on a concurrent process
+        try body finally lock.release()
+      } finally raf.close()
+    }
+  }
+}
+
+/** `org.apache.hadoop.fs.FileSystem` binding — HDFS-class stores with
+  * atomic rename. The mutex is an exclusive-create lock file
+  * (`base/.lock`, created `overwrite = false` — atomic at the
+  * namenode) polled with backoff; a lock older than [[HadoopFs.LockStaleMs]]
+  * is presumed abandoned by a dead process and broken (advisory
+  * `FileChannel` locks, which the kernel releases on process death,
+  * do not exist here — expiry is the standard HDFS substitute, with
+  * the usual caveat that a build longer than the TTL must renew or
+  * raise it). In-JVM threads serialize on a per-(fs, base) monitor
+  * first, exactly like [[PosixFs]].
+  *
+  * Paths are backend-native URI strings (`hdfs://nn/...`); callers
+  * reach this binding by registering a configured FileSystem for
+  * their scheme ([[ArtifactStore.registerHadoopFs]]) — resolution of
+  * core-site.xml, kerberos, etc. stays with the caller, where it
+  * belongs. */
+private[graft] final class HadoopFs(
+    fs: org.apache.hadoop.fs.FileSystem) extends ArtifactFs {
+  import org.apache.hadoop.fs.{Path => HPath}
+
+  private val LockName = ".lock"
+
+  private def hp(p: String) = new HPath(p)
+
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def join(p: String, child: String): String =
+    if (p.endsWith("/")) p + child else s"$p/$child"
+  def mkdirs(p: String): Unit = { fs.mkdirs(hp(p)); () }
+  def exists(p: String): Boolean = fs.exists(hp(p))
+  def isFile(p: String): Boolean =
+    try fs.getFileStatus(hp(p)).isFile
+    catch { case _: java.io.FileNotFoundException => false }
+  def isDir(p: String): Boolean =
+    try fs.getFileStatus(hp(p)).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+
+  def childNames(p: String): Seq[String] =
+    if (!isDir(p)) Seq.empty
+    else fs.listStatus(hp(p)).toSeq.map(_.getPath.getName)
+
+  def filesUnder(p: String): Seq[(String, Long, Long)] =
+    if (!exists(p)) Seq.empty
+    else {
+      // recursive listStatus, NOT fs.listFiles: listFiles wraps every
+      // entry in a LocatedFileStatus whose constructor loads POSIX
+      // permissions eagerly — a path some FileSystem impls resolve
+      // through `new java.io.File(uri)`, which rejects non-`file`
+      // schemes. Plain FileStatus carries everything the manifest
+      // needs (path, length, mtime) without that machinery.
+      val baseUriPath = fs.makeQualified(hp(p)).toUri.getPath
+        .stripSuffix("/")
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long)]
+      def walk(d: HPath): Unit = fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.isFile) {
+          val full = st.getPath.toUri.getPath
+          val rel = full.stripPrefix(baseUriPath).stripPrefix("/")
+          buf += ((rel, st.getLen, st.getModificationTime))
+        }
+      }
+      walk(hp(p))
+      buf.toSeq
+    }
+
+  def read(p: String): String = {
+    val in = fs.open(hp(p))
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
+  }
+
+  def writeAtomic(p: String, body: String): Unit = {
+    val parent = p.substring(0, p.stripSuffix("/").lastIndexOf('/'))
+    val tmp = join(parent, s".tmp-marker-${java.util.UUID.randomUUID}")
+    val out = fs.create(hp(tmp), false)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    rename(tmp, p)
+  }
+
+  def rename(src: String, dst: String): Unit = {
+    require(!fs.exists(hp(dst)),
+      s"rename destination exists: $dst (Hadoop rename would nest " +
+        "the source inside it)")
+    require(fs.rename(hp(src), hp(dst)), s"rename failed: $src -> $dst")
+  }
+
+  def delete(p: String): Unit = { fs.delete(hp(p), true); () }
+
+  def lock[A](base: String)(body: => A): A = {
+    mkdirs(base)
+    val monitor = monitors.computeIfAbsent(base, _ => new Object)
+    val lockPath = join(base, LockName)
+    monitor.synchronized {
+      var held = false
+      while (!held) {
+        held =
+          try {
+            fs.create(hp(lockPath), false).close(); true
+          } catch {
+            case e: java.io.IOException =>
+              if (!fs.exists(hp(lockPath))) throw e // a real error
+              // contended: break a stale lock (dead holder), else wait
+              val st =
+                try Some(fs.getFileStatus(hp(lockPath)))
+                catch { case _: java.io.FileNotFoundException => None }
+              st.foreach { s =>
+                if (System.currentTimeMillis() - s.getModificationTime
+                    > HadoopFs.LockStaleMs)
+                  fs.delete(hp(lockPath), false)
+              }
+              Thread.sleep(50)
+              false
+          }
+      }
+      try body finally fs.delete(hp(lockPath), false)
+    }
+  }
+}
+
+private[graft] object HadoopFs {
+  /** A lock file older than this is presumed held by a dead process
+    * and broken. Must comfortably exceed the longest publish window
+    * (the sweep + renames + marker write — NOT the build body, which
+    * runs outside any invalidation but inside the lock; size this to
+    * the longest expected index build). */
+  val LockStaleMs: Long = 15L * 60 * 1000
+}

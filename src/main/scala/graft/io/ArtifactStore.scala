@@ -1,10 +1,6 @@
 package graft.io
 
-import java.io.RandomAccessFile
-import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Path, Paths}
 
 /** Shared-artifact publication: the "train once, probe many" contract
   * behind the persisted IVF and BM25 indexes. A 100 TB pipeline builds
@@ -19,15 +15,16 @@ import scala.jdk.CollectionConverters._
   *
   * Mechanism (per artifact base dir):
   *
-  *  - '''exclusive lock''' — a `FileLock` on `base/.lock` serializes
-  *    check-and-build across processes; a per-path monitor serializes it
-  *    across threads of one JVM (file locks are held per-JVM, so a
-  *    second thread would otherwise hit
-  *    `OverlappingFileLockException`).
+  *  - '''exclusive lock''' — backend-provided ([[ArtifactFs.lock]]):
+  *    an advisory `FileLock` on `base/.lock` for POSIX bases, an
+  *    exclusive-create lock file with stale-expiry for HDFS-class
+  *    bases; a per-path monitor serializes threads of one JVM either
+  *    way.
   *  - '''staged build + atomic rename''' — `build` writes into
   *    `base/.tmp-<uuid>/…`; each child is then renamed into place
-  *    (`ATOMIC_MOVE`, same filesystem by construction). A crashed build
-  *    leaves only a `.tmp-*` orphan, reaped on the next build.
+  *    (atomic: same-volume `ATOMIC_MOVE` on POSIX, a namenode
+  *    metadata op on HDFS). A crashed build leaves only a `.tmp-*`
+  *    orphan, reaped on the next build.
   *  - '''marker last, marker briefly absent''' — the build/rewrite
   *    body runs entirely against staging while the PREVIOUS artifact
   *    stays marked, intact and serving; `_FINGERPRINT` is deleted only
@@ -43,6 +40,15 @@ import scala.jdk.CollectionConverters._
   *    match EXACTLY (a tmp-reaper pruning part-files under a
   *    partitioned dir, or a clobbered write adding extras, is detected
   *    and triggers a rebuild instead of a silently short/long read).
+  *
+  * The protocol body is written ONCE against [[ArtifactFs]] and bound
+  * per base: bare paths and `file:` URIs run on [[PosixFs]]; a scheme
+  * registered via [[registerHadoopFs]] runs on [[HadoopFs]] (HDFS-class
+  * stores — where the data actually lives at 100 TB). Unregistered
+  * remote schemes still fail loudly at first touch (see
+  * [[requireLocalRoot]]) — accepting `hdfs://` without a configured
+  * FileSystem would just trade the silent-mangled-path failure for an
+  * obscure connection hang.
   *
   * The artifact root is `$GRAFT_ARTIFACT_DIR` when set, else
   * `java.io.tmpdir/graft-artifacts-<user>` — user-scoped so a shared
@@ -65,20 +71,54 @@ object ArtifactStore {
         s"graft-artifacts-${user.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
     })
 
-  /** The publish protocol REQUIRES a local POSIX filesystem: the
-    * cross-process mutex is an advisory `FileChannel` lock and the
-    * staged publish relies on atomic same-volume rename — neither
-    * exists on HDFS or object stores (rename there is non-atomic or
-    * O(data), and advisory locks are absent entirely). A non-local
-    * artifact root must therefore fail LOUDLY at the first touch:
+  /** Registered Hadoop backends by URI scheme: a deployment whose
+    * artifacts live on HDFS hands the store its CONFIGURED FileSystem
+    * once at startup (`registerHadoopFs("hdfs", FileSystem.get(conf))`)
+    * — core-site resolution, kerberos and the rest stay with the
+    * caller. Bases under a registered scheme run the same protocol
+    * core on [[HadoopFs]]; everything else resolves through
+    * [[requireLocalRoot]] exactly as before. */
+  private val hadoopBackends =
+    new java.util.concurrent.ConcurrentHashMap[String, HadoopFs]()
+
+  def registerHadoopFs(scheme: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    require(scheme != null && scheme.nonEmpty && scheme != "file",
+      s"register a remote scheme, not '$scheme' — local bases already " +
+        "run on the POSIX binding")
+    hadoopBackends.put(scheme, new HadoopFs(fs))
+    ()
+  }
+
+  private[graft] def unregisterHadoopFs(scheme: String): Unit = {
+    hadoopBackends.remove(scheme); ()
+  }
+
+  /** Resolve a base/root string to (backend, backend-native path). */
+  private def backendFor(p: String): (ArtifactFs, String) = {
+    val scheme =
+      try new java.net.URI(p).getScheme
+      catch { case _: java.net.URISyntaxException => null }
+    val registered = if (scheme == null) null else hadoopBackends.get(scheme)
+    if (registered != null) (registered, p)
+    else (PosixFs, requireLocalRoot(p))
+  }
+
+  /** The POSIX binding REQUIRES a local filesystem: the cross-process
+    * mutex is an advisory `FileChannel` lock and the staged publish
+    * relies on atomic same-volume rename — neither exists on HDFS or
+    * object stores (rename there is non-atomic or O(data), and
+    * advisory locks are absent entirely). A non-local root without a
+    * registered backend must therefore fail LOUDLY at the first touch:
     * `Paths.get("hdfs://nn/x")` would otherwise silently resolve to a
     * mangled RELATIVE local directory and the engine would "publish"
     * artifacts nobody asked for. `file:`-scheme URIs are accepted and
     * decoded to their local path — root handling must not assume a
-    * bare path string. Deployments whose data lives on HDFS/S3 point
-    * the root at local scratch or a POSIX-semantics mount; replacing
-    * the coordination layer (e.g. conditional puts) is a different
-    * store, not a config value. */
+    * bare path string. Deployments whose artifacts live on HDFS
+    * register their FileSystem ([[registerHadoopFs]]) — that routes
+    * those bases onto [[HadoopFs]]'s rename-based publish; S3 proper
+    * needs the conditional-put marker variant ([[ArtifactFs]] scaladoc)
+    * — a different binding, not a config value. */
   private[graft] def requireLocalRoot(root: String): String = {
     val scheme =
       try new java.net.URI(root).getScheme
@@ -100,49 +140,30 @@ object ArtifactStore {
       require(scheme == null ||
         (!root.startsWith(s"$scheme://") && !hierarchicalRemote),
         s"ArtifactStore requires a local POSIX filesystem (advisory " +
-          s"locks + atomic rename); got scheme '$scheme' in '$root'. " +
-          s"Point ${graft.GraftConfig.EnvArtifactDir} at local scratch.")
+          s"locks + atomic rename) unless the scheme is registered via " +
+          s"registerHadoopFs; got scheme '$scheme' in '$root'. " +
+          s"Point ${graft.GraftConfig.EnvArtifactDir} at local scratch " +
+          s"or register a configured Hadoop FileSystem.")
       root
     }
   }
 
   /** `root/<kind>/<corpus-dir-slug>` — one artifact instance per
     * (artifact kind, corpus location). */
-  def artifactPath(kind: String, corpusDir: String): String =
-    Paths.get(requireLocalRoot(artifactRoot()), kind,
-      corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
-
-  /** Monitors keyed by canonical base path: threads of this JVM
-    * serialize here before taking the cross-process file lock. */
-  private val monitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def withLock[A](base: Path)(body: => A): A = {
-    Files.createDirectories(base)
-    val monitor = monitors.computeIfAbsent(
-      base.toAbsolutePath.normalize.toString, _ => new Object)
-    monitor.synchronized {
-      val raf = new RandomAccessFile(base.resolve(LockName).toFile, "rw")
-      try {
-        val lock = raf.getChannel.lock() // blocks on a concurrent process
-        try body finally lock.release()
-      } finally raf.close()
-    }
+  def artifactPath(kind: String, corpusDir: String): String = {
+    val (fs, root) = backendFor(artifactRoot())
+    fs.join(fs.join(root, kind),
+      corpusDir.replaceAll("[^A-Za-z0-9._-]", "_"))
   }
 
   /** Every data file under `base`, as (relpath, size), sorted —
     * excluding the marker, the lock and `.tmp-*` staging orphans. */
-  private def manifestOf(base: Path): Seq[(String, Long)] = {
-    val s = Files.walk(base)
-    try s.iterator.asScala
-      .filter(Files.isRegularFile(_))
-      .map(p => (base.relativize(p).toString, Files.size(p)))
-      .filter { case (rel, _) =>
-        rel != MarkerName && rel != LockName && !rel.startsWith(".tmp-")
-      }
-      .toSeq.sorted
-    finally s.close()
-  }
+  private def manifestOf(fs: ArtifactFs, base: String): Seq[(String, Long)] =
+    fs.filesUnder(base)
+      .collect { case (rel, sz, _)
+        if rel != MarkerName && rel != LockName &&
+          !rel.startsWith(".tmp-") => (rel, sz) }
+      .sorted
 
   private def renderMarker(fp: String, manifest: Seq[(String, Long)]): String =
     (fp +: manifest.map { case (rel, sz) => s"$sz\t$rel" }).mkString("\n")
@@ -150,39 +171,28 @@ object ArtifactStore {
   /** The fingerprint the current, FULLY VALID artifact carries — None
     * when the marker is absent or the on-disk file set deviates from
     * the manifest in any way. Call under the lock. */
-  private def validFingerprint(base: Path): Option[String] = {
-    val marker = base.resolve(MarkerName)
-    if (!Files.isRegularFile(marker)) None
+  private def validFingerprint(fs: ArtifactFs, base: String): Option[String] = {
+    val marker = fs.join(base, MarkerName)
+    if (!fs.isFile(marker)) None
     else {
-      val lines = new String(Files.readAllBytes(marker), UTF_8).split("\n")
+      val lines = fs.read(marker).split("\n")
       val expected = lines.drop(1).toSeq.map { l =>
         val i = l.indexOf('\t')
         (l.substring(i + 1), l.substring(0, i).toLong)
       }.sorted
-      if (expected == manifestOf(base)) Some(lines.head.trim) else None
+      if (expected == manifestOf(fs, base)) Some(lines.head.trim) else None
     }
   }
 
   /** Reap `.tmp-*` staging orphans left by crashed builds/rewrites. */
-  private def reapStagingOrphans(basePath: Path): Unit = {
-    val orphans = Files.list(basePath)
-    try orphans.iterator.asScala.toSeq
-      .filter(_.getFileName.toString.startsWith(".tmp-"))
-      .foreach(deleteRecursively)
-    finally orphans.close()
-  }
+  private def reapStagingOrphans(fs: ArtifactFs, base: String): Unit =
+    fs.childNames(base)
+      .filter(_.startsWith(".tmp-"))
+      .foreach(n => fs.delete(fs.join(base, n)))
 
   /** Recursive delete for artifact-layer callers (e.g. the
     * generation-pointer retrain's retention sweep). */
-  private[graft] def deleteTree(p: Path): Unit = deleteRecursively(p)
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]())
-        .iterator.asScala.foreach(Files.delete)
-      finally s.close()
-    }
+  private[graft] def deleteTree(p: Path): Unit = PosixFs.delete(p.toString)
 
   /** Publish what `build` staged: rename each staged child into place,
     * then write the marker over the resulting manifest. Caller already
@@ -201,26 +211,24 @@ object ArtifactStore {
     * of a marker-less base: corpus-backed artifacts rebuild from the
     * corpus ([[ensure]]); self-maintained ones restore via
     * [[restoreAside]] before their self-heal reads the data dirs. */
-  private def publishStaged(base: Path, staging: Path, fp: String,
-      aside: Path): Unit = {
-    val children = Files.list(staging)
-    try children.iterator.asScala.toSeq.foreach { child =>
-      val target = base.resolve(child.getFileName)
-      moveAside(aside, target)
-      Files.move(child, target, StandardCopyOption.ATOMIC_MOVE)
-    } finally children.close()
-    Files.delete(staging)
-    writeMarker(base, fp)
-    deleteRecursively(aside)
+  private def publishStaged(fs: ArtifactFs, base: String, staging: String,
+      fp: String, aside: String): Unit = {
+    fs.childNames(staging).foreach { name =>
+      val target = fs.join(base, name)
+      moveAside(fs, aside, target)
+      fs.rename(fs.join(staging, name), target)
+    }
+    fs.delete(staging)
+    writeMarker(fs, base, fp)
+    fs.delete(aside)
   }
 
   /** Rename `target` (if it exists) into the `aside` dir — the
     * delete-free way to clear a rename destination. */
-  private def moveAside(aside: Path, target: Path): Unit =
-    if (Files.exists(target)) {
-      Files.createDirectories(aside)
-      Files.move(target, aside.resolve(target.getFileName),
-        StandardCopyOption.ATOMIC_MOVE)
+  private def moveAside(fs: ArtifactFs, aside: String, target: String): Unit =
+    if (fs.exists(target)) {
+      fs.mkdirs(aside)
+      fs.rename(target, fs.join(aside, fs.nameOf(target)))
     }
 
   /** Roll a crashed publish BACK: restore every child stranded in
@@ -238,29 +246,23 @@ object ArtifactStore {
     * reap. Runs under the base lock. Returns true iff anything was
     * restored. */
   def restoreAside(base: String): Boolean = {
-    val basePath = Paths.get(requireLocalRoot(base))
-    withLock(basePath) {
-      if (validFingerprint(basePath).isDefined) false
+    val (fs, b) = backendFor(base)
+    fs.lock(b) {
+      if (validFingerprint(fs, b).isDefined) false
       else {
-        val l = Files.list(basePath)
-        val asides =
-          try l.iterator.asScala.toSeq
-            .filter(_.getFileName.toString.startsWith(".tmp-old-"))
-          finally l.close()
+        val asides = fs.childNames(b).filter(_.startsWith(".tmp-old-"))
         var restored = false
-        asides.foreach { a =>
-          val c = Files.list(a)
-          val children =
-            try c.iterator.asScala.toSeq finally c.close()
-          val (marker, data) =
-            children.partition(_.getFileName.toString == MarkerName)
+        asides.foreach { name =>
+          val a = fs.join(b, name)
+          val children = fs.childNames(a)
+          val (marker, data) = children.partition(_ == MarkerName)
           (data ++ marker).foreach { child =>
-            val target = basePath.resolve(child.getFileName)
-            deleteRecursively(target)
-            Files.move(child, target, StandardCopyOption.ATOMIC_MOVE)
+            val target = fs.join(b, child)
+            fs.delete(target)
+            fs.rename(fs.join(a, child), target)
             restored = true
           }
-          Files.delete(a)
+          fs.delete(a)
         }
         restored
       }
@@ -278,8 +280,8 @@ object ArtifactStore {
     * the marker swaps atomically and validation demands the on-disk
     * set match its manifest exactly. */
   def isCurrentUnlocked(base: String, fingerprint: String): Boolean = {
-    val basePath = Paths.get(requireLocalRoot(base))
-    try validFingerprint(basePath).contains(fingerprint)
+    val (fs, b) = backendFor(base)
+    try validFingerprint(fs, b).contains(fingerprint)
     catch {
       // a file deleted between the walk and its stat (mid-publish
       // rename sweep) reads as "not current", never as an error
@@ -291,12 +293,9 @@ object ArtifactStore {
   /** The marker itself publishes atomically (write-temp + rename): a
     * reader either sees the complete old marker, no marker, or the
     * complete new one — never a torn line. */
-  private def writeMarker(base: Path, fp: String): Unit = {
-    val tmp = base.resolve(s".tmp-marker-${java.util.UUID.randomUUID}")
-    Files.write(tmp, renderMarker(fp, manifestOf(base)).getBytes(UTF_8))
-    Files.move(tmp, base.resolve(MarkerName),
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeMarker(fs: ArtifactFs, base: String, fp: String): Unit =
+    fs.writeAtomic(fs.join(base, MarkerName),
+      renderMarker(fp, manifestOf(fs, base)))
 
   /** Is the artifact at `base` fully valid and carrying exactly
     * `fingerprint`? The fast path an incremental consumer checks before
@@ -309,8 +308,8 @@ object ArtifactStore {
     * streaming appender reads to chain the next batch's fingerprint
     * onto ([[graft.stream.IndexIngest]]). */
   def currentFingerprint(base: String): Option[String] = {
-    val basePath = Paths.get(requireLocalRoot(base))
-    withLock(basePath)(validFingerprint(basePath))
+    val (fs, b) = backendFor(base)
+    fs.lock(b)(validFingerprint(fs, b))
   }
 
   /** The build branch of [[ensure]], caller holds the lock. A full
@@ -322,12 +321,12 @@ object ArtifactStore {
     * or a restarted streaming query would silently skip batches up to
     * the stale mark. ([[rewrite]] keeps non-staged children on
     * purpose; only the full rebuild sweeps.) */
-  private def lockedBuild(basePath: Path, fingerprint: String)(
+  private def lockedBuild(fs: ArtifactFs, base: String, fingerprint: String)(
       build: String => Unit): Unit = {
-    reapStagingOrphans(basePath)
-    val staging = basePath.resolve(s".tmp-${java.util.UUID.randomUUID}")
-    Files.createDirectories(staging)
-    build(staging.toString)
+    reapStagingOrphans(fs, base)
+    val staging = fs.join(base, s".tmp-${java.util.UUID.randomUUID}")
+    fs.mkdirs(staging)
+    build(staging)
     // the marker comes down only NOW: `build` (often several Spark
     // jobs) ran against a still-valid previous artifact, so a crash
     // inside it leaves that artifact marked, intact and serving — the
@@ -339,33 +338,26 @@ object ArtifactStore {
     // even those whose fingerprint is not recomputable from the
     // stored rows (BM25/LSH hash the raw doc text, which postings do
     // not carry; review-caught).
-    val aside = basePath.resolve(s".tmp-old-${java.util.UUID.randomUUID}")
-    moveAside(aside, basePath.resolve(MarkerName))
-    val staged = {
-      val s = Files.list(staging)
-      try s.iterator.asScala.map(_.getFileName.toString).toSet
-      finally s.close()
-    }
+    val aside = fs.join(base, s".tmp-old-${java.util.UUID.randomUUID}")
+    moveAside(fs, aside, fs.join(base, MarkerName))
+    val staged = fs.childNames(staging).toSet
     // the wholesale-replace sweep moves unstaged live children ASIDE
     // (not delete): pre-marker, every old byte must stay recoverable
-    val live = Files.list(basePath)
-    try live.iterator.asScala.toSeq
-      .filter { p =>
-        val n = p.getFileName.toString
+    fs.childNames(base)
+      .filter { n =>
         n != LockName && !n.startsWith(".tmp-") && !staged.contains(n)
       }
-      .foreach(moveAside(aside, _))
-    finally live.close()
-    publishStaged(basePath, staging, fingerprint, aside)
+      .foreach(n => moveAside(fs, aside, fs.join(base, n)))
+    publishStaged(fs, base, staging, fingerprint, aside)
   }
 
   /** The append branch of [[mutate]], caller holds the lock and has
     * already validated the expected fingerprint. */
-  private def lockedMutate(basePath: Path, newFingerprint: String)(
-      append: String => Unit): Unit = {
-    Files.delete(basePath.resolve(MarkerName))
-    append(basePath.toString)
-    writeMarker(basePath, newFingerprint)
+  private def lockedMutate(fs: ArtifactFs, base: String,
+      newFingerprint: String)(append: String => Unit): Unit = {
+    fs.delete(fs.join(base, MarkerName))
+    append(base)
+    writeMarker(fs, base, newFingerprint)
   }
 
   /** Ensure the artifact at `base` is current for `fingerprint`,
@@ -377,10 +369,10 @@ object ArtifactStore {
     * loser of the lock race revalidates under the lock and reuses the
     * winner's artifact. */
   def ensure(base: String, fingerprint: String)(build: String => Unit): Boolean = {
-    val basePath = Paths.get(requireLocalRoot(base))
-    withLock(basePath) {
-      if (validFingerprint(basePath).contains(fingerprint)) false
-      else { lockedBuild(basePath, fingerprint)(build); true }
+    val (fs, b) = backendFor(base)
+    fs.lock(b) {
+      if (validFingerprint(fs, b).contains(fingerprint)) false
+      else { lockedBuild(fs, b, fingerprint)(build); true }
     }
   }
 
@@ -398,15 +390,15 @@ object ArtifactStore {
     * return with the append silently refused. */
   def ensureIncremental(base: String, baseFp: String, unionFp: String)(
       build: String => Unit)(append: String => Unit): (Boolean, Boolean) = {
-    val basePath = Paths.get(requireLocalRoot(base))
-    withLock(basePath) {
-      validFingerprint(basePath) match {
+    val (fs, b) = backendFor(base)
+    fs.lock(b) {
+      validFingerprint(fs, b) match {
         case Some(`unionFp`) => (false, false)
         case cur =>
           val built =
             if (cur.contains(baseFp)) false
-            else { lockedBuild(basePath, baseFp)(build); true }
-          lockedMutate(basePath, unionFp)(append)
+            else { lockedBuild(fs, b, baseFp)(build); true }
+          lockedMutate(fs, b, unionFp)(append)
           (built, true)
       }
     }
@@ -425,24 +417,23 @@ object ArtifactStore {
     * row-content fingerprint is insensitive to. Returns false (no-op)
     * when the artifact is absent or invalid. */
   def rewrite(base: String)(rewriteFn: (String, String) => Unit): Boolean = {
-    val basePath = Paths.get(requireLocalRoot(base))
-    withLock(basePath) {
-      validFingerprint(basePath) match {
+    val (fs, b) = backendFor(base)
+    fs.lock(b) {
+      validFingerprint(fs, b) match {
         case None => false
         case Some(fp) =>
-          reapStagingOrphans(basePath)
-          val staging = basePath.resolve(s".tmp-${java.util.UUID.randomUUID}")
-          Files.createDirectories(staging)
-          rewriteFn(base, staging.toString)
+          reapStagingOrphans(fs, b)
+          val staging = fs.join(b, s".tmp-${java.util.UUID.randomUUID}")
+          fs.mkdirs(staging)
+          rewriteFn(b, staging)
           // marker down only after the rewrite body completed: a
           // crash inside a long compaction/retrain leaves the old
           // artifact valid and serving. Renamed aside (not deleted)
           // so a crashed publish rolls back to a fully VALID old
           // generation, marker included ([[restoreAside]]).
-          val aside =
-            basePath.resolve(s".tmp-old-${java.util.UUID.randomUUID}")
-          moveAside(aside, basePath.resolve(MarkerName))
-          publishStaged(basePath, staging, fp, aside)
+          val aside = fs.join(b, s".tmp-old-${java.util.UUID.randomUUID}")
+          moveAside(fs, aside, fs.join(b, MarkerName))
+          publishStaged(fs, b, staging, fp, aside)
           true
       }
     }
@@ -459,10 +450,10 @@ object ArtifactStore {
     * rebuild-on-next-touch) artifact, never a marked partial one. */
   def mutate(base: String, expectFingerprint: String, newFingerprint: String)(
       append: String => Unit): Boolean = {
-    val basePath = Paths.get(requireLocalRoot(base))
-    withLock(basePath) {
-      if (!validFingerprint(basePath).contains(expectFingerprint)) false
-      else { lockedMutate(basePath, newFingerprint)(append); true }
+    val (fs, b) = backendFor(base)
+    fs.lock(b) {
+      if (!validFingerprint(fs, b).contains(expectFingerprint)) false
+      else { lockedMutate(fs, b, newFingerprint)(append); true }
     }
   }
 
@@ -508,29 +499,19 @@ object ArtifactStore {
     * remnant are the price of a race-free sweep. */
   def gc(ttlMillis: Long, live: String => Boolean,
       root: String = artifactRoot()): Seq[String] = {
-    val rootPath = Paths.get(requireLocalRoot(root))
-    if (!Files.isDirectory(rootPath)) return Seq.empty
+    val (fs, r) = backendFor(root)
+    if (!fs.isDir(r)) return Seq.empty
     val now = System.currentTimeMillis()
-    val kinds = Files.list(rootPath)
-    val bases =
-      try kinds.iterator.asScala.filter(Files.isDirectory(_)).flatMap { kind =>
-        val slugs = Files.list(kind)
-        try slugs.iterator.asScala.filter(Files.isDirectory(_)).toSeq
-        finally slugs.close()
-      }.toSeq
-      finally kinds.close()
-    bases.flatMap { basePath =>
-      val removed = !live(basePath.toString) && withLock(basePath) {
+    val bases = fs.childNames(r).map(fs.join(r, _)).filter(fs.isDir)
+      .flatMap(kind => fs.childNames(kind).map(fs.join(kind, _))
+        .filter(fs.isDir))
+    bases.flatMap { base =>
+      val removed = !live(base) && fs.lock(base) {
         // age = newest data file (the lock file's mtime refreshes on
         // every touch — including this sweep's own — so exclude it)
-        val s = Files.walk(basePath)
-        val newest =
-          try s.iterator.asScala
-            .filter(Files.isRegularFile(_))
-            .filter(_.getFileName.toString != LockName)
-            .map(Files.getLastModifiedTime(_).toMillis)
-            .foldLeft(0L)(math.max)
-          finally s.close()
+        val newest = fs.filesUnder(base)
+          .collect { case (rel, _, m) if rel != LockName => m }
+          .foldLeft(0L)(math.max)
         // newest == 0 means no data files at all — an already-swept
         // (or never-populated) base: nothing to delete, and reporting
         // it "removed" on every run would overstate the swept set
@@ -539,16 +520,14 @@ object ArtifactStore {
         else {
           // marker first: a racer that somehow bypassed the lock can
           // never validate a base this sweep is mid-deleting
-          Files.deleteIfExists(basePath.resolve(MarkerName))
-          val children = Files.list(basePath)
-          try children.iterator.asScala.toSeq
-            .filter(_.getFileName.toString != LockName)
-            .foreach(deleteRecursively)
-          finally children.close()
+          fs.delete(fs.join(base, MarkerName))
+          fs.childNames(base)
+            .filter(_ != LockName)
+            .foreach(n => fs.delete(fs.join(base, n)))
           true
         }
       }
-      if (removed) Some(basePath.toString) else None
+      if (removed) Some(base) else None
     }
   }
 

@@ -76,15 +76,57 @@ object Tokenizer {
   /** Run the [[BpeMerges]] rounds; returns (merge table, final
     * vocabulary). Runs exactly once per corpus, inside
     * [[bpeVocabBase]]'s artifact build — the trained tokenizer is a
-    * shipped model, never a per-query subtree. Superseded vocabulary
-    * checkpoints are released as each round's successor materializes —
-    * the repo's iterative-loop convention ([[graft.Checkpoints]];
-    * leaking one vocab-scale checkpoint per round is the d07 storage
-    * regression class); the build releases the final vocabulary too
-    * once both tables are persisted. The eight 1-row winner frames
-    * behind the merge union are the one accepted leak, once per
-    * TRAINING (they are 1-row each). */
-  private def bpeRounds(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * shipped model, never a per-query subtree. The shipped artifact
+    * trains at batch width 1, which IS the sequential contract the
+    * oracle replays bit-for-bit; [[bpeRoundsBatched]] is the same
+    * body. */
+  private def bpeRounds(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeRoundsBatched(spark, dir, BpeMerges, 1)
+
+  /** Spark jobs the last [[bpeRoundsBatched]] training spent (pair
+    * count + rewrite rounds) — what the batched trainer buys down. */
+  private[graft] val lastTrainRounds =
+    new java.util.concurrent.atomic.AtomicInteger
+
+  /** The ONE BPE training loop, at configurable batch width — the
+    * distributed-trainer posture (VERDICT r12 #4): one Spark job pair
+    * (pair-count + rewrite) per ROUND, not per merge, because a
+    * production 32k-merge vocabulary at one merge per round is 32k
+    * sequential driver-dispatched jobs — the driver loop, not the
+    * data, becomes the bottleneck.
+    *
+    * Per round: pair statistics over the (vocab-sized) symbol table,
+    * then the top-`batchK` MUTUALLY NON-INTERACTING pairs are admitted
+    * in ranked order — a candidate is skipped when any of its three
+    * symbols (both endpoints and the merged token) collides with an
+    * already-admitted pair's three. Disjoint symbol sets make the
+    * batch's rewrites COMMUTE: no admitted pattern can overlap another
+    * admitted pattern's occurrence sites, and no admitted rewrite can
+    * create or destroy another's match (the merged-token check is
+    * what blocks "a b"→ab from feeding a same-round "c ab" — without
+    * it the chained result would be order-dependent). One chained
+    * rewrite pass then applies the whole batch.
+    *
+    * Batched greedy BPE is the standard large-vocab trade (it is what
+    * distributed SentencePiece-style trainers ship): ranks after the
+    * first in a batch are computed from the PRE-batch statistics, so
+    * at `batchK > 1` the learned table may diverge from strict
+    * sequential BPE where an earlier merge in the batch would have
+    * changed a later pick's count. At `batchK = 1` the admission is
+    * exactly "the single best pair" and the loop IS the sequential
+    * contract — the shipped artifact trains there, so every oracle
+    * replay stays bit-identical; a deployment learning 32k merges
+    * flips the width (32k merges at K=256 ≈ 125 rounds).
+    *
+    * Checkpoint discipline as before ([[graft.Checkpoints]]): each
+    * round's vocabulary is localCheckpoint'd (the lazy plan otherwise
+    * doubles per round) and released as its successor materializes.
+    * The winner selection collects a top-slice of the pair table to
+    * the driver (4·K+4 rows) — candidate-scale, the coarse-centroid
+    * coordinator pattern, and the reason no winner frames leak. */
+  private[graft] def bpeRoundsBatched(spark: SparkSession, dir: String,
+      totalMerges: Int, batchK: Int): (DataFrame, DataFrame) = {
+    require(batchK >= 1, s"batch width must be positive, got $batchK")
     // " a b " sentinel form of each word's character sequence, the
     // original word carried alongside for the encoder's join-back.
     // Built from an explicit index transform, NOT `split(w, "")`:
@@ -100,8 +142,13 @@ object Tokenizer {
         col("freq"))
       .localCheckpoint(true)
 
-    var merges: DataFrame = null
-    for (i <- 1 to BpeMerges) {
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var rounds = 0
+    var dry = false
+    while (selected.size < totalMerges && !dry) {
+      rounds += 1
+      val k = math.min(batchK, totalMerges - selected.size)
       // adjacent-pair statistics over the (vocab-sized) symbol table
       val pairs = cur
         .select(col("freq"), split(trim(col("sym")), " ").as("l"))
@@ -109,39 +156,52 @@ object Tokenizer {
           "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1), " +
             "(a, b) -> concat(a, ' ', b))")).as("pair"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-      val best = pairs
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1)
-        .select(lit(i).as("merge_rank"), col("pair"),
-          regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
-        .localCheckpoint(true)
-      merges = if (merges == null) best else merges.union(best)
-      locally {
-        // rewrite every word under the winning merge (see pass contract).
-        // LEFT join + coalesce, NOT crossJoin: on a corpus whose pair
-        // table runs dry mid-run (tiny/degenerate vocabularies — every
-        // word already one symbol) the winner frame is EMPTY, and a
-        // cross join would zero the vocabulary — silently erasing every
-        // type from the encoder's map. The oracle replays the same
-        // left-join form, so the two could only agree on the wrong
-        // answer otherwise (a hash-gate-blind class).
-        val pat = concat(lit(" "), col("pair"), lit(" "))
-        val rep = concat(lit(" "), col("merged"), lit(" "))
-        val rewritten = (1 to BpePasses)
-          .foldLeft(col("sym"): Column)((s, _) => replace(s, pat, rep))
+      // ranked candidate slice; oversampled so conflict skips can
+      // still fill the batch on ordinary corpora
+      val cand = pairs.orderBy(col("cnt").desc, col("pair").asc)
+        .limit(4 * k + 4).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val taken = scala.collection.mutable.Set.empty[String]
+      cand.iterator.takeWhile(_ => batch.size < k).foreach {
+        case (pair, cnt) =>
+          val Array(a, b) = pair.split(" ")
+          val syms = Seq(a, b, a + b)
+          if (syms.forall(!taken(_))) {
+            batch += ((pair, cnt))
+            taken ++= syms
+          }
+      }
+      if (batch.isEmpty) dry = true // the pair table ran dry
+      else {
+        batch.foreach { case (pair, cnt) =>
+          selected += ((pair, pair.replace(" ", ""), cnt))
+        }
+        // one chained rewrite pass for the whole (commuting) batch —
+        // see the pass contract above; patterns are driver literals,
+        // so a dry round simply never reaches here (the old empty-
+        // winner left-join guard, now structural)
+        val rewritten = batch.foldLeft(col("sym"): Column) {
+          case (s, (pair, _)) =>
+            val merged = pair.replace(" ", "")
+            (1 to BpePasses).foldLeft(s)((t, _) =>
+              replace(t, lit(s" $pair "), lit(s" $merged ")))
+        }
         val next = cur
-          .join(broadcast(best.select(col("pair"), col("merged"))),
-            lit(true), "left")
-          .select(col("w"), coalesce(rewritten, col("sym")).as("sym"),
-            col("freq"))
+          .select(col("w"), rewritten.as("sym"), col("freq"))
           .localCheckpoint(true)
-        // best_i and next are both materialized — the previous round's
-        // vocabulary blocks are dead; free them now (Checkpoints doc)
+        // next is materialized — the previous round's vocabulary
+        // blocks are dead; free them now (Checkpoints doc)
         graft.Checkpoints.release(cur)
         cur = next
       }
     }
-    (merges.orderBy(col("merge_rank")), cur)
+    lastTrainRounds.set(rounds)
+    import spark.implicits._
+    val merges = selected.toSeq.zipWithIndex
+      .map { case ((pair, merged, cnt), i) => (i + 1, pair, merged, cnt) }
+      .toDF("merge_rank", "pair", "merged", "cnt")
+    (merges, cur)
   }
 
   // ------------------------------------------------------------------

@@ -91,6 +91,21 @@ object IndexIngest {
       * offered corpus (streamed appends — or a changed corpus).
       * Logged to stderr at the call. */
     case object KeptDivergent extends BootstrapStatus
+
+    /** Severity join for multi-artifact bootstraps
+      * ([[IndexIngest.bootstrapPair]]): KeptDivergent dominates — an
+      * operator must see a changed-corpus divergence no matter WHICH
+      * member artifact carries it (a pair crash-recovered mid-
+      * lifecycle can legally hold one Current and one divergent
+      * member) — then Built, then Current. */
+    def worst(a: BootstrapStatus, b: BootstrapStatus): BootstrapStatus = {
+      def sev(s: BootstrapStatus): Int = s match {
+        case KeptDivergent => 2
+        case Built => 1
+        case Current => 0
+      }
+      if (sev(a) >= sev(b)) a else b
+    }
   }
 
   /** The initialize-only state machine every bootstrap shares.
@@ -841,17 +856,31 @@ object IndexIngest {
     currentGen(pairBase) match {
       case Some(gen) =>
         val (ivfBase, pqBase) = genPaths(pairBase, gen)
-        val s = bootstrap(ivfBase, vectors)
-        pqBootstrap(pqBase, ivfBase, vectors)
+        // the pair-level status is the WORST member status: discarding
+        // the PQ call's result made "IVF current, PQ kept-divergent"
+        // (a crash-recovered half-lifecycle) read as a clean repeat
+        // run (ADVICE r11 #4 follow-through, VERDICT r12 #6)
+        val s = BootstrapStatus.worst(
+          bootstrap(ivfBase, vectors),
+          pqBootstrap(pqBase, ivfBase, vectors))
         members(gen, ivfBase)
         s
       case None =>
         val (ivfBase, pqBase) = genPaths(pairBase, "g0")
-        bootstrap(ivfBase, vectors)
-        pqBootstrap(pqBase, ivfBase, vectors)
+        // pointer absent but g0 artifacts possibly alive (a crash
+        // between the member builds and the pointer write): the
+        // re-run's inner statuses distinguish the clean retry (same
+        // corpus → the pointer write completes the bootstrap → Built)
+        // from the operator error (CHANGED corpus → the pair adopts
+        // the existing g0 artifacts, which must surface as divergence,
+        // not report Built over vectors it does not index)
+        val inner = BootstrapStatus.worst(
+          bootstrap(ivfBase, vectors),
+          pqBootstrap(pqBase, ivfBase, vectors))
         members("g0", ivfBase)
         swapCurrent(pairBase, "g0")
-        BootstrapStatus.Built
+        if (inner == BootstrapStatus.KeptDivergent) inner
+        else BootstrapStatus.Built
     }
   }
 

@@ -59,6 +59,12 @@ private[graft] trait ArtifactFs {
   /** Atomic rename; `dst` must not exist. (Checked: Hadoop's rename
     * into an existing directory would silently nest src INSIDE dst.) */
   def rename(src: String, dst: String): Unit
+  /** [[writeAtomic]] over a destination that MAY exist — the replace
+    * swap the streaming replay mark (`stream_state`) and the
+    * generation pointer (`CURRENT`) live on: a reader sees the whole
+    * old content or the whole new content, never a torn or truncated
+    * file. */
+  def writeAtomicReplace(p: String, body: String): Unit
   /** Recursive delete; no-op when absent. */
   def delete(p: String): Unit
   /** Cross-process + cross-thread mutex on an artifact base. */
@@ -121,6 +127,15 @@ private[graft] object PosixFs extends ArtifactFs {
       s".tmp-marker-${java.util.UUID.randomUUID}")
     Files.write(tmp, body.getBytes(UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def writeAtomicReplace(p: String, body: String): Unit = {
+    val target = path(p)
+    val tmp = target.resolveSibling(
+      s".tmp-marker-${java.util.UUID.randomUUID}")
+    Files.write(tmp, body.getBytes(UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   def rename(src: String, dst: String): Unit = {
@@ -241,6 +256,39 @@ private[graft] final class HadoopFs(
   }
 
   def delete(p: String): Unit = { fs.delete(hp(p), true); () }
+
+  /** Replace via `FileContext.rename(OVERWRITE)` — an atomic namenode
+    * op on HDFS, so a reader sees whole-old or whole-new, never a
+    * torn file or an absence window. Schemes without an
+    * `AbstractFileSystem` binding (no FileContext) fall back to
+    * delete + rename, which opens a crash window where the file is
+    * ABSENT: acceptable for `stream_state` (every write happens
+    * inside a marker-down mutate window, so a crash there reads as an
+    * invalid artifact and heals), NOT acceptable for a generation
+    * pointer — a deployment swapping pointers on such a scheme must
+    * bind an AbstractFileSystem (HDFS ships one; so does the test
+    * binding). */
+  def writeAtomicReplace(p: String, body: String): Unit = {
+    val parent = p.substring(0, p.stripSuffix("/").lastIndexOf('/'))
+    val tmp = join(parent, s".tmp-marker-${java.util.UUID.randomUUID}")
+    val out = fs.create(hp(tmp), false)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    fileContext match {
+      case Some(fc) =>
+        fc.rename(hp(tmp), hp(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case None =>
+        fs.delete(hp(p), false)
+        require(fs.rename(hp(tmp), hp(p)), s"rename failed: $tmp -> $p")
+    }
+  }
+
+  private lazy val fileContext: Option[org.apache.hadoop.fs.FileContext] =
+    try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, fs.getConf))
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+    }
 
   def lock[A](base: String)(body: => A): A = {
     mkdirs(base)

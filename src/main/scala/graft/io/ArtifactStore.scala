@@ -94,7 +94,14 @@ object ArtifactStore {
     hadoopBackends.remove(scheme); ()
   }
 
-  /** Resolve a base/root string to (backend, backend-native path). */
+  /** Resolve a base/root string to (backend, backend-native path) —
+    * the dispatch every artifact-internal CONSUMER (tombstone probes,
+    * stream-state reads, generation pointers, fragmentation checks)
+    * shares with the publish protocol, so the whole index lifecycle
+    * follows the store onto whichever filesystem the base names. */
+  private[graft] def backend(p: String): (ArtifactFs, String) =
+    backendFor(p)
+
   private def backendFor(p: String): (ArtifactFs, String) = {
     val scheme =
       try new java.net.URI(p).getScheme

@@ -1217,12 +1217,11 @@ object Dedup {
     * parquet files are immutable once closed; a same-name-same-length
     * rewrite goes through a staging swap that changes names. */
   private def digestDirSignature(base: String): String = {
-    val d = new java.io.File(
-      graft.io.ArtifactStore.requireLocalRoot(base), "digests")
-    if (!d.isDirectory) ""
-    else Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .map(f => s"${f.getName}:${f.length}").sorted.mkString(",")
+    val (fs, b) = graft.io.ArtifactStore.backend(base)
+    fs.filesUnder(fs.join(b, "digests"))
+      .collect { case (rel, sz, _) if rel.startsWith("part-") =>
+        s"$rel:$sz" }
+      .sorted.mkString(",")
   }
 
   private[graft] def lshRemovalPlan(spark: SparkSession, base: String,

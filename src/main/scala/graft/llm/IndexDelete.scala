@@ -61,14 +61,17 @@ object IndexDelete {
     * never seen a delete (bootstrap does not create the dir). The id
     * column is the index family's member key (`vec_id` for the vector
     * indexes, `doc_id` for the lexical one). */
-  /** The base's tombstone dir as a decoded local path — every
-    * java.nio existence probe of artifact-internal files must decode
-    * `file:` URI bases the way the store itself does, or a URI-form
-    * base silently reads as "never deleted" (the IndexIngest
-    * localBase lesson). */
-  private[graft] def tombstoneDir(base: String): java.nio.file.Path =
-    java.nio.file.Paths.get(
-      graft.io.ArtifactStore.requireLocalRoot(base), "tombstones")
+  /** The base's tombstone dir as a backend-native path — every
+    * existence probe of artifact-internal files goes through the
+    * store's backend dispatch ([[graft.io.ArtifactStore.backend]]):
+    * it decodes `file:` URI bases the way the store itself does (a
+    * URI-form base probed with java.nio silently read as "never
+    * deleted" — the IndexIngest localBase lesson) and follows
+    * registered Hadoop schemes onto the right filesystem. */
+  private[graft] def tombstoneDir(base: String): String = {
+    val (fs, b) = graft.io.ArtifactStore.backend(base)
+    fs.join(b, "tombstones")
+  }
 
   /** Whether `base` carries any LIVE tombstones — the driver-side
     * branch every serving/maintenance read takes. Tests for part
@@ -79,10 +82,8 @@ object IndexDelete {
     * compaction — the bare-scan fast path must RE-ARM once the
     * tombstones are physicalized away (review-caught). */
   private[graft] def hasTombstones(base: String): Boolean = {
-    val d = tombstoneDir(base)
-    java.nio.file.Files.isDirectory(d) &&
-      Option(d.toFile.listFiles()).getOrElse(Array.empty)
-        .exists(_.getName.startsWith("part-"))
+    val (fs, b) = graft.io.ArtifactStore.backend(base)
+    fs.childNames(fs.join(b, "tombstones")).exists(_.startsWith("part-"))
   }
 
   /** `df` restricted to live members of `base`: the one live-filter
@@ -114,9 +115,10 @@ object IndexDelete {
   private[graft] def tombstonesAt(spark: SparkSession, base: String,
       idCol: String = "vec_id"): DataFrame = {
     val schema = StructType(Seq(StructField(idCol, LongType)))
-    val dir = tombstoneDir(base)
-    if (java.nio.file.Files.isDirectory(dir))
-      spark.read.schema(schema).parquet(dir.toString).select(col(idCol))
+    val (fs, b) = graft.io.ArtifactStore.backend(base)
+    val dir = fs.join(b, "tombstones")
+    if (fs.isDir(dir))
+      spark.read.schema(schema).parquet(dir).select(col(idCol))
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -1358,9 +1358,14 @@ object Pipeline {
     * and rooted in the user-scoped artifact root so a shared /tmp on a
     * multi-user box neither collides nor serves another user's
     * writable files. */
-  private def scratchDir(tag: String, dir: String): String =
-    java.nio.file.Paths.get(graft.io.ArtifactStore.artifactRoot(),
-      "scratch", tag, dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+  private def scratchDir(tag: String, dir: String): String = {
+    // backend-aware join: a scheme-qualified artifact root must not go
+    // through Paths.get (it would mangle to a relative local dir)
+    val (fs, root) = graft.io.ArtifactStore.backend(
+      graft.io.ArtifactStore.artifactRoot())
+    fs.join(fs.join(fs.join(root, "scratch"), tag),
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+  }
 
   def p20JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType

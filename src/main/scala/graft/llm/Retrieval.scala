@@ -593,14 +593,15 @@ object Retrieval {
     org.apache.spark.sql.types.StructField("dl", LongType)))
 
   private[graft] def docHashAt(spark: SparkSession, base: String): DataFrame = {
-    // decoded local path, like IndexDelete.tombstoneDir (file: bases)
-    val dir = java.nio.file.Paths.get(
-      graft.io.ArtifactStore.requireLocalRoot(base), "dochash")
-    if (!java.nio.file.Files.isDirectory(dir))
+    // backend-native path, like IndexDelete.tombstoneDir (decodes
+    // file: bases; follows registered Hadoop schemes)
+    val (fs, b) = graft.io.ArtifactStore.backend(base)
+    val dir = fs.join(b, "dochash")
+    if (!fs.isDir(dir))
       throw new IllegalStateException(
         s"BM25 index at $base predates delete support (no dochash " +
           "sidecar) — rebuild it before applying deletes")
-    spark.read.schema(docHashSchema).parquet(dir.toString)
+    spark.read.schema(docHashSchema).parquet(dir)
   }
 
   /** [[IndexDelete.removalPlan]]'s lexical twin: the doc_ids actually

@@ -46,29 +46,28 @@ object IndexIngest {
   private def fpStr(n: Long, x: Long): String =
     ArtifactStore.fingerprint(n, x)
 
-  /** Bases may arrive as `file:` URIs (ArtifactStore decodes them);
-    * every raw java.nio/java.io touch of artifact-internal files must
-    * go through the same decoding or a `file://` base half-works —
-    * the store operates on the decoded path while `Paths.get(base,
-    * "stream_state")` mangles into a relative local dir
-    * (review-caught). */
-  private def localBase(base: String): String =
-    ArtifactStore.requireLocalRoot(base)
+  /** Every touch of artifact-internal files (replay marks, generation
+    * pointers, fragmentation probes) goes through the store's backend
+    * dispatch: it decodes `file:` URIs the way the store itself does
+    * (a base probed with raw `Paths.get(base, "stream_state")` mangled
+    * into a relative local dir — review-caught) and follows registered
+    * Hadoop schemes onto the right filesystem, so the whole streaming
+    * lifecycle deploys wherever the store does. */
+  private def fsb(base: String): (graft.io.ArtifactFs, String) =
+    ArtifactStore.backend(base)
 
   /** Atomic replace for the replay mark: a truncate-then-write crash
     * leaves a torn/empty file whose parse then poisons every sink
     * batch and gate cycle (and the self-heals would copy the torn file
-    * forward) — write-temp + ATOMIC_MOVE, the marker's own pattern. */
-  private def writeStateAtomic(stateFile: java.nio.file.Path,
+    * forward) — the backend's replace-swap (write-temp + atomic
+    * rename; FileContext OVERWRITE on HDFS), the marker's own
+    * pattern. */
+  private def writeStateAtomic(base: String,
       state: Map[String, Long]): Unit = {
-    val tmp = stateFile.resolveSibling(
-      s".state-tmp-${java.util.UUID.randomUUID}")
+    val (fs, b) = fsb(base)
     val body = state.toSeq.sorted
       .map { case (app, id) => s"$app\t$id" }.mkString("\n")
-    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, stateFile,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fs.writeAtomicReplace(fs.join(b, "stream_state"), body)
   }
 
   /** What a bootstrap call actually did — bootstraps INITIALIZE only
@@ -184,10 +183,11 @@ object IndexIngest {
     * ids — harmless against rows that no longer exist, but it would
     * break the "a compaction clears the tombstones" re-append
     * contract). No-op when the live artifact has no tombstones. */
-  private def clearTombstonesInto(live: String, staging: String): Unit =
-    if (new java.io.File(localBase(live), "tombstones").isDirectory)
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(staging, "tombstones"))
+  private def clearTombstonesInto(live: String, staging: String): Unit = {
+    val (fs, b) = fsb(live)
+    if (fs.isDir(fs.join(b, "tombstones")))
+      fs.mkdirs(fs.join(staging, "tombstones"))
+  }
 
   /** THE exactly-once commit core every streaming sink (append AND
     * delete) rides: skip a batch id at or below this lineage's
@@ -204,7 +204,6 @@ object IndexIngest {
     * reasoning for all ten sinks (review-caught duplication). */
   private def commitOnce(base: String, batchId: Long, markKey: String,
       parts: => (Long, Long))(body: String => Unit): Unit = {
-    val stateFile = java.nio.file.Paths.get(localBase(base), "stream_state")
     if (batchId <= readState(base).getOrElse(markKey, -1L))
       return // replay of a committed batch OF THIS LINEAGE
     val cur = ArtifactStore.currentFingerprint(base).getOrElse(
@@ -216,7 +215,7 @@ object IndexIngest {
       java.lang.Long.parseUnsignedLong(cx) ^ px)
     val ok = ArtifactStore.mutate(base, cur, next) { live =>
       body(live)
-      writeStateAtomic(stateFile, readState(base) + (markKey -> batchId))
+      writeStateAtomic(base, readState(base) + (markKey -> batchId))
     }
     if (!ok) throw new IllegalStateException(
       s"index at $base changed under batch $batchId — replay")
@@ -251,11 +250,11 @@ object IndexIngest {
     * File format: `<appId>\t<batchId>` lines; a bare legacy
     * single-number file reads as the default lineage's mark. */
   private def readState(base: String): Map[String, Long] = {
-    val f = java.nio.file.Paths.get(localBase(base), "stream_state")
-    if (!java.nio.file.Files.isRegularFile(f)) Map.empty
+    val (fs, b) = fsb(base)
+    val f = fs.join(b, "stream_state")
+    if (!fs.isFile(f)) Map.empty
     else {
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+      val txt = fs.read(f).trim
       if (txt.isEmpty) Map.empty
       else txt.split("\n").toSeq.map { line =>
         val i = line.indexOf('\t')
@@ -387,8 +386,10 @@ object IndexIngest {
       // — a doc whose text has no terms has no posting row), and the
       // tombstone set resets. The fingerprint is REUSED: the delete
       // sink already moved the logical membership when it tombstoned.
-      val hasDochash = java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(localBase(live), "dochash"))
+      val hasDochash = {
+        val (fs, b) = fsb(live)
+        fs.isDir(fs.join(b, "dochash"))
+      }
       val p = graft.llm.IndexDelete.liveById(spark, live,
         spark.read.schema(Retrieval.segPostingsSchema)
           .parquet(s"$live/postings"), "doc_id")
@@ -691,8 +692,10 @@ object IndexIngest {
     graft.functions.VectorExpressions.register(spark)
     if (ArtifactStore.currentFingerprint(ivfBase).isEmpty)
       ArtifactStore.restoreAside(ivfBase)
-    if (ArtifactStore.currentFingerprint(ivfBase).isEmpty &&
-        new java.io.File(localBase(ivfBase), "assignments").isDirectory)
+    if (ArtifactStore.currentFingerprint(ivfBase).isEmpty && {
+        val (fs, b) = fsb(ivfBase)
+        fs.isDir(fs.join(b, "assignments"))
+      })
       rebuildIvfFromSelf(spark, ivfBase)
     val ivfFp = ArtifactStore.currentFingerprint(ivfBase).getOrElse(
       throw new IllegalStateException(
@@ -769,9 +772,9 @@ object IndexIngest {
   private val CurrentName = "CURRENT"
 
   private def genPaths(pairBase: String, gen: String): (String, String) = {
-    val root = localBase(pairBase)
-    (java.nio.file.Paths.get(root, gen, "ivf").toString,
-      java.nio.file.Paths.get(root, gen, "pq").toString)
+    val (fs, root) = fsb(pairBase)
+    (fs.join(fs.join(root, gen), "ivf"),
+      fs.join(fs.join(root, gen), "pq"))
   }
 
   /** The derived generation members the pair machinery can carry
@@ -788,23 +791,24 @@ object IndexIngest {
       "bq" -> (Similarity.bqBuildFromNv _))
 
   private def memberGenPath(pairBase: String, gen: String,
-      kind: String): String =
-    java.nio.file.Paths.get(localBase(pairBase), gen, kind).toString
+      kind: String): String = {
+    val (fs, root) = fsb(pairBase)
+    fs.join(fs.join(root, gen), kind)
+  }
 
   private def memberIfPresent(pairBase: String, gen: String,
       kind: String): Option[String] = {
     val p = memberGenPath(pairBase, gen, kind)
-    if (new java.io.File(p).isDirectory) Some(p) else None
+    if (fsb(pairBase)._1.isDir(p)) Some(p) else None
   }
 
 
   /** The serving generation named by the pointer, e.g. `"g3"`; None
     * before [[bootstrapPair]] completes. */
   def currentGen(pairBase: String): Option[String] = {
-    val p = java.nio.file.Paths.get(localBase(pairBase), CurrentName)
-    if (java.nio.file.Files.isRegularFile(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
-    else None
+    val (fs, root) = fsb(pairBase)
+    val p = fs.join(root, CurrentName)
+    if (fs.isFile(p)) Some(fs.read(p).trim) else None
   }
 
   /** Resolve the pair root to the CURRENT generation's concrete
@@ -830,13 +834,13 @@ object IndexIngest {
     memberIfPresent(pairBase, requireGen(pairBase), "bq")
 
   private def swapCurrent(pairBase: String, gen: String): Unit = {
-    val root = java.nio.file.Paths.get(localBase(pairBase))
-    java.nio.file.Files.createDirectories(root)
-    val tmp = root.resolve(s".current-tmp-${java.util.UUID.randomUUID}")
-    java.nio.file.Files.write(tmp, gen.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, root.resolve(CurrentName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val (fs, root) = fsb(pairBase)
+    fs.mkdirs(root)
+    // the pointer swap must be whole-old-or-whole-new: the backend's
+    // replace-rename (FileContext OVERWRITE on HDFS; see
+    // ArtifactFs.writeAtomicReplace for why a scheme without an
+    // AbstractFileSystem binding must not host generation pointers)
+    fs.writeAtomicReplace(fs.join(root, CurrentName), gen)
   }
 
   /** One-time bootstrap of a generation-pointer pair: generation `g0`
@@ -1081,18 +1085,12 @@ object IndexIngest {
       // retention (only after a real swap): keep the just-replaced
       // generation as the reader grace copy; everything older goes
       if (retrained) {
-        val root = java.nio.file.Paths.get(localBase(pairBase))
-        val l = java.nio.file.Files.list(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          l.iterator.asScala.toSeq
-            .filter(p => java.nio.file.Files.isDirectory(p))
-            .filter { p =>
-              val n = p.getFileName.toString
-              n.startsWith("g") && n != next && n != gen
-            }
-            .foreach(ArtifactStore.deleteTree)
-        } finally l.close()
+        val (fs, root) = fsb(pairBase)
+        fs.childNames(root)
+          .filter(n => n.startsWith("g") && n != next && n != gen)
+          .map(fs.join(root, _))
+          .filter(fs.isDir)
+          .foreach(fs.delete)
       }
     }
     (queries, hits, fired, retrained)
@@ -1102,10 +1100,10 @@ object IndexIngest {
     * new generation's staging dir (staged with the data: a
     * post-publish copy would be an unmanifested extra file). */
   private def copyStateInto(fromBase: String, staging: String): Unit = {
-    val st = java.nio.file.Paths.get(localBase(fromBase), "stream_state")
-    if (java.nio.file.Files.isRegularFile(st))
-      java.nio.file.Files.copy(st,
-        java.nio.file.Paths.get(staging, "stream_state"))
+    val (fs, b) = fsb(fromBase)
+    val st = fs.join(b, "stream_state")
+    if (fs.isFile(st))
+      fs.writeAtomic(fs.join(staging, "stream_state"), fs.read(st))
   }
 
   /** Self-heal for a marker-less IVF artifact. Since the stage-first
@@ -1139,10 +1137,7 @@ object IndexIngest {
     val (n, x) = Similarity.frameFingerprintParts(v)
     ArtifactStore.ensure(ivfBase, fpStr(n, x)) { staging =>
       Similarity.ivfBuildFrom(v, staging)
-      val st = java.nio.file.Paths.get(localBase(ivfBase), "stream_state")
-      if (java.nio.file.Files.isRegularFile(st))
-        java.nio.file.Files.copy(st,
-          java.nio.file.Paths.get(staging, "stream_state"))
+      copyStateInto(ivfBase, staging)
     }
     ()
   }
@@ -1205,15 +1200,12 @@ object IndexIngest {
     * is "how many appends since the last compaction" for the hottest
     * cell. 0 when the table does not exist yet. */
   def fragmentation(base: String, sub: String): Int = {
-    val root = new java.io.File(localBase(base), sub)
-    if (!root.isDirectory) 0
-    else {
-      val dirs = Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory)
-      if (dirs.isEmpty) 0
-      else dirs.map(d => Option(d.listFiles()).getOrElse(Array.empty)
-        .count(_.getName.startsWith("part-"))).max
-    }
+    val (fs, b) = fsb(base)
+    val root = fs.join(b, sub)
+    val perDir = fs.childNames(root)
+      .map(fs.join(root, _)).filter(fs.isDir)
+      .map(d => fs.childNames(d).count(_.startsWith("part-")))
+    if (perDir.isEmpty) 0 else perDir.max
   }
 
   /** Compaction POLICY — the scheduler knob the raw `compact*` calls
@@ -1238,10 +1230,8 @@ object IndexIngest {
     * driver-side proxy for Lucene's deleted-docs-ratio merge trigger;
     * an exact ratio would read parquet row counts per policy check). */
   def tombstoneFiles(base: String): Int = {
-    val dir = new java.io.File(localBase(base), "tombstones")
-    if (!dir.isDirectory) 0
-    else Option(dir.listFiles()).getOrElse(Array.empty)
-      .count(_.getName.startsWith("part-"))
+    val (fs, b) = fsb(base)
+    fs.childNames(fs.join(b, "tombstones")).count(_.startsWith("part-"))
   }
 
   /** [[maybeCompactIvf]] for the PQ code table. */

@@ -296,36 +296,86 @@ private[graft] final class HadoopFs(
     val lockPath = join(base, LockName)
     monitor.synchronized {
       var held = false
+      var absentFailures = 0
       while (!held) {
         held =
           try {
             fs.create(hp(lockPath), false).close(); true
           } catch {
             case e: java.io.IOException =>
-              if (!fs.exists(hp(lockPath))) throw e // a real error
-              // contended: break a stale lock (dead holder), else wait
-              val st =
-                try Some(fs.getFileStatus(hp(lockPath)))
-                catch { case _: java.io.FileNotFoundException => None }
-              st.foreach { s =>
-                if (System.currentTimeMillis() - s.getModificationTime
-                    > HadoopFs.LockStaleMs)
-                  fs.delete(hp(lockPath), false)
+              if (!fs.exists(hp(lockPath))) {
+                // the holder may have released BETWEEN our failed
+                // create and this probe — benign contention, retry; a
+                // create that keeps failing with NO lock present is a
+                // real error (permissions, connectivity) and must
+                // surface, not spin (review-caught)
+                absentFailures += 1
+                if (absentFailures >= 3) throw e
+              } else {
+                absentFailures = 0
+                // contended: break a STALE lock (dead holder — live
+                // holders renew their mtime, see below). The break is
+                // an atomic RENAME-then-delete, never a bare delete:
+                // two waiters deciding "stale" from the same pre-break
+                // stat would otherwise each delete the OTHER's freshly
+                // created lock and both enter the critical section
+                // (review-caught TOCTOU). Only one racer wins the
+                // rename of the stale inode; the loser's rename throws
+                // and it just retries the create.
+                val st =
+                  try Some(fs.getFileStatus(hp(lockPath)))
+                  catch { case _: java.io.FileNotFoundException => None }
+                st.foreach { s =>
+                  if (System.currentTimeMillis() - s.getModificationTime
+                      > HadoopFs.LockStaleMs) {
+                    val broken = join(base,
+                      s".tmp-broken-lock-${java.util.UUID.randomUUID}")
+                    try {
+                      if (fs.rename(hp(lockPath), hp(broken)))
+                        fs.delete(hp(broken), false)
+                    } catch { case _: java.io.IOException => () }
+                  }
+                }
               }
               Thread.sleep(50)
               false
           }
       }
-      try body finally fs.delete(hp(lockPath), false)
+      // heartbeat: a LIVE holder renews the lock's mtime well inside
+      // the stale TTL, so builds of any length (Spark training jobs)
+      // are never broken by a waiter — expiry only ever fires on a
+      // dead holder's lock (review-caught: the TTL alone capped every
+      // build at LockStaleMs)
+      val renewer = HadoopFs.renewPool.scheduleAtFixedRate(
+        () => try fs.setTimes(hp(lockPath),
+          System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () },
+        HadoopFs.LockStaleMs / 3, HadoopFs.LockStaleMs / 3,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      try body finally {
+        renewer.cancel(false)
+        fs.delete(hp(lockPath), false)
+      }
     }
   }
 }
 
 private[graft] object HadoopFs {
-  /** A lock file older than this is presumed held by a dead process
-    * and broken. Must comfortably exceed the longest publish window
-    * (the sweep + renames + marker write — NOT the build body, which
-    * runs outside any invalidation but inside the lock; size this to
-    * the longest expected index build). */
+  /** A lock file whose mtime is older than this is presumed held by a
+    * DEAD process and broken (via atomic rename — see `lock`). Live
+    * holders renew their lock's mtime every third of this period, so
+    * the TTL bounds only crash-recovery latency, never build length. */
   val LockStaleMs: Long = 15L * 60 * 1000
+
+  /** Shared daemon scheduler for lock-mtime renewal heartbeats. */
+  private[io] val renewPool = {
+    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-hadoop-lock-renewer")
+        t.setDaemon(true)
+        t
+      })
+    p.setRemoveOnCancelPolicy(true)
+    p
+  }
 }

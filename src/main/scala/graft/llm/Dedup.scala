@@ -1256,10 +1256,9 @@ object Dedup {
       .join(broadcast(requested), Seq("doc_id"), "left_semi")
       .join(broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
         Seq("doc_id"), "left_anti")
-    val r = victims
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h64)").as("x")).collect()(0)
-    (IndexDelete.pinIds(victims.select(col("doc_id")), "doc_id"),
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+    // one pass pins the ids AND derives the parts from the stored
+    // digest rows ([[IndexDelete.pinPlan]])
+    IndexDelete.pinPlan(victims, "doc_id", col("h64"))
   }
 
   /** Batch takedown on a persisted dedup index. */

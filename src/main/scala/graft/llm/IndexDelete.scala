@@ -57,22 +57,6 @@ object IndexDelete {
   private[graft] val tombstoneSchema =
     StructType(Seq(StructField("vec_id", LongType)))
 
-  /** The tombstone set of an index base — empty when the index has
-    * never seen a delete (bootstrap does not create the dir). The id
-    * column is the index family's member key (`vec_id` for the vector
-    * indexes, `doc_id` for the lexical one). */
-  /** The base's tombstone dir as a backend-native path — every
-    * existence probe of artifact-internal files goes through the
-    * store's backend dispatch ([[graft.io.ArtifactStore.backend]]):
-    * it decodes `file:` URI bases the way the store itself does (a
-    * URI-form base probed with java.nio silently read as "never
-    * deleted" — the IndexIngest localBase lesson) and follows
-    * registered Hadoop schemes onto the right filesystem. */
-  private[graft] def tombstoneDir(base: String): String = {
-    val (fs, b) = graft.io.ArtifactStore.backend(base)
-    fs.join(b, "tombstones")
-  }
-
   /** Whether `base` carries any LIVE tombstones — the driver-side
     * branch every serving/maintenance read takes. Tests for part
     * FILES, not bare directory existence: compaction stages an EMPTY
@@ -80,7 +64,13 @@ object IndexDelete {
     * children; it cannot remove a live child), so an existence check
     * would leave the anti-join branch on forever after the first
     * compaction — the bare-scan fast path must RE-ARM once the
-    * tombstones are physicalized away (review-caught). */
+    * tombstones are physicalized away (review-caught). All probes go
+    * through the store's backend dispatch
+    * ([[graft.io.ArtifactStore.backend]]): it decodes `file:` URI
+    * bases the way the store itself does (a URI-form base probed with
+    * java.nio silently read as "never deleted" — the IndexIngest
+    * localBase lesson) and follows registered Hadoop schemes onto the
+    * right filesystem. */
   private[graft] def hasTombstones(base: String): Boolean = {
     val (fs, b) = graft.io.ArtifactStore.backend(base)
     fs.childNames(fs.join(b, "tombstones")).exists(_.startsWith("part-"))
@@ -134,41 +124,55 @@ object IndexDelete {
     liveById(spark, base, Similarity.invertedListsAt(spark, base), "vec_id")
       .select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
 
-  /** Pin a victim-id frame to its CURRENT value as a driver-local
-    * relation (O(deletes)-small by design — the same scale bound the
-    * broadcast anti-joins rely on). Every removal plan must return a
-    * PINNED frame, never a lazy one: the plan is otherwise re-executed
-    * inside the mutate body AFTER the marker is dropped, and a
-    * concurrent same-fingerprint rewrite (compaction swaps the
-    * underlying part files without moving the fingerprint) between
-    * plan evaluation and mutate makes the stale file listing fail
-    * mid-write — leaving the artifact marker-less until the next
-    * heal. A local relation carries no file references at all, so the
-    * commit window writes a value, not a plan (ADVICE r12). */
-  private[graft] def pinIds(ids: DataFrame, idCol: String): DataFrame = {
-    val spark = ids.sparkSession
-    val vals = ids.collect().map(_.getLong(0)).sorted.toIndexedSeq
+  /** Pin a removal plan's ENTIRE read side in one job: collect the
+    * victims' `(id, rowHash)` pairs — O(deletes)-small by design, the
+    * same scale bound the broadcast anti-joins rely on — and derive
+    * both the driver-local id frame and the fingerprint parts
+    * (count, xor) from that one pass. Two invariants live here:
+    *
+    *  - the returned frame is PINNED, never lazy: a lazy plan is
+    *    re-executed inside the mutate body AFTER the marker is
+    *    dropped, and a concurrent same-fingerprint rewrite (compaction
+    *    swaps the underlying part files without moving the
+    *    fingerprint) between plan evaluation and mutate makes the
+    *    stale file listing fail mid-write — leaving the artifact
+    *    marker-less until the next heal. A local relation carries no
+    *    file references at all, so the commit window writes a value,
+    *    not a plan (ADVICE r12);
+    *  - ONE collect, not a parts-aggregate plus a separate id
+    *    collect: each was an index-scan job, doubling the streaming
+    *    delete hot path's cost (review-caught).
+    *
+    * `hash` must be the family's row-hash expression — exactly what
+    * its fingerprint kernel xors, or the chained marker diverges. */
+  private[graft] def pinPlan(victims: DataFrame, idCol: String,
+      hash: org.apache.spark.sql.Column): (DataFrame, (Long, Long)) = {
+    val spark = victims.sparkSession
+    val rows = victims.select(col(idCol).cast(LongType), hash)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val x = rows.foldLeft(0L)(_ ^ _._2)
     import spark.implicits._
-    vals.toDF(idCol)
+    (rows.map(_._1).sorted.toIndexedSeq.toDF(idCol),
+      (rows.length.toLong, x))
   }
 
   /** Read-side plan of one remove_ids call against the CURRENT
     * artifact: the ids actually being removed (present in the lists,
     * not already tombstoned — deduplicated) and their fingerprint
-    * parts. Everything is computed — and the id set PINNED
-    * ([[pinIds]]) — BEFORE any mutation; the caller's `mutate`
-    * re-validates the expected fingerprint under the lock, so a
-    * racing writer turns this into a clean retry, never a torn
-    * apply. */
+    * parts, pinned in one pass ([[pinPlan]]) BEFORE any mutation; the
+    * caller's `mutate` re-validates the expected fingerprint under
+    * the lock, so a racing writer turns this into a clean retry,
+    * never a torn apply. */
   private[graft] def removalPlan(spark: SparkSession, base: String,
       ids: DataFrame): (DataFrame, (Long, Long)) = {
     val requested = ids.select(col("vec_id").cast(LongType)).distinct()
     val removed = Similarity.invertedListsAt(spark, base)
       .join(broadcast(requested), Seq("vec_id"), "left_semi")
       .join(broadcast(tombstonesAt(spark, base)), Seq("vec_id"), "left_anti")
-    val parts = Similarity.frameFingerprintParts(
-      removed.select(col("vec_id"), col("embedding")))
-    (pinIds(removed.select(col("vec_id")), "vec_id"), parts)
+    // the hash is frameFingerprintParts' row kernel — the value the
+    // chained marker xors
+    pinPlan(removed, "vec_id",
+      xxhash64(to_json(struct(col("vec_id"), col("embedding")))))
   }
 
   /** Append the removal's tombstones into the LIVE base — the body a

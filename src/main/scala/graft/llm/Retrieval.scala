@@ -593,7 +593,7 @@ object Retrieval {
     org.apache.spark.sql.types.StructField("dl", LongType)))
 
   private[graft] def docHashAt(spark: SparkSession, base: String): DataFrame = {
-    // backend-native path, like IndexDelete.tombstoneDir (decodes
+    // backend-native path, like IndexDelete.hasTombstones (decodes
     // file: bases; follows registered Hadoop schemes)
     val (fs, b) = graft.io.ArtifactStore.backend(base)
     val dir = fs.join(b, "dochash")
@@ -615,10 +615,9 @@ object Retrieval {
       .join(broadcast(requested), Seq("doc_id"), "left_semi")
       .join(broadcast(IndexDelete.tombstonesAt(spark, base, "doc_id")),
         Seq("doc_id"), "left_anti")
-    val r = victims
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).collect()(0)
-    (IndexDelete.pinIds(victims.select(col("doc_id")), "doc_id"),
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+    // one pass pins the ids AND derives the parts from the stored
+    // doc-hash rows ([[IndexDelete.pinPlan]])
+    IndexDelete.pinPlan(victims, "doc_id", col("h"))
   }
 
   /** Batch delete-by-doc-id on a persisted BM25 index. */

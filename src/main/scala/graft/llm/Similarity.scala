@@ -758,10 +758,22 @@ object Similarity {
     * everywhere except s25, which adds its nprobe axis) as `rn`.
     * Carried pool columns (adc_rank, n_label, nprobe) pass through;
     * callers do their own final select/order. One body — a kernel or
-    * tie-break change lands exactly once (VERDICT r11 #6). */
+    * tie-break change lands exactly once (VERDICT r11 #6).
+    *
+    * `queryNv` supplies the QUERY-side vectors when they must not come
+    * from `fetched`: the tombstone-aware servers fetch LIVE members
+    * only, and sourcing query vectors from that same frame would
+    * silently return zero rows for a tombstoned querier — removal
+    * un-indexes a document, it does not revoke anyone's ability to
+    * search (the s32 contract; review-caught). Values are identical
+    * where both sides cover a query (unit vectors from the same exact
+    * stored floats), so the override never changes a live query's
+    * scores. */
   private def exactRefine(pool: DataFrame, fetched: DataFrame, k: Int,
-      partCols: Seq[String] = Seq("query_id")): DataFrame = {
-    val qv = fetched.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+      partCols: Seq[String] = Seq("query_id"),
+      queryNv: Option[DataFrame] = None): DataFrame = {
+    val qv = queryNv.getOrElse(fetched)
+      .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
     val cv = fetched.select(col("vec_id").as("neighbor_id"),
       col("nv").as("cnv"))
     val w = Window.partitionBy(partCols.map(col): _*)
@@ -1550,11 +1562,12 @@ object Similarity {
   private[graft] def sqServeFrom(spark: SparkSession, queries: DataFrame,
       ivfBase: String, sqBase: String): DataFrame = {
     VectorExpressions.register(spark)
-    val qv = pqNvFrame(queries)
-      .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+    val qnv = pqNvFrame(queries)
+    val qv = qnv.select(col("vec_id").as("query_id"), col("nv").as("qnv"))
     val pool = sqPool(storedProbes(spark, queries, ivfBase),
       sqRecon(spark, sqBase), qv, ivfBase)
-    exactRefine(pool, liveVectorFetchAt(spark, ivfBase), 10)
+    exactRefine(pool, liveVectorFetchAt(spark, ivfBase), 10,
+      queryNv = Some(qnv))
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("sq_rank").cast("integer").as("sq_rank"))
@@ -1700,12 +1713,14 @@ object Similarity {
   private[graft] def bqServeFrom(spark: SparkSession, queries: DataFrame,
       ivfBase: String, bqBase: String): DataFrame = {
     VectorExpressions.register(spark)
-    val qbits = bqBits(pqNvFrame(queries))
+    val qnv = pqNvFrame(queries)
+    val qbits = bqBits(qnv)
       .select(col("vec_id").as("query_id"),
         col("bits_lo").as("qlo"), col("bits_hi").as("qhi"))
     val pool = bqPool(storedProbes(spark, queries, ivfBase),
       bqStored(spark, bqBase), qbits, ivfBase)
-    exactRefine(pool, liveVectorFetchAt(spark, ivfBase), 10)
+    exactRefine(pool, liveVectorFetchAt(spark, ivfBase), 10,
+      queryNv = Some(qnv))
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("bq_rank").cast("integer").as("bq_rank"))
@@ -2183,7 +2198,8 @@ object Similarity {
     val storedCodes = spark.read.schema(pqCodesSchema)
       .parquet(s"$pqBase/codes")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
-    val lut = pqLut(pqSub(pqNvFrame(queries)), cb)
+    val qnv = pqNvFrame(queries)
+    val lut = pqLut(pqSub(qnv), cb)
     // the shared pool body, tombstone-cut at candidate scale BEFORE
     // the rank window (liveBase): a tombstoned id must not occupy a
     // RerankPool slot, or a heavily-deleted index starves the refine
@@ -2192,7 +2208,10 @@ object Similarity {
     // this plans the plain stored scan.
     val pool = adcPool(storedProbes(spark, queries, ivfBase), storedCodes,
       lut, liveBase = Some(ivfBase))
-    exactRefine(pool, liveVectorFetchAt(spark, ivfBase), 10)
+    // query vectors from the PANEL, not the live fetch: a tombstoned
+    // querier keeps searching (exactRefine's queryNv contract)
+    exactRefine(pool, liveVectorFetchAt(spark, ivfBase), 10,
+      queryNv = Some(qnv))
       .select(col("query_id"), col("rn").cast("integer").as("rn"),
         col("neighbor_id"), col("score"),
         col("adc_rank").cast("integer").as("adc_rank"))

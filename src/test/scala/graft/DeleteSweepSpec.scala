@@ -95,14 +95,22 @@ class DeleteSweepSpec extends AnyFunSuite {
     val n = IndexDelete.applyDeletes(spark, ivf, deleted.toDF("vec_id"))
     assert(n == deleted.size.toLong, s"expected ${deleted.size} removals, got $n")
     assert(IndexDelete.tombstonesAt(spark, ivf).count() == n)
-    // the query panel: LIVE members, off the stored lists (the
-    // streaming posture — no corpus table exists)
+    // the query panel, off the stored lists (the streaming posture —
+    // no corpus table exists). It deliberately INCLUDES tombstoned
+    // ids (% 8 == 1 implies % 4 != 0 → deleted): removal un-indexes a
+    // document, it does not revoke anyone's ability to search (the
+    // s32 contract) — a deleted querier must still get its k live
+    // neighbors, which pins that query vectors come from the panel,
+    // not the live-filtered refine fetch.
     val panel = spark.read.schema(Similarity.invertedListSchema)
       .parquet(s"$ivf/assignments")
-      .filter(col("vec_id") % 8 === 0)
+      .filter(pmod(col("vec_id"), lit(8)).isin(0, 1))
       .select(col("vec_id"), col("embedding"), col("norm"))
     val nPanel = panel.count()
-    assert(nPanel >= 50, s"panel too small to be meaningful: $nPanel")
+    assert(nPanel >= 100, s"panel too small to be meaningful: $nPanel")
+    val deletedQueriers = panel.filter(col("vec_id") % 4 =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deletedQueriers.nonEmpty, "panel must carry tombstoned queriers")
     val surfaces: Seq[(String, DataFrame)] = Seq(
       "pq" -> Similarity.storedIvfPqServeFrom(spark, panel, ivf, pq),
       "sq" -> Similarity.sqServeFrom(spark, panel, ivf, sq),
@@ -117,7 +125,9 @@ class DeleteSweepSpec extends AnyFunSuite {
       byQuery.foreach { case (q, rs) =>
         assert(rs.length == 10,
           s"$kind: query $q got ${rs.length} < 10 results — pool starved " +
-            "(tombstones must be cut BEFORE the rank window)")
+            "(tombstones must be cut BEFORE the rank window)" +
+            (if (deletedQueriers(q)) "; q is a TOMBSTONED querier — " +
+              "deletion must not revoke search" else ""))
       }
       val offenders = rows.filter(r => delSet(r._2))
       assert(offenders.isEmpty,

@@ -134,4 +134,30 @@ class DeleteSweepSpec extends AnyFunSuite {
         s"$kind served tombstoned members: ${offenders.take(5).mkString(", ")}")
     }
   }
+
+  test("a fully-deleted index serves the empty answer, never a crash") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(78)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val all = (0L until 64L).map(i => (i, vec()))
+    val root = java.nio.file.Files.createTempDirectory("graft-delall")
+    val ivf = root.resolve("ivf").toString
+    val pq = root.resolve("pq").toString
+    val df = all.toDF("vec_id", "embedding")
+    graft.stream.IndexIngest.bootstrap(ivf, df)
+    graft.stream.IndexIngest.pqBootstrap(pq, ivf, df)
+    // the panel is captured BEFORE the wipe (a maintenance snapshot
+    // whose queriers have all since been taken down — the most
+    // degenerate serving state a delete-bearing index reaches)
+    val panel = spark.read.schema(Similarity.invertedListSchema)
+      .parquet(s"$ivf/assignments")
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .localCheckpoint(true)
+    val n = IndexDelete.applyDeletes(spark, ivf, all.map(_._1).toDF("vec_id"))
+    assert(n == all.size.toLong)
+    assert(Similarity.storedIvfPqServeFrom(spark, panel, ivf, pq)
+      .count() == 0L, "an emptied index must serve the empty answer")
+    graft.Checkpoints.release(panel)
+  }
 }

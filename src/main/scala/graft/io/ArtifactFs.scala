@@ -364,8 +364,10 @@ private[graft] object HadoopFs {
   /** A lock file whose mtime is older than this is presumed held by a
     * DEAD process and broken (via atomic rename — see `lock`). Live
     * holders renew their lock's mtime every third of this period, so
-    * the TTL bounds only crash-recovery latency, never build length. */
-  val LockStaleMs: Long = 15L * 60 * 1000
+    * the TTL bounds only crash-recovery latency, never build length.
+    * Volatile test hook: the renew-beats-expiry property is only
+    * observable with a TTL a spec can wait out. */
+  @volatile private[graft] var LockStaleMs: Long = 15L * 60 * 1000
 
   /** Shared daemon scheduler for lock-mtime renewal heartbeats. */
   private[io] val renewPool = {

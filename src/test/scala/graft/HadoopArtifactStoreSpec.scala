@@ -124,6 +124,47 @@ class HadoopArtifactStoreSpec extends AnyFunSuite {
       "a stale lock must be broken, not waited on forever")
   }
 
+  test("a LIVE holder's lock is renewed past the stale TTL, never broken") {
+    // two HadoopFs instances = two processes (separate in-JVM monitor
+    // maps), one underlying store. A holds the lock across 4× the TTL;
+    // its heartbeat (TTL/3) must keep the mtime fresh so B's waiter
+    // loop never judges it stale — the review-caught failure mode was
+    // every build longer than the TTL having its lock broken and a
+    // second writer entering the critical section.
+    registered
+    def newFs(): graft.io.HadoopFs = {
+      val fs = new GraftTestHadoopFs()
+      fs.initialize(java.net.URI.create(s"$Scheme:///"),
+        new org.apache.hadoop.conf.Configuration())
+      new graft.io.HadoopFs(fs)
+    }
+    val base = Scheme + ":" + java.nio.file.Files
+      .createTempDirectory("graft-hfs-renew").resolve("artifact").toString
+    val prevTtl = graft.io.HadoopFs.LockStaleMs
+    graft.io.HadoopFs.LockStaleMs = 900L
+    try {
+      val inCritical = new java.util.concurrent.atomic.AtomicInteger
+      val overlaps = new java.util.concurrent.atomic.AtomicInteger
+      val pool = Executors.newFixedThreadPool(2)
+      def contend(fs: graft.io.HadoopFs, holdMs: Long) =
+        pool.submit(new Runnable {
+          def run(): Unit = fs.lock(base) {
+            if (inCritical.incrementAndGet() > 1) overlaps.incrementAndGet()
+            Thread.sleep(holdMs)
+            inCritical.decrementAndGet()
+          }
+        })
+      val a = contend(newFs(), 3600L) // 4× the TTL
+      Thread.sleep(300)               // A is inside before B starts
+      val b = contend(newFs(), 100L)
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      a.get(); b.get()
+      assert(overlaps.get() == 0,
+        "a waiter broke a LIVE holder's lock — the heartbeat failed")
+    } finally graft.io.HadoopFs.LockStaleMs = prevTtl
+  }
+
   test("manifest validation catches pruned and extra files through Hadoop reads") {
     val base = freshBase()
     def build(tag: String)(staging: String): Unit = {

@@ -65,6 +65,13 @@ private[graft] trait ArtifactFs {
     * old content or the whole new content, never a torn or truncated
     * file. */
   def writeAtomicReplace(p: String, body: String): Unit
+  /** Whether [[writeAtomicReplace]] is genuinely atomic on this
+    * binding (vs the documented delete+rename fallback with its
+    * absence window). Callers for whom absence is UNRECOVERABLE — the
+    * generation pointer, whose loss regresses a pair to g0 and lets
+    * the retention sweep destroy the newest generation — must check
+    * this and fail loudly rather than degrade (review-caught). */
+  def replaceIsAtomic: Boolean = true
   /** Recursive delete; no-op when absent. */
   def delete(p: String): Unit
   /** Cross-process + cross-thread mutex on an artifact base. */
@@ -290,6 +297,8 @@ private[graft] final class HadoopFs(
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
     }
 
+  override def replaceIsAtomic: Boolean = fileContext.isDefined
+
   def lock[A](base: String)(body: => A): A = {
     mkdirs(base)
     val monitor = monitors.computeIfAbsent(base, _ => new Object)
@@ -315,13 +324,26 @@ private[graft] final class HadoopFs(
                 absentFailures = 0
                 // contended: break a STALE lock (dead holder — live
                 // holders renew their mtime, see below). The break is
-                // an atomic RENAME-then-delete, never a bare delete:
-                // two waiters deciding "stale" from the same pre-break
-                // stat would otherwise each delete the OTHER's freshly
-                // created lock and both enter the critical section
-                // (review-caught TOCTOU). Only one racer wins the
-                // rename of the stale inode; the loser's rename throws
-                // and it just retries the create.
+                // an atomic RENAME, then an IDENTITY CHECK, then the
+                // delete — never a bare delete: two waiters deciding
+                // "stale" from the same pre-break stat would each
+                // delete the OTHER's freshly created lock and both
+                // enter the critical section (review-caught TOCTOU),
+                // and a path-based rename alone can still steal a
+                // fresh lock created between this waiter's stat and
+                // its rename (review-caught, second pass). So: only
+                // one racer wins the rename; the winner then re-stats
+                // the renamed inode and (a) deletes it iff its mtime
+                // matches the stale observation, or (b) renames it
+                // BACK if it turned out fresh — a stolen live lock is
+                // restored before its holder's next heartbeat. The
+                // residual window (restore failing because a third
+                // waiter already created a new lock in the few
+                // microseconds the path was empty) is detected by the
+                // displaced holder's heartbeat, which reclaims and
+                // logs (see below); the marker/manifest validation
+                // additionally turns any torn double-publish into a
+                // rebuild, never a silently served partial artifact.
                 val st =
                   try Some(fs.getFileStatus(hp(lockPath)))
                   catch { case _: java.io.FileNotFoundException => None }
@@ -331,8 +353,15 @@ private[graft] final class HadoopFs(
                     val broken = join(base,
                       s".tmp-broken-lock-${java.util.UUID.randomUUID}")
                     try {
-                      if (fs.rename(hp(lockPath), hp(broken)))
-                        fs.delete(hp(broken), false)
+                      if (fs.rename(hp(lockPath), hp(broken))) {
+                        val got = fs.getFileStatus(hp(broken))
+                          .getModificationTime
+                        if (got == s.getModificationTime)
+                          fs.delete(hp(broken), false) // the stale inode
+                        else if (!fs.rename(hp(broken), hp(lockPath)))
+                          fs.delete(hp(broken), false) // displaced holder
+                            // reclaims via its heartbeat; see below
+                      }
                     } catch { case _: java.io.IOException => () }
                   }
                 }
@@ -345,11 +374,28 @@ private[graft] final class HadoopFs(
       // the stale TTL, so builds of any length (Spark training jobs)
       // are never broken by a waiter — expiry only ever fires on a
       // dead holder's lock (review-caught: the TTL alone capped every
-      // build at LockStaleMs)
+      // build at LockStaleMs). The beat is also the holder's
+      // LOSS-OF-LOCK detector: a vanished lock file (displaced by the
+      // break race above, or an operator delete) is RECREATED and
+      // logged loudly — silence here would let renewal no-op forever
+      // while waiters break in (review-caught, second pass).
       val renewer = HadoopFs.renewPool.scheduleAtFixedRate(
-        () => try fs.setTimes(hp(lockPath),
-          System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () },
+        () => try {
+          if (fs.exists(hp(lockPath)))
+            fs.setTimes(hp(lockPath), System.currentTimeMillis(), -1)
+          else {
+            System.err.println(s"[graft] lock file $lockPath vanished " +
+              "while held — reclaiming (a waiter's stale-break race, " +
+              "or an operator delete)")
+            try fs.create(hp(lockPath), false).close()
+            catch { case _: java.io.IOException => () }
+          }
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[graft] lock renewal failed for " +
+              s"$lockPath: $e — a waiter may judge this lock stale " +
+              s"after ${HadoopFs.LockStaleMs} ms")
+        },
         HadoopFs.LockStaleMs / 3, HadoopFs.LockStaleMs / 3,
         java.util.concurrent.TimeUnit.MILLISECONDS)
       try body finally {
@@ -369,9 +415,15 @@ private[graft] object HadoopFs {
     * observable with a TTL a spec can wait out. */
   @volatile private[graft] var LockStaleMs: Long = 15L * 60 * 1000
 
-  /** Shared daemon scheduler for lock-mtime renewal heartbeats. */
+  /** Shared daemon scheduler for lock-mtime renewal heartbeats.
+    * FOUR threads, not one: a single hung `setTimes` RPC (Hadoop
+    * client retries can block for minutes with no timeout) must not
+    * head-of-line-block every OTHER held lock's renewal in the JVM
+    * past the stale TTL (review-caught, second pass). A JVM holding
+    * more than four concurrently-hung locks has bigger problems than
+    * renewal. */
   private[io] val renewPool = {
-    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(4,
       (r: Runnable) => {
         val t = new Thread(r, "graft-hadoop-lock-renewer")
         t.setDaemon(true)

@@ -1012,6 +1012,21 @@ object Similarity {
       cb: DataFrame): DataFrame =
     pqLut(pqSub(pqNv(spark, dir)).filter(col("vec_id") % 4 === 0), cb)
 
+  /** The `%4` query panel's unit vectors `(vec_id, nv)` shared by the
+    * SQ/BQ corpus-panel servers' query-side frames. Deliberately NOT
+    * passed to [[exactRefine]] as queryNv on the corpus-panel servers:
+    * their query vectors come free from the index fetch, and a third
+    * corpus scan per query would break the "corpus reads are
+    * query-side only" plan contract (ScaleDesignSpec lint) to guard a
+    * scenario those servers cannot reach — a corpus-backed base never
+    * SERVES with tombstones, because any delete moves the marker
+    * fingerprint and the next `ensure` rebuilds (sweeping them) before
+    * the serve plan resolves. The from-frame servers, whose index IS
+    * the store and whose tombstones persist legitimately, DO pass
+    * queryNv ([[sqServeFrom]]/[[bqServeFrom]]/[[storedIvfPqServeFrom]]). */
+  private def servingQueryNv(spark: SparkSession, dir: String): DataFrame =
+    pqNv(spark, dir).filter(col("vec_id") % 4 === 0)
+
   /** The serving-side probe frame shared by every stored-code server:
     * the `%4` query set ranked against the stored centroids, top-3
     * cells each — `(cell, query_id)`. */
@@ -1506,7 +1521,7 @@ object Similarity {
     * of compression. */
   def s29SqSearch(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
-    val qv = pqNv(spark, dir).filter(col("vec_id") % 4 === 0)
+    val qv = servingQueryNv(spark, dir)
       .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
     val pool = sqPool(servingProbes(spark, dir),
       sqRecon(spark, sqIndexBase(spark, dir)), qv,
@@ -1665,7 +1680,7 @@ object Similarity {
     * unaffordable. */
   def s30BqSearch(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
-    val qbits = bqBits(pqNv(spark, dir).filter(col("vec_id") % 4 === 0))
+    val qbits = bqBits(servingQueryNv(spark, dir))
       .select(col("vec_id").as("query_id"),
         col("bits_lo").as("qlo"), col("bits_hi").as("qhi"))
     val pool = bqPool(servingProbes(spark, dir),

@@ -67,6 +67,13 @@ object Tokenizer {
   /** Replace passes per round — see the merge contract above. */
   val BpePasses = 4
 
+  /** Most merges rewritten by ONE chained replace expression: 16
+    * merges × [[BpePasses]] = 64 nested StringReplace nodes — the
+    * same order as the encoder's full-table replay (8 × 4), known
+    * codegen-friendly. Larger commuting batches apply as a chain of
+    * checkpointed chunk rewrites ([[bpeRoundsBatched]]). */
+  val MaxMergesPerRewrite = 16
+
   private def wordFreq(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -177,22 +184,33 @@ object Tokenizer {
         batch.foreach { case (pair, cnt) =>
           selected += ((pair, pair.replace(" ", ""), cnt))
         }
-        // one chained rewrite pass for the whole (commuting) batch —
-        // see the pass contract above; patterns are driver literals,
-        // so a dry round simply never reaches here (the old empty-
-        // winner left-join guard, now structural)
-        val rewritten = batch.foldLeft(col("sym"): Column) {
-          case (s, (pair, _)) =>
-            val merged = pair.replace(" ", "")
-            (1 to BpePasses).foldLeft(s)((t, _) =>
-              replace(t, lit(s" $pair "), lit(s" $merged ")))
-        }
-        val next = cur
-          .select(col("w"), rewritten.as("sym"), col("freq"))
-          .localCheckpoint(true)
-        // next is materialized — the previous round's vocabulary
-        // blocks are dead; free them now (Checkpoints doc)
-        graft.Checkpoints.release(cur)
+        // the batch rewrites in CHUNKS of [[MaxMergesPerRewrite]]:
+        // patterns are driver literals chained into one replace
+        // expression per chunk (the pass contract above; a dry round
+        // never reaches here — the old empty-winner left-join guard,
+        // now structural), and chunking bounds the Catalyst
+        // expression depth — one K=256 chunk would nest ~1024
+        // StringReplace nodes, risking analyzer stack overflow and a
+        // guaranteed fall out of whole-stage codegen at exactly the
+        // width the batching exists for (review-caught). Chunks of a
+        // commuting batch compose in any order, so the checkpointed
+        // chunk chain equals the single-expression rewrite.
+        val next = batch.grouped(MaxMergesPerRewrite)
+          .foldLeft(cur) { (frame, chunk) =>
+            val rewritten = chunk.foldLeft(col("sym"): Column) {
+              case (s, (pair, _)) =>
+                val merged = pair.replace(" ", "")
+                (1 to BpePasses).foldLeft(s)((t, _) =>
+                  replace(t, lit(s" $pair "), lit(s" $merged ")))
+            }
+            val nf = frame
+              .select(col("w"), rewritten.as("sym"), col("freq"))
+              .localCheckpoint(true)
+            // nf is materialized — the superseded frame's blocks are
+            // dead; free them now (Checkpoints doc)
+            graft.Checkpoints.release(frame)
+            nf
+          }
         cur = next
       }
     }

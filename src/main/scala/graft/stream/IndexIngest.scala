@@ -835,11 +835,18 @@ object IndexIngest {
 
   private def swapCurrent(pairBase: String, gen: String): Unit = {
     val (fs, root) = fsb(pairBase)
+    // ENFORCED, not advisory (review-caught): on a binding whose
+    // replace degrades to delete+rename, a crash in the absence
+    // window (or a failed rename after the delete) leaves the pair
+    // pointer-less — the next bootstrap then adopts g0 and the
+    // retention sweep would destroy the NEWEST generation. Better to
+    // refuse the swap than to risk the pointer.
+    require(fs.replaceIsAtomic,
+      s"generation pointers need an ATOMIC replace; the backend for " +
+        s"$pairBase lacks one (no AbstractFileSystem binding for its " +
+        "scheme) — bind one (HDFS ships Hdfs) or host the pair root " +
+        "on a POSIX path")
     fs.mkdirs(root)
-    // the pointer swap must be whole-old-or-whole-new: the backend's
-    // replace-rename (FileContext OVERWRITE on HDFS; see
-    // ArtifactFs.writeAtomicReplace for why a scheme without an
-    // AbstractFileSystem binding must not host generation pointers)
     fs.writeAtomicReplace(fs.join(root, CurrentName), gen)
   }
 
@@ -1086,10 +1093,15 @@ object IndexIngest {
       // generation as the reader grace copy; everything older goes
       if (retrained) {
         val (fs, root) = fsb(pairBase)
+        // gN retention, plus pointer-swap tmp orphans from crashed
+        // swapCurrent calls: nothing else reaps the pair ROOT (the
+        // .tmp-* reaper runs inside artifact bases only), and pair
+        // maintenance is single-maintainer by design, so a .tmp- file
+        // here is always a prior crash's remnant (review-caught)
         fs.childNames(root)
-          .filter(n => n.startsWith("g") && n != next && n != gen)
+          .filter(n => (n.startsWith("g") && n != next && n != gen) ||
+            n.startsWith(".tmp-"))
           .map(fs.join(root, _))
-          .filter(fs.isDir)
           .foreach(fs.delete)
       }
     }

@@ -19,6 +19,25 @@ class GraftTestHadoopFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
 
+/** ONE registration for every suite that touches the test scheme:
+  * suites run in parallel in one JVM, and two `registerHadoopFs`
+  * calls with DIFFERENT configurations would race — the last writer
+  * wins, and a suite registered without the AbstractFileSystem
+  * binding would silently flip writeAtomicReplace onto its fallback
+  * mid-run for the other suite (review-caught). The single shared
+  * instance carries the full configuration. */
+object GraftTestFs {
+  val Scheme = "graftfs"
+  lazy val registered: Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set(s"fs.AbstractFileSystem.$Scheme.impl",
+      classOf[GraftTestAbstractFs].getName)
+    val fs = new GraftTestHadoopFs()
+    fs.initialize(java.net.URI.create(s"$Scheme:///"), conf)
+    graft.io.ArtifactStore.registerHadoopFs(Scheme, fs)
+  }
+}
+
 /** The SAME publish protocol ([[graft.io.ArtifactStore]]) driven
   * through the [[graft.io.HadoopFs]] binding — the deployment posture
   * where the index artifacts live next to the data on HDFS. The
@@ -30,14 +49,9 @@ class GraftTestHadoopFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   * POSIX, re-proven through Hadoop's FileSystem API. */
 class HadoopArtifactStoreSpec extends AnyFunSuite {
 
-  private val Scheme = "graftfs"
+  private val Scheme = GraftTestFs.Scheme
 
-  private lazy val registered: Unit = {
-    val fs = new GraftTestHadoopFs()
-    fs.initialize(java.net.URI.create(s"$Scheme:///"),
-      new org.apache.hadoop.conf.Configuration())
-    ArtifactStore.registerHadoopFs(Scheme, fs)
-  }
+  private def registered: Unit = GraftTestFs.registered
 
   /** A fresh base as a `graftfs:`-scheme URI; `local()` is the same
     * location as a plain path for direct on-disk assertions. */

@@ -28,16 +28,10 @@ class GraftTestAbstractFs(uri: java.net.URI,
 class HadoopIndexLifecycleSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private val Scheme = "graftfs"
+  private val Scheme = GraftTestFs.Scheme
 
   private lazy val registered: Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    // FileContext binding → writeAtomicReplace takes the atomic path
-    conf.set(s"fs.AbstractFileSystem.$Scheme.impl",
-      classOf[GraftTestAbstractFs].getName)
-    val fs = new GraftTestHadoopFs()
-    fs.initialize(java.net.URI.create(s"$Scheme:///"), conf)
-    ArtifactStore.registerHadoopFs(Scheme, fs)
+    GraftTestFs.registered // the one shared, fully-configured instance
     // Spark-side: parquet IO through the scheme
     spark.sparkContext.hadoopConfiguration.set(
       s"fs.$Scheme.impl", classOf[GraftTestHadoopFs].getName)

@@ -299,17 +299,53 @@ private[graft] final class HadoopFs(
 
   override def replaceIsAtomic: Boolean = fileContext.isDefined
 
+  /** The lock file's current content (the holder's owner token), or
+    * None when absent/unreadable. */
+  private def lockOwner(lockPath: String): Option[String] =
+    try Some(read(lockPath)) catch { case _: java.io.IOException => None }
+
+  /** Owner-token mutex. `create(overwrite = false)` alone is NOT a
+    * sufficient mutex on every FileSystem: HDFS makes it atomic at
+    * the namenode, but check-then-create implementations (Hadoop's
+    * own RawLocalFileSystem; some object-store adapters) let a
+    * stampede of contenders all "win" the create — the stress spec
+    * measured 16 overlapping critical sections out of 24 acquisitions
+    * before this design. So acquisition is create + WRITE OWN TOKEN +
+    * settle + READ-BACK: racing creates all write the same file, the
+    * LAST write survives, and exactly the racer whose token survives
+    * proceeds — everyone else backs off without touching the file
+    * (it is now someone else's mutex). The settle pause bounds the
+    * read-back race (both racers self-confirming requires one's
+    * entire create+write to land inside the other's settle window
+    * AFTER its read-back — an exists-check-to-write gap longer than
+    * the settle, i.e. a deschedule mid-syscall); on atomic-create
+    * filesystems the read-back trivially confirms.
+    *
+    * Stale break (dead holder — live holders renew, see below): an
+    * atomic RENAME, then an IDENTITY CHECK on the renamed inode's
+    * token, then the delete — never a bare delete (two waiters
+    * deciding "stale" from one pre-break stat would each delete the
+    * OTHER's fresh lock), and never a bare rename (a path-based
+    * rename can steal a fresh lock created between the stat and the
+    * rename; review-caught twice). A stolen fresh lock is renamed
+    * BACK; the residual window is detected by the displaced holder's
+    * heartbeat, and the marker/manifest validation turns any torn
+    * double-publish into a rebuild, never a silently served partial
+    * artifact. */
   def lock[A](base: String)(body: => A): A = {
     mkdirs(base)
     val monitor = monitors.computeIfAbsent(base, _ => new Object)
     val lockPath = join(base, LockName)
+    val token = s"${java.util.UUID.randomUUID}"
     monitor.synchronized {
       var held = false
       var absentFailures = 0
       while (!held) {
-        held =
+        val created =
           try {
-            fs.create(hp(lockPath), false).close(); true
+            val out = fs.create(hp(lockPath), false)
+            try out.write(token.getBytes(UTF_8)) finally out.close()
+            true
           } catch {
             case e: java.io.IOException =>
               if (!fs.exists(hp(lockPath))) {
@@ -322,28 +358,7 @@ private[graft] final class HadoopFs(
                 if (absentFailures >= 3) throw e
               } else {
                 absentFailures = 0
-                // contended: break a STALE lock (dead holder — live
-                // holders renew their mtime, see below). The break is
-                // an atomic RENAME, then an IDENTITY CHECK, then the
-                // delete — never a bare delete: two waiters deciding
-                // "stale" from the same pre-break stat would each
-                // delete the OTHER's freshly created lock and both
-                // enter the critical section (review-caught TOCTOU),
-                // and a path-based rename alone can still steal a
-                // fresh lock created between this waiter's stat and
-                // its rename (review-caught, second pass). So: only
-                // one racer wins the rename; the winner then re-stats
-                // the renamed inode and (a) deletes it iff its mtime
-                // matches the stale observation, or (b) renames it
-                // BACK if it turned out fresh — a stolen live lock is
-                // restored before its holder's next heartbeat. The
-                // residual window (restore failing because a third
-                // waiter already created a new lock in the few
-                // microseconds the path was empty) is detected by the
-                // displaced holder's heartbeat, which reclaims and
-                // logs (see below); the marker/manifest validation
-                // additionally turns any torn double-publish into a
-                // rebuild, never a silently served partial artifact.
+                val observed = lockOwner(lockPath)
                 val st =
                   try Some(fs.getFileStatus(hp(lockPath)))
                   catch { case _: java.io.FileNotFoundException => None }
@@ -354,9 +369,7 @@ private[graft] final class HadoopFs(
                       s".tmp-broken-lock-${java.util.UUID.randomUUID}")
                     try {
                       if (fs.rename(hp(lockPath), hp(broken))) {
-                        val got = fs.getFileStatus(hp(broken))
-                          .getModificationTime
-                        if (got == s.getModificationTime)
+                        if (lockOwner(broken) == observed)
                           fs.delete(hp(broken), false) // the stale inode
                         else if (!fs.rename(hp(broken), hp(lockPath)))
                           fs.delete(hp(broken), false) // displaced holder
@@ -366,29 +379,42 @@ private[graft] final class HadoopFs(
                   }
                 }
               }
-              Thread.sleep(50)
               false
           }
+        if (created) {
+          Thread.sleep(HadoopFs.LockSettleMs)
+          held = lockOwner(lockPath).contains(token)
+        }
+        if (!held) Thread.sleep(50)
       }
       // heartbeat: a LIVE holder renews the lock's mtime well inside
       // the stale TTL, so builds of any length (Spark training jobs)
       // are never broken by a waiter — expiry only ever fires on a
       // dead holder's lock (review-caught: the TTL alone capped every
       // build at LockStaleMs). The beat is also the holder's
-      // LOSS-OF-LOCK detector: a vanished lock file (displaced by the
-      // break race above, or an operator delete) is RECREATED and
-      // logged loudly — silence here would let renewal no-op forever
-      // while waiters break in (review-caught, second pass).
+      // LOSS-OF-LOCK detector: a vanished or foreign-owned lock file
+      // (displaced by the break race above, or an operator delete) is
+      // reclaimed where possible and ALWAYS logged loudly — silence
+      // here would let renewal no-op forever while waiters break in
+      // (review-caught, second pass).
       val renewer = HadoopFs.renewPool.scheduleAtFixedRate(
         () => try {
-          if (fs.exists(hp(lockPath)))
-            fs.setTimes(hp(lockPath), System.currentTimeMillis(), -1)
-          else {
-            System.err.println(s"[graft] lock file $lockPath vanished " +
-              "while held — reclaiming (a waiter's stale-break race, " +
-              "or an operator delete)")
-            try fs.create(hp(lockPath), false).close()
-            catch { case _: java.io.IOException => () }
+          lockOwner(lockPath) match {
+            case Some(`token`) =>
+              fs.setTimes(hp(lockPath), System.currentTimeMillis(), -1)
+            case Some(other) =>
+              System.err.println(s"[graft] lock $lockPath is now owned " +
+                s"by $other while this process believed it held it — " +
+                "two writers may have raced; the marker/manifest " +
+                "validation will catch a torn publish")
+            case None =>
+              System.err.println(s"[graft] lock file $lockPath vanished " +
+                "while held — reclaiming (a waiter's stale-break race, " +
+                "or an operator delete)")
+              try {
+                val out = fs.create(hp(lockPath), false)
+                try out.write(token.getBytes(UTF_8)) finally out.close()
+              } catch { case _: java.io.IOException => () }
           }
         } catch {
           case e: java.io.IOException =>
@@ -400,7 +426,10 @@ private[graft] final class HadoopFs(
         java.util.concurrent.TimeUnit.MILLISECONDS)
       try body finally {
         renewer.cancel(false)
-        fs.delete(hp(lockPath), false)
+        // release only OUR lock: after a displacement the file at this
+        // path is someone else's mutex
+        if (lockOwner(lockPath).contains(token))
+          fs.delete(hp(lockPath), false)
       }
     }
   }
@@ -414,6 +443,11 @@ private[graft] object HadoopFs {
     * Volatile test hook: the renew-beats-expiry property is only
     * observable with a TTL a spec can wait out. */
   @volatile private[graft] var LockStaleMs: Long = 15L * 60 * 1000
+
+  /** The acquisition settle pause before the owner-token read-back —
+    * the window a weak-create racer's overwrite must land in to be
+    * detected (see `lock`). Paid once per acquisition. */
+  val LockSettleMs: Long = 30L
 
   /** Shared daemon scheduler for lock-mtime renewal heartbeats.
     * FOUR threads, not one: a single hung `setTimes` RPC (Hadoop

@@ -179,6 +179,56 @@ class HadoopArtifactStoreSpec extends AnyFunSuite {
     } finally graft.io.HadoopFs.LockStaleMs = prevTtl
   }
 
+  test("lock stress: N simulated processes, tiny TTL, mutual exclusion holds") {
+    // eight contenders through eight independent FileSystem handles
+    // (separate monitor maps = separate processes), each repeatedly
+    // taking the lock for longer than the TTL — so every acquisition
+    // rides the renewal heartbeat AND every waiter's loop runs the
+    // stale-judgment + identity-checked break path continuously. The
+    // invariant under all that churn: never two holders at once.
+    registered
+    def newFs(): graft.io.HadoopFs = {
+      val fs = new GraftTestHadoopFs()
+      fs.initialize(java.net.URI.create(s"$Scheme:///"),
+        new org.apache.hadoop.conf.Configuration())
+      new graft.io.HadoopFs(fs)
+    }
+    val base = Scheme + ":" + Files
+      .createTempDirectory("graft-hfs-stress").resolve("artifact").toString
+    val prevTtl = graft.io.HadoopFs.LockStaleMs
+    graft.io.HadoopFs.LockStaleMs = 300L // every hold outlives the TTL
+    try {
+      val inCritical = new AtomicInteger
+      val overlaps = new AtomicInteger
+      val acquisitions = new AtomicInteger
+      val pool = Executors.newFixedThreadPool(8)
+      val tasks = (1 to 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val fs = newFs()
+            (1 to 3).foreach { _ =>
+              fs.lock(base) {
+                acquisitions.incrementAndGet()
+                if (inCritical.incrementAndGet() > 1)
+                  overlaps.incrementAndGet()
+                Thread.sleep(450L) // 1.5× the TTL inside the lock
+                inCritical.decrementAndGet()
+              }
+            }
+          }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS),
+        "stress run wedged — a lock was lost without recovery")
+      tasks.foreach(_.get())
+      assert(acquisitions.get() == 24, "every contender completed")
+      assert(overlaps.get() == 0,
+        s"${overlaps.get()} overlapping critical sections — mutual " +
+          "exclusion broke under stale-TTL churn")
+    } finally graft.io.HadoopFs.LockStaleMs = prevTtl
+  }
+
   test("manifest validation catches pruned and extra files through Hadoop reads") {
     val base = freshBase()
     def build(tag: String)(staging: String): Unit = {
